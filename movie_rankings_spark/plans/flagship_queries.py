@@ -1,0 +1,83 @@
+"""Flagship query registrations (SURVEY.md §2l).
+
+Two variants:
+  * ``flagship_fixture`` — the frozen scraped fixture (same literal
+    rows rendered into the oracle's VALUES clause).
+  * ``flagship_tpch``   — per-supplier part rankings derived from the
+    lineitem/part fact tables, fed through the identical pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from movie_rankings_spark.catalog import load_table
+from movie_rankings_spark.operators.flagship import flagship
+from movie_rankings_spark.operators.rankings import supplier_part_rankings
+from movie_rankings_spark.plans.registry import (
+    ALIAS_CASE_SQL,
+    REGISTRY,
+    REVENUE_SUM_SQL,
+    flagship_tail_sql,
+    norm_title_sql,
+)
+from movie_rankings_spark.sources.fixtures import (
+    N_SOURCES,
+    scraped_fixture_df,
+    scraped_values_sql,
+)
+
+_FIXTURE_ORACLE = f"""
+WITH scraped AS (SELECT * FROM {scraped_values_sql()}),
+aliased AS (
+  SELECT url, rank, {ALIAS_CASE_SQL} AS title FROM scraped
+),
+norm AS (
+  SELECT url,
+         COALESCE(TRY_CAST(rank AS INTEGER), 0) AS rank,
+         {norm_title_sql('title')} AS title_comp
+  FROM aliased
+),
+{flagship_tail_sql(N_SOURCES)}
+"""
+
+
+@REGISTRY.register("flagship_fixture", _FIXTURE_ORACLE)
+def flagship_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return flagship(scraped_fixture_df(spark), n_sources=N_SOURCES, k=10)
+
+
+_TPCH_ORACLE = f"""
+WITH rev AS (
+  SELECT l.l_suppkey AS suppkey, p.p_partkey AS partkey, p.p_name AS title,
+         {REVENUE_SUM_SQL} AS revenue
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_suppkey IN (1, 2, 3)
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT suppkey, title,
+         ROW_NUMBER() OVER (
+           PARTITION BY suppkey ORDER BY revenue DESC, partkey ASC
+         ) AS rank
+  FROM rev
+),
+norm AS (
+  SELECT concat('supplier_', suppkey) AS url,
+         CAST(rank AS INTEGER) AS rank,
+         {norm_title_sql('title')} AS title_comp
+  FROM ranked WHERE rank <= 100
+),
+{flagship_tail_sql(3)}
+"""
+
+
+@REGISTRY.register("flagship_tpch", _TPCH_ORACLE)
+def flagship_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scraped = supplier_part_rankings(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+        suppkeys=(1, 2, 3),
+        top_n=100,
+    )
+    return flagship(scraped, n_sources=3, k=10, apply_aliases=False)
