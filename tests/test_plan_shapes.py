@@ -1,0 +1,87 @@
+"""Physical-plan assertions — the scale contract (SURVEY.md §4).
+
+Correctness is the oracle harness's job; these tests pin the *plans*:
+filters reach the parquet scan, dimensions broadcast, top-k never
+global-sorts, window+agg reuse one shuffle.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from movie_rankings_spark.plans import all_queries
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = all_queries.QUERIES[name](spark, sf_dir)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+
+
+def test_q1_filter_pushed_to_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: o_orderkey etc not read; scan schema stays narrow
+    assert "l_comment" not in plan
+
+
+def test_relational_plans_stay_jvm_side(spark, sf_dir):
+    """No Python evaluation nodes anywhere in the relational tier —
+    everything compiles to native expressions."""
+    for name in (
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_local_supplier_revenue",
+        "flagship_fixture",
+        "window_events_analytics",
+        "json_props_stats",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "EvalPython" not in plan, name
+
+
+def test_q3_broadcasts_customer(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q3_top10_is_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q3_shipping_priority")
+    assert "TakeOrderedAndProject" in plan
+    # top-k must not appear as a global Sort + CollectLimit
+    assert "GlobalLimit" not in plan
+
+
+def test_q5_all_dims_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q5_local_supplier_revenue")
+    # 4 broadcast joins (customer, supplier, nation, region);
+    # only lineitem⋈orders may shuffle
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_q4_semi_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q4_order_priority_exists")
+    assert "LeftSemi" in plan
+
+
+def test_flagship_single_shuffle_for_window_and_agg(spark, sf_dir):
+    """Window count on title_comp and the following groupBy share the
+    same key — Catalyst must not add a second exchange."""
+    plan = _plan(spark, sf_dir, "flagship_fixture")
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected 1 hash exchange, got {n_exchanges}"
+
+
+def test_window_events_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "window_events_analytics")
+    # two window specs (ts order + value order) over the same
+    # user_id partitioning: one exchange, two in-partition sorts
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+@pytest.mark.parametrize("name", sorted(all_queries.QUERIES))
+def test_every_query_compiles(spark, sf_dir, name):
+    """Analysis succeeds (schema resolvable) without executing."""
+    df = all_queries.QUERIES[name](spark, sf_dir)
+    assert df.schema is not None
