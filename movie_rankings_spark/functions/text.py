@@ -1,0 +1,108 @@
+"""Text-analysis expression library (north_star tier).
+
+All JVM-side `pyspark.sql.functions` compositions — tokenization,
+shingling, quality signals, language-ID scoring, fingerprints. Each
+has an exact DuckDB-SQL twin in plans/llm_queries.py; keep the two in
+sync (same regexes, same stopword lists, same arithmetic order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: BPE-ish pre-tokenizer: letter runs | digit runs | single symbol.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: Function-word lists for the language-ID heuristic. Deliberately
+#: tiny — language ID at 100 TB must be a cheap per-row expression;
+#: swap in real profiles without changing the plan shape.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("a", "the", "and", "of", "to", "in", "is"),
+    "es": ("el", "la", "de", "que", "y", "los", "una"),
+    "de": ("der", "die", "und", "das", "ein", "nicht"),
+    "fr": ("le", "la", "et", "les", "des", "une", "est"),
+    "zh": ("de5", "shi4", "le5", "bu4", "wo3", "you3"),
+}
+
+#: order used for the deterministic arg-max tie-break
+LANG_ORDER: tuple[str, ...] = ("en", "es", "de", "fr", "zh")
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokens (the documents table is space-separated)."""
+    return F.split(text, " ")
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """n-word shingles as strings; 1-based element_at matches the
+    DuckDB twin's 1-based list indexing."""
+    w = words(text)
+    idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, i + off) for off in range(n)]
+        ),
+    )
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(BPE_TOKEN_PATTERN))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are not [A-Za-z0-9 ]."""
+    punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9 ]", ""))
+    return punct / F.length(text)
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """Number of (non-distinct) tokens that are function words."""
+    stop = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    return F.size(F.filter(words(text), lambda w: F.array_contains(stop, w)))
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic document quality in [0,1]:
+    0.5·length-saturation + 0.3·(1 − punct ratio) + 0.2·stopword
+    saturation. Pure double arithmetic — deterministic across engines."""
+    n_words = F.size(words(text)).cast("double")
+    length_part = F.least(n_words / F.lit(50.0), F.lit(1.0))
+    punct_part = F.lit(1.0) - punct_ratio(text)
+    stop_ratio = stopword_hits(text, "en").cast("double") / n_words
+    stop_part = F.least(stop_ratio * F.lit(5.0), F.lit(1.0))
+    return (
+        length_part * F.lit(0.5) + punct_part * F.lit(0.3) + stop_part * F.lit(0.2)
+    )
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Distinct-token hit count against each language's list."""
+    distinct_words = F.array_distinct(words(text))
+    return {
+        lang: F.size(
+            F.array_intersect(
+                distinct_words, F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+            )
+        )
+        for lang in LANG_ORDER
+    }
+
+
+def lang_predict(text: Column) -> Column:
+    """Arg-max over lang_scores with LANG_ORDER tie-break; 'und'
+    (undetermined) when every score is zero."""
+    scores = lang_scores(text)
+    best = F.greatest(*[scores[lang] for lang in LANG_ORDER])
+    expr = F.lit("und")
+    for lang in reversed(LANG_ORDER):
+        expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
+    return F.when(best <= 0, F.lit("und")).otherwise(expr)
+
+
+def content_fingerprint(text: Column) -> Column:
+    """Content-defined fingerprint: md5 of case-folded,
+    whitespace-collapsed text. Engine-portable (md5 is md5)."""
+    normalized = F.lower(F.regexp_replace(text, r"\s+", " "))
+    return F.md5(normalized)

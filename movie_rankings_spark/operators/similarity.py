@@ -1,0 +1,213 @@
+"""Similarity search over the embeddings table (north_star tier).
+
+Three strategies:
+  * cosine_topk_exact   — brute-force with exact-decimal dot products;
+    the oracle-checkable baseline. Query side broadcast, score compute
+    on the scan side, per-group top-k window. JVM-only.
+  * cosine_topk_numpy   — Arrow-batched numpy matrix math
+    (mapInPandas): the real throughput path. Each batch computes a
+    (batch × queries) GEMM and emits only per-batch top-k candidates,
+    so the shuffle after is queries × k × partitions rows, not the
+    full cross product.
+  * ivf_topk            — IVF-style partitioned ANN: vectors bucketed
+    by nearest centroid, query probes nprobe buckets. The 100 TB
+    shape: candidate generation touches ~nprobe/ncentroids of the
+    corpus; bucketing is a plain groupBy/repartition key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from movie_rankings_spark.functions.vectors import cosine_exact
+
+TOPK_SCHEMA = "query_id long, vec_id long, cosine double"
+
+
+def _query_side(embeddings: DataFrame, query_ids: Sequence[int]) -> DataFrame:
+    return embeddings.filter(F.col("vec_id").isin(list(query_ids))).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+
+
+def cosine_topk_exact(
+    embeddings: DataFrame, query_ids: Sequence[int], k: int = 5
+) -> DataFrame:
+    """Exact brute-force top-k neighbours per query (self excluded)."""
+    q = _query_side(embeddings, query_ids)
+    scored = (
+        embeddings.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_exact(F.col("q_emb"), F.col("embedding")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "vec_id", "cosine", "rn")
+        .orderBy("query_id", "rn")
+    )
+
+
+def _collect_queries(
+    embeddings: DataFrame, query_ids: Sequence[int]
+) -> tuple[np.ndarray, np.ndarray]:
+    rows = (
+        embeddings.filter(F.col("vec_id").isin(list(query_ids)))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    return ids, mat
+
+
+def cosine_topk_numpy(
+    embeddings: DataFrame, query_ids: Sequence[int], k: int = 5
+) -> DataFrame:
+    """Vectorized brute-force: queries collected (small side — same
+    role as a broadcast), corpus streamed through Arrow batches, GEMM
+    per batch, per-batch top-k, global top-k window on the reduced
+    candidate set."""
+    spark = embeddings.sparkSession
+    q_ids, q_mat = _collect_queries(embeddings, query_ids)
+
+    def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vec_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = mat @ q_mat.T  # (batch, queries)
+            for qi, qid in enumerate(q_ids):
+                col = sims[:, qi]
+                mask = vec_ids != qid
+                ids_m, col_m = vec_ids[mask], col[mask]
+                take = min(k, len(col_m))
+                if take == 0:
+                    continue
+                idx = np.argpartition(-col_m, take - 1)[:take]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(take, qid, dtype=np.int64),
+                        "vec_id": ids_m[idx],
+                        "cosine": col_m[idx],
+                    }
+                )
+
+    candidates = embeddings.select("vec_id", "embedding").mapInPandas(
+        score_batches, TOPK_SCHEMA
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        candidates.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .orderBy("query_id", "rn")
+    )
+
+
+def ivf_assignments(
+    embeddings: DataFrame, centroids: np.ndarray
+) -> DataFrame:
+    """Assign every vector to its nearest (normalized-dot) centroid.
+    The bucket id becomes the partitioning key for candidate probes."""
+    cent = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            buckets = np.argmax(mat @ cent.T, axis=1).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "bucket": buckets,
+                    "embedding": pdf["embedding"],
+                }
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        assign, "vec_id long, bucket int, embedding array<float>"
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: Sequence[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF ANN: centroids = the first n_centroids vectors by vec_id
+    (deterministic stand-in for k-means — the plan shape is identical;
+    swap the centroid source for trained ones at scale). Queries probe
+    their nprobe nearest buckets; only those buckets are scored, using
+    the numpy path keyed by (query_id, bucket)."""
+    spark = embeddings.sparkSession
+    cent_rows = (
+        embeddings.orderBy("vec_id").limit(n_centroids).select("embedding").collect()
+    )
+    centroids = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
+    cent_norm = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    assigned = ivf_assignments(embeddings, centroids)
+
+    q_ids, q_mat = _collect_queries(embeddings, query_ids)
+    q_by_id = {int(qid): q_mat[i] for i, qid in enumerate(q_ids)}
+    probes = []
+    for qid, qv in zip(q_ids, q_mat):
+        order = np.argsort(-(cent_norm @ qv))[:nprobe]
+        probes.extend((int(qid), int(b)) for b in order)
+    probe_df = spark.createDataFrame(probes, "query_id long, bucket int")
+
+    candidates = assigned.join(F.broadcast(probe_df), "bucket").filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            qmat = np.array(
+                [q_by_id[int(q)] for q in pdf["query_id"]], dtype=np.float64
+            )
+            cos = np.einsum("ij,ij->i", mat, qmat)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(dtype=np.int64),
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "cosine": cos,
+                }
+            )
+
+    scored = candidates.select("query_id", "vec_id", "embedding").mapInPandas(
+        score, TOPK_SCHEMA
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .orderBy("query_id", "rn")
+    )

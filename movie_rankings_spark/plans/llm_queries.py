@@ -1,0 +1,267 @@
+"""LLM-data-pipeline tier registrations (north_star mandate): text
+analysis, dedup, similarity search. DuckDB oracles mirror the Spark
+expressions exactly (same regexes, stopword lists, shingle indexing,
+and the exact-decimal dot-product trick from functions/vectors.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from movie_rankings_spark.catalog import load_table
+from movie_rankings_spark.functions.text import LANG_ORDER, LANG_STOPWORDS
+from movie_rankings_spark.operators import dedup, similarity, textops
+from movie_rankings_spark.plans.registry import REGISTRY
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _sql_list(words) -> str:
+    return "[" + ", ".join("'" + w + "'" for w in words) + "]"
+
+
+_WORDS = "string_split(text, ' ')"
+_STOP_EN = _sql_list(LANG_STOPWORDS["en"])
+
+# --- text analysis ----------------------------------------------------------
+
+_DOC_STATS_ORACLE = f"""
+SELECT doc_id,
+       CAST(len({_WORDS}) AS INTEGER) AS n_words,
+       CAST(length(text) AS INTEGER) AS n_chars_computed,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER)
+         AS n_bpe_tokens,
+       CAST(len(list_distinct({_WORDS})) AS INTEGER) AS n_distinct_words
+FROM documents ORDER BY doc_id
+"""
+
+
+@REGISTRY.register("text_doc_stats", _DOC_STATS_ORACLE)
+def text_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.doc_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+_QUALITY_ORACLE = f"""
+SELECT doc_id,
+       CAST(len({_WORDS}) AS INTEGER) AS n_words,
+       CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+         / length(text) AS punct_ratio,
+       CAST(len(list_filter({_WORDS}, w -> list_contains({_STOP_EN}, w))) AS DOUBLE)
+         / len({_WORDS}) AS stopword_ratio,
+       least(CAST(len({_WORDS}) AS DOUBLE) / 50.0, 1.0) * 0.5
+         + (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+                  / length(text)) * 0.3
+         + least(CAST(len(list_filter({_WORDS}, w -> list_contains({_STOP_EN}, w)))
+                      AS DOUBLE) / len({_WORDS}) * 5.0, 1.0) * 0.2
+         AS quality
+FROM documents ORDER BY doc_id
+"""
+
+
+@REGISTRY.register("text_quality", _QUALITY_ORACLE)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.doc_quality(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _langid_oracle() -> str:
+    score_exprs = ",\n       ".join(
+        f"CAST(len(list_intersect(list_distinct({_WORDS}), "
+        f"{_sql_list(LANG_STOPWORDS[lang])})) AS INTEGER) AS score_{lang}"
+        for lang in LANG_ORDER
+    )
+    greatest = "GREATEST(" + ", ".join(f"score_{lang}" for lang in LANG_ORDER) + ")"
+    case_arms = " ".join(
+        f"WHEN score_{lang} = {greatest} THEN '{lang}'" for lang in LANG_ORDER
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang AS lang_label,
+       {score_exprs}
+  FROM documents
+)
+SELECT doc_id, lang_label,
+       CASE WHEN {greatest} <= 0 THEN 'und' {case_arms} ELSE 'und' END AS lang_pred,
+       {', '.join(f'score_{lang}' for lang in LANG_ORDER)}
+FROM scored ORDER BY doc_id
+"""
+
+
+@REGISTRY.register("text_langid", _langid_oracle())
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.doc_langid(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+_FP_ORACLE = r"""
+SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
+FROM documents ORDER BY doc_id
+"""
+
+
+@REGISTRY.register("text_fingerprints", _FP_ORACLE)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.doc_fingerprints(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+_CORPUS_ORACLE = f"""
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(len({_WORDS})) AS BIGINT) AS total_words,
+       CAST(MIN(length(text)) AS INTEGER) AS min_chars,
+       CAST(MAX(length(text)) AS INTEGER) AS max_chars
+FROM documents GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@REGISTRY.register("text_corpus_summary", _CORPUS_ORACLE)
+def text_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.corpus_summary(_docs(spark, sf_dir))
+
+
+# --- dedup ------------------------------------------------------------------
+
+_EXACT_DEDUP_ORACLE = r"""
+SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
+       MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_dups
+FROM documents GROUP BY 1 ORDER BY fingerprint
+"""
+
+
+@REGISTRY.register("dedup_exact_groups", _EXACT_DEDUP_ORACLE)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup_groups(_docs(spark, sf_dir)).orderBy("fingerprint")
+
+
+_SHINGLES = (
+    f"list_distinct(list_transform(range(1, len({_WORDS}) - 1), "
+    f"i -> concat_ws(' ', {_WORDS}[i], {_WORDS}[i+1], {_WORDS}[i+2])))"
+)
+
+_NGRAM_ORACLE = f"""
+WITH s AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+sz AS (SELECT doc_id, len(sh) AS n FROM s),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (x.n + y.n - i) AS jaccard
+FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+
+@REGISTRY.register("dedup_ngram_jaccard", _NGRAM_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+# Same oracle as the exact query: with 16×4 banding the probability of
+# LSH missing a pair at jaccard j is (1-j^4)^16 — for the planted
+# near-dups (j >= 0.95) that is < 1e-17, and verification guarantees
+# precision, so LSH output == exact output on this corpus.
+@REGISTRY.register("dedup_minhash_lsh", _NGRAM_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_neardup_pairs(
+        _docs(spark, sf_dir), threshold=0.5, num_hashes=64, bands=16
+    ).orderBy("doc_a", "doc_b")
+
+
+@REGISTRY.register("dedup_simhash")  # fingerprints are hash-function-specific
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only: the 48-bit fingerprint is
+    xxhash64-derived and has no engine-neutral oracle; precision is
+    covered by tests/test_dedup.py against the exact Jaccard pairs)."""
+    return dedup.simhash_neardup_pairs(_docs(spark, sf_dir), max_hamming=6).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+# --- similarity search ------------------------------------------------------
+
+_COSINE_SQL = """
+CAST(list_sum(list_transform(range(1, len({a}) + 1),
+     i -> CAST(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)
+               AS DECIMAL(28,12)))) AS DOUBLE)
+/ (sqrt(CAST(list_sum(list_transform(range(1, len({a}) + 1),
+     i -> CAST(CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)
+               AS DECIMAL(28,12)))) AS DOUBLE))
+ * sqrt(CAST(list_sum(list_transform(range(1, len({b}) + 1),
+     i -> CAST(CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)
+               AS DECIMAL(28,12)))) AS DOUBLE)))
+"""
+
+_TOPK_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8
+),
+pairs AS (
+  SELECT q.query_id, e.vec_id,
+         {_COSINE_SQL.format(a='q.q_emb', b='e.embedding')} AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cosine, rn FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+  ) AS rn FROM pairs
+) WHERE rn <= 5
+ORDER BY query_id, rn
+"""
+
+_QUERY_IDS = tuple(range(8))
+
+
+@REGISTRY.register("similarity_cosine_topk", _TOPK_ORACLE)
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_topk_exact(_emb(spark, sf_dir), _QUERY_IDS, k=5)
+
+
+@REGISTRY.register("similarity_cosine_topk_numpy")  # float64 GEMM ≠ decimal sum
+def similarity_cosine_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/numpy brute-force path (rows-only: float64 accumulation
+    order differs from the exact-decimal oracle; id-level agreement
+    with the exact variant is covered in tests/test_similarity.py)."""
+    return similarity.cosine_topk_numpy(_emb(spark, sf_dir), _QUERY_IDS, k=5)
+
+
+# --- multimodal -------------------------------------------------------------
+
+
+@REGISTRY.register("multimodal_features")  # byte-level UDF; no SQL twin
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: synthesize media payloads from
+    documents, extract Arrow-batched features, aggregate per kind
+    (rows-only: the feature UDF is byte-level Python with no DuckDB
+    twin; determinism + invariants covered in tests/test_multimodal.py)."""
+    from movie_rankings_spark.operators import multimodal
+
+    media = multimodal.synthesize_media(_docs(spark, sf_dir))
+    feats = multimodal.extract_features(media)
+    return (
+        feats.select("kind", F.explode("feature").alias("f"))
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.sum(F.col("f").cast("decimal(28,12)")).cast("double").alias("mass"),
+        )
+        .orderBy("kind")
+    )
+
+
+@REGISTRY.register("similarity_ivf_topk")  # ANN: recall<1 by design
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (rows-only: approximate by construction;
+    recall against the exact variant is covered in tests)."""
+    return similarity.ivf_topk(
+        _emb(spark, sf_dir), _QUERY_IDS, k=5, n_centroids=16, nprobe=4
+    )

@@ -1,0 +1,68 @@
+"""Dedup tier tests: exact dedup on a fixture with planted dups;
+MinHash-LSH and SimHash judged against the exact n-gram Jaccard pairs.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from movie_rankings_spark.catalog import load_table
+from movie_rankings_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(docs):
+    return {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+
+
+def test_exact_dedup_removes_planted_duplicates(spark):
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),  # exact dup of 1
+        (3, "alpha  beta gamma delta"),  # whitespace variant → same fingerprint
+        (4, "ALPHA BETA GAMMA DELTA"),  # case variant → same fingerprint
+        (5, "something else entirely here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in dedup.exact_dedup(df).collect())
+    assert kept == [1, 5]
+    groups = {
+        r["rep_doc_id"]: r["n_dups"]
+        for r in dedup.exact_dedup_groups(df).collect()
+    }
+    assert groups == {1: 4, 5: 1}
+
+
+def test_minhash_lsh_matches_exact_pairs(docs, exact_pairs):
+    lsh_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_neardup_pairs(docs, threshold=0.5).collect()
+    }
+    assert lsh_pairs == exact_pairs
+    assert len(exact_pairs) > 0, "corpus should contain planted near-dups"
+
+
+def test_simhash_finds_planted_pairs(docs, exact_pairs):
+    """SimHash is order-insensitive over shared vocabulary, so it is
+    looser than shingle Jaccard — require recall of the planted pairs,
+    not precision."""
+    sim_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.simhash_neardup_pairs(docs, max_hamming=6).collect()
+    }
+    missed = exact_pairs - sim_pairs
+    assert len(missed) <= len(exact_pairs) * 0.2, f"missed {len(missed)} pairs"
+
+
+def test_simhash_fingerprint_is_48_bit(docs):
+    row = dedup.simhash_fingerprints(docs.limit(10)).collect()
+    for r in row:
+        assert 0 <= r["simhash"] < (1 << 48)

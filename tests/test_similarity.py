@@ -1,0 +1,52 @@
+"""Similarity tier: numpy and IVF paths judged against the exact-
+decimal brute-force baseline."""
+
+from __future__ import annotations
+
+import pytest
+
+from movie_rankings_spark.catalog import load_table
+from movie_rankings_spark.operators import similarity
+
+QUERY_IDS = tuple(range(8))
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def exact_topk(emb):
+    return {
+        (r["query_id"], r["rn"]): r["vec_id"]
+        for r in similarity.cosine_topk_exact(emb, QUERY_IDS, k=5).collect()
+    }
+
+
+def test_numpy_path_matches_exact_ids(emb, exact_topk):
+    got = {
+        (r["query_id"], r["rn"]): r["vec_id"]
+        for r in similarity.cosine_topk_numpy(emb, QUERY_IDS, k=5).collect()
+    }
+    agree = sum(1 for key, vid in exact_topk.items() if got.get(key) == vid)
+    assert agree >= len(exact_topk) * 0.95, f"{agree}/{len(exact_topk)} agree"
+
+
+def test_ivf_recall_against_exact(emb, exact_topk):
+    ivf = similarity.ivf_topk(emb, QUERY_IDS, k=5, n_centroids=16, nprobe=4)
+    got_sets: dict[int, set] = {}
+    for r in ivf.collect():
+        got_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    exact_sets: dict[int, set] = {}
+    for (qid, _), vid in exact_topk.items():
+        exact_sets.setdefault(qid, set()).add(vid)
+    hits = sum(
+        len(got_sets.get(q, set()) & exact_sets[q]) for q in exact_sets
+    )
+    total = sum(len(s) for s in exact_sets.values())
+    assert hits / total >= 0.5, f"IVF recall {hits}/{total}"
+
+
+def test_exact_topk_shape(exact_topk):
+    assert len(exact_topk) == len(QUERY_IDS) * 5
