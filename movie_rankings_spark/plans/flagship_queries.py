@@ -47,6 +47,49 @@ def flagship_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagship(scraped_fixture_df(spark), n_sources=N_SOURCES, k=10)
 
 
+def _scraped_expected_values_sql() -> str:
+    from movie_rankings_spark.sources.scrape_fixtures import EXPECTED_SCRAPED
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    rows = ",\n    ".join(
+        f"({q(u)}, {q(r)}, {q(t)})" for u, r, t in EXPECTED_SCRAPED
+    )
+    return f"(VALUES\n    {rows}\n) AS scraped(url, rank, title)"
+
+
+_SCRAPED_ORACLE = f"""
+WITH scraped AS (SELECT * FROM {_scraped_expected_values_sql()}),
+aliased AS (
+  SELECT url, rank, {ALIAS_CASE_SQL} AS title FROM scraped
+),
+norm AS (
+  SELECT url,
+         COALESCE(TRY_CAST(rank AS INTEGER), 0) AS rank,
+         {norm_title_sql('title')} AS title_comp
+  FROM aliased
+),
+{flagship_tail_sql(3)}
+"""
+
+
+@REGISTRY.register("flagship_scraped", _SCRAPED_ORACLE)
+def flagship_scraped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end: HTML fixture pages → distributed dialect extraction
+    (mapInPandas) → flagship pipeline. The oracle runs on the frozen
+    expected-extraction rows, so a drift in either the extractors or
+    the analytics shows up as a hash mismatch."""
+    from movie_rankings_spark.sources.html import scraped_from_sources
+    from movie_rankings_spark.sources.scrape_fixtures import (
+        FIXTURE_SOURCES,
+        FixtureFetcher,
+    )
+
+    scraped = scraped_from_sources(spark, FIXTURE_SOURCES, FixtureFetcher())
+    return flagship(scraped, n_sources=3, k=10)
+
+
 _TPCH_ORACLE = f"""
 WITH rev AS (
   SELECT l.l_suppkey AS suppkey, p.p_partkey AS partkey, p.p_name AS title,
