@@ -1,0 +1,89 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value" (total sec), "unit", "queries" {name: sec},
+"sf"}. Timing is wall-clock around the collecting action after a
+session warm-up action.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from movie_rankings_spark.plans import all_queries  # noqa: E402
+from movie_rankings_spark.session import get_spark  # noqa: E402
+
+#: Representative slice of every tier: flagship, relational joins and
+#: aggregates, windows, JSON, dedup (exact + LSH + inverted-index),
+#: similarity (exact + numpy), text analysis, streaming.
+HEADLINE_QUERIES = (
+    "flagship_tpch",
+    "flagship_scraped",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_revenue",
+    "q4_order_priority_exists",
+    "topk_parts_per_brand",
+    "window_events_analytics",
+    "json_props_stats",
+    "orders_by_month",
+    "rollup_orders",
+    "distinct_parts_per_supplier",
+    "dedup_exact_groups",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "similarity_cosine_topk",
+    "similarity_cosine_topk_numpy",
+    "text_quality",
+    "text_langid",
+    "text_corpus_summary",
+    "stream_tumbling_daily",
+)
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        sf = float(sf_tag.replace("sf", ""))
+    except ValueError:
+        sf = None
+
+    spark = get_spark("movie-rankings-bench")
+    # warm-up: JIT + codegen + parquet footer caches
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE_QUERIES:
+        fn = all_queries.QUERIES[name]
+        start = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = len(df.collect())  # full materialization — count() would let
+        # Catalyst prune the aggregate expressions and under-measure
+        elapsed = time.perf_counter() - start
+        timings[name] = round(elapsed, 4)
+        print(f"# {name}: {elapsed:.3f}s rows={n}", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,76 @@
+"""Streaming-tier registrations. Each query executes a REAL
+Structured Streaming job (availableNow trigger → memory sink) and
+returns the materialized result, so the correctness gate exercises the
+streaming engine itself; the oracles are the batch-SQL equivalents
+(stream/batch equivalence is the semantics being asserted).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from movie_rankings_spark.plans.registry import REGISTRY
+from movie_rankings_spark.streaming import events as ev
+
+_TUMBLING_ORACLE = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@REGISTRY.register("stream_tumbling_daily", _TUMBLING_ORACLE)
+def stream_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = ev.run_to_batch(ev.tumbling_daily_counts(ev.events_stream(spark, sf_dir)))
+    return out.orderBy("day", "event_type")
+
+
+_SLIDING_ORACLE = """
+WITH k AS (SELECT unnest([0, 1, 2, 3]) AS k),
+w AS (
+  SELECT time_bucket(INTERVAL 6 HOURS, ts) - k.k * INTERVAL 6 HOURS AS ws
+  FROM events CROSS JOIN k
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M') AS window_start, COUNT(*) AS n_events
+FROM w GROUP BY 1 ORDER BY 1
+"""
+
+
+@REGISTRY.register("stream_sliding_6h", _SLIDING_ORACLE)
+def stream_sliding_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = ev.run_to_batch(ev.sliding_window_counts(ev.events_stream(spark, sf_dir)))
+    return out.orderBy("window_start")
+
+
+_SESSION_ORACLE = """
+WITH x AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS sid
+  FROM x
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+@REGISTRY.register("stream_session_windows", _SESSION_ORACLE)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = ev.run_to_batch(ev.session_counts(ev.events_stream(spark, sf_dir)))
+    return out.orderBy("user_id", "session_start")

@@ -1,0 +1,156 @@
+"""Streaming operators over the events stream (SURVEY.md §2i [EXT]).
+
+The events parquet doubles as a file-source stream; every operator
+here is written against an unbounded `readStream` DataFrame and
+executed with an availableNow trigger for tests/oracles — identical
+code would run against a Kafka source at scale, the only change being
+the `readStream.format(...)` line.
+
+Semantics:
+  * tumbling / sliding windows — `F.window`, epoch-aligned, so batch
+    `date_trunc`/`time_bucket` reproduce them exactly (the oracle
+    relies on this).
+  * session windows — `F.session_window` with a 30 min gap; the batch
+    twin is the classic lag/cumsum sessionization.
+  * watermarks bound state for append sinks; aggregation demos run in
+    `complete` mode so availableNow emits every window (append mode
+    would hold back windows newer than the final watermark).
+  * stateful dedup — `dropDuplicatesWithinWatermark` keyed on
+    event_id.
+
+Scale notes: window aggregates shuffle on (window ⊗ group key) with
+partial aggregation; session windows shuffle on user_id and merge
+per-key state — both bounded by the watermark horizon, so state size
+is O(active keys × horizon), independent of stream length.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from movie_rankings_spark.catalog import table_path
+
+EVENTS_RAW_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+_CHECKPOINT_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".tmp",
+    "checkpoints",
+)
+
+
+def _stage_stream_dir(sf_dir: str) -> str:
+    """The file stream source lists a DIRECTORY; the driver ships
+    events as a single parquet file. Stage it (idempotent copy) into
+    a per-sf directory the source can monitor — in production this
+    directory is the landing zone new files arrive into."""
+    import shutil
+
+    src = table_path(sf_dir, "events")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    dst_dir = os.path.join(
+        os.path.dirname(_CHECKPOINT_ROOT), "stream_src", f"events_{tag}"
+    )
+    dst = os.path.join(dst_dir, "events.parquet")
+    os.makedirs(dst_dir, exist_ok=True)
+    if not os.path.exists(dst) or os.path.getsize(dst) != os.path.getsize(src):
+        shutil.copyfile(src, dst)
+    return dst_dir
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as an unbounded stream (file source). ts arrives as
+    raw nanos (same TIMESTAMP(NANOS) issue as the batch catalog) and
+    is truncated to microseconds here."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .parquet(_stage_stream_dir(sf_dir))
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def tumbling_daily_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Per-day, per-type counts + exact value sums."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_window_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """24 h windows sliding every 6 h (each event lands in 4)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day", "6 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("window_start"),
+            "n_events",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Per-user session windows (gap-merged)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stateful exact dedup on event_id, state bounded by watermark."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_to_batch(
+    df: DataFrame, output_mode: str = "complete", name: str | None = None
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion (availableNow) into
+    an in-memory table and return it as a batch DataFrame."""
+    spark = df.sparkSession
+    name = name or f"stream_{uuid.uuid4().hex[:12]}"
+    ckpt = os.path.join(_CHECKPOINT_ROOT, name)
+    os.makedirs(_CHECKPOINT_ROOT, exist_ok=True)
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

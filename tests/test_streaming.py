@@ -1,0 +1,93 @@
+"""Streaming tier tests: stream/batch equivalence (beyond the oracle
+gate) and stateful dedup within watermark on a planted-duplicate
+stream."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from movie_rankings_spark.streaming import events as ev
+
+
+def test_tumbling_stream_equals_batch(spark, sf_dir):
+    stream_out = ev.run_to_batch(
+        ev.tumbling_daily_counts(ev.events_stream(spark, sf_dir))
+    )
+    from movie_rankings_spark.catalog import load_table
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+                 "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+    )
+    s = {tuple(r) for r in stream_out.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b
+
+
+def test_dedup_within_watermark_removes_planted_dups(spark, tmp_path):
+    src_dir = str(tmp_path / "dup_stream")
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "view", 1.0, "{}"),
+        (1, "2024-01-01 10:00:05", 1, "view", 1.0, "{}"),  # dup id, within wm
+        (2, "2024-01-01 10:01:00", 1, "click", 2.0, "{}"),
+        (3, "2024-01-01 10:02:00", 2, "view", 3.0, "{}"),
+        (3, "2024-01-01 10:02:00", 2, "view", 3.0, "{}"),  # exact dup row
+        (4, "2024-01-01 10:03:00", 2, "purchase", 4.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts_s string, user_id long, event_type string, "
+        "value double, props string",
+    ).select(
+        "event_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    df.write.mode("overwrite").parquet(src_dir)
+
+    stream = spark.readStream.schema(df.schema).parquet(src_dir)
+    deduped = ev.dedup_within_watermark(stream, watermark="1 hour")
+    out = ev.run_to_batch(deduped, output_mode="append")
+    ids = sorted(r["event_id"] for r in out.collect())
+    assert ids == [1, 2, 3, 4]
+
+
+def test_session_counts_merge_within_gap(spark, tmp_path):
+    src_dir = str(tmp_path / "session_stream")
+    rows = [
+        (1, "2024-01-01 10:00:00", 7, "view", 1.0, "{}"),
+        (2, "2024-01-01 10:10:00", 7, "view", 1.0, "{}"),  # same session
+        (3, "2024-01-01 11:30:00", 7, "view", 1.0, "{}"),  # gap > 30m → new
+        (4, "2024-01-01 10:00:00", 8, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts_s string, user_id long, event_type string, "
+        "value double, props string",
+    ).select(
+        "event_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    df.write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema(df.schema).parquet(src_dir)
+    out = ev.run_to_batch(ev.session_counts(stream))
+    got = {
+        (r["user_id"], r["n_events"]) for r in out.collect()
+    }
+    assert got == {(7, 2), (7, 1), (8, 1)}
