@@ -1,6 +1,6 @@
 """Deduplication operators over the documents table (north_star tier).
 
-Four tiers, cheapest first — at 100 TB you run them in this order:
+Five tiers, cheapest first — at 100 TB you run them in this order:
   1. exact       — md5-keyed groupBy; one shuffle of (hash, id) pairs.
   2. ngram       — exact n-gram Jaccard via shingle-inverted-index
                    join; quadratic in the worst case, used as the
@@ -11,17 +11,27 @@ Four tiers, cheapest first — at 100 TB you run them in this order:
                    for signatures + near-linear bucket join.
   4. simhash     — 48-bit fingerprints; hamming-ball candidates via
                    chunk buckets (pigeonhole), bit_count verification.
+  5. embedding   — semantic near-dup on the embedding column: exact
+                   all-pairs cosine (oracle path) and random-hyperplane
+                   LSH bucketing + verification (scale path).
 
-All JVM-side: xxhash64 for hashing, higher-order array functions for
-set math. No Python in any hot path.
+Tiers 1-4 are JVM-side: xxhash64 for hashing, higher-order array
+functions for set math. No Python in any hot path; tier 5's LSH
+signature step is an Arrow-batched numpy GEMM.
 """
 
 from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from movie_rankings_spark.functions.text import content_fingerprint, word_shingles
+from movie_rankings_spark.functions.vectors import dot_exact, norm_sq_exact
 
 # --- 1. exact ---------------------------------------------------------------
 
@@ -265,3 +275,131 @@ def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# --- 5. embedding-cosine ----------------------------------------------------
+
+
+def embedding_cosine_pairs(
+    embeddings: DataFrame, threshold: float = 0.45
+) -> DataFrame:
+    """Exact all-pairs semantic near-dup: (vec_a, vec_b, cosine) for
+    every pair at cosine >= threshold. Norms are computed ONCE per
+    vector before the pair join (not per pair — halves the per-pair
+    work to a single dot product); products go through the exact
+    decimal sum so the result hash-matches the DuckDB oracle.
+
+    Scale: all-pairs is O(n²) by definition — this is the verifier and
+    small-partition path. At 100 TB you run embedding_lsh_pairs for
+    candidates and this expression only on the candidate set."""
+    n = embeddings.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(norm_sq_exact(F.col("embedding"))).alias("nrm"),
+    )
+    a = n.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = n.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    cosine = dot_exact(F.col("emb_a"), F.col("emb_b")) / (
+        F.col("nrm_a") * F.col("nrm_b")
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int = 7) -> np.ndarray:
+    """Deterministic Gaussian hyperplane matrix (n_bits × dim)."""
+    return np.random.RandomState(seed).standard_normal((n_bits, dim))
+
+
+def embedding_lsh_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    n_bits: int = 64,
+    bands: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """Random-hyperplane (SimHash-for-cosine) LSH near-dup: signature
+    bits sign(H·v) via one Arrow-batched GEMM per partition, banded
+    bucket equi-join for candidates, numpy cosine verification on the
+    candidate pairs only.
+
+    Collision model: P(bit agrees) = 1 - theta/pi; with 16 bands of 4
+    bits a pair at cosine 0.45 is caught w.p. ~0.95 and higher-cosine
+    pairs approach 1. Shuffle volume is docs × bands rows — linear, the
+    100 TB path. Output columns match embedding_cosine_pairs; recall
+    (<1 by construction) is measured against it in tests."""
+    rows_per_band = n_bits // bands
+    dim = len(embeddings.select("embedding").first()["embedding"])
+    planes = _hyperplanes(dim, n_bits, seed)
+
+    def sign_bands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            bits = (mat @ planes.T) >= 0  # (batch, n_bits)
+            out = []
+            for j in range(bands):
+                chunk = bits[:, j * rows_per_band : (j + 1) * rows_per_band]
+                bucket = chunk @ (1 << np.arange(rows_per_band))
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                            "band": np.full(len(pdf), j, dtype=np.int32),
+                            "bucket": bucket.astype(np.int64),
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    banded = embeddings.select("vec_id", "embedding").mapInPandas(
+        sign_bands, "vec_id long, band int, bucket long"
+    )
+    a = banded.select(F.col("vec_id").alias("vec_a"), "band", "bucket")
+    b = banded.select(F.col("vec_id").alias("vec_b"), "band", "bucket")
+    cands = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+
+    ea = embeddings.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+    )
+    eb = embeddings.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
+    )
+    paired = cands.join(ea, "vec_a").join(eb, "vec_b")
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ma = np.array(pdf["emb_a"].tolist(), dtype=np.float64)
+            mb = np.array(pdf["emb_b"].tolist(), dtype=np.float64)
+            cos = np.einsum("ij,ij->i", ma, mb) / (
+                np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+            )
+            keep = cos >= threshold
+            yield pd.DataFrame(
+                {
+                    "vec_a": pdf["vec_a"].to_numpy(dtype=np.int64)[keep],
+                    "vec_b": pdf["vec_b"].to_numpy(dtype=np.int64)[keep],
+                    "cosine": cos[keep],
+                }
+            )
+
+    return paired.mapInPandas(verify, "vec_a long, vec_b long, cosine double")

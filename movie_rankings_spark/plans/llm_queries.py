@@ -176,6 +176,50 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+# Exact all-pairs semantic near-dup. Norms precomputed per vector,
+# per-pair dot through the exact-decimal sum — same formula as the
+# similarity oracle below, so the cosine doubles are bit-identical.
+_EMB_NORM_SQL = """
+sqrt(CAST(list_sum(list_transform(range(1, len(embedding) + 1),
+     i -> CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+               AS DECIMAL(28,12)))) AS DOUBLE))
+"""
+
+_EMB_DEDUP_ORACLE = f"""
+WITH n AS (
+  SELECT vec_id, embedding, {_EMB_NORM_SQL} AS nrm FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST(list_sum(list_transform(range(1, len(a.embedding) + 1),
+            i -> CAST(CAST(a.embedding[i] AS DOUBLE)
+                      * CAST(b.embedding[i] AS DOUBLE)
+                 AS DECIMAL(28,12)))) AS DOUBLE) / (a.nrm * b.nrm) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE CAST(list_sum(list_transform(range(1, len(a.embedding) + 1),
+           i -> CAST(CAST(a.embedding[i] AS DOUBLE)
+                     * CAST(b.embedding[i] AS DOUBLE)
+                AS DECIMAL(28,12)))) AS DOUBLE) / (a.nrm * b.nrm) >= 0.45
+ORDER BY vec_a, vec_b
+"""
+
+
+@REGISTRY.register("dedup_embedding_cosine", _EMB_DEDUP_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_cosine_pairs(_emb(spark, sf_dir), threshold=0.45).orderBy(
+        "vec_a", "vec_b"
+    )
+
+
+@REGISTRY.register("dedup_embedding_lsh")  # ANN candidates: recall<1 by design
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH near-dup (rows-only: candidate recall < 1
+    by construction; recall vs the exact variant is asserted in
+    tests/test_dedup.py)."""
+    return dedup.embedding_lsh_pairs(
+        _emb(spark, sf_dir), threshold=0.45, n_bits=64, bands=16
+    ).orderBy("vec_a", "vec_b")
+
+
 @REGISTRY.register("dedup_simhash")  # fingerprints are hash-function-specific
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (rows-only: the 48-bit fingerprint is

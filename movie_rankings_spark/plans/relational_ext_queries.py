@@ -1,0 +1,384 @@
+"""Relational tier, extension set — wider TPC-H-style coverage plus
+set operations, CUBE/GROUPING SETS, and the as-of join operator.
+
+Same determinism contract as relational_queries.py: exact-decimal
+sums, no raw timestamps in outputs, unique ORDER BY tie-breakers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from movie_rankings_spark.catalog import load_table
+from movie_rankings_spark.operators.asof import asof_join
+from movie_rankings_spark.plans.registry import REGISTRY
+from movie_rankings_spark.plans.relational_queries import _dsum, _revenue
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- §2h arithmetic + filter-only aggregate (TPC-H Q6 shape) ---------------
+
+_Q6_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE)
+         AS revenue_change,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@REGISTRY.register("q6_forecast_revenue", _Q6_ORACLE)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure scan-side query: all three predicates and the 3-column
+    projection push into the parquet reader; the aggregate is a
+    partial+final sum with a single-row shuffle. The 100 TB plan is
+    'read the pruned column chunks, add' — nothing else."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("revenue_change"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# --- J2/T2: returned-item reporting (TPC-H Q10 shape) ----------------------
+
+_Q10_ORACLE = """
+SELECT c.c_custkey, ANY_VALUE(c.c_name) AS c_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+         AS revenue,
+       ANY_VALUE(c.c_acctbal) AS c_acctbal,
+       ANY_VALUE(n.n_name) AS nation
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+GROUP BY c.c_custkey
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+@REGISTRY.register("q10_returned_items", _Q10_ORACLE)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact join on orderkey (sort-merge at scale), customer
+    and nation broadcast; single groupBy shuffle on custkey, then
+    TakeOrderedAndProject for the top-20."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey")
+        .agg(
+            F.first("c_name").alias("c_name"),
+            F.sum(_revenue()).cast("double").alias("revenue"),
+            F.first("c_acctbal").alias("c_acctbal"),
+            F.first("n_name").alias("nation"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+# --- J2: late-shipment conditional aggregate (TPC-H Q12 shape) -------------
+
+_Q12_ORACLE = """
+SELECT l.l_linestatus,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_priority_count,
+       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_priority_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate > o.o_orderdate
+GROUP BY l.l_linestatus
+ORDER BY l.l_linestatus
+"""
+
+
+@REGISTRY.register("q12_late_shipment_priority", _Q12_ORACLE)
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join with a residual non-equi predicate (shipdate > orderdate)
+    attached to the equi-join, then pivot-style conditional counts —
+    one shuffle on orderkey, one on the 2-value group key."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(
+            li,
+            (o["o_orderkey"] == li["l_orderkey"])
+            & (li["l_shipdate"] > o["o_orderdate"]),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_priority_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# --- J2: promo revenue share (TPC-H Q14 shape) -----------------------------
+
+_Q14_ORACLE = """
+SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                     THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) * 100.0
+       / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+         AS promo_revenue_pct,
+       COUNT(*) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
+@REGISTRY.register("q14_promo_revenue", _Q14_ORACLE)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dimension join + global conditional aggregate; the
+    month filter prunes the fact scan. Both sum branches stay exact
+    decimal so the final double division is bit-stable."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = _revenue()
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .agg(
+            (
+                F.sum(promo).cast("double") * 100.0 / F.sum(rev).cast("double")
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --- J2/A: large-volume orders (TPC-H Q18 shape) ---------------------------
+
+_Q18_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 150
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       o.o_totalprice, big.sum_qty
+FROM big
+JOIN orders o   ON big.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+LIMIT 100
+"""
+
+
+@REGISTRY.register("q18_large_orders", _Q18_ORACLE)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING-filtered aggregate as the build side: the per-order
+    quantity rollup shrinks lineitem to qualifying orderkeys before
+    any join; orders joins it on the already-shuffled orderkey and
+    customer broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_dsum(F.col("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+# --- A5: CUBE ---------------------------------------------------------------
+
+_CUBE_ORACLE = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+@REGISTRY.register("cube_lineitem_flags", _CUBE_ORACLE)
+def cube_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE = 4-way grouping-sets expansion inside one hash aggregate;
+    partial aggregation still applies, so the shuffle carries
+    (4 × group-cardinality × partitions) rows, not the fact."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+# --- A5: explicit GROUPING SETS --------------------------------------------
+
+_GSETS_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+@REGISTRY.register("grouping_sets_orders", _GSETS_ORACLE)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through Spark SQL — same Expand-based
+    single-pass plan as rollup/cube, arbitrary set list."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gsets")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_price
+        FROM orders_gsets
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST,
+                 o_orderpriority ASC NULLS FIRST
+        """
+    )
+
+
+# --- U2/set ops: INTERSECT / EXCEPT ----------------------------------------
+
+_SETOPS_ORACLE = """
+SELECT custkey FROM (
+  (SELECT o_custkey AS custkey FROM orders
+   WHERE year(o_orderdate) = 1995
+   INTERSECT
+   SELECT o_custkey FROM orders
+   WHERE year(o_orderdate) = 1996)
+  EXCEPT
+  SELECT o_custkey FROM orders
+  WHERE year(o_orderdate) = 1996 AND o_orderstatus = 'F'
+)
+ORDER BY custkey
+"""
+
+
+@REGISTRY.register("setops_repeat_customers", _SETOPS_ORACLE)
+def setops_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct set algebra: customers ordering in both 1995 and 1996,
+    minus those with a failed 1996 order. Catalyst plans INTERSECT /
+    EXCEPT as left-semi / left-anti joins over pre-aggregated keys —
+    each leg shuffles only distinct custkeys."""
+    o = _t(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    in_1995 = o.filter(yr == 1995).select(F.col("o_custkey").alias("custkey"))
+    in_1996 = o.filter(yr == 1996).select(F.col("o_custkey").alias("custkey"))
+    failed_1996 = o.filter((yr == 1996) & (F.col("o_orderstatus") == "F")).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return in_1995.intersect(in_1996).subtract(failed_1996).orderBy("custkey")
+
+
+# --- as-of join over events -------------------------------------------------
+
+_ASOF_ORACLE = """
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+r AS (
+  SELECT * FROM (
+    SELECT event_id, user_id, ts, event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                              ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type <> 'purchase'
+  ) WHERE rn = 1
+)
+SELECT p.event_id, p.user_id,
+       epoch_us(p.ts) AS ts_us,
+       r.event_id  AS prev_event_id,
+       r.event_type AS prev_event_type,
+       r.value     AS prev_value
+FROM p ASOF LEFT JOIN r ON p.user_id = r.user_id AND p.ts > r.ts
+ORDER BY p.event_id
+"""
+
+
+@REGISTRY.register("asof_purchase_context", _ASOF_ORACLE)
+def asof_purchase_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase event: the latest strictly-earlier
+    non-purchase event of the same user (LEFT ASOF JOIN — an operator
+    Spark lacks; see operators/asof.py for the union+window form that
+    replaces the quadratic range join). Right side deduplicated per
+    (user, ts) for a defined tie winner."""
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    from pyspark.sql import Window
+
+    dd = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    refs = (
+        e.filter(F.col("event_type") != "purchase")
+        .withColumn("_rn", F.row_number().over(dd))
+        .filter(F.col("_rn") == 1)
+        .select("event_id", "user_id", "ts", "event_type", "value")
+    )
+    joined = asof_join(
+        purchases,
+        refs,
+        keys=["user_id"],
+        ts_col="ts",
+        payload_cols=["event_id", "event_type", "value"],
+        strict=True,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "prev_event_id",
+        "prev_event_type",
+        "prev_value",
+    ).orderBy("event_id")

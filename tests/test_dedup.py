@@ -66,3 +66,34 @@ def test_simhash_fingerprint_is_48_bit(docs):
     row = dedup.simhash_fingerprints(docs.limit(10)).collect()
     for r in row:
         assert 0 <= r["simhash"] < (1 << 48)
+
+
+def _emb(spark):
+    import pytest
+
+    from movie_rankings_spark.catalog import load_table
+
+    return load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+
+def test_embedding_cosine_pairs_bounds_and_order(spark):
+    rows = dedup.embedding_cosine_pairs(_emb(spark), threshold=0.45).collect()
+    assert rows, "sf0.001 corpus should contain pairs at cosine >= 0.45"
+    for r in rows:
+        assert r["vec_a"] < r["vec_b"]
+        assert 0.45 <= r["cosine"] <= 1.0 + 1e-12
+
+
+def test_embedding_lsh_recall_against_exact(spark):
+    emb = _emb(spark)
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in dedup.embedding_cosine_pairs(emb, threshold=0.45).collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"])
+        for r in dedup.embedding_lsh_pairs(emb, threshold=0.45).collect()
+    }
+    # verification makes precision exact; recall < 1 by construction
+    assert lsh <= exact
+    assert len(lsh) >= 0.8 * len(exact), f"recall {len(lsh)}/{len(exact)}"

@@ -85,3 +85,47 @@ def test_every_query_compiles(spark, sf_dir, name):
     """Analysis succeeds (schema resolvable) without executing."""
     df = all_queries.QUERIES[name](spark, sf_dir)
     assert df.schema is not None
+
+
+def test_q6_filters_pushed_to_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q6_forecast_revenue")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    # (explainString truncates the filter list, so match the prefix)
+    assert "GreaterThanOrEqual(l_shipda" in plan
+    # projection pruned to the 3 used columns + filter columns
+    assert "l_returnflag" not in plan.split("ReadSchema")[-1]
+
+
+def test_q10_broadcasts_dims_and_takes_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q10_returned_items")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q18_prefilters_fact_before_join(spark, sf_dir):
+    """The HAVING aggregate must sit below the orders join."""
+    plan = _plan(spark, sf_dir, "q18_large_orders")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.index("HashAggregate") > plan.index("TakeOrderedAndProject")
+
+
+def test_grouping_queries_single_expand_pass(spark, sf_dir):
+    for name in ("cube_lineitem_flags", "grouping_sets_orders", "rollup_orders"):
+        plan = _plan(spark, sf_dir, name)
+        assert plan.count("Expand") == 1, name
+        assert "EvalPython" not in plan, name
+
+
+def test_new_relational_queries_stay_jvm_side(spark, sf_dir):
+    for name in (
+        "q6_forecast_revenue",
+        "q10_returned_items",
+        "q12_late_shipment_priority",
+        "q14_promo_revenue",
+        "q18_large_orders",
+        "setops_repeat_customers",
+        "asof_purchase_context",
+        "dedup_embedding_cosine",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "EvalPython" not in plan, name
