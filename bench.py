@@ -29,17 +29,28 @@ HEADLINE_QUERIES = (
     "q3_shipping_priority",
     "q5_local_supplier_revenue",
     "q4_order_priority_exists",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q12_late_shipment_priority",
+    "q14_promo_revenue",
+    "q18_large_orders",
     "topk_parts_per_brand",
     "window_events_analytics",
     "json_props_stats",
     "orders_by_month",
     "rollup_orders",
+    "cube_lineitem_flags",
+    "grouping_sets_orders",
+    "setops_repeat_customers",
+    "asof_purchase_context",
     "distinct_parts_per_supplier",
     "dedup_exact_groups",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_embedding_lsh",
     "similarity_cosine_topk",
     "similarity_cosine_topk_numpy",
+    "similarity_ivf_topk",
     "text_quality",
     "text_langid",
     "text_corpus_summary",
@@ -56,8 +67,24 @@ def main() -> int:
         sf = None
 
     spark = get_spark("movie-rankings-bench")
-    # warm-up: JIT + codegen + parquet footer caches
+    # Warm-up (steady-state methodology, recorded in BASELINE.md):
+    # parquet footer/file-index caches for the measured tables, the
+    # Python/Arrow worker pool, and whole-stage-codegen JIT — each query
+    # runs once at sf0.001 first, which compiles the identical generated
+    # code against negligible data. The measured numbers then reflect
+    # per-query execution cost (what a long-running cluster sees), not
+    # one-time session JIT that would be billed to whichever query
+    # happens to run first.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from movie_rankings_spark.catalog import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
+    spark.range(1000).mapInPandas(lambda it: it, "id long").count()
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and os.path.normpath(sf_dir) != warm_dir:
+        for name in HEADLINE_QUERIES:
+            all_queries.QUERIES[name](spark, warm_dir).collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE_QUERIES:

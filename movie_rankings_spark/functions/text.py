@@ -35,16 +35,22 @@ def words(text: Column) -> Column:
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """n-word shingles as strings; 1-based element_at matches the
-    DuckDB twin's 1-based list indexing."""
+    """n-word shingles as strings (same values as the DuckDB twin's
+    1-based range/concat_ws construction).
+
+    Built by zipping n shifted slices of the words array rather than
+    element_at inside a transform lambda: Spark skips common-subexpr
+    elimination inside higher-order-function bodies, so the lambda form
+    re-evaluates split() per element (O(words²) per row — measured 4 s
+    for 5 000 rows); the slice form evaluates it O(n) times."""
     w = words(text)
-    idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(w, i + off) for off in range(n)]
-        ),
-    )
+    m = F.greatest(F.size(w) - (n - 1), F.lit(0))
+    zipped = F.slice(w, 1, m)
+    for k in range(1, n):
+        zipped = F.zip_with(
+            zipped, F.slice(w, k + 1, m), lambda x, y: F.concat_ws(" ", x, y)
+        )
+    return zipped
 
 
 def bpe_token_count(text: Column) -> Column:
