@@ -74,3 +74,54 @@ ORDER BY user_id, session_start
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ev.run_to_batch(ev.session_counts(ev.events_stream(spark, sf_dir)))
     return out.orderBy("user_id", "session_start")
+
+
+_DEDUP_ORACLE = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@REGISTRY.register("stream_dedup_user_types", _DEDUP_ORACLE)
+def stream_dedup_user_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stateful dedup (dropDuplicates on (user, type), exact
+    unbounded-state form) executed as a real stream; the surviving rows
+    are counted in batch, which must equal COUNT(DISTINCT ...)."""
+    out = ev.run_to_batch(
+        ev.dedup_user_event_types(ev.events_stream(spark, sf_dir)),
+        output_mode="append",
+    )
+    return (
+        out.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+_USER_STATS_ORACLE = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       arg_max(event_type, ts) AS last_event_type
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+@REGISTRY.register("stream_user_lifetime_stats", _USER_STATS_ORACLE)
+def stream_user_lifetime_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running stats emitted per micro-batch; the latest emission per user
+    (max n_events) must equal the batch groupBy — exact-decimal value
+    sums make the comparison bit-stable."""
+    from pyspark.sql import Window
+
+    out = ev.run_to_batch(
+        ev.user_lifetime_stats(ev.events_stream(spark, sf_dir)),
+        output_mode="update",
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .orderBy("user_id")
+    )

@@ -135,6 +135,76 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> Data
     )
 
 
+def dedup_user_event_types(events: DataFrame) -> DataFrame:
+    """Streaming stateful dedup: first event per (user_id, event_type).
+    Unbounded-state dropDuplicates — exact distinct semantics over the
+    whole stream, so the batch twin is COUNT(DISTINCT ...). The
+    watermark-bounded variant (dedup_within_watermark) is the 100 TB
+    shape; this one exists for exact cross-engine checking."""
+    return events.dropDuplicates(["user_id", "event_type"])
+
+
+#: output/state schemas for user_lifetime_stats
+_USER_STATS_OUT = (
+    "user_id long, n_events long, sum_value double, last_event_type string"
+)
+_USER_STATS_STATE = "n long, sum_micros long, last_ts long, last_type string"
+
+
+def user_lifetime_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (count, exact value sum, latest event type). The value sum
+    accumulates integer micro-units with HALF_UP rounding — the same
+    arithmetic as CAST(value AS DECIMAL(18,6)) on the SQL engines, so
+    results hash-match the batch oracle.
+
+    State per key is four scalars — O(active users), independent of
+    stream length; the operator emits one row per user per micro-batch
+    with the running totals (downstream takes the latest)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    micro = Decimal("0.000001")
+
+    def update(key, pdf_iter, state):
+        if state.exists:
+            n, sum_micros, last_ts, last_type = state.get
+        else:
+            n, sum_micros, last_ts, last_type = 0, 0, -1, ""
+        for pdf in pdf_iter:
+            n += len(pdf)
+            for v in pdf["value"]:
+                sum_micros += int(
+                    (Decimal(repr(float(v))) / micro).quantize(
+                        Decimal(1), rounding=ROUND_HALF_UP
+                    )
+                )
+            # ts arrives as int64 micros inside the state function
+            idx = pdf["ts"].astype("int64").idxmax()
+            ts_us = int(pdf["ts"].astype("int64").loc[idx])
+            if ts_us > last_ts:
+                last_ts = ts_us
+                last_type = str(pdf["event_type"].loc[idx])
+        state.update((n, sum_micros, last_ts, last_type))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [sum_micros / 1_000_000.0],
+                "last_event_type": [last_type],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_USER_STATS_OUT,
+        stateStructType=_USER_STATS_STATE,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
 def run_to_batch(
     df: DataFrame, output_mode: str = "complete", name: str | None = None
 ) -> DataFrame:

@@ -91,3 +91,44 @@ def test_session_counts_merge_within_gap(spark, tmp_path):
         (r["user_id"], r["n_events"]) for r in out.collect()
     }
     assert got == {(7, 2), (7, 1), (8, 1)}
+
+
+def test_user_lifetime_stats_matches_batch_agg(spark, sf_dir):
+    """The applyInPandasWithState operator's final emissions must equal
+    the plain batch aggregate (count + exact-decimal sum + arg-max)."""
+    from pyspark.sql import Window
+
+    out = ev.run_to_batch(
+        ev.user_lifetime_stats(ev.events_stream(spark, sf_dir)),
+        output_mode="update",
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    got = {
+        r["user_id"]: (r["n_events"], round(r["sum_value"], 6), r["last_event_type"])
+        for r in out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .collect()
+    }
+    from movie_rankings_spark.catalog import load_table
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("s"),
+            F.max_by("event_type", "ts").alias("t"),
+        )
+    )
+    want = {
+        r["user_id"]: (r["n"], round(r["s"], 6), r["t"]) for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_stream_dedup_exact_distinct(spark, sf_dir):
+    out = ev.run_to_batch(
+        ev.dedup_user_event_types(ev.events_stream(spark, sf_dir)),
+        output_mode="append",
+    )
+    assert out.count() == out.select("user_id", "event_type").distinct().count()
