@@ -43,6 +43,11 @@ HEADLINE_QUERIES = (
     "grouping_sets_orders",
     "setops_repeat_customers",
     "asof_purchase_context",
+    "rangejoin_purchase_context",
+    "antijoin_inactive_customers",
+    "percentiles_lineitem_price",
+    "pivot_user_event_counts",
+    "udaf_price_median",
     "distinct_parts_per_supplier",
     "dedup_exact_groups",
     "dedup_ngram_jaccard",
@@ -55,6 +60,7 @@ HEADLINE_QUERIES = (
     "text_langid",
     "text_corpus_summary",
     "stream_tumbling_daily",
+    "stream_user_lifetime_stats",
 )
 
 

@@ -7,11 +7,15 @@ sums, no raw timestamps in outputs, unique ORDER BY tie-breakers.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from movie_rankings_spark.catalog import load_table
 from movie_rankings_spark.operators.asof import asof_join
+from movie_rankings_spark.operators.rangejoin import lookback_range_join
 from movie_rankings_spark.plans.registry import REGISTRY
 from movie_rankings_spark.plans.relational_queries import _dsum, _revenue
 
@@ -382,3 +386,168 @@ def asof_purchase_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_event_type",
         "prev_value",
     ).orderBy("event_id")
+
+
+# --- J: anti join (NOT EXISTS) ---------------------------------------------
+
+_ANTI_ORACLE = """
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) = 1997
+)
+ORDER BY c.c_custkey
+"""
+
+
+@REGISTRY.register("antijoin_inactive_customers", _ANTI_ORACLE)
+def antijoin_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS = LEFT ANTI join: the probe side streams, the build
+    side is only the filtered 1997 custkeys — no row multiplication,
+    no null-handling trap (vs the NOT IN anti-join which degenerates
+    on nullable keys)."""
+    c = _t(spark, sf_dir, "customer")
+    o97 = _t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1997)
+    return (
+        c.join(o97, c["c_custkey"] == o97["o_custkey"], "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# --- A: exact percentiles ---------------------------------------------------
+
+_PCTL_ORACLE = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.25) AS p25,
+       quantile_cont(l_extendedprice, 0.50) AS p50,
+       quantile_cont(l_extendedprice, 0.75) AS p75,
+       COUNT(*) AS n_lines
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@REGISTRY.register("percentiles_lineitem_price", _PCTL_ORACLE)
+def percentiles_lineitem_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles (sort-based within the
+    aggregate). The 100 TB path is approx_percentile (t-digest sketch,
+    mergeable, one pass) — exact percentile is the verifier, the same
+    split as exact vs HLL distinct."""
+    li = _t(spark, sf_dir, "lineitem")
+    pct = F.percentile("l_extendedprice", F.lit([0.25, 0.5, 0.75]))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pct.alias("_p"), F.count(F.lit(1)).alias("n_lines"))
+        .select(
+            "l_returnflag",
+            F.col("_p")[0].alias("p25"),
+            F.col("_p")[1].alias("p50"),
+            F.col("_p")[2].alias("p75"),
+            "n_lines",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --- P: pivot ---------------------------------------------------------------
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+_PIVOT_ORACLE = f"""
+SELECT user_id,
+       {', '.join(f"SUM(CASE WHEN event_type = '{t}' THEN 1 END) AS {t}"
+                  for t in _EVENT_TYPES)}
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+@REGISTRY.register("pivot_user_event_counts", _PIVOT_ORACLE)
+def pivot_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() with the value list given explicitly — with
+    the list, Catalyst compiles straight to one conditional aggregate
+    (no extra distinct-values job, which at 100 TB would be a full
+    scan before the real query)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .count()
+        .orderBy("user_id")
+    )
+
+
+# --- F3: pandas GROUPED_AGG UDAF -------------------------------------------
+
+_UDAF_ORACLE = """
+SELECT l_returnflag, median(l_extendedprice) AS price_median,
+       COUNT(*) AS n_lines
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@REGISTRY.register("udaf_price_median", _UDAF_ORACLE)
+def udaf_price_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined aggregate as an Arrow-batched GROUPED_AGG
+    pandas_udf (numpy median per group, identical linear interpolation
+    to the SQL engines). The UDAF path exists for aggregates Catalyst
+    lacks; anything expressible with built-ins should never use it.
+    (pd/np are module-level imports: postponed annotation evaluation
+    means PySpark resolves the 'pd.Series' hint by name at UDF
+    definition, so they must be in the module namespace.)"""
+
+    @F.pandas_udf("double")
+    def median_udaf(v: pd.Series) -> float:
+        return float(np.median(v.to_numpy(dtype="float64")))
+
+    # Spark refuses to mix GROUPED_AGG pandas UDFs with built-in
+    # aggregates in one agg, so the count rides the same UDF path.
+    @F.pandas_udf("long")
+    def count_udaf(v: pd.Series) -> int:
+        return int(len(v))
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            median_udaf("l_extendedprice").alias("price_median"),
+            count_udaf("l_extendedprice").alias("n_lines"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --- range join over events -------------------------------------------------
+
+_RANGE_ORACLE = """
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+r AS (SELECT * FROM events WHERE event_type <> 'purchase')
+SELECT p.event_id AS purchase_id, r.event_id AS prior_id,
+       epoch_us(p.ts) - epoch_us(r.ts) AS delta_us
+FROM p JOIN r ON p.user_id = r.user_id
+ AND r.ts < p.ts AND p.ts - r.ts <= INTERVAL 30 MINUTES
+ORDER BY purchase_id, prior_id
+"""
+
+
+@REGISTRY.register("rangejoin_purchase_context", _RANGE_ORACLE)
+def rangejoin_purchase_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every non-purchase event within the 30 minutes before each
+    purchase, via the binned equi-join form (operators/rangejoin.py) —
+    linear shuffle volume where the naive interval theta-join is
+    quadratic per user."""
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    others = e.filter(F.col("event_type") != "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    joined = lookback_range_join(
+        purchases, others, keys=["user_id"], ts_col="ts", window_seconds=1800
+    )
+    return joined.select(
+        F.col("l_event_id").alias("purchase_id"),
+        F.col("r_event_id").alias("prior_id"),
+        "delta_us",
+    ).orderBy("purchase_id", "prior_id")
