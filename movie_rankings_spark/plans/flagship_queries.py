@@ -115,6 +115,41 @@ norm AS (
 """
 
 
+_FUZZY_ORACLE = f"""
+WITH scraped AS (SELECT * FROM {scraped_values_sql()}),
+t AS (
+  SELECT DISTINCT {norm_title_sql('title')} AS tc FROM scraped
+),
+t2 AS (
+  SELECT tc, list_distinct(string_split(tc, ' ')) AS toks
+  FROM t WHERE tc <> ''
+),
+e AS (SELECT tc, len(toks) AS n, unnest(toks) AS tok FROM t2),
+inter AS (
+  SELECT a.tc AS title_a, b.tc AS title_b, COUNT(*) AS i,
+         ANY_VALUE(a.n) AS n_a, ANY_VALUE(b.n) AS n_b
+  FROM e a JOIN e b ON a.tok = b.tok AND a.tc < b.tc
+  WHERE a.n >= 0.5 * b.n AND b.n >= 0.5 * a.n
+  GROUP BY 1, 2
+)
+SELECT title_a, title_b, CAST(i AS DOUBLE) / (n_a + n_b - i) AS jaccard
+FROM inter WHERE CAST(i AS DOUBLE) / (n_a + n_b - i) >= 0.5
+ORDER BY title_a, title_b
+"""
+
+
+@REGISTRY.register("fuzzy_title_match", _FUZZY_ORACLE)
+def fuzzy_title_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: alias-candidate discovery by token-set Jaccard — the
+    operator form of the reference's hand-maintained rename list
+    (top_movies.py:76-77,91-94; README.md:9)."""
+    from movie_rankings_spark.operators.fuzzyjoin import fuzzy_title_pairs
+
+    return fuzzy_title_pairs(scraped_fixture_df(spark), threshold=0.5).orderBy(
+        "title_a", "title_b"
+    )
+
+
 @REGISTRY.register("flagship_tpch", _TPCH_ORACLE)
 def flagship_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
     scraped = supplier_part_rankings(

@@ -1,0 +1,144 @@
+"""Property-based tests (SURVEY.md §5 item 4) — hypothesis-generated
+inputs, each example batched into ONE DataFrame so a property costs one
+Spark job, plus a differential check against a faithful pandas
+restatement of the reference pipeline (§5 item 3).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from movie_rankings_spark.functions.normalize import coerce_rank, normalize_title
+from movie_rankings_spark.operators.flagship import (
+    aggregate_rankings,
+    filter_in_all_lists,
+    normalize_scraped,
+)
+
+_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_title = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x036F),
+    min_size=0,
+    max_size=40,
+)
+
+
+@_SETTINGS
+@given(st.lists(_title, min_size=1, max_size=25))
+def test_normalize_title_idempotent(spark, titles):
+    """norm(norm(x)) == norm(x) for arbitrary unicode input."""
+    df = spark.createDataFrame([(t,) for t in titles], "title string")
+    bad = (
+        df.select(
+            normalize_title(F.col("title")).alias("n1"),
+        )
+        .select("n1", normalize_title(F.col("n1")).alias("n2"))
+        .filter(F.col("n1") != F.col("n2"))
+        .count()
+    )
+    assert bad == 0
+
+
+@_SETTINGS
+@given(st.lists(st.one_of(st.integers(-999, 999).map(str), _title), min_size=1, max_size=25))
+def test_coerce_rank_total_and_exact_on_ints(spark, ranks):
+    """coerce_rank never yields null, and is exact on canonical ints."""
+    df = spark.createDataFrame([(r,) for r in ranks], "rank string")
+    rows = df.select("rank", coerce_rank(F.col("rank")).alias("c")).collect()
+    for r in rows:
+        assert r["c"] is not None
+        try:
+            expected = int(r["rank"])
+        except ValueError:
+            continue
+        if str(expected) == r["rank"].strip() or r["rank"].lstrip("-").isdigit():
+            assert r["c"] == expected, r
+
+
+_scraped_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["src_a", "src_b", "src_c"]),
+        st.integers(0, 50).map(str),
+        st.sampled_from(["alpha", "beta", "gamma", "delta", "Alpha!", "be ta"]),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _reference_pandas(rows: list[tuple[str, str, str]]) -> dict[str, tuple[int, float]]:
+    """Faithful pandas restatement of print_lists
+    (/root/reference/top_movies.py:128-144): coerce, normalize,
+    keep groups of exactly 3 rows, aggregate sum+mean."""
+    df = pd.DataFrame(rows, columns=["url", "rank", "title"])
+    df["rank"] = (
+        pd.to_numeric(df["rank"], errors="coerce").fillna(0).astype(int)
+    )
+    df["title_comp"] = (
+        df["title"]
+        .str.replace(r"[^a-zA-Z0-9 ]", "", regex=True)
+        .str.replace(r"\s{2,}", " ", regex=True)
+        .str.lower()
+    )
+    kept = df.groupby("title_comp").filter(lambda g: len(g) == 3)
+    out = kept.groupby("title_comp")["rank"].agg(["sum", "mean"])
+    return {t: (int(s), float(m)) for t, (s, m) in out.iterrows()}
+
+
+@_SETTINGS
+@given(_scraped_rows)
+def test_flagship_differential_vs_pandas(spark, rows):
+    """Spark pipeline == pandas reference restatement on arbitrary
+    scraped tables (pre-top-k, so no tie-break ambiguity)."""
+    df = spark.createDataFrame(rows, "url string, rank string, title string")
+    norm = normalize_scraped(df, apply_aliases=False)
+    agg = aggregate_rankings(filter_in_all_lists(norm, n_sources=3))
+    got = {
+        r["title_comp"]: (r["rank_sum"], r["rank_avg"]) for r in agg.collect()
+    }
+    want = _reference_pandas(rows)
+    assert got == want
+
+
+@_SETTINGS
+@given(_scraped_rows)
+def test_group_filter_invariant(spark, rows):
+    """Every surviving title_comp has exactly n_sources rows."""
+    df = spark.createDataFrame(rows, "url string, rank string, title string")
+    norm = normalize_scraped(df, apply_aliases=False)
+    counts = (
+        filter_in_all_lists(norm, n_sources=3)
+        .groupBy("title_comp")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] == 3 for r in counts)
+
+
+def test_topk_is_prefix_of_full_sort(spark):
+    """flagship top-k == first k rows of the fully-sorted aggregate
+    (deterministic: rank_sum + title_comp tie-break)."""
+    from movie_rankings_spark.operators.flagship import flagship
+    from movie_rankings_spark.sources.fixtures import scraped_fixture_df
+
+    df = scraped_fixture_df(spark)
+    top5 = [
+        r["title_comp"] for r in flagship(df, n_sources=3, k=5).collect()
+    ]
+    full = [
+        r["title_comp"]
+        for r in flagship(df, n_sources=3, k=10_000)
+        .orderBy("rank_sum", "title_comp")
+        .collect()
+    ]
+    assert top5 == full[:5]
