@@ -95,7 +95,9 @@ def ngram_jaccard_pairs(
     min(n_a,n_b)/max(n_a,n_b) < threshold — an upper bound on Jaccard,
     so no qualifying pair is lost. Columns: doc_a, doc_b, jaccard."""
     sets = shingle_sets(docs, n)
-    inv = sets.select("doc_id", "n_shingles", F.explode("shingles").alias("shingle"))
+    inv = sets.select(
+        "doc_id", "n_shingles", F.explode("shingles").alias("shingle")
+    ).persist()  # both join sides read it; avoids double shingling
     a = inv.select(
         F.col("doc_id").alias("doc_a"),
         F.col("n_shingles").alias("n_a"),
@@ -157,7 +159,10 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Banded LSH: docs sharing any band bucket become candidates.
     The bucket join is an equi-join on (band, bucket_hash) — shuffle
-    is proportional to docs × bands, never quadratic."""
+    is proportional to docs × bands, never quadratic. The banded
+    projection is persisted: Spark does not reuse exchanges across the
+    a/b sides of a self-join, so without the cache the (expensive)
+    signature aggregation upstream would execute twice."""
     banded = signatures.select(
         "doc_id",
         F.explode(
@@ -176,7 +181,7 @@ def lsh_candidate_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    ).select("doc_id", "bb.band", "bb.bucket").persist()
     a = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     return (
@@ -202,7 +207,8 @@ def minhash_neardup_pairs(
     rows = num_hashes // bands
     sigs = minhash_signatures(docs, num_hashes, shingle_n)
     cands = lsh_candidate_pairs(sigs, bands, rows)
-    sets = shingle_sets(docs, shingle_n)
+    sets = shingle_sets(docs, shingle_n).persist()  # reused by both
+    # verify sides (no cross-self-join exchange reuse in Spark)
     a = sets.select(
         F.col("doc_id").alias("doc_a"),
         F.col("shingles").alias("sh_a"),
@@ -276,7 +282,7 @@ def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
                 ]
             )
         ).alias("cv"),
-    ).select("doc_id", "simhash", "cv.chunk", "cv.val")
+    ).select("doc_id", "simhash", "cv.chunk", "cv.val").persist()
     a = chunks.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "chunk", "val"
     )
@@ -384,7 +390,7 @@ def embedding_lsh_pairs(
 
     banded = embeddings.select("vec_id", "embedding").mapInPandas(
         sign_bands, "vec_id long, band int, bucket long"
-    )
+    ).persist()  # one Python GEMM pass, not one per self-join side
     a = banded.select(F.col("vec_id").alias("vec_a"), "band", "bucket")
     b = banded.select(F.col("vec_id").alias("vec_b"), "band", "bucket")
     cands = (

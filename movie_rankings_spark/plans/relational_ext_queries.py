@@ -551,3 +551,30 @@ def rangejoin_purchase_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_event_id").alias("prior_id"),
         "delta_us",
     ).orderBy("purchase_id", "prior_id")
+
+
+# --- T3: salted (skew-safe) per-group top-k --------------------------------
+
+# identical semantics to topk_parts_per_brand, so it shares that oracle
+from movie_rankings_spark.operators.topk import salted_group_topk  # noqa: E402
+from movie_rankings_spark.plans.relational_queries import _TOPK_ORACLE  # noqa: E402
+
+
+@REGISTRY.register("topk_parts_per_brand_salted", _TOPK_ORACLE)
+def topk_parts_per_brand_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as the plain window top-k, via the two-phase salted
+    form (operators/topk.py) that survives power-law group skew: phase
+    one shuffles on (brand, salt), phase two only the k×buckets
+    candidates per brand."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        salted_group_topk(
+            p.select("p_brand", "p_partkey", "p_name", "p_retailprice"),
+            group_cols=["p_brand"],
+            order_by=[F.col("p_retailprice").desc(), F.col("p_partkey").asc()],
+            salt_cols=["p_partkey"],
+            k=3,
+        )
+        .select("p_brand", "p_partkey", "p_name", "p_retailprice", "rk")
+        .orderBy("p_brand", "rk")
+    )

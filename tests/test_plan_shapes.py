@@ -129,3 +129,15 @@ def test_new_relational_queries_stay_jvm_side(spark, sf_dir):
     ):
         plan = _plan(spark, sf_dir, name)
         assert "EvalPython" not in plan, name
+
+
+def test_salted_topk_equals_plain_topk(spark, sf_dir):
+    """The skew-safe two-phase form must return exactly the plain
+    window top-k result."""
+    plain = _plan_df(spark, sf_dir, "topk_parts_per_brand").collect()
+    salted = _plan_df(spark, sf_dir, "topk_parts_per_brand_salted").collect()
+    assert [tuple(r) for r in plain] == [tuple(r) for r in salted]
+
+
+def _plan_df(spark, sf_dir, name):
+    return all_queries.QUERIES[name](spark, sf_dir)
