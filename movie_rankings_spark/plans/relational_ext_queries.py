@@ -578,3 +578,62 @@ def topk_parts_per_brand_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_brand", "p_partkey", "p_name", "p_retailprice", "rk")
         .orderBy("p_brand", "rk")
     )
+
+
+# --- §2h: from_json -> MapType + map functions -----------------------------
+
+_MAP_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(len(json_keys(props))) AS BIGINT) AS total_keys,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+         AS sum_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@REGISTRY.register("from_json_props_map", _MAP_ORACLE)
+def from_json_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """props parsed ONCE into a map<string,int> column (from_json),
+    then map functions (map_keys/element_at) — the cheaper form than
+    per-field get_json_object when several fields are read, since the
+    JSON is parsed once per row instead of once per extraction."""
+    e = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return (
+        e.select("event_type", m.alias("m"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.size(F.map_keys(F.col("m")))).alias("total_keys"),
+            F.sum(F.element_at(F.col("m"), "k")).alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- A: approx percentile (sketch path) ------------------------------------
+
+
+@REGISTRY.register("approx_percentiles_price")  # sketch: engine-specific
+def approx_percentiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile: the one-pass mergeable-sketch path that
+    replaces exact sort-based percentiles at 100 TB (rows-only check —
+    sketch estimates are engine-specific; accuracy vs the exact
+    variant is bounded in tests)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pct = F.percentile_approx(
+        "l_extendedprice", F.lit([0.25, 0.5, 0.75]), F.lit(10_000)
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pct.alias("_p"), F.count(F.lit(1)).alias("n_lines"))
+        .select(
+            "l_returnflag",
+            F.col("_p")[0].alias("p25"),
+            F.col("_p")[1].alias("p50"),
+            F.col("_p")[2].alias("p75"),
+            "n_lines",
+        )
+        .orderBy("l_returnflag")
+    )

@@ -141,3 +141,22 @@ def test_salted_topk_equals_plain_topk(spark, sf_dir):
 
 def _plan_df(spark, sf_dir, name):
     return all_queries.QUERIES[name](spark, sf_dir)
+
+
+def test_approx_percentiles_within_tolerance_of_exact(spark, sf_dir):
+    """Sketch accuracy: approx (accuracy=10k) vs exact percentiles."""
+    exact = {
+        r["l_returnflag"]: (r["p25"], r["p50"], r["p75"])
+        for r in all_queries.QUERIES["percentiles_lineitem_price"](
+            spark, sf_dir
+        ).collect()
+    }
+    approx = {
+        r["l_returnflag"]: (r["p25"], r["p50"], r["p75"])
+        for r in all_queries.QUERIES["approx_percentiles_price"](
+            spark, sf_dir
+        ).collect()
+    }
+    for flag, ex in exact.items():
+        for e, a in zip(ex, approx[flag]):
+            assert abs(e - a) / max(abs(e), 1e-9) < 0.05, (flag, ex, approx[flag])
