@@ -1,0 +1,92 @@
+"""Connected components over near-duplicate pair edges — the step
+that turns pairwise dedup output into dedup GROUPS (keep one
+representative per component, drop the rest).
+
+Algorithm: iterative min-label propagation. Every node starts labeled
+with itself; each round, a node adopts the minimum label in its
+closed neighborhood; converged when no label changes. Rounds needed =
+graph diameter, and near-dup graphs are overwhelmingly tiny cliques
+(diameter 1-2), so 2-4 rounds in practice.
+
+Scale shape per round: one groupBy over the (undirected) edge list +
+one join against the label table — both shuffles on node id, no
+driver-side graph. The label table is persisted per round and the
+previous round unpersisted, so peak storage is 2 × |nodes|. This is
+the DataFrame restatement of the map-reduce CC algorithms
+(small-star/large-star); for graphs with giant components swap in
+that alternation — the loop harness stays the same.
+
+Iterative = not SQL-expressible in one statement, so the registered
+query is a rows-only check; exactness is asserted against a
+union-find reference in tests/test_components.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``;
+    component = min node id reachable from the node."""
+    both = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+
+    # closed neighborhood: every node is its own neighbor. The label
+    # table uses a distinct key name ("id") so per-round joins against
+    # adj (same lineage) are never ambiguous self-joins.
+    nodes = both.select(F.col("u")).distinct()
+    adj = both.union(nodes.select("u", F.col("u").alias("v"))).persist()
+
+    labels = nodes.select(
+        F.col("u").alias("id"), F.col("u").alias("label")
+    ).persist()
+    labels.count()
+
+    for _ in range(max_iterations):
+        # each node takes min(label of neighbors ∪ self)
+        new_labels = (
+            adj.join(labels, adj["v"] == labels["id"])
+            .select(F.col("u").alias("id"), "label")
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new")
+            .join(labels, "id")
+            .filter(F.col("new") != F.col("label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    adj.unpersist()
+    return labels.select(
+        F.col("id").alias("node"), F.col("label").alias("component")
+    )
+
+
+def dedup_components(pairs: DataFrame) -> DataFrame:
+    """Cluster near-dup pairs: one row per component with the kept
+    representative (min doc id) and the member count. Documents not in
+    any pair are implicitly their own singleton cluster and need no
+    row here — the dedup'd corpus is (all docs) minus (members that
+    are not representatives)."""
+    cc = connected_components(pairs)
+    return (
+        cc.groupBy("component")
+        .agg(
+            F.min("node").alias("rep_doc_id"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select("rep_doc_id", "n_members")
+    )

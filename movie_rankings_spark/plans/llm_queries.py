@@ -220,6 +220,21 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_a", "vec_b")
 
 
+@REGISTRY.register("dedup_cluster_reps")  # iterative: no single-SQL twin
+def dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs clustered into components (iterative min-label
+    propagation, operators/components.py): one row per dedup group
+    with the representative and member count (rows-only: iterative
+    fixpoint has no one-statement SQL twin; exactness vs union-find is
+    asserted in tests/test_components.py)."""
+    from movie_rankings_spark.operators.components import dedup_components
+
+    pairs = dedup.minhash_neardup_pairs(
+        _docs(spark, sf_dir), threshold=0.5, num_hashes=64, bands=16
+    )
+    return dedup_components(pairs).orderBy("rep_doc_id")
+
+
 @REGISTRY.register("dedup_simhash")  # fingerprints are hash-function-specific
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (rows-only: the 48-bit fingerprint is

@@ -125,3 +125,34 @@ def stream_user_lifetime_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_rn")
         .orderBy("user_id")
     )
+
+
+_STATIC_JOIN_ORACLE = """
+SELECT c.c_mktsegment AS segment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE c.c_custkey < 150
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@REGISTRY.register("stream_static_join_segments", _STATIC_JOIN_ORACLE)
+def stream_static_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events as a stream joined to the static customer dimension
+    (stream-static broadcast join), aggregated per market segment —
+    checked against the equivalent batch join."""
+    from movie_rankings_spark.catalog import load_table
+
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 150)
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    out = ev.run_to_batch(
+        ev.enrich_with_static(ev.events_stream(spark, sf_dir), dim)
+    )
+    return out.orderBy("segment")

@@ -224,3 +224,20 @@ def run_to_batch(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def enrich_with_static(events: DataFrame, user_dim: DataFrame) -> DataFrame:
+    """Stream-static join: the unbounded side joins a batch dimension
+    (re-read per micro-batch, broadcast when small) — the standard way
+    to attach slowly-changing attributes to a stream without stateful
+    join machinery. Downstream aggregates per dimension attribute."""
+    return (
+        events.join(F.broadcast(user_dim), "user_id")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
