@@ -34,7 +34,10 @@ HEADLINE_QUERIES = (
     "q12_late_shipment_priority",
     "q14_promo_revenue",
     "q18_large_orders",
+    "q15_top_supplier",
+    "from_json_props_map",
     "topk_parts_per_brand",
+    "topk_parts_per_brand_salted",
     "window_events_analytics",
     "json_props_stats",
     "orders_by_month",
@@ -61,6 +64,7 @@ HEADLINE_QUERIES = (
     "text_corpus_summary",
     "stream_tumbling_daily",
     "stream_user_lifetime_stats",
+    "stream_static_join_segments",
 )
 
 

@@ -25,29 +25,44 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from movie_rankings_spark.functions.vectors import cosine_exact
+from movie_rankings_spark.functions.vectors import dot_exact, norm_sq_exact
 
 TOPK_SCHEMA = "query_id long, vec_id long, cosine double"
 
 
 def _query_side(embeddings: DataFrame, query_ids: Sequence[int]) -> DataFrame:
     return embeddings.filter(F.col("vec_id").isin(list(query_ids))).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.sqrt(norm_sq_exact(F.col("embedding"))).alias("q_nrm"),
     )
 
 
 def cosine_topk_exact(
     embeddings: DataFrame, query_ids: Sequence[int], k: int = 5
 ) -> DataFrame:
-    """Exact brute-force top-k neighbours per query (self excluded)."""
+    """Exact brute-force top-k neighbours per query (self excluded).
+    Norms are projected once per corpus vector and once per query
+    (inside the broadcast) BEFORE the pair join, so the per-pair work
+    is a single exact-decimal dot product — the cosine doubles are the
+    same expression the oracle computes, just not recomputed per
+    pair."""
     q = _query_side(embeddings, query_ids)
+    corpus = embeddings.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(norm_sq_exact(F.col("embedding"))).alias("nrm"),
+    )
     scored = (
-        embeddings.crossJoin(F.broadcast(q))
+        corpus.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("vec_id"))
         .select(
             "query_id",
             "vec_id",
-            cosine_exact(F.col("q_emb"), F.col("embedding")).alias("cosine"),
+            (
+                dot_exact(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_nrm") * F.col("nrm"))
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

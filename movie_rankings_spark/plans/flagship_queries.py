@@ -115,6 +115,45 @@ norm AS (
 """
 
 
+_FIXTURE_DISTINCT_ORACLE = f"""
+WITH scraped AS (SELECT * FROM {scraped_values_sql()}),
+aliased AS (
+  SELECT url, rank, {ALIAS_CASE_SQL} AS title FROM scraped
+),
+norm AS (
+  SELECT url,
+         COALESCE(TRY_CAST(rank AS INTEGER), 0) AS rank,
+         {norm_title_sql('title')} AS title_comp
+  FROM aliased
+),
+src AS (
+  SELECT title_comp, COUNT(DISTINCT url) AS ns FROM norm GROUP BY 1
+)
+SELECT n.title_comp,
+       CAST(SUM(n.rank) AS BIGINT) AS rank_sum,
+       AVG(n.rank)                 AS rank_avg,
+       COUNT(*)                    AS n_rows
+FROM norm n JOIN src s ON n.title_comp = s.title_comp
+WHERE s.ns = {N_SOURCES}
+GROUP BY n.title_comp
+ORDER BY rank_sum ASC, n.title_comp ASC
+LIMIT 10
+"""
+
+
+@REGISTRY.register("flagship_fixture_distinct", _FIXTURE_DISTINCT_ORACLE)
+def flagship_fixture_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corrected-semantics variant from SURVEY.md §7's risk
+    register: 'in all lists' counts DISTINCT sources, so a title
+    duplicated within one list no longer sneaks through on row count
+    (the reference's len(group)==3 bug, top_movies.py:137). The
+    fixture's planted within-one-source duplicate makes the two
+    variants differ, which is the point of registering both."""
+    return flagship(
+        scraped_fixture_df(spark), n_sources=N_SOURCES, k=10, distinct_sources=True
+    )
+
+
 _FUZZY_ORACLE = f"""
 WITH scraped AS (SELECT * FROM {scraped_values_sql()}),
 t AS (
