@@ -35,6 +35,10 @@ HEADLINE_QUERIES = (
     "q14_promo_revenue",
     "q18_large_orders",
     "q15_top_supplier",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q22_global_sales_opportunity",
     "from_json_props_map",
     "topk_parts_per_brand",
     "topk_parts_per_brand_salted",

@@ -679,3 +679,176 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
+
+
+# --- J2: customer order-count distribution (TPC-H Q13 shape) ---------------
+
+_Q13_ORACLE = """
+WITH counts AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM counts GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@REGISTRY.register("q13_customer_distribution", _Q13_ORACLE)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join with the filter in the join condition (a WHERE
+    would silently turn it inner), double aggregation. COUNT(col)
+    counts non-null only — customers with zero orders land in the
+    c_count=0 bucket rather than vanishing."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    counts = (
+        c.join(
+            o,
+            (c["c_custkey"] == o["o_custkey"])
+            & (o["o_orderpriority"] != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        counts.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+# --- J2: small-quantity revenue (TPC-H Q17 shape) --------------------------
+
+_Q17_ORACLE = """
+WITH avg_qty AS (
+  SELECT l_partkey, 0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                           / COUNT(*)) AS threshold
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+         AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN avg_qty a ON a.l_partkey = l.l_partkey
+WHERE p.p_type = 'SMALL' AND l.l_quantity < a.threshold
+"""
+
+
+@REGISTRY.register("q17_small_quantity_revenue", _Q17_ORACLE)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar aggregate (per-part average quantity)
+    de-correlated into a join against the pre-aggregated per-part
+    thresholds — the standard Catalyst rewrite, stated explicitly.
+    The aggregate shrinks lineitem to one row per partkey before the
+    join, and the fact joins it on the already-shuffled key. The avg
+    is the exact-decimal sum / count, so the threshold comparison is
+    bit-stable."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ak")).agg(
+        (0.2 * (_dsum(F.col("l_quantity")) / F.count(F.lit(1)))).alias("threshold")
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(avg_qty, li["l_partkey"] == F.col("ak"))
+        .filter(F.col("l_quantity") < F.col("threshold"))
+        .agg(
+            (_dsum(F.col("l_extendedprice")) / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --- §2b: disjunctive predicate pushdown (TPC-H Q19 shape) -----------------
+
+_Q19_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_type = 'SMALL'  AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_type = 'MEDIUM' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_type = 'LARGE'  AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 40)
+"""
+
+
+@REGISTRY.register("q19_disjunctive_revenue", _Q19_ORACLE)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-ANDs across both join sides: Catalyst extracts the
+    common single-side conjuncts (quantity 1-40, the size/type union)
+    below the join, leaving the residual disjunction as the join
+    filter — checkable in the plan, free in the API."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    q, s, t = F.col("l_quantity"), F.col("p_size"), F.col("p_type")
+    arm = lambda ty, smax, qlo, qhi: (  # noqa: E731
+        (t == ty) & s.between(1, smax) & q.between(qlo, qhi)
+    )
+    cond = (
+        arm("SMALL", 15, 1, 20)
+        | arm("MEDIUM", 25, 10, 30)
+        | arm("LARGE", 35, 20, 40)
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter(cond)
+        .agg(
+            F.sum(_revenue()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --- J2: global-average filter + anti join (TPC-H Q22 shape) ---------------
+
+_Q22_ORACLE = """
+WITH rich AS (
+  SELECT c_custkey, c_acctbal, c_nationkey FROM customer
+  WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+)
+SELECT r.c_nationkey AS nationkey, COUNT(*) AS numcust,
+       CAST(SUM(CAST(r.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM rich r
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = r.c_custkey AND year(o.o_orderdate) >= 1998
+)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@REGISTRY.register("q22_global_sales_opportunity", _Q22_ORACLE)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar AVG subquery (broadcast single-row join, never a global
+    window) filters customers above the positive-balance average, then
+    an anti join keeps those with no orders since 1998 (lapsed
+    accounts). NOTE: the scalar
+    average is float (sum order dependent) — the comparison survives
+    because account balances are far from the threshold; documented
+    here as the one deliberate float-compare in the suite."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (_dsum(F.col("c_acctbal")) / F.count(F.lit(1))).alias("_avg")
+    )
+    rich = c.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("_avg")
+    )
+    return (
+        rich.join(
+            o.filter(F.year("o_orderdate") >= 1998),
+            rich["c_custkey"] == o["o_custkey"],
+            "left_anti",
+        )
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("nationkey")
+    )

@@ -160,3 +160,26 @@ def test_approx_percentiles_within_tolerance_of_exact(spark, sf_dir):
     for flag, ex in exact.items():
         for e, a in zip(ex, approx[flag]):
             assert abs(e - a) / max(abs(e), 1e-9) < 0.05, (flag, ex, approx[flag])
+
+
+def test_q13_preserves_left_outer(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q13_customer_distribution")
+    assert "LeftOuter" in plan
+
+
+def test_q19_pushes_common_conjuncts_below_join(spark, sf_dir):
+    """Catalyst must extract single-side conjuncts from the OR-of-ANDs
+    so both scans are filtered before the join."""
+    plan = _plan(spark, sf_dir, "q19_disjunctive_revenue")
+    # lineitem side: quantity range union pushed to the scan
+    assert "l_quantity" in plan.split("PushedFilters")[1].split("]")[0] or \
+        "GreaterThanOrEqual(l_quantity" in plan
+    # part side: type/size disjunction pushed
+    assert plan.count("PushedFilters") == 2
+
+
+def test_q22_no_global_window(spark, sf_dir):
+    """Scalar AVG must be a broadcast join, never Window over ()."""
+    plan = _plan(spark, sf_dir, "q22_global_sales_opportunity")
+    assert "Window" not in plan
+    assert "LeftAnti" in plan
