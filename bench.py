@@ -66,6 +66,9 @@ HEADLINE_QUERIES = (
     "text_quality",
     "text_langid",
     "text_corpus_summary",
+    "text_top_terms",
+    "vocab_top_words",
+    "sample_docs_deterministic",
     "stream_tumbling_daily",
     "stream_user_lifetime_stats",
     "stream_static_join_segments",

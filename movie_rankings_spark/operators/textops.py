@@ -81,3 +81,66 @@ def corpus_summary(docs: DataFrame) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+def hash_sample(docs: DataFrame, bucket: str = "0") -> DataFrame:
+    """Deterministic 1/16 corpus sample: keep rows whose md5(doc_id)
+    ends in ``bucket``. The scale-correct sampling method — stable
+    under retries/re-partitioning (unlike RNG-based sample()), cheap
+    (no shuffle), and composable into train/test splits by assigning
+    disjoint hex buckets. md5 is engine-portable, so the sample is
+    reproducible outside Spark too."""
+    h = F.md5(F.col("doc_id").cast("string"))
+    return docs.filter(F.substring(h, 32, 1) == bucket)
+
+
+def vocab_top_words(docs: DataFrame, k: int = 50) -> DataFrame:
+    """Corpus vocabulary: top-k words by total occurrences (ties by
+    word). explode + count is the canonical shape; at 100 TB the
+    partial aggregation means the shuffle carries one row per distinct
+    word per partition, not per token."""
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("word").asc())
+        .limit(k)
+    )
+
+
+def doc_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document top-k characteristic terms by tf·ridf where
+    ridf = (N+1)/(df+1) — the LINEAR idf variant: same ordering
+    behavior as log-idf for ranking within a document, but exact
+    double arithmetic both engines reproduce bit-for-bit (libm log is
+    not guaranteed identically rounded across engines, so the
+    conventional ln() form cannot be value-hash checked).
+
+    Two aggregations + one broadcast-joinable df table + one window:
+    tf shuffles on (doc, word), df on word, the final top-k on doc."""
+    tokens = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    tf = tokens.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.count()
+    df_t = tokens.select("doc_id", "word").distinct().groupBy("word").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    scored = tf.join(df_t, "word").select(
+        "doc_id",
+        "word",
+        (
+            F.col("tf").cast("double")
+            * (F.lit(float(n_docs + 1)) / (F.col("df") + 1).cast("double"))
+        ).alias("tfidf"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("word").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "word", "tfidf", "rk")
+    )

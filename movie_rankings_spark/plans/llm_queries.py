@@ -324,3 +324,70 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(
         _emb(spark, sf_dir), _QUERY_IDS, k=5, n_centroids=16, nprobe=4
     )
+
+
+# --- sampling + vocabulary + characteristic terms ---------------------------
+
+_SAMPLE_ORACLE = """
+SELECT doc_id, lang, source FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) = '0'
+ORDER BY doc_id
+"""
+
+
+@REGISTRY.register("sample_docs_deterministic", _SAMPLE_ORACLE)
+def sample_docs_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-bucket 1/16 sample (operators/textops.py::
+    hash_sample) — reproducible across engines, retries, and
+    partitionings, which RNG-based sampling is not."""
+    return (
+        textops.hash_sample(_docs(spark, sf_dir), bucket="0")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+_VOCAB_ORACLE = """
+SELECT word, COUNT(*) AS n_occurrences
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+GROUP BY word
+ORDER BY n_occurrences DESC, word ASC
+LIMIT 50
+"""
+
+
+@REGISTRY.register("vocab_top_words", _VOCAB_ORACLE)
+def vocab_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.vocab_top_words(_docs(spark, sf_dir), k=50)
+
+
+_TOP_TERMS_ORACLE = """
+WITH tokens AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tokens GROUP BY 1, 2),
+dft AS (
+  SELECT word, COUNT(*) AS df
+  FROM (SELECT DISTINCT doc_id, word FROM tokens) GROUP BY 1
+),
+scored AS (
+  SELECT tf.doc_id, tf.word,
+         CAST(tf.tf AS DOUBLE)
+           * ((SELECT COUNT(*) + 1 FROM documents) / CAST(dft.df + 1 AS DOUBLE))
+           AS tfidf
+  FROM tf JOIN dft ON tf.word = dft.word
+)
+SELECT doc_id, word, tfidf, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, word ASC
+  ) AS rk FROM scored
+) WHERE rk <= 3
+ORDER BY doc_id, rk
+"""
+
+
+@REGISTRY.register("text_top_terms", _TOP_TERMS_ORACLE)
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc characteristic terms (tf·ridf, linear idf — see
+    operators/textops.py::doc_top_terms for why not ln)."""
+    return textops.doc_top_terms(_docs(spark, sf_dir), k=3).orderBy("doc_id", "rk")
