@@ -106,13 +106,15 @@ def main() -> int:
     timings: dict[str, float] = {}
     for name in HEADLINE_QUERIES:
         fn = all_queries.QUERIES[name]
-        start = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = len(df.collect())  # full materialization — count() would let
-        # Catalyst prune the aggregate expressions and under-measure
-        elapsed = time.perf_counter() - start
-        timings[name] = round(elapsed, 4)
-        print(f"# {name}: {elapsed:.3f}s rows={n}", file=sys.stderr)
+        best, n = float("inf"), 0
+        for _ in range(2):  # best-of-2: min estimates the noise floor
+            start = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = len(df.collect())  # full materialization — count() would
+            # let Catalyst prune aggregate expressions and under-measure
+            best = min(best, time.perf_counter() - start)
+        timings[name] = round(best, 4)
+        print(f"# {name}: {best:.3f}s rows={n}", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
     print(
