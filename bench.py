@@ -69,6 +69,8 @@ HEADLINE_QUERIES = (
     "text_top_terms",
     "vocab_top_words",
     "sample_docs_deterministic",
+    "shuffle_docs_deterministic",
+    "pack_docs_batches",
     "stream_tumbling_daily",
     "stream_user_lifetime_stats",
     "stream_static_join_segments",

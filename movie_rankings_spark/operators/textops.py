@@ -144,3 +144,55 @@ def doc_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
         .filter(F.col("rk") <= k)
         .select("doc_id", "word", "tfidf", "rk")
     )
+
+
+def shuffle_deterministic(docs: DataFrame) -> DataFrame:
+    """Reproducible pseudo-random training order: sort by md5(doc_id).
+    Engine-portable (any system recomputes the same permutation), and
+    at scale it is a plain range-partitioned sort — no RNG state, no
+    seed bookkeeping across retries. Output: position, doc_id."""
+    from pyspark.sql import Window
+
+    key = F.md5(F.col("doc_id").cast("string"))
+    w = Window.orderBy(key.asc(), F.col("doc_id").asc())
+    return docs.select(
+        F.row_number().over(w).alias("position"), "doc_id", key.alias("shuffle_key")
+    )
+
+
+def pack_documents(
+    docs: DataFrame, max_tokens: int = 256, group_col: str = "lang"
+) -> DataFrame:
+    """Sequence packing: greedily pack documents (in doc_id order,
+    within each group) into batches whose word totals stay <= 
+    max_tokens; an oversized document gets a batch of its own.
+
+    Greedy packing is inherently sequential (each boundary depends on
+    the running remainder), so it cannot be a window expression; it
+    runs as applyInPandas per group — groups pack in parallel, order
+    within a group is deterministic (doc_id sort inside the function).
+    At 100 TB group_col is a date/shard column giving thousands of
+    independent packing tasks. Output: group, batch_id, doc_id,
+    n_tokens."""
+    import pandas as pd
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id", ignore_index=True)
+        batch_ids, batch, used = [], 0, 0
+        for n in pdf["n_tokens"]:
+            if used > 0 and used + n > max_tokens:
+                batch += 1
+                used = 0
+            used += n
+            batch_ids.append(batch)
+        pdf["batch_id"] = batch_ids
+        return pdf[[group_col, "batch_id", "doc_id", "n_tokens"]]
+
+    with_tokens = docs.select(
+        F.col(group_col),
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+    return with_tokens.groupBy(group_col).applyInPandas(
+        pack, f"{group_col} string, batch_id long, doc_id long, n_tokens int"
+    )

@@ -391,3 +391,37 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc characteristic terms (tf·ridf, linear idf — see
     operators/textops.py::doc_top_terms for why not ln)."""
     return textops.doc_top_terms(_docs(spark, sf_dir), k=3).orderBy("doc_id", "rk")
+
+
+_SHUFFLE_ORACLE = """
+SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+         AS position,
+       doc_id,
+       md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+FROM documents
+ORDER BY position
+"""
+
+
+@REGISTRY.register("shuffle_docs_deterministic", _SHUFFLE_ORACLE)
+def shuffle_docs_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible training-order shuffle (md5-keyed sort) — any
+    engine recomputes the identical permutation."""
+    return textops.shuffle_deterministic(_docs(spark, sf_dir)).orderBy("position")
+
+
+@REGISTRY.register("pack_docs_batches")  # greedy packing: sequential recurrence
+def pack_docs_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing summary: per (lang, batch) doc count + token
+    total (rows-only: the greedy boundary recurrence has no
+    single-statement SQL twin; exactness vs a Python reference is
+    asserted in tests/test_packing.py)."""
+    packed = textops.pack_documents(_docs(spark, sf_dir), max_tokens=256)
+    return (
+        packed.groupBy("lang", "batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("batch_tokens"),
+        )
+        .orderBy("lang", "batch_id")
+    )
