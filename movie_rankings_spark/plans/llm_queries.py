@@ -425,3 +425,70 @@ def pack_docs_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "batch_id")
     )
+
+
+# --- multimodal: oracle-checkable JVM-side transforms -----------------------
+
+# synthesize_media is deterministic (kind/meta derived from doc_id), so
+# the frame-sampling and resize transforms have exact SQL twins even
+# though the codec itself is stubbed.
+
+_FRAMES_ORACLE = """
+SELECT doc_id AS media_id,
+       CAST(unnest(range(0, greatest(1, doc_id % 120 + 1))) * 1000.0 AS INTEGER)
+         AS frame_ms
+FROM documents
+WHERE doc_id % 3 = 2
+ORDER BY media_id, frame_ms
+"""
+
+
+@REGISTRY.register("multimodal_frame_sample", _FRAMES_ORACLE)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling at 1 fps: one output row per sampled
+    timestamp, via JVM sequence+explode (operators/multimodal.py) —
+    no Python, no shuffle; payload carried for a downstream decoder
+    (dropped here so the oracle compares the sampling logic)."""
+    from movie_rankings_spark.operators import multimodal
+
+    media = multimodal.synthesize_media(_docs(spark, sf_dir))
+    return (
+        multimodal.sample_frames(media, fps=1.0)
+        .select("media_id", "frame_ms")
+        .orderBy("media_id", "frame_ms")
+    )
+
+
+_RESIZE_ORACLE = """
+SELECT doc_id AS media_id,
+       CAST(doc_id % 640 + 1 AS INTEGER) AS width,
+       CAST(doc_id % 480 + 1 AS INTEGER) AS height,
+       CAST(ceil((doc_id % 640 + 1)
+            * least(224.0 / (doc_id % 640 + 1),
+                    224.0 / (doc_id % 480 + 1), 1.0)) AS INTEGER) AS r_width,
+       CAST(ceil((doc_id % 480 + 1)
+            * least(224.0 / (doc_id % 640 + 1),
+                    224.0 / (doc_id % 480 + 1), 1.0)) AS INTEGER) AS r_height
+FROM documents ORDER BY media_id
+"""
+
+
+@REGISTRY.register("multimodal_resize_meta", _RESIZE_ORACLE)
+def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize-to-224 as metadata arithmetic —
+    codegen'd per-row math on the meta struct, bit-identical across
+    engines."""
+    from movie_rankings_spark.operators import multimodal
+
+    media = multimodal.synthesize_media(_docs(spark, sf_dir))
+    return (
+        multimodal.resize_meta(media, max_side=224)
+        .select(
+            "media_id",
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            F.col("resized_meta.width").alias("r_width"),
+            F.col("resized_meta.height").alias("r_height"),
+        )
+        .orderBy("media_id")
+    )
