@@ -71,6 +71,8 @@ HEADLINE_QUERIES = (
     "sample_docs_deterministic",
     "shuffle_docs_deterministic",
     "pack_docs_batches",
+    "multimodal_frame_sample",
+    "multimodal_resize_meta",
     "stream_tumbling_daily",
     "stream_user_lifetime_stats",
     "stream_static_join_segments",

@@ -142,3 +142,57 @@ def test_topk_is_prefix_of_full_sort(spark):
         .collect()
     ]
     assert top5 == full[:5]
+
+
+_events = st.lists(
+    st.tuples(
+        st.integers(0, 3),          # user_id (few keys -> collisions)
+        st.integers(0, 50),         # ts seconds (small range -> ties)
+        st.booleans(),              # is_query side?
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@_SETTINGS
+@given(_events)
+def test_asof_join_matches_python_reference(spark, rows):
+    """asof_join == brute-force latest-strictly-prior scan, including
+    same-timestamp exclusion, for arbitrary key/ts collisions."""
+    import datetime as dt
+
+    from movie_rankings_spark.operators.asof import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    lefts, rights = [], []
+    for i, (uid, ts_s, is_q) in enumerate(rows):
+        rec = (i, uid, base + dt.timedelta(seconds=ts_s))
+        (lefts if is_q else rights).append(rec)
+    if not lefts:
+        lefts = [(999, 0, base)]
+    # determinism contract: at most one right row per (key, ts)
+    seen, dedup_rights = set(), []
+    for rid, uid, ts in sorted(rights, reverse=True):
+        if (uid, ts) not in seen:
+            seen.add((uid, ts))
+            dedup_rights.append((rid, uid, ts))
+    left_df = spark.createDataFrame(lefts, "qid long, user_id long, ts timestamp")
+    right_df = spark.createDataFrame(
+        dedup_rights or [(-1, -99, base)], "rid long, user_id long, ts timestamp"
+    )
+    got = {
+        r["qid"]: r["prev_rid"]
+        for r in asof_join(
+            left_df, right_df, ["user_id"], "ts", ["rid"], strict=True
+        ).collect()
+    }
+    want = {}
+    for qid, uid, ts in lefts:
+        prior = [
+            (rts, rid)
+            for rid, ruid, rts in (dedup_rights or [(-1, -99, base)])
+            if ruid == uid and rts < ts
+        ]
+        want[qid] = max(prior)[1] if prior else None
+    assert got == want
