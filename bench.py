@@ -39,6 +39,13 @@ HEADLINE_QUERIES = (
     "q17_small_quantity_revenue",
     "q19_disjunctive_revenue",
     "q22_global_sales_opportunity",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q16_supplier_part_profile",
+    "q20_heavy_red_shippers",
+    "q21_waiting_suppliers",
     "from_json_props_map",
     "topk_parts_per_brand",
     "topk_parts_per_brand_salted",

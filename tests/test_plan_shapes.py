@@ -183,3 +183,32 @@ def test_q22_no_global_window(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q22_global_sales_opportunity")
     assert "Window" not in plan
     assert "LeftAnti" in plan
+
+
+def test_q21_semi_and_anti_self_joins(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q21_waiting_suppliers")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
+
+
+def test_q8_part_filter_pushed_and_dims_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q8_market_share")
+    # p_type filter must reach the part scan, not evaluate post-join
+    assert "EqualTo(p_type,ECONOMY)" in plan
+    assert plan.count("BroadcastHashJoin") >= 5
+
+
+def test_q11_threshold_is_broadcast_not_window(spark, sf_dir):
+    """The global 0.1% threshold joins back as a 1-row broadcast —
+    never a Window over an empty partitioning (single-task sort)."""
+    plan = _plan(spark, sf_dir, "q11_important_parts")
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q16_anti_join_excludes_suppliers(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q16_supplier_part_profile")
+    assert "LeftAnti" in plan
+    assert "EvalPython" not in plan
