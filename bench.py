@@ -50,6 +50,7 @@ HEADLINE_QUERIES = (
     "topk_parts_per_brand",
     "topk_parts_per_brand_salted",
     "window_events_analytics",
+    "sessionize_events",
     "json_props_stats",
     "orders_by_month",
     "rollup_orders",
@@ -78,6 +79,8 @@ HEADLINE_QUERIES = (
     "sample_docs_deterministic",
     "shuffle_docs_deterministic",
     "pack_docs_batches",
+    "chunk_docs_sliding",
+    "quality_filtered_docs",
     "multimodal_frame_sample",
     "multimodal_resize_meta",
     "stream_tumbling_daily",

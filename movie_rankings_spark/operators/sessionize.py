@@ -1,0 +1,52 @@
+"""Batch sessionization — gap-based session assignment over an event
+log (the batch twin of streaming/events.py's session windows).
+
+The classic two-window composition: mark rows whose gap from the
+previous event exceeds the threshold, then running-sum the marks to get
+a per-user session sequence number. Both windows share the
+(user_id → ts) partitioning/ordering, so Spark plans ONE shuffle and
+one in-partition sort for the whole operator; the session aggregate
+afterwards reuses the user_id partitioning for its (user_id,
+session_seq) keys via a map-side partial.
+
+At 100 TB: sessions never span users, so this scales linearly with
+executors; skewed power-users are split by AQE, and a time-bucketed
+pre-aggregation bounds any single user's in-partition sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 360,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Events + a ``session_seq`` column (1-based per user)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    # microsecond precision: truncating to whole seconds would move
+    # events across the gap boundary relative to interval arithmetic
+    gap_us = gap_minutes * 60 * 1_000_000
+    micros = F.unix_micros(F.col(ts_col))
+    new_sess = F.when(
+        micros - F.lag(micros).over(w) <= gap_us, F.lit(0)
+    ).otherwise(F.lit(1))
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return events.withColumn("_new", new_sess).withColumn(
+        "session_seq", F.sum("_new").over(running).cast("int")
+    ).drop("_new")
+
+
+def session_stats(events: DataFrame, gap_minutes: int = 360) -> DataFrame:
+    """Per-session rollup: event count, start, duration."""
+    s = sessionize(events, gap_minutes)
+    return s.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        (F.max("ts").cast("long") - F.min("ts").cast("long")).alias("duration_s"),
+    )

@@ -196,3 +196,58 @@ def pack_documents(
     return with_tokens.groupBy(group_col).applyInPandas(
         pack, f"{group_col} string, batch_id long, doc_id long, n_tokens int"
     )
+
+
+def chunk_documents(
+    docs: DataFrame, chunk_size: int = 32, stride: int = 24
+) -> DataFrame:
+    """Overlapping token-window chunking (the context-window splitter
+    of a training pipeline): each document yields chunks of
+    ``chunk_size`` whitespace tokens starting every ``stride`` tokens
+    (overlap = chunk_size - stride).
+
+    One codegen'd projection + explode — the tokens array is built
+    once per row, start offsets come from ``sequence`` (no UDF, no
+    shuffle), so output volume is the only cost: rows × (1 +
+    overlap/stride) token duplication, the accepted price of windowed
+    pretraining data. Output: doc_id, chunk_idx, chunk_len,
+    chunk_text."""
+    toks = F.split(F.col("text"), " ")
+    starts = F.sequence(F.lit(0), F.size("_t") - 1, F.lit(stride))
+    return (
+        # tokenize in a separate projection BELOW the Generate: the
+        # array materializes once per document and rides through the
+        # explode; a single-select form would collapse and re-split
+        # the text once per output chunk (O(chunks × doc_len))
+        docs.select("doc_id", toks.alias("_t"))
+        .select("doc_id", "_t", F.explode(starts).alias("_s"))
+        .select(
+            "doc_id",
+            (F.col("_s") / stride).cast("int").alias("chunk_idx"),
+            F.size(F.slice("_t", F.col("_s") + 1, chunk_size)).alias("chunk_len"),
+            F.array_join(
+                F.slice("_t", F.col("_s") + 1, chunk_size), " "
+            ).alias("chunk_text"),
+        )
+    )
+
+
+def quality_filtered(docs: DataFrame, pct: float = 0.75) -> DataFrame:
+    """Keep documents whose quality score exceeds the global ``pct``
+    percentile — the aggressive-filtering stage of a data-curation
+    pipeline.
+
+    The threshold is a 1-row exact-percentile aggregate joined back as
+    a broadcast (never ``Window over ()``, which would single-task the
+    corpus). Exact percentile buffers values per partition — fine to
+    ~1e8 rows; at 100 TB swap in ``approx_percentile`` (t-digest
+    sketch, identical plan shape, bounded memory)."""
+    scored = docs.select(
+        "doc_id", "lang", "source", quality_score(F.col("text")).alias("quality")
+    )
+    thr = scored.agg(F.percentile("quality", F.lit(pct)).alias("_thr"))
+    return (
+        scored.join(F.broadcast(thr))
+        .filter(F.col("quality") > F.col("_thr"))
+        .select("doc_id", "lang", "source", "quality")
+    )

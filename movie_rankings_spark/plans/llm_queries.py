@@ -492,3 +492,44 @@ def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+# --- training-data chunking + percentile quality gate -----------------------
+
+_CHUNK_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+SELECT doc_id,
+       CAST(s // 24 AS INTEGER) AS chunk_idx,
+       CAST(len(t[s + 1 : s + 32]) AS INTEGER) AS chunk_len,
+       array_to_string(t[s + 1 : s + 32], ' ') AS chunk_text
+FROM toks, UNNEST(range(0, len(t), 24)) AS u(s)
+ORDER BY doc_id, chunk_idx
+"""
+
+
+@REGISTRY.register("chunk_docs_sliding", _CHUNK_ORACLE)
+def chunk_docs_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.chunk_documents(
+        _docs(spark, sf_dir), chunk_size=32, stride=24
+    ).orderBy("doc_id", "chunk_idx")
+
+
+_QUALITY_EXPR = f"""least(CAST(len({_WORDS}) AS DOUBLE) / 50.0, 1.0) * 0.5
+         + (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+                  / length(text)) * 0.3
+         + least(CAST(len(list_filter({_WORDS}, w -> list_contains({_STOP_EN}, w)))
+                      AS DOUBLE) / len({_WORDS}) * 5.0, 1.0) * 0.2"""
+
+_QFILTER_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, lang, source, {_QUALITY_EXPR} AS quality FROM documents
+)
+SELECT doc_id, lang, source, quality FROM scored
+WHERE quality > (SELECT quantile_cont(quality, 0.75) FROM scored)
+ORDER BY doc_id
+"""
+
+
+@REGISTRY.register("quality_filtered_docs", _QFILTER_ORACLE)
+def quality_filtered_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.quality_filtered(_docs(spark, sf_dir), pct=0.75).orderBy("doc_id")

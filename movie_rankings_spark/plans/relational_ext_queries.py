@@ -852,3 +852,38 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+# --- batch sessionization (gap-based, the batch twin of session windows) ----
+
+_SESSIONIZE_ORACLE = """
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w <= 21600000000
+              THEN 0 ELSE 1 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq
+  FROM marked
+)
+SELECT user_id, CAST(session_seq AS INTEGER) AS session_seq,
+       COUNT(*) AS n_events,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_s
+FROM sess GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@REGISTRY.register("sessionize_events", _SESSIONIZE_ORACLE)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (6 h) + per-session rollup: two windows
+    and the aggregate all share the user_id partitioning — one shuffle
+    end-to-end (asserted in plan tests)."""
+    from movie_rankings_spark.operators.sessionize import session_stats
+
+    return session_stats(_t(spark, sf_dir, "events"), gap_minutes=360).orderBy(
+        "user_id", "session_seq"
+    )

@@ -53,3 +53,35 @@ def test_packing_respects_budget(spark, sf_dir):
         .count()
     )
     assert over == 0
+
+
+def test_chunking_reconstructs_documents(spark):
+    """Concatenating each chunk's stride-prefix (plus the last chunk's
+    tail) reproduces the original token stream, for lengths around the
+    chunk/stride boundaries."""
+    from movie_rankings_spark.operators.textops import chunk_documents
+
+    texts = [" ".join(f"w{i}" for i in range(n)) or "" for n in
+             (1, 23, 24, 25, 31, 32, 33, 48, 49, 100)]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    chunks = chunk_documents(docs, chunk_size=32, stride=24).collect()
+    by_doc = {}
+    for r in sorted(chunks, key=lambda r: (r["doc_id"], r["chunk_idx"])):
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rs in by_doc.items():
+        toks = []
+        for r in rs[:-1]:
+            got = r["chunk_text"].split(" ")
+            # every non-last chunk extends past the stride point (else
+            # no further start offset would exist), but may still be
+            # shorter than chunk_size when the document tail runs out
+            assert len(got) == r["chunk_len"] > 24
+            toks.extend(got[:24])
+        toks.extend(rs[-1]["chunk_text"].split(" "))
+        assert toks == texts[doc_id].split(" ")
+        # overlap: consecutive chunks share chunk_size - stride tokens
+        for a, b in zip(rs, rs[1:]):
+            assert a["chunk_text"].split(" ")[24:] == \
+                b["chunk_text"].split(" ")[: a["chunk_len"] - 24]

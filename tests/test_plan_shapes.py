@@ -212,3 +212,11 @@ def test_q16_anti_join_excludes_suppliers(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q16_supplier_part_profile")
     assert "LeftAnti" in plan
     assert "EvalPython" not in plan
+
+
+def test_sessionize_single_hash_shuffle(spark, sf_dir):
+    """Both windows (lag + running sum) and the session aggregate share
+    the user_id partitioning — one hash exchange end-to-end."""
+    plan = _plan(spark, sf_dir, "sessionize_events")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "EvalPython" not in plan
