@@ -76,6 +76,7 @@ HEADLINE_QUERIES = (
     "text_corpus_summary",
     "text_top_terms",
     "vocab_top_words",
+    "vocab_top_bigrams",
     "sample_docs_deterministic",
     "shuffle_docs_deterministic",
     "pack_docs_batches",

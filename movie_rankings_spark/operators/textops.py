@@ -251,3 +251,20 @@ def quality_filtered(docs: DataFrame, pct: float = 0.75) -> DataFrame:
         .filter(F.col("quality") > F.col("_thr"))
         .select("doc_id", "lang", "source", "quality")
     )
+
+
+def vocab_top_ngrams(docs: DataFrame, n: int = 2, k: int = 50) -> DataFrame:
+    """Language-model n-gram counts: top-k word n-grams by total
+    occurrences (non-distinct — every occurrence counts, unlike the
+    dedup shingle sets). Same partial-aggregate shape as the unigram
+    vocabulary; output volume is tokens × 1, shuffle is distinct
+    n-grams × partitions."""
+    from movie_rankings_spark.functions.text import word_shingles
+
+    return (
+        docs.select(F.explode(word_shingles(F.col("text"), n)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
+        .limit(k)
+    )

@@ -533,3 +533,21 @@ ORDER BY doc_id
 @REGISTRY.register("quality_filtered_docs", _QFILTER_ORACLE)
 def quality_filtered_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.quality_filtered(_docs(spark, sf_dir), pct=0.75).orderBy("doc_id")
+
+
+_BIGRAM_ORACLE = f"""
+SELECT ngram, COUNT(*) AS n_occurrences
+FROM (
+  SELECT unnest(list_transform(range(1, len({_WORDS})),
+                i -> concat_ws(' ', {_WORDS}[i], {_WORDS}[i+1]))) AS ngram
+  FROM documents
+)
+GROUP BY ngram
+ORDER BY n_occurrences DESC, ngram ASC
+LIMIT 50
+"""
+
+
+@REGISTRY.register("vocab_top_bigrams", _BIGRAM_ORACLE)
+def vocab_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.vocab_top_ngrams(_docs(spark, sf_dir), n=2, k=50)

@@ -196,3 +196,45 @@ def test_asof_join_matches_python_reference(spark, rows):
         ]
         want[qid] = max(prior)[1] if prior else None
     assert got == want
+
+
+@_SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 10_000)),  # (user, ts sec)
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_sessionize_gap_invariants(spark, rows):
+    """Within a session every consecutive gap <= threshold; the first
+    event of every later session arrives > threshold after the
+    previous event; session_seq starts at 1 and increments by 0/1."""
+    import datetime as dt
+
+    from movie_rankings_spark.operators.sessionize import sessionize
+
+    GAP_MIN = 10
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (i, uid, base + dt.timedelta(seconds=ts_s))
+        for i, (uid, ts_s) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "event_id long, user_id long, ts timestamp")
+    out = sorted(
+        (
+            (r["user_id"], r["ts"], r["event_id"], r["session_seq"])
+            for r in sessionize(df, gap_minutes=GAP_MIN).collect()
+        )
+    )
+    by_user = {}
+    for uid, ts, eid, seq in out:
+        by_user.setdefault(uid, []).append((ts, eid, seq))
+    for evs in by_user.values():
+        assert evs[0][2] == 1
+        for (t0, _, s0), (t1, _, s1) in zip(evs, evs[1:]):
+            gap = (t1 - t0).total_seconds()
+            if s1 == s0:
+                assert gap <= GAP_MIN * 60
+            else:
+                assert s1 == s0 + 1 and gap > GAP_MIN * 60
