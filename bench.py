@@ -78,6 +78,7 @@ HEADLINE_QUERIES = (
     "vocab_top_words",
     "vocab_top_bigrams",
     "sample_docs_deterministic",
+    "sample_stratified_by_lang",
     "shuffle_docs_deterministic",
     "pack_docs_batches",
     "chunk_docs_sliding",

@@ -268,3 +268,27 @@ def vocab_top_ngrams(docs: DataFrame, n: int = 2, k: int = 50) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
         .limit(k)
     )
+
+
+def stratified_hash_sample(
+    docs: DataFrame, rates_hex: dict[str, int] | None = None, default_hex: int = 8
+) -> DataFrame:
+    """Deterministic stratified sampling: per-group sampling rates in
+    sixteenths of the md5 key space (e.g. ``{"en": 4}`` keeps doc_ids
+    whose md5 ends in 0-3 — a 25% stratum). The rebalancing step of a
+    training mix: downsample over-represented languages/sources while
+    keeping selection reproducible under retries and engine-portable
+    (any system recomputes the same membership).
+
+    Pure filter — no shuffle, no RNG state; the rate map compiles to a
+    CASE over broadcast-size literals."""
+    rates_hex = rates_hex or {}
+    last = F.substring(F.md5(F.col("doc_id").cast("string")), 32, 1)
+    # hex chars order 0-9a-f lexicographically, so < comparison on the
+    # single char implements "first n sixteenths" in both engines
+    threshold = F.lit(format(default_hex, "x"))
+    for lang, n in sorted(rates_hex.items()):
+        threshold = F.when(F.col("lang") == lang, F.lit(format(n, "x"))).otherwise(
+            threshold
+        )
+    return docs.filter(last < threshold).select("doc_id", "lang", "source")

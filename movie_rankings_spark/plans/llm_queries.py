@@ -551,3 +551,18 @@ LIMIT 50
 @REGISTRY.register("vocab_top_bigrams", _BIGRAM_ORACLE)
 def vocab_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.vocab_top_ngrams(_docs(spark, sf_dir), n=2, k=50)
+
+
+_STRATIFIED_ORACLE = """
+SELECT doc_id, lang, source FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 32, 1)
+      < CASE WHEN lang = 'en' THEN '4' ELSE '8' END
+ORDER BY doc_id
+"""
+
+
+@REGISTRY.register("sample_stratified_by_lang", _STRATIFIED_ORACLE)
+def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.stratified_hash_sample(
+        _docs(spark, sf_dir), rates_hex={"en": 4}, default_hex=8
+    ).orderBy("doc_id")
