@@ -7,6 +7,8 @@ global-sorts, window+agg reuse one shuffle.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from movie_rankings_spark.plans import all_queries
@@ -220,3 +222,30 @@ def test_sessionize_single_hash_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "sessionize_events")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "EvalPython" not in plan
+
+
+#: The ONLY queries allowed a Python stage, each for a stated reason:
+#: Arrow GEMM (LSH signatures, numpy/IVF similarity), HTML parsing
+#: (no JVM parser), stubbed multimodal codecs, and the sequential
+#: packing recurrence. Everything else must compile 100% JVM-side.
+_PYTHON_RESIDENT = {
+    "dedup_embedding_lsh",
+    "flagship_scraped",
+    "multimodal_features",
+    "pack_docs_batches",
+    "similarity_cosine_topk_numpy",
+    "similarity_ivf_topk",
+}
+
+_PY_NODE = re.compile(r"InPandas|EvalPython|PythonUDF|BatchEvalPython", re.I)
+
+
+@pytest.mark.parametrize(
+    "name",
+    sorted(n for n in all_queries.QUERIES if not n.startswith("stream_")),
+)
+def test_python_stages_only_where_declared(spark, sf_dir, name):
+    """Catching accidental UDF creep: a Python node appearing in any
+    other query is a performance regression, not a style issue."""
+    has_py = bool(_PY_NODE.search(_plan(spark, sf_dir, name)))
+    assert has_py == (name in _PYTHON_RESIDENT), name
