@@ -156,3 +156,27 @@ def stream_static_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.enrich_with_static(ev.events_stream(spark, sf_dir), dim)
     )
     return out.orderBy("segment")
+
+
+_WM_DEDUP_ORACLE = """
+SELECT event_type, COUNT(DISTINCT event_id) AS n_events
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@REGISTRY.register("stream_dedup_watermark_bounded", _WM_DEDUP_ORACLE)
+def stream_dedup_watermark_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-shape stateful dedup: dropDuplicatesWithinWatermark
+    keyed on event_id, state evicted past the 1 h horizon — executed as
+    a real availableNow stream. event_ids are unique within any 1 h
+    window of the corpus, so the surviving rows equal the distinct set
+    and the batch oracle is exact."""
+    out = ev.run_to_batch(
+        ev.dedup_within_watermark(ev.events_stream(spark, sf_dir), "1 hour"),
+        output_mode="append",
+    )
+    return (
+        out.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("event_type")
+    )
