@@ -51,6 +51,7 @@ HEADLINE_QUERIES = (
     "topk_parts_per_brand_salted",
     "window_events_analytics",
     "sessionize_events",
+    "funnel_view_click_purchase",
     "json_props_stats",
     "orders_by_month",
     "rollup_orders",

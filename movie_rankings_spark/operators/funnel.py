@@ -1,0 +1,59 @@
+"""Funnel analysis — ordered event-sequence matching over an event log
+(the conversion-funnel query of product analytics; [EXT] tier like
+SURVEY.md §2g's window analytics, which the reference lacks entirely).
+
+Semantics: a user reaches stage k when an event of stage-k type occurs
+STRICTLY AFTER their earliest stage-(k-1) match (the classic
+"first-touch" funnel). Each stage is min-ts conditional aggregation +
+an equi-join back to the event log; every groupBy and join hashes on
+user_id, so the whole funnel is co-partitioned after the first shuffle
+(AQE reuses the exchange; with a user_id-bucketed layout there is no
+shuffle at all). Stage count is a query constant, so the plan depth is
+static — no iteration, no window over the full event history.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_stage_times(
+    events: DataFrame,
+    stages: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user earliest completion time of each reached stage:
+    (user, stage_1..stage_N ts columns, nulls once the funnel broke)."""
+    out = None
+    prev = None
+    for i, stage in enumerate(stages, start=1):
+        matched = events.filter(F.col(type_col) == stage)
+        if out is not None:
+            matched = matched.join(
+                out.select(user_col, F.col(prev).alias("_prev_ts")), user_col
+            ).filter(F.col(ts_col) > F.col("_prev_ts"))
+        t = matched.groupBy(user_col).agg(F.min(ts_col).alias(f"stage{i}_ts"))
+        out = t if out is None else out.join(t, user_col, "left")
+        prev = f"stage{i}_ts"
+    return out
+
+
+def funnel_counts(events: DataFrame, stages: Sequence[str]) -> DataFrame:
+    """The funnel report: (stage, event_type, n_users) with strictly
+    non-increasing counts down the stages."""
+    times = funnel_stage_times(events, stages)
+    counts = [
+        times.agg(
+            F.lit(i).alias("stage"),
+            F.lit(stage).alias("event_type"),
+            F.count(f"stage{i}_ts").alias("n_users"),
+        )
+        for i, stage in enumerate(stages, start=1)
+    ]
+    return reduce(DataFrame.unionByName, counts).orderBy("stage")

@@ -887,3 +887,37 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(_t(spark, sf_dir, "events"), gap_minutes=360).orderBy(
         "user_id", "session_seq"
     )
+
+
+# --- funnel analysis (ordered event-sequence conversion) --------------------
+
+_FUNNEL_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT 1 AS stage, 'view' AS event_type, COUNT(*) AS n_users FROM v
+  UNION ALL
+  SELECT 2, 'click', COUNT(*) FROM c
+  UNION ALL
+  SELECT 3, 'purchase', COUNT(*) FROM p
+) ORDER BY stage
+"""
+
+
+@REGISTRY.register("funnel_view_click_purchase", _FUNNEL_ORACLE)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch conversion funnel with strict event ordering; every
+    stage hashes on user_id (see operators/funnel.py scale notes)."""
+    from movie_rankings_spark.operators.funnel import funnel_counts
+
+    return funnel_counts(
+        _t(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
