@@ -52,6 +52,7 @@ HEADLINE_QUERIES = (
     "window_events_analytics",
     "sessionize_events",
     "funnel_view_click_purchase",
+    "cohort_retention_daily",
     "json_props_stats",
     "orders_by_month",
     "rollup_orders",

@@ -921,3 +921,33 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_counts(
         _t(spark, sf_dir, "events"), ["view", "click", "purchase"]
     )
+
+
+# --- cohort retention (activity-decay matrix) -------------------------------
+
+_COHORT_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, MIN(date_trunc('day', ts)) AS cohort_day FROM events GROUP BY 1
+), activity AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS act_day
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort,
+       CAST(date_diff('day', f.cohort_day, a.act_day) AS INTEGER) AS period_offset,
+       COUNT(*) AS n_users
+FROM first_seen f JOIN activity a USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@REGISTRY.register("cohort_retention_daily", _COHORT_ORACLE)
+def cohort_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohorts (first event of any type) × purchase retention;
+    co-partitioned on user_id end-to-end (operators/cohort.py)."""
+    from movie_rankings_spark.operators.cohort import cohort_retention
+
+    return cohort_retention(
+        _t(spark, sf_dir, "events"),
+        period="day",
+        action_filter=F.col("event_type") == "purchase",
+    )
