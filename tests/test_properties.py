@@ -238,3 +238,47 @@ def test_sessionize_gap_invariants(spark, rows):
                 assert gap <= GAP_MIN * 60
             else:
                 assert s1 == s0 + 1 and gap > GAP_MIN * 60
+
+
+@_SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),           # user
+            st.integers(0, 30),          # ts sec (ties likely)
+            st.sampled_from(["view", "click", "purchase", "error"]),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_funnel_counts_match_python_reference(spark, rows):
+    """Funnel stage counts == brute-force strictly-ordered scan."""
+    import datetime as dt
+
+    from movie_rankings_spark.operators.funnel import funnel_counts
+
+    STAGES = ["view", "click", "purchase"]
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (i, uid, base + dt.timedelta(seconds=s), et)
+        for i, (uid, s, et) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        (r["stage"], r["event_type"]): r["n_users"]
+        for r in funnel_counts(df, STAGES).collect()
+    }
+    want = {(i, s): 0 for i, s in enumerate(STAGES, start=1)}
+    for uid in {u for _, u, _, _ in data}:
+        evs = sorted((ts, et) for _, u, ts, et in data if u == uid)
+        prev_t = None
+        for i, stage in enumerate(STAGES, start=1):
+            hits = [t for t, et in evs if et == stage and (prev_t is None or t > prev_t)]
+            if not hits:
+                break
+            want[(i, stage)] += 1
+            prev_t = min(hits)
+    assert got == want
