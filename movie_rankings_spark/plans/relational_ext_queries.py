@@ -112,10 +112,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q12_ORACLE = """
 SELECT l.l_linestatus,
-       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_priority_count,
-       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_priority_count
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_priority_count
 FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 WHERE l.l_shipdate > o.o_orderdate
 GROUP BY l.l_linestatus
@@ -456,7 +456,7 @@ _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 _PIVOT_ORACLE = f"""
 SELECT user_id,
-       {', '.join(f"SUM(CASE WHEN event_type = '{t}' THEN 1 END) AS {t}"
+       {', '.join(f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 END) AS BIGINT) AS {t}"
                   for t in _EVENT_TYPES)}
 FROM events GROUP BY user_id ORDER BY user_id
 """
