@@ -146,17 +146,67 @@ def doc_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
-def shuffle_deterministic(docs: DataFrame) -> DataFrame:
+def shuffle_deterministic(docs: DataFrame, buckets: int | None = None) -> DataFrame:
     """Reproducible pseudo-random training order: sort by md5(doc_id).
-    Engine-portable (any system recomputes the same permutation), and
-    at scale it is a plain range-partitioned sort — no RNG state, no
-    seed bookkeeping across retries. Output: position, doc_id."""
+    Engine-portable (any system recomputes the same permutation) — no
+    RNG state, no seed bookkeeping across retries.
+
+    The global ordinal is computed WITHOUT a global sort (a bare
+    ``Window.orderBy`` would plan as ``Exchange SinglePartition`` and
+    funnel the whole corpus through one task). Instead, the classic
+    zipWithIndex two-pass, kept in DataFrame land:
+
+    1. bucket each row by its md5-prefix — ``floor(prefix16 * n /
+       65536)`` is monotone in the key, so buckets are contiguous key
+       ranges (an explicit repartitionByRange whose bounds we control);
+    2. one tiny job counts rows per bucket (partial agg, n rows to the
+       driver) and prefix-sums them into bucket offsets;
+    3. ``position = offset[bucket] + row_number() over (bucket)`` —
+       one hash-partition shuffle on the bucket id, every bucket
+       numbered in parallel.
+
+    md5 keys are uniform, so buckets are balanced at any scale; pass
+    ``buckets`` ~ cluster cores at 100 TB. Output: position (bigint),
+    doc_id, shuffle_key."""
     from pyspark.sql import Window
 
+    spark = docs.sparkSession
+    n = buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n = max(1, min(int(n), 65536))
+
     key = F.md5(F.col("doc_id").cast("string"))
-    w = Window.orderBy(key.asc(), F.col("doc_id").asc())
-    return docs.select(
-        F.row_number().over(w).alias("position"), "doc_id", key.alias("shuffle_key")
+    keyed = docs.select("doc_id", key.alias("shuffle_key")).withColumn(
+        "_bucket",
+        F.floor(
+            F.conv(F.substring("shuffle_key", 1, 4), 16, 10).cast("long")
+            * F.lit(n)
+            / F.lit(65536)
+        ).cast("int"),
+    )
+
+    counts = {
+        row["_bucket"]: row["cnt"]
+        for row in keyed.groupBy("_bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    offsets, running = [], 0
+    for b in range(n):
+        offsets.append((b, running))
+        running += counts.get(b, 0)
+    off = spark.createDataFrame(offsets, "_bucket int, _offset long")
+
+    w = Window.partitionBy("_bucket").orderBy(
+        F.col("shuffle_key").asc(), F.col("doc_id").asc()
+    )
+    return (
+        keyed.withColumn("_local", F.row_number().over(w))
+        .join(F.broadcast(off), "_bucket")
+        .select(
+            (F.col("_offset") + F.col("_local")).alias("position"),
+            "doc_id",
+            "shuffle_key",
+        )
     )
 
 

@@ -187,6 +187,24 @@ def test_q22_no_global_window(spark, sf_dir):
     assert "LeftAnti" in plan
 
 
+def test_shuffle_deterministic_no_single_partition(spark, sf_dir):
+    """The global training-order ordinal must come from the bucketed
+    zipWithIndex two-pass, never a bare Window.orderBy whose
+    Exchange SinglePartition funnels the corpus through one task.
+    (The query's final presentation orderBy plans as a range
+    exchange, which is fine.)"""
+    from movie_rankings_spark.operators import textops
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = textops.shuffle_deterministic(docs)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "SinglePartition" not in plan
+    assert "Exchange hashpartitioning" in plan
+    assert "EvalPython" not in plan
+
+
 def test_q21_semi_and_anti_self_joins(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q21_waiting_suppliers")
     assert "LeftSemi" in plan
