@@ -39,6 +39,7 @@ HEADLINE_QUERIES = (
     "q17_small_quantity_revenue",
     "q19_disjunctive_revenue",
     "q22_global_sales_opportunity",
+    "q2_min_cost_supplier",
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",

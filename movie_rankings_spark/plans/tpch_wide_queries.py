@@ -1,11 +1,14 @@
-"""Wide-join TPC-H tier (SURVEY.md §2 row J2 breadth) — Q7/Q8/Q9/Q11/
-Q16/Q20/Q21 shapes adapted to the driver schema.
+"""Wide-join TPC-H tier (SURVEY.md §2 row J2 breadth) — Q2/Q7/Q8/Q9/
+Q11/Q16/Q20/Q21 shapes adapted to the driver schema.
 
 The driver's star schema has no ``partsupp`` table and lineitem has no
 ``l_commitdate``/``l_receiptdate``, so the four queries that need them
 are adapted while preserving their *plan shape* (the thing that matters
 at 100 TB):
 
+  * Q2's per-supplier ``ps_supplycost`` → each supplier's best
+    observed unit price ``MIN(l_extendedprice / l_quantity)`` per
+    (part, supplier) — same correlated-min argmin over a region.
   * Q9's ``ps_supplycost`` → a retail-price cost proxy
     (``0.8 * p_retailprice * l_quantity``) — same 5-way join + two-key
     aggregate.
@@ -37,6 +40,87 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _vol_dec():
     return (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
         "decimal(18,4)"
+    )
+
+
+# --- Q2: minimum-cost supplier (correlated scalar subquery shape) ----------
+
+_Q2_ORACLE = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(l_extendedprice / l_quantity) AS supplycost
+  FROM lineitem GROUP BY 1, 2
+), regional AS (
+  SELECT p.p_partkey, p.p_brand, s.s_name, s.s_acctbal,
+         n.n_name AS nation, ps.supplycost
+  FROM ps
+  JOIN part p     ON p.p_partkey = ps.l_partkey
+  JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+  JOIN nation n   ON n.n_nationkey = s.s_nationkey
+  JOIN region r   ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'EUROPE' AND p.p_size <= 15 AND p.p_type = 'STANDARD'
+)
+SELECT s_acctbal, s_name, nation, p_partkey, p_brand, supplycost
+FROM regional
+WHERE supplycost = (SELECT MIN(r2.supplycost) FROM regional r2
+                    WHERE r2.p_partkey = regional.p_partkey)
+ORDER BY s_acctbal DESC, nation, s_name, p_partkey
+LIMIT 100
+"""
+
+
+@REGISTRY.register("q2_min_cost_supplier", _Q2_ORACLE)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the canonical correlated-MIN-scalar-subquery-in-
+    WHERE, de-correlated into a per-part window min. ``ps_supplycost``
+    (no partsupp table) is proxied as each supplier's best observed
+    unit price ``MIN(l_extendedprice / l_quantity)`` per (part,
+    supplier) — supplier-DEPENDENT, unlike Q9's retail proxy, so the
+    argmin is non-trivial.
+
+    Plan: one shuffle builds the (part, supplier) cost table from
+    lineitem; dims (region-filtered supplier+nation, size/type-filtered
+    part) broadcast into it; then the correlated ``= (SELECT MIN …)``
+    becomes ``MIN() OVER (PARTITION BY p_partkey)`` + filter — the
+    window reuses the aggregate's hash distribution on the already
+    dim-pruned slice instead of re-scanning the fact (never a
+    nested-loop re-execution per outer row). Ties on min cost are kept,
+    as in standard Q2. Division is IEEE double in both engines, and MIN
+    selects (not accumulates), so the equality filter is exact."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost")
+    )
+    supp_region = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey", "s_name", "s_acctbal", F.col("n_name").alias("nation"))
+    )
+    regional = ps.join(
+        F.broadcast(supp_region), ps["l_suppkey"] == F.col("s_suppkey")
+    ).join(F.broadcast(p), ps["l_partkey"] == p["p_partkey"])
+
+    w = Window.partitionBy("p_partkey")
+    return (
+        regional.withColumn("_min_cost", F.min("supplycost").over(w))
+        .filter(F.col("supplycost") == F.col("_min_cost"))
+        .select("s_acctbal", "s_name", "nation", "p_partkey", "p_brand", "supplycost")
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            F.col("nation").asc(),
+            F.col("s_name").asc(),
+            F.col("p_partkey").asc(),
+        )
+        .limit(100)
     )
 
 

@@ -213,6 +213,21 @@ def test_q21_semi_and_anti_self_joins(spark, sf_dir):
     assert "EvalPython" not in plan
 
 
+def test_q2_decorrelated_no_nested_loop(spark, sf_dir):
+    """The correlated MIN scalar subquery must de-correlate into a
+    per-part window over the dim-pruned cost slice — never a
+    per-outer-row re-execution (nested loop) or a second fact scan."""
+    plan = _plan(spark, sf_dir, "q2_min_cost_supplier")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    # dims broadcast into the (part, supplier) cost table
+    assert plan.count("BroadcastHashJoin") >= 2
+    # part filters reach the scan
+    assert "LessThanOrEqual(p_size,15)" in plan
+    assert "EvalPython" not in plan
+
+
 def test_q8_part_filter_pushed_and_dims_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q8_market_share")
     # p_type filter must reach the part scan, not evaluate post-join
