@@ -91,6 +91,7 @@ HEADLINE_QUERIES = (
     "stream_tumbling_daily",
     "stream_user_lifetime_stats",
     "stream_static_join_segments",
+    "stream_stream_view_purchase",
 )
 
 

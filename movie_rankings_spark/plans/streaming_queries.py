@@ -158,6 +158,35 @@ def stream_static_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("segment")
 
 
+_STREAM_STREAM_ORACLE = """
+SELECT v.user_id,
+       v.event_id AS view_id,
+       p.event_id AS purchase_id,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts
+FROM events v JOIN events p
+  ON p.user_id = v.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 12 HOURS
+ORDER BY v.user_id, view_id, purchase_id
+"""
+
+
+@REGISTRY.register("stream_stream_view_purchase", _STREAM_STREAM_ORACLE)
+def stream_stream_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join (view→purchase attribution
+    within 12 h per user), both sides real readStream instances —
+    checked pair-for-pair against the equivalent batch self-join."""
+    views = ev.events_stream(spark, sf_dir).filter(F.col("event_type") == "view")
+    purchases = ev.events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    out = ev.run_to_batch(
+        ev.view_purchase_pairs(views, purchases), output_mode="append"
+    )
+    return out.orderBy("user_id", "view_id", "purchase_id")
+
+
 _WM_DEDUP_ORACLE = """
 SELECT event_type, COUNT(DISTINCT event_id) AS n_events
 FROM events GROUP BY event_type ORDER BY event_type

@@ -17,6 +17,8 @@ Semantics:
     would hold back windows newer than the final watermark).
   * stateful dedup — `dropDuplicatesWithinWatermark` keyed on
     event_id.
+  * stream-stream join — watermarked two-sided time-bound inner join
+    (view→purchase attribution); state evicted past watermark+horizon.
 
 Scale notes: window aggregates shuffle on (window ⊗ group key) with
 partial aggregation; session windows shuffle on user_id and merge
@@ -202,6 +204,56 @@ def user_lifetime_stats(events: DataFrame) -> DataFrame:
         stateStructType=_USER_STATS_STATE,
         outputMode="update",
         timeoutConf="NoTimeout",
+    )
+
+
+def view_purchase_pairs(
+    views: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "12 hours",
+    watermark: str = "24 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: attribute each purchase
+    to the same user's preceding views within ``horizon`` (the classic
+    attribution join). Both sides carry a watermark and the join has a
+    two-sided time bound, so each side's buffered state is evicted
+    once the other side's watermark passes ``ts + horizon`` — state is
+    O(events within watermark+horizon), independent of stream length.
+
+    Inner-join results append as soon as both rows have arrived; the
+    watermark only gates state cleanup, so availableNow emits every
+    matched pair. At 100 TB the join shuffles both streams on user_id
+    — the same hash co-partitioning a batch join would use."""
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    ).withWatermark("view_ts", watermark)
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    ).withWatermark("purchase_ts", watermark)
+    return (
+        v.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("view_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}")
+            ),
+            "inner",
+        )
+        .select(
+            "user_id",
+            "view_id",
+            "purchase_id",
+            F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("view_ts"),
+            F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "purchase_ts"
+            ),
+        )
     )
 
 
