@@ -50,6 +50,7 @@ def connected_components(
     ).persist()
     labels.count()
 
+    changed = 0
     for _ in range(max_iterations):
         # each node takes min(label of neighbors ∪ self)
         new_labels = (
@@ -70,6 +71,16 @@ def connected_components(
         if changed == 0:
             break
     adj.unpersist()
+    if changed != 0:
+        # labels are still moving: the graph's diameter exceeds the
+        # round budget and the output would silently merge/split dedup
+        # groups — refuse rather than return wrong components.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            f"iterations ({changed} labels still changing); raise "
+            "max_iterations (diameter > rounds) or switch to the "
+            "small-star/large-star alternation for giant components"
+        )
     return labels.select(
         F.col("id").alias("node"), F.col("label").alias("component")
     )

@@ -117,22 +117,32 @@ def doc_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     conventional ln() form cannot be value-hash checked).
 
     Two aggregations + one broadcast-joinable df table + one window:
-    tf shuffles on (doc, word), df on word, the final top-k on doc."""
+    tf shuffles on (doc, word), df on word, the final top-k on doc.
+    N joins in as a 1-row broadcast aggregate (quality_filter's
+    pattern) instead of a driver-side ``docs.count()``, so the whole
+    operator is one Spark job with no mid-plan action."""
     tokens = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
     )
     tf = tokens.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = docs.count()
+    total = docs.agg(F.count(F.lit(1)).alias("_n_docs"))
     df_t = tokens.select("doc_id", "word").distinct().groupBy("word").agg(
         F.count(F.lit(1)).alias("df")
     )
-    scored = tf.join(df_t, "word").select(
-        "doc_id",
-        "word",
-        (
-            F.col("tf").cast("double")
-            * (F.lit(float(n_docs + 1)) / (F.col("df") + 1).cast("double"))
-        ).alias("tfidf"),
+    scored = (
+        tf.join(df_t, "word")
+        .join(F.broadcast(total))
+        .select(
+            "doc_id",
+            "word",
+            (
+                F.col("tf").cast("double")
+                * (
+                    (F.col("_n_docs") + 1).cast("double")
+                    / (F.col("df") + 1).cast("double")
+                )
+            ).alias("tfidf"),
+        )
     )
     from pyspark.sql import Window
 

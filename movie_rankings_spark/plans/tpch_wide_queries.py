@@ -152,9 +152,11 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape (top_movies.py has no joins beyond SURVEY J1;
     this is the [EXT] J2 breadth tier). Both nation sides are broadcast
     so the pair-disjunction filter runs inside the fact stage; the only
-    big shuffle is lineitem⋈orders on orderkey. At 100 TB customer
-    stops being broadcast-able → orders⋈customer becomes a second
-    co-partitioned shuffle on custkey; nation stays broadcast."""
+    big shuffle is lineitem⋈orders on orderkey. Only nation (fixed 25
+    rows) is hint-forced; supplier/customer strategy is left to the
+    size-based planner + AQE, so at sf0.01 they broadcast but at 100 TB
+    the same code degrades to co-partitioned shuffle joins instead of
+    OOMing on a forced broadcast."""
     pair = ("NATION_1", "NATION_2")
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate").between(
@@ -171,8 +173,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n1), s["s_nationkey"] == n1["n_nationkey"])
         .join(F.broadcast(n2), c["c_nationkey"] == F.col("n2_nationkey"))
         .filter(F.col("n_name") != F.col("n2_name"))
@@ -216,9 +218,12 @@ FROM (
 @REGISTRY.register("q8_market_share", _Q8_ORACLE)
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: 8-way star join, conditional-sum ratio. The
-    p_type filter shrinks part before its broadcast, so the fact scan
-    is pre-filtered by the most selective dimension first; mkt_share
-    divides two exact decimal sums (identical doubles both engines)."""
+    p_type filter shrinks part before it joins, so the fact scan is
+    pre-filtered by the most selective dimension first; only
+    nation/region are hint-forced — part/supplier/customer broadcast
+    only while the size-based planner + AQE say they fit, degrading to
+    shuffle joins at scale. mkt_share divides two exact decimal sums
+    (identical doubles both engines)."""
     p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
@@ -236,10 +241,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     zero = F.lit(0).cast("decimal(18,4)")
     joined = (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n1), c["c_nationkey"] == n1["n_nationkey"])
         .join(F.broadcast(r), n1["n_regionkey"] == r["r_regionkey"])
         .join(F.broadcast(n2), s["s_nationkey"] == F.col("n2_nationkey"))
@@ -279,7 +284,8 @@ FROM (
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape with ``0.8 * p_retailprice * l_quantity`` standing
     in for ps_supplycost (no partsupp table in the driver schema). The
-    LIKE filter shrinks part ~25× before broadcast; profit arithmetic
+    LIKE filter shrinks part ~25× before it joins (broadcast only
+    while the size-based planner + AQE say it fits); profit arithmetic
     is plain double IEEE ops — identical expression tree both engines —
     then an exact decimal sum."""
     p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
@@ -292,8 +298,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.lit(0.8) * F.col("p_retailprice") * F.col("l_quantity")
     ).cast("decimal(18,4)")
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
         .join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .groupBy(

@@ -41,6 +41,17 @@ def test_components_match_union_find_on_chain_and_cliques(spark):
     assert got == want
 
 
+def test_components_raise_on_nonconvergence(spark):
+    # an 8-chain needs ~7 min-label rounds; a 2-round budget must
+    # refuse loudly instead of returning half-merged groups
+    import pytest
+
+    edges = [(i, i + 1) for i in range(1, 8)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iterations=2)
+
+
 def test_dedup_components_on_real_pairs(spark, sf_dir):
     pairs = all_queries.QUERIES["dedup_ngram_jaccard"](spark, sf_dir)
     edge_list = [(r["doc_a"], r["doc_b"]) for r in pairs.collect()]
