@@ -296,12 +296,38 @@ def similarity_cosine_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- multimodal -------------------------------------------------------------
 
 
-@REGISTRY.register("multimodal_features")  # byte-level UDF; no SQL twin
+_MM_FEATURES_ORACLE = """
+WITH chars AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+         ascii(unnest(string_split(text, ''))) // 16 AS nib,
+         length(text) AS total
+  FROM documents
+), hist AS (
+  SELECT doc_id, kind, nib, COUNT(*) AS cnt, ANY_VALUE(total) AS total
+  FROM chars GROUP BY 1, 2, 3
+)
+SELECT kind,
+       CAST(16 * COUNT(DISTINCT doc_id) AS BIGINT) AS n_values,
+       CAST(SUM(CAST(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)
+                     AS DECIMAL(28,12))) AS DOUBLE) AS mass
+FROM hist GROUP BY kind ORDER BY kind
+"""
+
+
+@REGISTRY.register("multimodal_features", _MM_FEATURES_ORACLE)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column pipeline: synthesize media payloads from
-    documents, extract Arrow-batched features, aggregate per kind
-    (rows-only: the feature UDF is byte-level Python with no DuckDB
-    twin; determinism + invariants covered in tests/test_multimodal.py)."""
+    documents, extract Arrow-batched features, aggregate per kind.
+
+    Oracle-exact even though the feature UDF is Python: the stand-in
+    feature is a 16-bin byte histogram over the utf-8 payload, and the
+    corpus text is ASCII, so DuckDB reproduces it char-level —
+    ``ascii(char) // 16`` buckets, per-doc L1 normalization as the
+    same double division, zero bins contributing exactly 0 to the
+    mass sum (both sides cast each value to DECIMAL(28,12) before
+    summing). n_values counts all 16 bins per doc on both sides."""
     from movie_rankings_spark.operators import multimodal
 
     media = multimodal.synthesize_media(_docs(spark, sf_dir))
@@ -410,12 +436,37 @@ def shuffle_docs_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.shuffle_deterministic(_docs(spark, sf_dir)).orderBy("position")
 
 
-@REGISTRY.register("pack_docs_batches")  # greedy packing: sequential recurrence
+_PACK_ORACLE = """
+WITH RECURSIVE toks AS (
+  SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents
+), state AS (
+  SELECT lang, rn, n_tokens, 0 AS batch_id, n_tokens AS used
+  FROM toks WHERE rn = 1
+  UNION ALL
+  SELECT t.lang, t.rn, t.n_tokens,
+         CASE WHEN s.used + t.n_tokens > 256
+              THEN s.batch_id + 1 ELSE s.batch_id END,
+         CASE WHEN s.used + t.n_tokens > 256
+              THEN t.n_tokens ELSE s.used + t.n_tokens END
+  FROM state s JOIN toks t ON t.lang = s.lang AND t.rn = s.rn + 1
+)
+SELECT lang, CAST(batch_id AS BIGINT) AS batch_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS batch_tokens
+FROM state GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@REGISTRY.register("pack_docs_batches", _PACK_ORACLE)
 def pack_docs_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing summary: per (lang, batch) doc count + token
-    total (rows-only: the greedy boundary recurrence has no
-    single-statement SQL twin; exactness vs a Python reference is
-    asserted in tests/test_packing.py)."""
+    total. The greedy boundary recurrence has no single-statement
+    window twin, but a DuckDB RECURSIVE CTE walks each lang's
+    doc_id-ordered sequence carrying (used, batch_id) — one recursion
+    level per doc, exactly the Python reference also asserted in
+    tests/test_packing.py."""
     packed = textops.pack_documents(_docs(spark, sf_dir), max_tokens=256)
     return (
         packed.groupBy("lang", "batch_id")
