@@ -84,6 +84,42 @@ def test_embedding_cosine_pairs_bounds_and_order(spark):
         assert 0.45 <= r["cosine"] <= 1.0 + 1e-12
 
 
+def test_embedding_lsh_catches_planted_boundary_pairs(spark):
+    """Pin the banding math at its claimed boundary: with 16 bands of
+    4 bits, a pair at cosine 0.45 is caught w.p. ~0.95
+    (operators/dedup.py collision model). Plant pairs at exactly that
+    cosine and require the catch rate stays >= 0.85 — a regression in
+    band/bit layout (e.g. 8×8 banding drops the boundary catch rate
+    below 0.4) fails this loudly, which the corpus-level recall test
+    cannot see because corpus pairs sit far above threshold."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    dim, n_pairs, target = 32, 60, 0.451
+    rows = []
+    for i in range(n_pairs):
+        u = rng.standard_normal(dim)
+        u /= np.linalg.norm(u)
+        w = rng.standard_normal(dim)
+        w -= (w @ u) * u
+        w /= np.linalg.norm(w)
+        v = target * u + np.sqrt(1 - target**2) * w
+        rows.append((2 * i, u.tolist()))
+        rows.append((2 * i + 1, v.tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    caught = {
+        (r["vec_a"], r["vec_b"])
+        for r in dedup.embedding_lsh_pairs(emb, threshold=0.45).collect()
+    }
+    planted_caught = sum(
+        1 for i in range(n_pairs) if (2 * i, 2 * i + 1) in caught
+    )
+    assert planted_caught >= 0.85 * n_pairs, (
+        f"boundary recall {planted_caught}/{n_pairs}"
+    )
+
+
 def test_embedding_lsh_recall_against_exact(spark):
     emb = _emb(spark)
     exact = {
