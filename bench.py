@@ -86,6 +86,7 @@ HEADLINE_QUERIES = (
     "pack_docs_batches",
     "chunk_docs_sliding",
     "quality_filtered_docs",
+    "pipeline_curated_chunks",
     "multimodal_frame_sample",
     "multimodal_resize_meta",
     "stream_tumbling_daily",

@@ -612,6 +612,70 @@ ORDER BY doc_id
 """
 
 
+# --- end-to-end curation pipeline (dedup → quality gate → chunk) ------------
+
+_PIPELINE_ORACLE = rf"""
+WITH reps AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM documents
+  GROUP BY md5(lower(regexp_replace(text, '\s+', ' ', 'g')))
+), deduped AS (
+  SELECT d.doc_id, d.lang, d.text FROM documents d JOIN reps USING (doc_id)
+), scored AS (
+  SELECT doc_id, lang, text, {_QUALITY_EXPR} AS quality FROM deduped
+), kept AS (
+  SELECT doc_id, lang, text FROM scored
+  WHERE quality > (SELECT quantile_cont(quality, 0.5) FROM scored)
+), toks AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS t FROM kept
+), chunks AS (
+  SELECT doc_id, lang, len(t[s + 1 : s + 32]) AS chunk_len
+  FROM toks, UNNEST(range(0, len(t), 24)) AS u(s)
+)
+SELECT lang,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(chunk_len) AS BIGINT) AS total_chunk_tokens
+FROM chunks GROUP BY lang ORDER BY lang
+"""
+
+
+@REGISTRY.register("pipeline_curated_chunks", _PIPELINE_ORACLE)
+def pipeline_curated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline, the composition a training-data
+    job actually runs: exact dedup (first doc_id wins) → median
+    quality gate over the DEDUPED corpus (1-row broadcast threshold)
+    → sliding-window chunking → per-lang yield summary.
+
+    Everything is one lazy plan: fingerprint-window dedup (one shuffle
+    on the content hash), the percentile threshold joins back as a
+    broadcast (no second scan), chunking is a codegen'd explode, and
+    the final rollup is a partial agg on lang. The stage boundary
+    chain is the point — no materialization between curation steps."""
+    from movie_rankings_spark.functions.text import quality_score
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    deduped = dedup.exact_dedup(docs)
+    scored = deduped.withColumn("quality", quality_score(F.col("text")))
+    thr = scored.agg(F.percentile("quality", F.lit(0.5)).alias("_thr"))
+    kept = (
+        scored.join(F.broadcast(thr))
+        .filter(F.col("quality") > F.col("_thr"))
+        .select("doc_id", "lang", "text")
+    )
+    chunks = textops.chunk_documents(kept, chunk_size=32, stride=24)
+    return (
+        chunks.join(kept.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("chunk_len").cast("long").alias("total_chunk_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
 @REGISTRY.register("sample_stratified_by_lang", _STRATIFIED_ORACLE)
 def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.stratified_hash_sample(
