@@ -93,6 +93,7 @@ HEADLINE_QUERIES = (
     "stream_user_lifetime_stats",
     "stream_static_join_segments",
     "stream_stream_view_purchase",
+    "stream_stream_outer_attribution",
 )
 
 

@@ -32,6 +32,7 @@ _COSTLY_LAST = (
     "stream_dedup_watermark_bounded",
     "stream_static_join_segments",
     "stream_stream_view_purchase",
+    "stream_stream_outer_attribution",
     "stream_tumbling_daily",
     "stream_user_lifetime_stats",
 )

@@ -117,6 +117,7 @@ def stream_user_lifetime_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ev.run_to_batch(
         ev.user_lifetime_stats(ev.events_stream(spark, sf_dir)),
         output_mode="update",
+        state_partitions=None,  # Python-state op: keep full parallelism
     )
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (
@@ -183,6 +184,59 @@ def stream_stream_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = ev.run_to_batch(
         ev.view_purchase_pairs(views, purchases), output_mode="append"
+    )
+    return out.orderBy("user_id", "view_id", "purchase_id")
+
+
+_STREAM_OUTER_ORACLE = """
+WITH bounds AS (SELECT MAX(ts) AS max_ts FROM events),
+v AS (SELECT event_id AS view_id, user_id, ts AS view_ts
+      FROM events WHERE event_type = 'view'),
+p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'),
+matched AS (
+  SELECT v.user_id, v.view_id, p.purchase_id,
+         strftime(v.view_ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+         strftime(p.purchase_ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts
+  FROM v JOIN p ON p.user_id = v.user_id
+   AND p.purchase_ts >= v.view_ts
+   AND p.purchase_ts <= v.view_ts + INTERVAL 2 HOURS
+),
+unmatched AS (
+  SELECT v.user_id, v.view_id, CAST(NULL AS BIGINT) AS purchase_id,
+         strftime(v.view_ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+         CAST(NULL AS VARCHAR) AS purchase_ts
+  FROM v, bounds
+  WHERE NOT EXISTS (
+          SELECT 1 FROM p WHERE p.user_id = v.user_id
+            AND p.purchase_ts >= v.view_ts
+            AND p.purchase_ts <= v.view_ts + INTERVAL 2 HOURS)
+    AND v.view_ts + INTERVAL 2 HOURS < bounds.max_ts - INTERVAL 1 HOUR
+)
+SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+ORDER BY user_id, view_id, purchase_id
+"""
+
+
+@REGISTRY.register("stream_stream_outer_attribution", _STREAM_OUTER_ORACLE)
+def stream_stream_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every matched (view, purchase)
+    pair plus a null-purchase row for each view the watermark has
+    PROVEN unmatched (view_ts + horizon < final watermark = max_ts -
+    delay). Views newer than that are still buffered when the stream
+    drains and emit nothing — the oracle reproduces the cutoff
+    explicitly, making the watermark semantics themselves part of the
+    checked contract."""
+    views = ev.events_stream(spark, sf_dir).filter(F.col("event_type") == "view")
+    purchases = ev.events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    out = ev.run_to_batch(
+        ev.view_purchase_pairs(
+            views, purchases, horizon="2 hours", watermark="1 hour",
+            how="left_outer",
+        ),
+        output_mode="append",
     )
     return out.orderBy("user_id", "view_id", "purchase_id")
 

@@ -212,9 +212,10 @@ def view_purchase_pairs(
     purchases: DataFrame,
     horizon: str = "12 hours",
     watermark: str = "24 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream inner join: attribute each purchase
-    to the same user's preceding views within ``horizon`` (the classic
+    """Watermarked stream-stream join: attribute each purchase to the
+    same user's preceding views within ``horizon`` (the classic
     attribution join). Both sides carry a watermark and the join has a
     two-sided time bound, so each side's buffered state is evicted
     once the other side's watermark passes ``ts + horizon`` — state is
@@ -222,8 +223,13 @@ def view_purchase_pairs(
 
     Inner-join results append as soon as both rows have arrived; the
     watermark only gates state cleanup, so availableNow emits every
-    matched pair. At 100 TB the join shuffles both streams on user_id
-    — the same hash co-partitioning a batch join would use."""
+    matched pair. With ``how='left_outer'`` an unmatched view emits a
+    null-purchase row once the watermark proves no future purchase
+    can match (view_ts + horizon < watermark) — views newer than that
+    stay buffered and emit nothing, which the batch oracle reproduces
+    with an explicit max_ts - watermark - horizon cutoff. At 100 TB
+    the join shuffles both streams on user_id — the same hash
+    co-partitioning a batch join would use."""
     v = views.select(
         F.col("event_id").alias("view_id"),
         "user_id",
@@ -243,7 +249,7 @@ def view_purchase_pairs(
                 F.col("purchase_ts")
                 <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}")
             ),
-            "inner",
+            how,
         )
         .select(
             "user_id",
@@ -258,23 +264,43 @@ def view_purchase_pairs(
 
 
 def run_to_batch(
-    df: DataFrame, output_mode: str = "complete", name: str | None = None
+    df: DataFrame,
+    output_mode: str = "complete",
+    name: str | None = None,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion (availableNow) into
-    an in-memory table and return it as a batch DataFrame."""
+    an in-memory table and return it as a batch DataFrame.
+
+    ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for the
+    stream (restored afterwards): a streaming job freezes its state
+    partition count into the checkpoint, so production jobs size it
+    explicitly rather than inheriting the batch default — and each
+    stateful operator instantiates one state store PER partition
+    (joins: four), so over-partitioning small-state streams pays pure
+    store overhead (32→8 halves wall-time on the JVM-state queries
+    here). Pass None to keep the session default — right for Python
+    stateful operators whose per-partition work wants the
+    parallelism."""
     spark = df.sparkSession
     name = name or f"stream_{uuid.uuid4().hex[:12]}"
     ckpt = os.path.join(_CHECKPOINT_ROOT, name)
     os.makedirs(_CHECKPOINT_ROOT, exist_ok=True)
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
