@@ -74,6 +74,7 @@ HEADLINE_QUERIES = (
     "similarity_cosine_topk",
     "similarity_cosine_topk_numpy",
     "similarity_ivf_topk",
+    "similarity_ivf_kmeans_topk",
     "text_quality",
     "text_langid",
     "text_corpus_summary",

@@ -164,23 +164,72 @@ def ivf_assignments(
     )
 
 
+def kmeans_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 5,
+) -> np.ndarray:
+    """Distributed Lloyd's k-means over normalized vectors (spherical
+    k-means, since IVF probes by normalized dot product).
+
+    Per iteration: one Arrow GEMM assignment pass (centroids ride into
+    the closure — they are n_centroids × dim, broadcast-sized at any
+    corpus scale) + one JVM-side mean via posexplode → partial-agg on
+    (bucket, dim) — the shuffle carries partitions × buckets × dim
+    partial sums, not rows × dim, thanks to map-side combine. Only the
+    n_centroids × dim result ever reaches the driver.
+
+    Init is the deterministic head sample (min vec_ids). Float mean
+    order varies with partitioning, so centroids are reproducible only
+    to ~1e-15 — fine for ANN (the registered query is rows-only with a
+    recall gate, like every approximate path)."""
+    init_rows = (
+        embeddings.orderBy("vec_id").limit(n_centroids).select("embedding").collect()
+    )
+    centroids = np.array([r["embedding"] for r in init_rows], dtype=np.float64)
+    for _ in range(n_iters):
+        assigned = ivf_assignments(embeddings, centroids)
+        means = (
+            assigned.select("bucket", F.posexplode("embedding").alias("dim", "x"))
+            .groupBy("bucket", "dim")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = centroids.copy()  # empty buckets keep their old centroid
+        by_bucket: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_bucket.setdefault(r["bucket"], {})[r["dim"]] = r["m"]
+        for b, dims in by_bucket.items():
+            new[b] = [dims[d] for d in range(len(dims))]
+        centroids = new
+    return centroids
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_ids: Sequence[int],
     k: int = 5,
     n_centroids: int = 16,
     nprobe: int = 4,
+    centroid_source: str = "head",
 ) -> DataFrame:
-    """IVF ANN: centroids = the first n_centroids vectors by vec_id
-    (deterministic stand-in for k-means — the plan shape is identical;
-    swap the centroid source for trained ones at scale). Queries probe
-    their nprobe nearest buckets; only those buckets are scored, using
-    the numpy path keyed by (query_id, bucket)."""
+    """IVF ANN: queries probe their nprobe nearest buckets; only those
+    buckets are scored, using the numpy path keyed by (query_id,
+    bucket). ``centroid_source``: "head" = first n_centroids vectors
+    by vec_id (deterministic stand-in, plan shape identical);
+    "kmeans" = distributed Lloyd's (kmeans_centroids) — better-shaped
+    buckets, same probe/score plan."""
     spark = embeddings.sparkSession
-    cent_rows = (
-        embeddings.orderBy("vec_id").limit(n_centroids).select("embedding").collect()
-    )
-    centroids = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
+    if centroid_source == "kmeans":
+        centroids = kmeans_centroids(embeddings, n_centroids)
+    else:
+        cent_rows = (
+            embeddings.orderBy("vec_id")
+            .limit(n_centroids)
+            .select("embedding")
+            .collect()
+        )
+        centroids = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
     cent_norm = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
 
     assigned = ivf_assignments(embeddings, centroids)

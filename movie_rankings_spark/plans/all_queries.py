@@ -24,6 +24,7 @@ _COSTLY_LAST = (
     "q7_volume_shipping",
     "q8_market_share",
     "similarity_ivf_topk",
+    "similarity_ivf_kmeans_topk",
     "dedup_embedding_lsh",
     "dedup_minhash_lsh",
     "stream_sliding_6h",

@@ -352,6 +352,18 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@REGISTRY.register("similarity_ivf_kmeans_topk")  # ANN + trained centroids
+def similarity_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with distributed-k-means-trained centroids (rows-only:
+    float mean order makes centroids reproducible only to ~1e-15;
+    recall against the exact variant is gated in tests — trained
+    buckets must not recall worse than the head-sample stand-in)."""
+    return similarity.ivf_topk(
+        _emb(spark, sf_dir), _QUERY_IDS, k=5, n_centroids=16, nprobe=4,
+        centroid_source="kmeans",
+    )
+
+
 # --- sampling + vocabulary + characteristic terms ---------------------------
 
 _SAMPLE_ORACLE = """

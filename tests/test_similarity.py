@@ -48,5 +48,40 @@ def test_ivf_recall_against_exact(emb, exact_topk):
     assert hits / total >= 0.5, f"IVF recall {hits}/{total}"
 
 
+def test_ivf_kmeans_recall_not_worse_than_head(emb, exact_topk):
+    """Trained centroids must produce buckets at least as good as the
+    head-sample stand-in, and clear the same absolute recall gate."""
+    exact_sets: dict[int, set] = {}
+    for (qid, _), vid in exact_topk.items():
+        exact_sets.setdefault(qid, set()).add(vid)
+    total = sum(len(s) for s in exact_sets.values())
+
+    def recall(df):
+        got: dict[int, set] = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return sum(len(got.get(q, set()) & exact_sets[q]) for q in exact_sets)
+
+    head = recall(similarity.ivf_topk(emb, QUERY_IDS, k=5, n_centroids=16, nprobe=4))
+    km = recall(
+        similarity.ivf_topk(
+            emb, QUERY_IDS, k=5, n_centroids=16, nprobe=4,
+            centroid_source="kmeans",
+        )
+    )
+    assert km / total >= 0.5, f"k-means IVF recall {km}/{total}"
+    assert km >= head - 2, f"k-means {km} much worse than head {head}"
+
+
+def test_kmeans_centroids_shape_and_convergence(emb):
+    import numpy as np
+
+    c1 = similarity.kmeans_centroids(emb, n_centroids=8, n_iters=1)
+    c5 = similarity.kmeans_centroids(emb, n_centroids=8, n_iters=5)
+    assert c1.shape == c5.shape == (8, len(c5[0]))
+    # training moved the centroids off the raw head sample
+    assert not np.allclose(c1, c5)
+
+
 def test_exact_topk_shape(exact_topk):
     assert len(exact_topk) == len(QUERY_IDS) * 5
