@@ -80,6 +80,7 @@ HEADLINE_QUERIES = (
     "text_corpus_summary",
     "text_top_terms",
     "vocab_top_words",
+    "vocab_heavy_hitters",
     "vocab_top_bigrams",
     "sample_docs_deterministic",
     "sample_stratified_by_lang",

@@ -108,6 +108,56 @@ def vocab_top_words(docs: DataFrame, k: int = 50) -> DataFrame:
     )
 
 
+def heavy_hitter_words(docs: DataFrame, k: int = 64) -> DataFrame:
+    """All words with global frequency > total_tokens / k — EXACTLY,
+    via the candidates-then-verify shape that avoids shuffling the
+    full vocabulary:
+
+    1. per-partition candidate generation (Arrow-batched pandas
+       ``value_counts``): emit words whose LOCAL count exceeds
+       local_n / k. Pigeonhole guarantees completeness — if a word
+       beats n/k globally it beats n_p/k in at least one partition,
+       so no true heavy hitter can be missed;
+    2. exact recount of candidates only (broadcast semi-join, then
+       one partial-agg shuffle of candidate rows — the full-vocab
+       shuffle this operator exists to avoid);
+    3. filter on the true global threshold (1-row broadcast total),
+       which removes every false positive.
+
+    The approximation is only in WHERE work happens; the output is
+    exact, so the query is oracle-checked like any exact operator.
+    Three scans of the token stream buy a shuffle of |candidates|
+    ≤ k × partitions rows instead of |vocabulary|."""
+    import pandas as pd
+
+    tokens = docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+
+    def candidates(batches) -> "Iterator[pd.DataFrame]":  # noqa: F821
+        counts: dict[str, int] = {}
+        n = 0
+        for pdf in batches:
+            n += len(pdf)
+            for w, c in pdf["word"].value_counts().items():
+                counts[w] = counts.get(w, 0) + int(c)
+        if n:
+            thr = n / k
+            yield pd.DataFrame(
+                {"word": [w for w, c in counts.items() if c > thr]}
+            )
+
+    cands = tokens.mapInPandas(candidates, "word string").distinct()
+    total = tokens.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        tokens.join(F.broadcast(cands), "word")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .join(F.broadcast(total))
+        .filter(F.col("n_occurrences") > F.col("_n") / k)
+        .select("word", "n_occurrences")
+        .orderBy(F.col("n_occurrences").desc(), F.col("word").asc())
+    )
+
+
 def doc_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     """Per-document top-k characteristic terms by tf·ridf where
     ridf = (N+1)/(df+1) — the LINEAR idf variant: same ordering

@@ -616,6 +616,23 @@ def vocab_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.vocab_top_ngrams(_docs(spark, sf_dir), n=2, k=50)
 
 
+_HEAVY_HITTERS_ORACLE = """
+WITH words AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+tot AS (SELECT COUNT(*) AS n FROM words)
+SELECT word, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM words, tot GROUP BY word, tot.n HAVING COUNT(*) > tot.n / 64
+ORDER BY n_occurrences DESC, word ASC
+"""
+
+
+@REGISTRY.register("vocab_heavy_hitters", _HEAVY_HITTERS_ORACLE)
+def vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters (words above total/64 frequency) via
+    candidates-then-exact-recount — approximate in where the work
+    happens, exact in output, hence a full value-hash oracle."""
+    return textops.heavy_hitter_words(_docs(spark, sf_dir), k=64)
+
+
 _STRATIFIED_ORACLE = """
 SELECT doc_id, lang, source FROM documents
 WHERE substring(md5(CAST(doc_id AS VARCHAR)), 32, 1)

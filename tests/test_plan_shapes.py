@@ -268,6 +268,8 @@ _PYTHON_RESIDENT = {
     "pack_docs_batches",
     "similarity_cosine_topk_numpy",
     "similarity_ivf_topk",
+    "similarity_ivf_kmeans_topk",  # Lloyd's assignment GEMM
+    "vocab_heavy_hitters",  # per-partition candidate value_counts
 }
 
 _PY_NODE = re.compile(r"InPandas|EvalPython|PythonUDF|BatchEvalPython", re.I)
