@@ -62,6 +62,8 @@ HEADLINE_QUERIES = (
     "setops_repeat_customers",
     "asof_purchase_context",
     "rangejoin_purchase_context",
+    "overlap_view_click_windows",
+    "window_rank_family",
     "antijoin_inactive_customers",
     "percentiles_lineitem_price",
     "pivot_user_event_counts",

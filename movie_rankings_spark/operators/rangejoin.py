@@ -67,3 +67,71 @@ def lookback_range_join(
         .withColumn("delta_us", delta)
         .drop("_bin", "_bin0", "_l_us", "_r_us")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    start_col: str,
+    end_col: str,
+    max_len_seconds: int,
+    *,
+    left_prefix: str = "l_",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """All (left, right) pairs with equal keys whose [start, end]
+    intervals overlap (``l.start <= r.end AND r.start <= l.end``).
+
+    CALLER CONTRACT: no interval is longer than ``max_len_seconds``.
+    With bin width = max length, two overlapping intervals' START bins
+    differ by at most 1, so exploding the left start-bin into
+    {b-1, b, b+1} turns the overlap theta-join into an equi-join on
+    (keys, bin) + an exact residual filter — 3×|left| + |right|
+    shuffle rows, never the nested loop Spark would otherwise plan.
+    The right side keeps its single start bin, so no pair can match
+    twice (no dedup pass needed). Output adds ``overlap_us``, the
+    overlap duration."""
+    keys = list(keys)
+    width_us = max_len_seconds * 1_000_000
+    s_us = F.unix_micros(F.col(start_col))
+    e_us = F.unix_micros(F.col(end_col))
+
+    l2 = left.select(
+        *keys,
+        F.floor(s_us / width_us).alias("_b0"),
+        s_us.alias("_ls"),
+        e_us.alias("_le"),
+        *[
+            F.col(c).alias(f"{left_prefix}{c}")
+            for c in left.columns
+            if c not in keys
+        ],
+    ).withColumn(
+        "_bin",
+        F.explode(
+            F.array(F.col("_b0") - 1, F.col("_b0"), F.col("_b0") + 1)
+        ),
+    )
+    r2 = right.select(
+        *keys,
+        F.floor(s_us / width_us).alias("_bin"),
+        s_us.alias("_rs"),
+        e_us.alias("_re"),
+        *[
+            F.col(c).alias(f"{right_prefix}{c}")
+            for c in right.columns
+            if c not in keys
+        ],
+    )
+    overlap = F.least(F.col("_le"), F.col("_re")) - F.greatest(
+        F.col("_ls"), F.col("_rs")
+    )
+    return (
+        l2.join(r2, [*keys, "_bin"])
+        .filter(
+            (F.col("_ls") <= F.col("_re")) & (F.col("_rs") <= F.col("_le"))
+        )
+        .withColumn("overlap_us", overlap)
+        .drop("_bin", "_b0", "_ls", "_le", "_rs", "_re")
+    )

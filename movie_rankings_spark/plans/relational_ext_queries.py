@@ -553,6 +553,56 @@ def rangejoin_purchase_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("purchase_id", "prior_id")
 
 
+# --- interval overlap join ---------------------------------------------------
+
+_OVERLAP_ORACLE = """
+WITH v AS (SELECT event_id AS view_id, user_id, ts AS s,
+                  ts + INTERVAL 2 HOURS AS e
+           FROM events WHERE event_type = 'view'),
+c AS (SELECT event_id AS click_id, user_id, ts AS s,
+             ts + INTERVAL 2 HOURS AS e
+      FROM events WHERE event_type = 'click')
+SELECT v.user_id, v.view_id, c.click_id,
+       epoch_us(least(v.e, c.e)) - epoch_us(greatest(v.s, c.s)) AS overlap_us
+FROM v JOIN c ON v.user_id = c.user_id AND v.s <= c.e AND c.s <= v.e
+ORDER BY v.user_id, view_id, click_id
+"""
+
+
+@REGISTRY.register("overlap_view_click_windows", _OVERLAP_ORACLE)
+def overlap_view_click_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: each user's 2 h view-attention windows
+    paired with their overlapping 2 h click windows, via the
+    bin-exploded equi-join (operators/rangejoin.py::
+    interval_overlap_join) — linear shuffle volume where the naive
+    overlap theta-join is a per-user nested loop."""
+    from movie_rankings_spark.operators.rangejoin import interval_overlap_join
+
+    e = _t(spark, sf_dir, "events")
+    two_h = F.expr("INTERVAL 2 HOURS")
+
+    def windows(event_type: str, id_alias: str) -> DataFrame:
+        return e.filter(F.col("event_type") == event_type).select(
+            "user_id",
+            F.col("event_id").alias(id_alias),
+            F.col("ts").alias("s"),
+            (F.col("ts") + two_h).alias("e"),
+        )
+
+    joined = interval_overlap_join(
+        windows("view", "view_id"),
+        windows("click", "click_id"),
+        keys=["user_id"],
+        start_col="s",
+        end_col="e",
+        max_len_seconds=7200,
+    )
+    return joined.select(
+        "user_id", F.col("l_view_id").alias("view_id"),
+        F.col("r_click_id").alias("click_id"), "overlap_us",
+    ).orderBy("user_id", "view_id", "click_id")
+
+
 # --- T3: salted (skew-safe) per-group top-k --------------------------------
 
 # identical semantics to topk_parts_per_brand, so it shares that oracle

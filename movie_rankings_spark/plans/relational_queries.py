@@ -373,6 +373,48 @@ def window_events_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RANK_FAMILY_ORACLE = """
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       NTILE(4) OVER w AS quartile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume,
+       FIRST_VALUE(o_totalprice) OVER w AS top_price,
+       NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+FROM orders
+WHERE o_custkey < 100
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey)
+ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey
+"""
+
+
+@REGISTRY.register("window_rank_family", _RANK_FAMILY_ORACLE)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distribution-rank window family (ntile / percent_rank /
+    cume_dist / first_value / nth_value) — one WindowExec, one shuffle
+    on the partition key; the unique (price, orderkey) sort makes the
+    default RANGE frame equal ROWS, so nth_value is engine-portable.
+    percent_rank and cume_dist are rank arithmetic over doubles —
+    bit-identical across engines."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+            F.first_value("o_totalprice").over(w).alias("top_price"),
+            F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        )
+        .orderBy("o_orderpriority", F.col("o_totalprice").desc(), "o_orderkey")
+    )
+
+
 # --- §2h: JSON + date functions --------------------------------------------
 
 _JSON_ORACLE = """
