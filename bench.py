@@ -64,6 +64,8 @@ HEADLINE_QUERIES = (
     "rangejoin_purchase_context",
     "overlap_view_click_windows",
     "window_rank_family",
+    "window_rolling_revenue_7d",
+    "changelog_latest_snapshot",
     "antijoin_inactive_customers",
     "percentiles_lineitem_price",
     "pivot_user_event_counts",

@@ -220,13 +220,50 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_a", "vec_b")
 
 
-@REGISTRY.register("dedup_cluster_reps")  # iterative: no single-SQL twin
+# Exact oracle: same edge set as _NGRAM_ORACLE (LSH == exact on this
+# corpus, see dedup_minhash_lsh), then a recursive-CTE transitive
+# closure labels each node with its minimum reachable id — the same
+# fixpoint the iterative min-label loop converges to. Closure is
+# quadratic in component size, fine for the oracle tier's tiny
+# cliques; the Spark side stays the linear per-round label join.
+_CLUSTER_ORACLE = f"""
+WITH RECURSIVE s AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+sz AS (SELECT doc_id, len(sh) AS n FROM s),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+  WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5
+),
+und AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach AS (
+  SELECT u, u AS v FROM (SELECT DISTINCT u FROM und)
+  UNION
+  SELECT r.u, n2.v FROM reach r JOIN und n2 ON r.v = n2.u
+),
+labels AS (SELECT u, MIN(v) AS component FROM reach GROUP BY u)
+SELECT component AS rep_doc_id, CAST(COUNT(*) AS BIGINT) AS n_members
+FROM labels GROUP BY component ORDER BY rep_doc_id
+"""
+
+
+@REGISTRY.register("dedup_cluster_reps", _CLUSTER_ORACLE)
 def dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs clustered into components (iterative min-label
     propagation, operators/components.py): one row per dedup group
-    with the representative and member count (rows-only: iterative
-    fixpoint has no one-statement SQL twin; exactness vs union-find is
-    asserted in tests/test_components.py)."""
+    with the representative and member count. Oracled exactly via a
+    DuckDB recursive-CTE transitive closure over the same verified
+    edge set; exactness vs union-find is also asserted in
+    tests/test_components.py."""
     from movie_rankings_spark.operators.components import dedup_components
 
     pairs = dedup.minhash_neardup_pairs(

@@ -1001,3 +1001,109 @@ def cohort_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         period="day",
         action_filter=F.col("event_type") == "purchase",
     )
+
+
+# --- changelog compaction (CDC upsert read path) ----------------------------
+
+_SNAPSHOT_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, event_type, ts, event_id, value, props,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id, event_type) AS n_versions
+  FROM events
+)
+SELECT user_id, event_type, epoch_us(ts) AS last_ts_us,
+       event_id AS last_event_id, value AS last_value, props AS last_props,
+       CAST(n_versions AS BIGINT) AS n_versions
+FROM ranked WHERE rn = 1 ORDER BY user_id, event_type
+"""
+
+
+@REGISTRY.register("changelog_latest_snapshot", _SNAPSHOT_ORACLE)
+def changelog_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The event log read as a keyed changelog, compacted to its
+    latest-wins snapshot per (user_id, event_type) — the CDC upsert
+    read path. max_by aggregation (operators/changelog.py), not a
+    window row_number: partial agg pre-reduces map-side and nothing
+    sorts, so the shuffle carries the snapshot, not the history.
+    The oracle states the same argmax as the textbook row_number
+    form; (ts, event_id) is a total order because event_id is unique.
+    """
+    from movie_rankings_spark.operators.changelog import latest_snapshot
+
+    snap = latest_snapshot(
+        _t(spark, sf_dir, "events"),
+        keys=["user_id", "event_type"],
+        version_cols=["ts", "event_id"],
+        payload_cols=["value", "props"],
+    )
+    return snap.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("last_ts_us"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+        F.col("props").alias("last_props"),
+        "n_versions",
+    ).orderBy("user_id", "event_type")
+
+
+# --- time-range rolling window ----------------------------------------------
+
+_ROLLING_ORACLE = """
+WITH d AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+              AS BIGINT) AS order_day,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS day_rev
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate <  TIMESTAMP '1995-04-01'
+  GROUP BY 1, 2
+)
+SELECT o_custkey, order_day,
+       CAST(day_rev AS DOUBLE) AS day_revenue,
+       CAST(SUM(day_rev) OVER (
+            PARTITION BY o_custkey ORDER BY order_day
+            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS revenue_7d
+FROM d ORDER BY o_custkey, order_day
+"""
+
+
+@REGISTRY.register("window_rolling_revenue_7d", _ROLLING_ORACLE)
+def window_rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day revenue per customer: a time-RANGE window frame
+    (rangeBetween on epoch days), the frame type ROWS windows can't
+    express when days are missing. Pre-aggregating to (customer, day)
+    BEFORE the window keeps the sort input at one row per active day
+    instead of one per order — at 100 TB the window sorts the
+    pre-reduced daily table, not the fact table. RANGE frames treat
+    order_day peers as one unit, so the result needs no intra-day
+    tie-breaker; decimal day sums keep both engines' doubles
+    bit-identical. The date filter bounds output size; the first six
+    days of the window read short history by construction (both
+    sides compute over the same filtered range)."""
+    from pyspark.sql import Window
+
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+        )
+        .groupBy(
+            "o_custkey",
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("order_day"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("day_rev"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy("order_day").rangeBetween(-6, 0)
+    return daily.select(
+        "o_custkey",
+        "order_day",
+        F.col("day_rev").cast("double").alias("day_revenue"),
+        F.sum("day_rev").over(w).cast("double").alias("revenue_7d"),
+    ).orderBy("o_custkey", "order_day")

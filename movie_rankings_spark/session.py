@@ -37,6 +37,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # runtime row-level filtering: when one join side is small and
+        # selective, inject a bloom filter of its join keys into the big
+        # side's scan (semi-join reduction without a broadcast). The
+        # default size thresholds (10MB creation / 10GB application
+        # side) only fire at real scale; tests/test_plan_shapes.py pins
+        # the injection with the thresholds lowered.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

@@ -284,3 +284,74 @@ def test_python_stages_only_where_declared(spark, sf_dir, name):
     other query is a performance regression, not a style issue."""
     has_py = bool(_PY_NODE.search(_plan(spark, sf_dir, name)))
     assert has_py == (name in _PYTHON_RESIDENT), name
+
+
+def test_changelog_snapshot_is_aggregation_not_window(spark, sf_dir):
+    """Latest-wins compaction must compile to max_by aggregation
+    (map-side combine, no sort), never a row_number window over the
+    full history."""
+    plan = _plan(spark, sf_dir, "changelog_latest_snapshot")
+    assert "max_by" in plan
+    assert "partial_max" in plan  # partial agg = map-side pre-reduction
+    assert "Window" not in plan
+    assert "row_number" not in plan
+
+
+def test_rolling_revenue_windows_over_preaggregate(spark, sf_dir):
+    """The 7-day RANGE frame must consume the (customer, day)
+    pre-aggregate: the window sort sees one row per active day, not
+    one per order."""
+    plan = _plan(spark, sf_dir, "window_rolling_revenue_7d")
+    assert "RangeFrame" in plan  # genuine time-range frame, not ROWS
+    # tree prints top-down: the Window node sits above the day-level
+    # HashAggregate it consumes
+    assert plan.index("Window") < plan.index("HashAggregate")
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark):
+    """Semi-join reduction without a broadcast: a selective filter on
+    one shuffle-join side injects a bloom filter of its join keys
+    into the other side's scan (might_contain below the join). The
+    production thresholds (10MB/10GB) only fire at scale, so this
+    pins the mechanism with them lowered."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        from pyspark.sql import functions as F
+
+        sf = "/root/testdata/sf0.01"
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "simple"
+        )
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
