@@ -81,6 +81,9 @@ HEADLINE_QUERIES = (
     "similarity_ivf_kmeans_topk",
     "text_quality",
     "text_langid",
+    "text_pii_redaction",
+    "decontaminate_report",
+    "audit_orders_quality",
     "text_corpus_summary",
     "text_top_terms",
     "vocab_top_words",
@@ -100,6 +103,7 @@ HEADLINE_QUERIES = (
     "stream_static_join_segments",
     "stream_stream_view_purchase",
     "stream_stream_outer_attribution",
+    "stream_upsert_snapshot",
 )
 
 

@@ -29,6 +29,21 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 LANG_ORDER: tuple[str, ...] = ("en", "es", "de", "fr", "zh")
 
 
+#: PII patterns — RE2-compatible (no lookaround) so the Java-regex
+#: Spark side and the RE2 DuckDB oracle match byte-for-byte.
+PII_EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_PATTERN = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace email addresses and phone numbers with typed
+    placeholders — the FineWeb/Dolma PII-removal step. Pure
+    regexp_replace, so it rides whole-stage codegen; extending the
+    pattern set is adding lines here and in the DuckDB twin."""
+    out = F.regexp_replace(text, PII_EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(out, PII_PHONE_PATTERN, "<PHONE>")
+
+
 def words(text: Column) -> Column:
     """Whitespace tokens (the documents table is space-separated)."""
     return F.split(text, " ")

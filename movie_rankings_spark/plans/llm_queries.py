@@ -747,3 +747,72 @@ def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.stratified_hash_sample(
         _docs(spark, sf_dir), rates_hex={"en": 4}, default_hex=8
     ).orderBy("doc_id")
+
+
+# --- benchmark decontamination ----------------------------------------------
+
+# blocklist = every doc with doc_id % 97 == 0 (stands in for an eval
+# suite; tiny by construction, as real benchmark sets are)
+_DECONTAM_ORACLE = f"""
+WITH b AS (
+  SELECT DISTINCT unnest({_SHINGLES}) AS sh
+  FROM documents WHERE doc_id % 97 = 0
+),
+d AS (SELECT doc_id, unnest({_SHINGLES}) AS sh FROM documents)
+SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM d JOIN b USING (sh)
+GROUP BY d.doc_id ORDER BY d.doc_id
+"""
+
+
+@REGISTRY.register("decontaminate_report", _DECONTAM_ORACLE)
+def decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set decontamination probe: documents sharing any
+    distinct 3-word shingle with the benchmark blocklist, with hit
+    counts. Blocklist shingles broadcast (operators/decontam.py), so
+    the corpus side never shuffles — only the small hit set
+    aggregates. The clean-corpus variant is a left-anti join against
+    these doc_ids (exercised in tests/test_decontam.py)."""
+    from movie_rankings_spark.operators.decontam import contamination_report
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return contamination_report(docs, bench, n=3).orderBy("doc_id")
+
+
+# --- PII redaction ----------------------------------------------------------
+
+# The synthetic corpus contains no PII, so the query plants one
+# deterministic specimen of each pattern per row — proving the
+# redaction path end-to-end rather than vacuously matching on
+# untouched text.
+_PII_ORACLE = r"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           concat(text, ' contact user', doc_id,
+                  '@example.com or 555-123-4567'),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS redacted
+FROM documents ORDER BY doc_id
+"""
+
+
+@REGISTRY.register("text_pii_redaction", _PII_ORACLE)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/phone redaction (functions/text.py::redact_pii) over text
+    with planted PII: pure codegen regexp_replace, identical RE2-safe
+    patterns on both engines."""
+    from movie_rankings_spark.functions.text import redact_pii
+
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id"),
+        F.lit("@example.com or 555-123-4567"),
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", redact_pii(planted).alias("redacted"))
+        .orderBy("doc_id")
+    )

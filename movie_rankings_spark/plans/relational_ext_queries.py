@@ -1107,3 +1107,60 @@ def window_rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day_rev").cast("double").alias("day_revenue"),
         F.sum("day_rev").over(w).cast("double").alias("revenue_7d"),
     ).orderBy("o_custkey", "order_day")
+
+
+# --- single-pass data-quality audit -----------------------------------------
+
+_AUDIT_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_orderkey,
+       CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+         AS n_dup_orderkeys,
+       CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_fk_violations,
+       CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nonpositive_price,
+       epoch_us(MIN(o_orderdate)) AS min_orderdate_us,
+       epoch_us(MAX(o_orderdate)) AS max_orderdate_us
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+@REGISTRY.register("audit_orders_quality", _AUDIT_ORACLE)
+def audit_orders_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation-check audit (null keys, duplicate keys, FK
+    orphans, domain bounds, date range) computed in ONE pass: every
+    check is a conditional aggregate in a single hash aggregate, and
+    the referential check rides a broadcast left join — the fact
+    table is scanned once no matter how many expectations are added.
+    The alternative (one job per check) scans the 100 TB fact once
+    per rule."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), F.lit(1).alias("_fk")
+    )
+    j = o.join(F.broadcast(c), "o_custkey", "left")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null_orderkey"),
+        (F.count("o_orderkey") - F.count_distinct(F.col("o_orderkey")))
+        .cast("bigint")
+        .alias("n_dup_orderkeys"),
+        F.sum(F.when(F.col("_fk").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_fk_violations"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_nonpositive_price"),
+        # o_orderdate is TIMESTAMP_NTZ; the session TZ is UTC so the
+        # cast is an identity relabel for unix_micros
+        F.unix_micros(F.min("o_orderdate").cast("timestamp")).alias(
+            "min_orderdate_us"
+        ),
+        F.unix_micros(F.max("o_orderdate").cast("timestamp")).alias(
+            "max_orderdate_us"
+        ),
+    )

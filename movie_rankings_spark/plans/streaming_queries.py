@@ -263,3 +263,77 @@ def stream_dedup_watermark_bounded(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count(F.lit(1)).alias("n_events"))
         .orderBy("event_type")
     )
+
+
+# --- streaming upsert materialization (CDC MERGE via foreachBatch) ---------
+
+# same oracle as the batch changelog compaction: the stream maintains
+# the identical latest-wins snapshot, batch-by-batch
+from movie_rankings_spark.plans.relational_ext_queries import (  # noqa: E402
+    _SNAPSHOT_ORACLE,
+)
+
+
+def _stage_split_events(spark: SparkSession, sf_dir: str, n: int = 4) -> str:
+    """Deterministically split the events table into n parquet files
+    so the availableNow + maxFilesPerTrigger=1 stream sees n
+    micro-batches (idempotent staging, raw nanos schema preserved)."""
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    dst = os.path.join(
+        os.path.dirname(ev._CHECKPOINT_ROOT), "stream_src", f"events_split_{tag}_{n}"
+    )
+    if not os.path.exists(os.path.join(dst, "_SUCCESS")):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from movie_rankings_spark.catalog import table_path
+
+        raw = spark.read.parquet(table_path(sf_dir, "events"))
+        raw.repartition(n, "event_id").write.mode("overwrite").parquet(dst)
+    return dst
+
+
+@REGISTRY.register("stream_upsert_snapshot", _SNAPSHOT_ORACLE)
+def stream_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins snapshot MAINTAINED by a stream: the event
+    changelog arrives as 4 micro-batches (maxFilesPerTrigger=1) and
+    foreachBatch merges each batch's compacted snapshot into a
+    versioned parquet table (streaming/upsert.py). The merge is
+    associative+commutative, so the maintained table equals the batch
+    compaction — which is exactly what the shared oracle asserts."""
+    import os
+    import uuid
+
+    src = _stage_split_events(spark, sf_dir, n=4)
+    run_dir = os.path.join(
+        os.path.dirname(ev._CHECKPOINT_ROOT), "upsert", uuid.uuid4().hex[:12]
+    )
+    from movie_rankings_spark.streaming.upsert import (
+        current_snapshot,
+        stream_upsert,
+    )
+
+    stream = (
+        spark.readStream.schema(ev.EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    stream_upsert(
+        stream,
+        table_dir=os.path.join(run_dir, "table"),
+        checkpoint_dir=os.path.join(run_dir, "ckpt"),
+        keys=["user_id", "event_type"],
+        version_cols=["ts", "event_id"],
+        payload_cols=["value", "props"],
+    )
+    snap = current_snapshot(spark, os.path.join(run_dir, "table"))
+    return snap.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("last_ts_us"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+        F.col("props").alias("last_props"),
+        "n_versions",
+    ).orderBy("user_id", "event_type")
