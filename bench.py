@@ -84,6 +84,9 @@ HEADLINE_QUERIES = (
     "text_pii_redaction",
     "decontaminate_report",
     "audit_orders_quality",
+    "anomaly_events_zscore",
+    "histogram_totalprice",
+    "corr_price_quantity",
     "text_corpus_summary",
     "text_top_terms",
     "vocab_top_words",
@@ -91,6 +94,8 @@ HEADLINE_QUERIES = (
     "vocab_top_bigrams",
     "sample_docs_deterministic",
     "sample_stratified_by_lang",
+    "mix_corpus_token_budget",
+    "quality_repetition_bigram",
     "shuffle_docs_deterministic",
     "pack_docs_batches",
     "chunk_docs_sliding",

@@ -402,3 +402,82 @@ def stratified_hash_sample(
             threshold
         )
     return docs.filter(last < threshold).select("doc_id", "lang", "source")
+
+
+def token_budget_mix(docs: DataFrame, budget_tokens: int) -> DataFrame:
+    """Corpus mixing: downsample every language to ≈``budget_tokens``
+    whitespace tokens via deterministic hash sampling. The per-group
+    keep rate is DERIVED from the data — rate = clamp(256·budget /
+    group_tokens, 1, 256) in 256ths of the md5 key space — so the
+    same operator rebalances any skewed mix without hand-tuned rates.
+
+    Two aggregates + a broadcast join + a pure filter: the doc table
+    is scanned once for token counts (one small shuffle of per-lang
+    partials), the rate table is one row per language (broadcast), and
+    membership is an md5-suffix comparison — reproducible under
+    retries and identical in any engine, like stratified_hash_sample.
+    Quantizing to 256ths floors toward under-budget, never over."""
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.size(words(F.col("text"))).alias("n_tokens"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 31, 2).alias("h2"),
+    )
+    rates = (
+        t.groupBy("lang")
+        .agg(F.sum("n_tokens").alias("total"))
+        .select(
+            "lang",
+            F.least(
+                F.lit(256),
+                F.greatest(
+                    F.lit(1), F.floor(256.0 * F.lit(budget_tokens) / F.col("total"))
+                ),
+            )
+            .cast("long")
+            .alias("keep"),
+        )
+    )
+    hex2 = F.lpad(F.lower(F.hex(F.col("keep"))), 2, "0")
+    return (
+        t.join(F.broadcast(rates), "lang")
+        .filter((F.col("keep") == 256) | (F.col("h2") < hex2))
+        .select("doc_id", "lang", "n_tokens")
+    )
+
+
+def repetition_bigram_stats(docs: DataFrame, flag_threshold: float = 0.18) -> DataFrame:
+    """Gopher-style repetition signal: the fraction of a document's
+    tokens covered by its single most-frequent bigram (2·max_count /
+    n_words), flagged above ``flag_threshold``. One (doc_id, bigram)
+    aggregation — shuffle linear in corpus token count — then a
+    per-doc max folded into the same exchange, joined back to the
+    narrow per-doc token counts."""
+    from movie_rankings_spark.functions.text import word_shingles
+
+    base = docs.select(
+        "doc_id", F.size(words(F.col("text"))).alias("n_words"), "text"
+    )
+    top = (
+        base.select(
+            "doc_id", F.explode(word_shingles(F.col("text"), 2)).alias("bg")
+        )
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_bigram_count"))
+    )
+    ratio = 2.0 * F.col("max_bigram_count") / F.col("n_words")
+    return (
+        base.drop("text")
+        .join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.coalesce(F.col("max_bigram_count"), F.lit(0)).alias(
+                "max_bigram_count"
+            ),
+            F.coalesce(ratio, F.lit(0.0)).alias("top_bigram_ratio"),
+            (F.coalesce(ratio, F.lit(0.0)) > flag_threshold).alias("flagged"),
+        )
+    )

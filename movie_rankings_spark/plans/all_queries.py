@@ -36,6 +36,7 @@ _COSTLY_LAST = (
     "stream_stream_outer_attribution",
     "stream_tumbling_daily",
     "stream_user_lifetime_stats",
+    "stream_upsert_snapshot",
 )
 
 

@@ -816,3 +816,74 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", redact_pii(planted).alias("redacted"))
         .orderBy("doc_id")
     )
+
+
+# --- corpus mixing (token-budget rebalancing) -------------------------------
+
+_MIX_BUDGET = 5_000
+
+_MIX_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, CAST(len({_WORDS}) AS INTEGER) AS n_tokens,
+         substr(md5(CAST(doc_id AS VARCHAR)), 31, 2) AS h2
+  FROM documents
+),
+r AS (
+  SELECT lang,
+         CAST(least(256, greatest(1,
+              floor(256.0 * {_MIX_BUDGET} / SUM(n_tokens)))) AS BIGINT) AS keep
+  FROM t GROUP BY lang
+)
+SELECT doc_id, t.lang, n_tokens
+FROM t JOIN r ON t.lang = r.lang
+WHERE keep = 256 OR h2 < lpad(lower(to_hex(keep)), 2, '0')
+ORDER BY doc_id
+"""
+
+
+@REGISTRY.register("mix_corpus_token_budget", _MIX_ORACLE)
+def mix_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-derived corpus mixing (operators/textops.py::
+    token_budget_mix): every language downsampled toward a 5k-token
+    budget with md5-suffix membership — rates computed from the
+    corpus itself, selection engine-portable and retry-stable."""
+    return textops.token_budget_mix(_docs(spark, sf_dir), _MIX_BUDGET).orderBy(
+        "doc_id"
+    )
+
+
+# --- repetition quality rule (Gopher top-bigram coverage) -------------------
+
+_BIGRAMS_SQL = (
+    f"list_transform(range(1, len({_WORDS})), "
+    f"i -> concat_ws(' ', {_WORDS}[i], {_WORDS}[i+1]))"
+)
+
+_REPETITION_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, CAST(len({_WORDS}) AS INTEGER) AS n_words,
+         {_BIGRAMS_SQL} AS bgs
+  FROM documents
+),
+top AS (
+  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS max_bigram_count FROM (
+    SELECT doc_id, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(bgs) AS bg FROM base)
+    GROUP BY doc_id, bg
+  ) GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_words,
+       COALESCE(t.max_bigram_count, 0) AS max_bigram_count,
+       COALESCE(2.0 * t.max_bigram_count / b.n_words, 0.0) AS top_bigram_ratio,
+       COALESCE(2.0 * t.max_bigram_count / b.n_words, 0.0) > 0.18 AS flagged
+FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id
+ORDER BY b.doc_id
+"""
+
+
+@REGISTRY.register("quality_repetition_bigram", _REPETITION_ORACLE)
+def quality_repetition_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gate: tokens covered by the most
+    frequent bigram per doc (operators/textops.py::
+    repetition_bigram_stats), flagged above 0.18."""
+    return textops.repetition_bigram_stats(_docs(spark, sf_dir)).orderBy("doc_id")

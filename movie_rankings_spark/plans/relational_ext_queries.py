@@ -1164,3 +1164,159 @@ def audit_orders_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_orderdate_us"
         ),
     )
+
+
+# --- statistical tier: z-score anomalies, histogram, correlation -----------
+
+# mean/std from exact decimal sums so both engines derive identical
+# doubles, then identical IEEE arithmetic for the z-score itself
+_ZSCORE_ORACLE = """
+WITH stats AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+              AS DOUBLE) AS sq
+  FROM events GROUP BY user_id
+)
+SELECT e.user_id, e.event_id, e.value,
+       (e.value - s / n) / sqrt(sq / n - (s / n) * (s / n)) AS zscore
+FROM events e JOIN stats USING (user_id)
+WHERE n >= 10 AND sq / n - (s / n) * (s / n) > 0
+  AND abs((e.value - s / n) / sqrt(sq / n - (s / n) * (s / n))) > 2.0
+ORDER BY e.user_id, e.event_id
+"""
+
+
+@REGISTRY.register("anomaly_events_zscore", _ZSCORE_ORACLE)
+def anomaly_events_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user outlier events (|z| > 2 against the user's own value
+    distribution). Two scans co-partitioned on user_id: one aggregate
+    for (n, Σx, Σx²), one join back — population moments from exact
+    decimal sums, so the oracle's doubles are bit-identical. At scale
+    both sides shuffle once on user_id and the stats side is tiny
+    (one row per user)."""
+    e = _t(spark, sf_dir, "events")
+    stats = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("s"),
+        # square AFTER the decimal cast: decimal×decimal is exact, so
+        # both engines sum identical values (squaring the double first
+        # and then casting rounds differently per engine at the ulp)
+        F.sum(
+            F.col("value").cast("decimal(18,6)")
+            * F.col("value").cast("decimal(18,6)")
+        )
+        .cast("double")
+        .alias("sq"),
+    )
+    mean = F.col("s") / F.col("n")
+    var = F.col("sq") / F.col("n") - mean * mean
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        e.join(stats, "user_id")
+        .filter((F.col("n") >= 10) & (var > 0) & (F.abs(z) > 2.0))
+        .select("user_id", "event_id", "value", z.alias("zscore"))
+        .orderBy("user_id", "event_id")
+    )
+
+
+_HISTOGRAM_ORACLE = """
+SELECT CAST(least(floor(o_totalprice / 25000), 19) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+@REGISTRY.register("histogram_totalprice", _HISTOGRAM_ORACLE)
+def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (20 buckets of 25k, open-topped): a pure
+    partial+final hash aggregate on a derived key — the shuffle
+    carries at most 20 rows per partition regardless of fact size."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 25000), F.lit(19)).cast(
+        "long"
+    )
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").cast("double").alias("min_price"),
+            F.max("o_totalprice").cast("double").alias("max_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# Pearson correlation from exact decimal moments; the final formula is
+# the same double expression on both engines (never the engines' own
+# corr() — implementations differ in summation order).
+_CORR_ORACLE = """
+WITH m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+  FROM lineitem
+)
+SELECT n,
+       (sxy / n - (sx / n) * (sy / n))
+       / (sqrt(sxx / n - (sx / n) * (sx / n))
+          * sqrt(syy / n - (sy / n) * (sy / n))) AS corr_qty_price,
+       (sxy / n - (sx / n) * (sy / n)) AS cov_qty_price
+FROM m
+"""
+
+
+@REGISTRY.register("corr_price_quantity", _CORR_ORACLE)
+def corr_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact covariance/correlation of (quantity, price) via one pass
+    of decimal moment sums — mergeable partial aggregates, one
+    single-row result; the double formula is shared verbatim with the
+    oracle rather than trusting either engine's corr() summation
+    order."""
+    li = _t(spark, sf_dir, "lineitem")
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sx"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sy"),
+        # decimal-first products: decimal×decimal is exact, immune to
+        # per-engine double→decimal rounding at the ulp (see zscore)
+        F.sum(
+            F.col("l_quantity").cast("decimal(18,2)")
+            * F.col("l_extendedprice").cast("decimal(18,2)")
+        )
+        .cast("double")
+        .alias("sxy"),
+        F.sum(
+            F.col("l_quantity").cast("decimal(18,2)")
+            * F.col("l_quantity").cast("decimal(18,2)")
+        )
+        .cast("double")
+        .alias("sxx"),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * F.col("l_extendedprice").cast("decimal(18,2)")
+        )
+        .cast("double")
+        .alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    cov = sxy / n - (sx / n) * (sy / n)
+    corr = cov / (
+        F.sqrt(sxx / n - (sx / n) * (sx / n))
+        * F.sqrt(syy / n - (sy / n) * (sy / n))
+    )
+    return m.select(
+        "n", corr.alias("corr_qty_price"), cov.alias("cov_qty_price")
+    )
