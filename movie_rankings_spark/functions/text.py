@@ -49,6 +49,21 @@ def words(text: Column) -> Column:
     return F.split(text, " ")
 
 
+def array_shingles(w: Column, n: int = 3) -> Column:
+    """n-word shingles from an already-tokenized array column. Pass a
+    MATERIALIZED array attribute (a prior ``select`` alias) when the
+    result feeds an explode — the expression references ``w`` n+1
+    times, and inlining a split() there re-tokenizes per reference
+    (the projection-collapse gotcha; see chunk_documents)."""
+    m = F.greatest(F.size(w) - (n - 1), F.lit(0))
+    zipped = F.slice(w, 1, m)
+    for k in range(1, n):
+        zipped = F.zip_with(
+            zipped, F.slice(w, k + 1, m), lambda x, y: F.concat_ws(" ", x, y)
+        )
+    return zipped
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """n-word shingles as strings (same values as the DuckDB twin's
     1-based range/concat_ws construction).
@@ -58,14 +73,7 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     elimination inside higher-order-function bodies, so the lambda form
     re-evaluates split() per element (O(words²) per row — measured 4 s
     for 5 000 rows); the slice form evaluates it O(n) times."""
-    w = words(text)
-    m = F.greatest(F.size(w) - (n - 1), F.lit(0))
-    zipped = F.slice(w, 1, m)
-    for k in range(1, n):
-        zipped = F.zip_with(
-            zipped, F.slice(w, k + 1, m), lambda x, y: F.concat_ws(" ", x, y)
-        )
-    return zipped
+    return array_shingles(words(text), n)
 
 
 def bpe_token_count(text: Column) -> Column:

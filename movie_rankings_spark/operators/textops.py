@@ -449,35 +449,31 @@ def token_budget_mix(docs: DataFrame, budget_tokens: int) -> DataFrame:
 def repetition_bigram_stats(docs: DataFrame, flag_threshold: float = 0.18) -> DataFrame:
     """Gopher-style repetition signal: the fraction of a document's
     tokens covered by its single most-frequent bigram (2·max_count /
-    n_words), flagged above ``flag_threshold``. One (doc_id, bigram)
-    aggregation — shuffle linear in corpus token count — then a
-    per-doc max folded into the same exchange, joined back to the
-    narrow per-doc token counts."""
-    from movie_rankings_spark.functions.text import word_shingles
+    n_words), flagged above ``flag_threshold``.
 
-    base = docs.select(
-        "doc_id", F.size(words(F.col("text"))).alias("n_words"), "text"
-    )
-    top = (
-        base.select(
-            "doc_id", F.explode(word_shingles(F.col("text"), 2)).alias("bg")
-        )
-        .groupBy("doc_id", "bg")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("max_bigram_count"))
+    Single scan: tokens materialize once below the Generate (the
+    projection-collapse gotcha — inlining split() into the shingle
+    expression re-tokenizes per reference), explode_outer keeps
+    sub-bigram docs alive, n_words rides the group keys, so the whole
+    thing is two exchanges and no join."""
+    from movie_rankings_spark.functions.text import array_shingles
+
+    toks = docs.select("doc_id", words(F.col("text")).alias("_w"))
+    per_bigram = toks.select(
+        "doc_id",
+        F.size("_w").alias("n_words"),
+        F.explode_outer(array_shingles(F.col("_w"), 2)).alias("bg"),
+    ).groupBy("doc_id", "n_words", "bg").agg(F.count(F.lit(1)).alias("c"))
+    top = per_bigram.groupBy("doc_id", "n_words").agg(
+        F.coalesce(
+            F.max(F.when(F.col("bg").isNotNull(), F.col("c"))), F.lit(0)
+        ).alias("max_bigram_count")
     )
     ratio = 2.0 * F.col("max_bigram_count") / F.col("n_words")
-    return (
-        base.drop("text")
-        .join(top, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_words",
-            F.coalesce(F.col("max_bigram_count"), F.lit(0)).alias(
-                "max_bigram_count"
-            ),
-            F.coalesce(ratio, F.lit(0.0)).alias("top_bigram_ratio"),
-            (F.coalesce(ratio, F.lit(0.0)) > flag_threshold).alias("flagged"),
-        )
+    return top.select(
+        "doc_id",
+        "n_words",
+        "max_bigram_count",
+        ratio.alias("top_bigram_ratio"),
+        (ratio > flag_threshold).alias("flagged"),
     )

@@ -355,3 +355,12 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_repetition_bigram_single_tokenize_no_join(spark, sf_dir):
+    """The token array must materialize once below the Generate
+    (projection collapse would re-split per shingle reference) and the
+    per-doc max must fold into the aggregation chain, not a join."""
+    plan = _plan(spark, sf_dir, "quality_repetition_bigram")
+    assert plan.count("split(text") == 1
+    assert "Join" not in plan
