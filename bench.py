@@ -26,6 +26,7 @@ HEADLINE_QUERIES = (
     "flagship_tpch",
     "flagship_scraped",
     "q1_pricing_summary",
+    "sql_api_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_revenue",
     "q4_order_priority_exists",

@@ -471,3 +471,16 @@ def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr", "mo")
     )
+
+
+@REGISTRY.register("sql_api_pricing_summary", _Q1_ORACLE)
+def sql_api_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL API surface: the DuckDB oracle text IS the Spark query.
+    Tables register as temp views (catalog.register_views) and the
+    identical ANSI string runs through spark.sql — Catalyst compiles
+    it to the same physical plan as the DataFrame form of Q1, which
+    is the point: both front-ends meet in the same optimizer."""
+    from movie_rankings_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q1_ORACLE)

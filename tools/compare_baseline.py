@@ -52,4 +52,7 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    try:
+        raise SystemExit(main())
+    except BrokenPipeError:  # |head closing stdout is fine
+        raise SystemExit(0)
