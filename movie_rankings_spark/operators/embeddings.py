@@ -1,0 +1,58 @@
+"""Embedding storage transforms (SURVEY.md §2 [EXT], LLM-pipeline
+tier): int8 quantization — the standard 4× shrink applied to vector
+columns before they are written for ANN serving.
+
+Everything here is pure JVM array arithmetic (``transform`` /
+``aggregate`` / ``array_max`` higher-order functions inside
+whole-stage codegen) — no UDF, no Python worker, no shuffle: a
+quantization pass over 100 TB of vectors is a map-only scan that
+AQE never needs to touch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def quantize_int8(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    q_i = round(x_i / scale) ∈ [-127, 127].
+
+    Output keeps the quantized array plus the audit scalars a
+    downstream exactness check needs: ``scale``, ``sum_q`` (integer
+    checksum of the codes), and ``max_abs_err`` (worst per-dimension
+    reconstruction error — bounded by scale/2 for a correct
+    implementation, which the unit test pins). All-zero vectors get
+    scale 0 and all-zero codes rather than a 0/0 NaN."""
+    scaled = embeddings.select(
+        "vec_id",
+        F.col(vec_col).alias("emb"),
+        (
+            F.array_max(F.transform(vec_col, lambda x: F.abs(x))).cast("double")
+            / F.lit(127.0)
+        ).alias("scale"),
+    )
+    q = F.when(F.col("scale") == 0.0, F.transform("emb", lambda x: F.lit(0))).otherwise(
+        F.transform(
+            "emb", lambda x: F.round(x.cast("double") / F.col("scale")).cast("int")
+        )
+    )
+    quantized = scaled.select("vec_id", "emb", "scale", q.alias("q"))
+    err = F.array_max(
+        F.zip_with(
+            "emb",
+            "q",
+            lambda x, qi: F.abs(x.cast("double") - qi.cast("double") * F.col("scale")),
+        )
+    )
+    return quantized.select(
+        "vec_id",
+        F.size("q").alias("n_dims"),
+        "scale",
+        F.aggregate(
+            "q", F.lit(0).cast("long"), lambda acc, qi: acc + qi.cast("long")
+        ).alias("sum_q"),
+        err.alias("max_abs_err"),
+        "q",
+    )

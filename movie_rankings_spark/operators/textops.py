@@ -94,6 +94,30 @@ def hash_sample(docs: DataFrame, bucket: str = "0") -> DataFrame:
     return docs.filter(F.substring(h, 32, 1) == bucket)
 
 
+def weighted_hash_sample(docs: DataFrame, cap_words: int = 512) -> DataFrame:
+    """Length-weighted deterministic Bernoulli sample: inclusion
+    probability min(1, n_words / cap_words), so long documents are
+    kept proportionally more often — the standard
+    sample-by-token-mass step when a token budget, not a doc budget,
+    drives corpus construction.
+
+    The coin is md5 chars 25-30 read as a 24-bit integer (disjoint
+    from the suffix positions hash_sample / token_budget_mix consume,
+    so the samples compose independently). With cap_words a power of
+    two, the inclusion test is pure integer arithmetic —
+    ``u < min(w, cap) * (2^24 / cap)`` — identical in any engine, no
+    float thresholds to drift. Zero-shuffle scan-side filter, same
+    scale posture as hash_sample."""
+    if cap_words & (cap_words - 1):
+        raise ValueError("cap_words must be a power of two")
+    w = F.size(F.split(F.col("text"), " "))
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 25, 6), 16, 10
+    ).cast("long")
+    keep = u < F.least(w, F.lit(cap_words)).cast("long") * (16777216 // cap_words)
+    return docs.filter(keep).select("doc_id", w.cast("int").alias("n_words"))
+
+
 def vocab_top_words(docs: DataFrame, k: int = 50) -> DataFrame:
     """Corpus vocabulary: top-k words by total occurrences (ties by
     word). explode + count is the canonical shape; at 100 TB the
@@ -377,6 +401,61 @@ def vocab_top_ngrams(docs: DataFrame, n: int = 2, k: int = 50) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
         .limit(k)
+    )
+
+
+def bigram_lm_scores(docs: DataFrame) -> DataFrame:
+    """Statistical language-model fluency scoring: train an add-one-
+    smoothed bigram LM on the corpus itself, then score every document
+    by its mean log-probability — the classic perplexity-style quality
+    signal (KenLM-shaped, minus the external model artifact).
+
+    Model: p(w2 | w1) = (c(w1 w2) + 1) / (c(w1 ·) + V), where
+    c(w1 w2) counts corpus bigram occurrences, c(w1 ·) its
+    first-word marginal, and V the distinct-unigram vocabulary.
+    score(doc) = mean over the doc's bigram occurrences of ln p.
+
+    Scale posture: bigram counts and the score join both shuffle on
+    the bigram string — linear in corpus tokens, with map-side
+    partial aggregation on the count side; the vocabulary size is a
+    1-row broadcast (never a Window over ()); everything is JVM
+    codegen, no UDF. Per-bigram logs are rounded to DECIMAL(18,9)
+    before the per-doc sum so the mean is order-independent and
+    engine-exact (the decimal-sum convention from plans/registry.py).
+    Documents with fewer than two tokens have no bigrams and drop out
+    (inner join), mirroring the SQL twin."""
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+    from movie_rankings_spark.functions.text import array_shingles
+
+    bi = toks.select(
+        "doc_id", F.explode(array_shingles(F.col("ws"), 2)).alias("bigram")
+    )
+    cb = bi.groupBy("bigram").agg(F.count(F.lit(1)).alias("cb"))
+    w1 = F.substring_index(F.col("bigram"), " ", 1).alias("w1")
+    c1 = cb.select(w1, "cb").groupBy("w1").agg(F.sum("cb").alias("c1"))
+    vocab = toks.select(F.explode("ws").alias("word")).agg(
+        F.countDistinct("word").alias("v")
+    )
+    probs = (
+        cb.select("bigram", w1, "cb")
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bigram",
+            F.log((F.col("cb") + 1) / (F.col("c1") + F.col("v")))
+            .cast("decimal(18,9)")
+            .alias("logp"),
+        )
+    )
+    return (
+        bi.join(probs, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.sum("logp").cast("double") / F.count(F.lit(1))).alias(
+                "avg_logprob"
+            ),
+        )
     )
 
 

@@ -1,0 +1,100 @@
+"""Time-series regularization: per-key daily spine, gap-fill,
+forward-fill, linear interpolation (SURVEY.md §2 [EXT] — the reference
+has no time axis at all; its nearest analogue is the per-list rank
+sequence of `top_movies.py`, which is dense by construction).
+
+A training-data pipeline meets this shape constantly: sensor/metric
+streams and engagement series arrive sparse, and sequence models want
+a regular grid. The scale posture:
+
+  * the spine is built per key from that key's own [min, max] day
+    range (``sequence`` + ``explode``) — rows = active span, not
+    global-calendar × keys, and the explode is a Generate directly
+    over the per-key aggregate (no driver-side calendar, no
+    cross join against a date dimension);
+  * fill + interpolation are window functions over (key, day) — ONE
+    shuffle on the key, one sort; the forward-looking window reuses
+    the same sort (Spark evaluates UNBOUNDED FOLLOWING frames without
+    re-sorting);
+  * daily values pre-aggregate BEFORE the spine join, so the window
+    sorts one row per active day, never one per event (same argument
+    as window_rolling_revenue_7d).
+
+Interpolation arithmetic is written as the identical IEEE-double
+expression the DuckDB oracle uses (prev + (next - prev) * frac with
+an explicit double cast on the day fraction), so values hash-match
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def gapfill_daily(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Regularize a sparse per-key event series onto a dense daily
+    grid over each key's active span.
+
+    Output: one row per (key, day in [min active day, max active
+    day]) with
+
+      * ``day_value``   — exact daily sum (decimal-summed, cast to
+        double), NULL on gap days;
+      * ``ffill_value`` — last observed value at or before the day;
+      * ``interp_value`` — linear interpolation between the
+        surrounding observed days (equals ``day_value`` on observed
+        days; span endpoints are observed by construction, so both
+        neighbors always exist).
+    """
+    daily = events.groupBy(
+        key, F.to_date(ts_col).alias("day")
+    ).agg(
+        F.sum(F.col(value_col).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("day_value")
+    )
+    spine = (
+        daily.groupBy(key)
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            key,
+            F.explode(F.sequence("d0", "d1")).alias("day"),
+        )
+    )
+    grid = spine.join(daily, [key, "day"], "left")
+
+    back = (
+        Window.partitionBy(key)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy(key)
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("day_value").isNotNull(), F.col("day"))
+    prev_val = F.last("day_value", ignorenulls=True).over(back)
+    next_val = F.first("day_value", ignorenulls=True).over(fwd)
+    prev_day = F.last(obs_day, ignorenulls=True).over(back)
+    next_day = F.first(obs_day, ignorenulls=True).over(fwd)
+    frac = (
+        F.datediff(F.col("day"), prev_day).cast("double")
+        / F.datediff(next_day, prev_day).cast("double")
+    )
+    interp = F.when(next_day == prev_day, prev_val).otherwise(
+        prev_val + (next_val - prev_val) * frac
+    )
+    return grid.select(
+        key,
+        "day",
+        "day_value",
+        prev_val.alias("ffill_value"),
+        interp.alias("interp_value"),
+    )

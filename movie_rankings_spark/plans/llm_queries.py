@@ -422,6 +422,25 @@ def sample_docs_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WEIGHTED_SAMPLE_ORACLE = """
+SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words
+FROM documents
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 25, 6) AS BIGINT)
+      < least(CAST(len(string_split(text, ' ')) AS BIGINT), 512) * 32768
+ORDER BY doc_id
+"""
+
+
+@REGISTRY.register("sample_docs_weighted", _WEIGHTED_SAMPLE_ORACLE)
+def sample_docs_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted deterministic sample (operators/textops.py::
+    weighted_hash_sample): inclusion probability proportional to
+    token count, capped at 1 — sampling by token mass rather than
+    document count. Pure integer md5 arithmetic, so the same rows
+    come back from any engine; zero-shuffle scan-side filter."""
+    return textops.weighted_hash_sample(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 _VOCAB_ORACLE = """
 SELECT word, COUNT(*) AS n_occurrences
 FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
@@ -651,6 +670,83 @@ LIMIT 50
 @REGISTRY.register("vocab_top_bigrams", _BIGRAM_ORACLE)
 def vocab_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.vocab_top_ngrams(_docs(spark, sf_dir), n=2, k=50)
+
+
+_QUANTIZE_ORACLE = """
+WITH s AS (
+  SELECT vec_id, embedding AS emb,
+         CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+           / 127.0 AS scale
+  FROM embeddings
+), qz AS (
+  SELECT vec_id, emb, scale,
+         CASE WHEN scale = 0 THEN list_transform(emb, x -> 0)
+              ELSE list_transform(
+                     emb,
+                     x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INTEGER))
+         END AS q
+  FROM s
+)
+SELECT vec_id, CAST(len(q) AS INTEGER) AS n_dims, scale,
+       CAST(list_sum(q) AS BIGINT) AS sum_q,
+       list_max(list_transform(
+         list_zip(emb, q),
+         p -> abs(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * scale)))
+         AS max_abs_err
+FROM qz ORDER BY vec_id
+"""
+
+
+@REGISTRY.register("embedding_quantize_int8", _QUANTIZE_ORACLE)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column
+    (operators/embeddings.py::quantize_int8) — pure higher-order-
+    function array math in whole-stage codegen, map-only (no shuffle,
+    no UDF). The oracle recomputes scale/codes/checksum/worst
+    reconstruction error in DuckDB list arithmetic; the quantized
+    array itself is exercised by tests (error bound ≤ scale/2)."""
+    from movie_rankings_spark.operators.embeddings import quantize_int8
+
+    return (
+        quantize_int8(_emb(spark, sf_dir))
+        .select("vec_id", "n_dims", "scale", "sum_q", "max_abs_err")
+        .orderBy("vec_id")
+    )
+
+
+_LM_SCORE_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+bi AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws)),
+                               i -> concat_ws(' ', ws[i], ws[i+1]))) AS bigram
+  FROM toks
+),
+cb AS (SELECT bigram, COUNT(*) AS cb FROM bi GROUP BY 1),
+c1 AS (SELECT split_part(bigram, ' ', 1) AS w1, SUM(cb) AS c1
+       FROM cb GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT word) AS v
+      FROM (SELECT unnest(ws) AS word FROM toks)),
+probs AS (
+  SELECT bigram, CAST(ln((cb + 1) / (c1 + v.v)) AS DECIMAL(18,9)) AS logp
+  FROM cb JOIN c1 ON split_part(cb.bigram, ' ', 1) = c1.w1, v
+)
+SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(p.logp) AS DOUBLE) / COUNT(*) AS avg_logprob
+FROM bi b JOIN probs p USING (bigram)
+GROUP BY b.doc_id ORDER BY b.doc_id
+"""
+
+
+@REGISTRY.register("text_lm_score", _LM_SCORE_ORACLE)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained add-one bigram LM, every doc scored by mean
+    log-probability (operators/textops.py::bigram_lm_scores) — the
+    perplexity-style fluency gate of a curation pipeline. Bigram
+    stats and the score join shuffle linearly on the bigram string;
+    vocabulary is a 1-row broadcast; DECIMAL(18,9)-rounded logs make
+    the mean order-independent across engines."""
+    return textops.bigram_lm_scores(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
 _HEAVY_HITTERS_ORACLE = """

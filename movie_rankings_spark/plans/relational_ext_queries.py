@@ -1109,6 +1109,178 @@ def window_rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_custkey", "order_day")
 
 
+# --- snapshot diff + incremental aggregate maintenance ----------------------
+
+_DIFF_ORACLE = """
+WITH old AS (
+  SELECT o_orderkey, o_orderstatus, o_orderpriority
+  FROM orders WHERE o_orderkey % 7 <> 0
+), new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END
+           AS o_orderstatus,
+         o_orderpriority
+  FROM orders WHERE o_orderkey % 11 <> 0
+), d AS (
+  SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added'
+              WHEN n.o_orderkey IS NULL THEN 'removed'
+              WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+                THEN 'changed'
+              ELSE 'unchanged' END AS change_type
+  FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+)
+SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_keys
+FROM d GROUP BY change_type ORDER BY change_type
+"""
+
+
+@REGISTRY.register("diff_orders_snapshots", _DIFF_ORACLE)
+def diff_orders_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two simulated versions of orders (rows added, rows removed,
+    statuses rewritten) reconciled by operators/snapshots.py::
+    snapshot_diff — one full-outer shuffle join on the key, null-safe
+    column comparison, no UDF. The modulo-derived versions make the
+    fixture deterministic and SQL-expressible; real deployments feed
+    two storage snapshots. Aggregated to per-class counts (the
+    row-level classification is pinned by tests/test_snapshots.py)."""
+    from movie_rankings_spark.operators.snapshots import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    new = orders.filter(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        "o_orderpriority",
+    )
+    diff = snapshot_diff(
+        old, new, keys=["o_orderkey"], payload=["o_orderstatus", "o_orderpriority"]
+    )
+    return (
+        diff.groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+        .orderBy("change_type")
+    )
+
+
+_INCR_ORACLE = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+       CAST(month(o_orderdate) AS INTEGER) AS mo,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_price,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@REGISTRY.register("incremental_monthly_revenue", _INCR_ORACLE)
+def incremental_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the monthly revenue rollup
+    is built as base partial (orders before 1997) merged with a delta
+    partial (orders from 1997 on) via operators/snapshots.py::
+    merge_partial_aggs — SUM of partial decimal SUMs — and the oracle
+    recomputes from the full table. Equality IS the point: the merge
+    identity lets a 100 TB nightly rebuild become "aggregate the
+    delta, merge", with decimal partials keeping it exact rather than
+    float-associative."""
+    from movie_rankings_spark.operators.snapshots import merge_partial_aggs
+
+    orders = _t(spark, sf_dir, "orders")
+    split = F.lit("1997-01-01").cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+        ).agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "total_price"
+            ),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+
+    base = partial(orders.filter(F.col("o_orderdate") < split))
+    delta = partial(orders.filter(F.col("o_orderdate") >= split))
+    merged = merge_partial_aggs(
+        [base, delta], keys=["yr", "mo"], sum_cols=["total_price"],
+        count_col="n_orders",
+    )
+    return merged.select(
+        "yr", "mo", F.col("total_price").cast("double").alias("total_price"),
+        "n_orders",
+    ).orderBy("yr", "mo")
+
+
+# --- time-series gap-fill + interpolation -----------------------------------
+
+_GAPFILL_ORACLE = """
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS day_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+), spine AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                     CAST(d1 AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+        FROM daily GROUP BY 1) s
+), grid AS (
+  SELECT sp.user_id, sp.day, d.day_value
+  FROM spine sp LEFT JOIN daily d
+    ON sp.user_id = d.user_id AND sp.day = d.day
+), filled AS (
+  SELECT user_id, day, day_value,
+    last_value(day_value IGNORE NULLS) OVER wb AS prev_val,
+    first_value(day_value IGNORE NULLS) OVER wf AS next_val,
+    last_value(CASE WHEN day_value IS NOT NULL THEN day END IGNORE NULLS)
+      OVER wb AS prev_day,
+    first_value(CASE WHEN day_value IS NOT NULL THEN day END IGNORE NULLS)
+      OVER wf AS next_day
+  FROM grid
+  WINDOW wb AS (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day, day_value,
+       prev_val AS ffill_value,
+       CASE WHEN next_day = prev_day THEN prev_val
+            ELSE prev_val + (next_val - prev_val) *
+                 (CAST(date_diff('day', prev_day, day) AS DOUBLE) /
+                  CAST(date_diff('day', prev_day, next_day) AS DOUBLE))
+       END AS interp_value
+FROM filled ORDER BY user_id, day
+"""
+
+
+@REGISTRY.register("timeseries_gapfill_daily", _GAPFILL_ORACLE)
+def timeseries_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse purchase series → dense per-user daily grid with
+    forward-fill and linear interpolation (operators/timeseries.py).
+    The spine is each user's own [min, max] active span (sequence +
+    explode over the per-user aggregate — never global-calendar ×
+    users), daily values pre-aggregate before the spine join, and
+    both fill directions ride one (user_id, day) sort. The
+    interpolation expression is written identically on both engines,
+    so doubles hash-match exactly."""
+    from movie_rankings_spark.operators.timeseries import gapfill_daily
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    grid = gapfill_daily(ev)
+    return grid.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "day_value",
+        "ffill_value",
+        "interp_value",
+    ).orderBy("user_id", "day")
+
+
 # --- single-pass data-quality audit -----------------------------------------
 
 _AUDIT_ORACLE = """
