@@ -109,12 +109,97 @@ HEADLINE_QUERIES = (
     "multimodal_frame_sample",
     "multimodal_resize_meta",
     "stream_tumbling_daily",
+    "stream_session_windows",
     "stream_user_lifetime_stats",
     "stream_static_join_segments",
     "stream_stream_view_purchase",
     "stream_stream_outer_attribution",
     "stream_upsert_snapshot",
 )
+
+
+#: Tier representatives that MUST appear in the printed compact JSON
+#: (the harness that records bench output keeps only the final ~2000
+#: characters, so the printed line carries a per-tier slice and the
+#: complete per-query map goes to BENCH_FULL_local.json + stderr).
+COMPACT_PRIORITY = (
+    "flagship_tpch",
+    "flagship_scraped",
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "q9_product_profit",
+    "q18_large_orders",
+    "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+    "topk_parts_per_brand",
+    "window_events_analytics",
+    "window_rolling_revenue_7d",
+    "sessionize_events",
+    "funnel_view_click_purchase",
+    "asof_purchase_context",
+    "rangejoin_purchase_context",
+    "rollup_orders",
+    "pivot_user_event_counts",
+    "percentiles_lineitem_price",
+    "udaf_price_median",
+    "json_props_stats",
+    "timeseries_gapfill_daily",
+    "changelog_latest_snapshot",
+    "dedup_exact_groups",
+    "dedup_minhash_lsh",
+    "dedup_embedding_lsh",
+    "dedup_ngram_jaccard",
+    "similarity_cosine_topk",
+    "similarity_ivf_topk",
+    "text_quality",
+    "text_langid",
+    "text_pii_redaction",
+    "vocab_top_words",
+    "decontaminate_report",
+    "mix_corpus_token_budget",
+    "shuffle_docs_deterministic",
+    "pack_docs_batches",
+    "chunk_docs_sliding",
+    "multimodal_frame_sample",
+    "stream_tumbling_daily",
+    "stream_session_windows",
+    "stream_stream_view_purchase",
+    "stream_upsert_snapshot",
+)
+
+#: byte budget for the printed JSON line — the recording harness keeps
+#: only the last 2000 characters of output, and a line that overflows
+#: it is unparseable (BENCH_r01/r02 both recorded parsed=null).
+COMPACT_BUDGET = 1900
+
+
+def compact_payload(timings: dict[str, float], sf: float | None) -> str:
+    """One JSON line ≤ COMPACT_BUDGET bytes.
+
+    ``value`` totals over ALL measured queries; ``queries`` carries the
+    COMPACT_PRIORITY slice first, then as many remaining queries as fit
+    the budget (measurement order). Full map: BENCH_FULL_local.json.
+    """
+    order = [n for n in COMPACT_PRIORITY if n in timings]
+    order += [n for n in timings if n not in order]
+
+    def render(names: list[str]) -> str:
+        return json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": round(sum(timings.values()), 2),
+                "unit": "sec",
+                "n_run": len(timings),
+                "queries": {n: round(timings[n], 3) for n in names},
+                "sf": sf,
+            },
+            separators=(",", ":"),
+        )
+
+    keep = len(order)
+    while keep > 0 and len(render(order[:keep])) > COMPACT_BUDGET:
+        keep -= 1
+    return render(order[:keep])
 
 
 def _baseline_seconds() -> dict[str, float]:
@@ -193,18 +278,22 @@ def main() -> int:
         timings[name] = round(best, 4)
         print(f"# {name}: {best:.3f}s rows={n} runs={runs}", file=sys.stderr)
 
-    total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    full = {
+        "metric": "headline_suite_seconds",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_local.json"
     )
+    try:
+        with open(full_path, "w", encoding="utf-8") as fh:
+            json.dump(full, fh, indent=1)
+    except OSError:
+        pass  # read-only checkout — stderr already has every timing
+    print(compact_payload(timings, sf))
     return 0
 
 

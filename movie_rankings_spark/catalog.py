@@ -40,15 +40,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is TIMESTAMP(NANOS) in parquet, which Spark 4 rejects
-    outright. Read nanos as long, then truncate to microseconds —
-    identical to how DuckDB (and Spark pre-4 by SQLConf) surface the
-    same column, so oracle comparisons agree."""
+    """events.ts is TIMESTAMP(NANOS) in parquet. Depending on the Spark
+    build, that column surfaces as either raw nanos BIGINT (older 4.x
+    honoring spark.sql.legacy.parquet.nanosAsLong, set in session.py)
+    or natively as TIMESTAMP_NTZ truncated to micros (4.1+, where the
+    legacy conf is inert). Both paths normalize to a plain TIMESTAMP at
+    microsecond precision — bit-identical to DuckDB's epoch_us(ts), so
+    oracle comparisons agree regardless of build."""
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(table_path(sf_dir, "events"))
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    ts_type = raw.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -17,6 +17,63 @@ import movie_rankings_spark.plans.streaming_queries  # noqa: F401
 import movie_rankings_spark.plans.tpch_wide_queries  # noqa: F401
 from movie_rankings_spark.plans.registry import REGISTRY
 
+#: The correctness harness walks queries() in dict order and records a
+#: row for the first ~50 only; rounds 1–2 covered the same head of the
+#: list, so these 47 queries have no driver correctness row yet
+#: (CORRECTNESS_r01/r02). They go FIRST this round — cheap batch shapes
+#: before the ~1 s streaming-engine runs — so that across rounds every
+#: oracle-backed query accumulates a driver-verified row. Rotate again
+#: next round if any remain uncovered.
+_UNSEEN_FIRST = (
+    "setops_repeat_customers",
+    "antijoin_inactive_customers",
+    "percentiles_lineitem_price",
+    "approx_percentiles_price",
+    "pivot_user_event_counts",
+    "udaf_price_median",
+    "asof_purchase_context",
+    "rangejoin_purchase_context",
+    "overlap_view_click_windows",
+    "topk_parts_per_brand_salted",
+    "from_json_props_map",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q22_global_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q16_supplier_part_profile",
+    "q20_heavy_red_shippers",
+    "q21_waiting_suppliers",
+    "sessionize_events",
+    "funnel_view_click_purchase",
+    "cohort_retention_daily",
+    "changelog_latest_snapshot",
+    "window_rolling_revenue_7d",
+    "diff_orders_snapshots",
+    "incremental_monthly_revenue",
+    "timeseries_gapfill_daily",
+    "audit_orders_quality",
+    "anomaly_events_zscore",
+    "histogram_totalprice",
+    "corr_price_quantity",
+    "similarity_ivf_kmeans_topk",
+    "stream_sliding_6h",
+    "stream_session_windows",
+    "stream_dedup_user_types",
+    "stream_dedup_watermark_bounded",
+    "stream_static_join_segments",
+    "stream_stream_view_purchase",
+    "stream_stream_outer_attribution",
+    "stream_tumbling_daily",
+    "stream_user_lifetime_stats",
+    "stream_upsert_snapshot",
+)
+
 #: most expensive entries at sf0.01, slowest-last; everything absent
 #: from this tuple keeps registration order ahead of it.
 _COSTLY_LAST = (
@@ -41,9 +98,10 @@ _COSTLY_LAST = (
 
 
 def _cost_ordered(items: dict) -> dict:
-    tail = {n: items[n] for n in _COSTLY_LAST if n in items}
-    head = {n: v for n, v in items.items() if n not in tail}
-    return {**head, **tail}
+    head = {n: items[n] for n in _UNSEEN_FIRST if n in items}
+    tail = {n: items[n] for n in _COSTLY_LAST if n in items and n not in head}
+    mid = {n: v for n, v in items.items() if n not in head and n not in tail}
+    return {**head, **mid, **tail}
 
 
 QUERIES = _cost_ordered(REGISTRY.queries)

@@ -277,7 +277,8 @@ from movie_rankings_spark.plans.relational_ext_queries import (  # noqa: E402
 def _stage_split_events(spark: SparkSession, sf_dir: str, n: int = 4) -> str:
     """Deterministically split the events table into n parquet files
     so the availableNow + maxFilesPerTrigger=1 stream sees n
-    micro-batches (idempotent staging, raw nanos schema preserved)."""
+    micro-batches (idempotent staging; ts column keeps whatever type
+    this Spark build surfaces — read_events_stream re-probes it)."""
     import os
 
     tag = os.path.basename(os.path.normpath(sf_dir))
@@ -285,7 +286,6 @@ def _stage_split_events(spark: SparkSession, sf_dir: str, n: int = 4) -> str:
         os.path.dirname(ev._CHECKPOINT_ROOT), "stream_src", f"events_split_{tag}_{n}"
     )
     if not os.path.exists(os.path.join(dst, "_SUCCESS")):
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from movie_rankings_spark.catalog import table_path
 
         raw = spark.read.parquet(table_path(sf_dir, "events"))
@@ -313,12 +313,7 @@ def stream_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_upsert,
     )
 
-    stream = (
-        spark.readStream.schema(ev.EVENTS_RAW_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    stream = ev.read_events_stream(spark, src, maxFilesPerTrigger=1)
     stream_upsert(
         stream,
         table_dir=os.path.join(run_dir, "table"),

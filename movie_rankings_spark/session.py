@@ -45,6 +45,11 @@ def get_spark(
         # the injection with the thresholds lowered.
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # On Spark builds where TIMESTAMP(NANOS) parquet is rejected,
+        # surface it as raw nanos BIGINT (catalog._load_events then
+        # truncates to micros). Inert on 4.1+, which reads NANOS
+        # natively as micro-truncated TIMESTAMP_NTZ.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

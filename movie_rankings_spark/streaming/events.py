@@ -37,6 +37,11 @@ from pyspark.sql import functions as F
 from movie_rankings_spark.catalog import table_path
 
 EVENTS_RAW_SCHEMA = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+    "value double, props string"
+)
+
+EVENTS_RAW_SCHEMA_NANOS_LONG = (
     "event_id long, ts long, user_id long, event_type string, "
     "value double, props string"
 )
@@ -67,16 +72,36 @@ def _stage_stream_dir(sf_dir: str) -> str:
     return dst_dir
 
 
+def read_events_stream(
+    spark: SparkSession, src_dir: str, **reader_options
+) -> DataFrame:
+    """File-source stream over an events parquet directory, ts
+    normalized to plain micros TIMESTAMP.
+
+    The source column is TIMESTAMP(NANOS) (driver file) or whatever a
+    restage wrote; the user-supplied stream schema must match how this
+    Spark build surfaces it (see catalog._load_events), so probe the
+    batch reader's schema once — micro-truncated TIMESTAMP_NTZ on
+    4.1+ (where the nanosAsLong conf is inert), raw nanos BIGINT on
+    builds honoring it. Both normalize identically to the batch
+    catalog, so stream results match batch oracles."""
+    from pyspark.sql import types as T
+
+    probe = spark.read.parquet(src_dir).schema["ts"].dataType
+    reader = spark.readStream
+    for k, v in reader_options.items():
+        reader = reader.option(k, v)
+    if isinstance(probe, T.LongType):
+        raw = reader.schema(EVENTS_RAW_SCHEMA_NANOS_LONG).parquet(src_dir)
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    raw = reader.schema(EVENTS_RAW_SCHEMA).parquet(src_dir)
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events as an unbounded stream (file source). ts arrives as
-    raw nanos (same TIMESTAMP(NANOS) issue as the batch catalog) and
-    is truncated to microseconds here."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .parquet(_stage_stream_dir(sf_dir))
-    )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    """events as an unbounded stream (file source), ts as micros
+    TIMESTAMP — identical column semantics to the batch catalog."""
+    return read_events_stream(spark, _stage_stream_dir(sf_dir))
 
 
 def tumbling_daily_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
