@@ -93,12 +93,18 @@ def _collect_queries(
 def cosine_topk_numpy(
     embeddings: DataFrame, query_ids: Sequence[int], k: int = 5
 ) -> DataFrame:
-    """Vectorized brute-force: queries collected (small side — same
-    role as a broadcast), corpus streamed through Arrow batches, GEMM
-    per batch, per-batch top-k, global top-k window on the reduced
-    candidate set."""
-    spark = embeddings.sparkSession
+    """Vectorized brute-force with exact rescoring: queries collected
+    (small side — same role as a broadcast), corpus streamed through
+    Arrow batches, GEMM per batch, per-batch top-(k+buffer) candidate
+    prune, then the tiny survivor set (queries × (k+buffer) ×
+    partitions rows) is rescored JVM-side with the same exact-decimal
+    cosine the oracle computes. The float GEMM only ever decides WHICH
+    few rows survive — never the reported value — so results are
+    bit-identical to ``cosine_topk_exact`` while the per-row hot path
+    stays a numpy matrix multiply. The buffer absorbs float-vs-exact
+    ordering flips at the per-batch cut line."""
     q_ids, q_mat = _collect_queries(embeddings, query_ids)
+    buffer = k + 4
 
     def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -112,7 +118,7 @@ def cosine_topk_numpy(
                 col = sims[:, qi]
                 mask = vec_ids != qid
                 ids_m, col_m = vec_ids[mask], col[mask]
-                take = min(k, len(col_m))
+                take = min(buffer, len(col_m))
                 if take == 0:
                     continue
                 idx = np.argpartition(-col_m, take - 1)[:take]
@@ -120,18 +126,27 @@ def cosine_topk_numpy(
                     {
                         "query_id": np.full(take, qid, dtype=np.int64),
                         "vec_id": ids_m[idx],
-                        "cosine": col_m[idx],
+                        "embedding": list(pdf["embedding"].iloc[mask.nonzero()[0][idx]]),
                     }
                 )
 
     candidates = embeddings.select("vec_id", "embedding").mapInPandas(
-        score_batches, TOPK_SCHEMA
+        score_batches, "query_id long, vec_id long, embedding array<float>"
+    )
+    q = _query_side(embeddings, query_ids)
+    rescored = candidates.join(F.broadcast(q), "query_id").select(
+        "query_id",
+        "vec_id",
+        (
+            dot_exact(F.col("q_emb"), F.col("embedding"))
+            / (F.col("q_nrm") * F.sqrt(norm_sq_exact(F.col("embedding"))))
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
     )
     return (
-        candidates.withColumn("rn", F.row_number().over(w))
+        rescored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .orderBy("query_id", "rn")
     )

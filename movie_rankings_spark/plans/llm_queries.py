@@ -322,11 +322,13 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_exact(_emb(spark, sf_dir), _QUERY_IDS, k=5)
 
 
-@REGISTRY.register("similarity_cosine_topk_numpy")  # float64 GEMM ≠ decimal sum
+@REGISTRY.register("similarity_cosine_topk_numpy", _TOPK_ORACLE)
 def similarity_cosine_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow/numpy brute-force path (rows-only: float64 accumulation
-    order differs from the exact-decimal oracle; id-level agreement
-    with the exact variant is covered in tests/test_similarity.py)."""
+    """Arrow/numpy brute-force path. The float64 GEMM only prunes to a
+    per-batch candidate buffer; survivors are rescored with the same
+    exact-decimal cosine as the exact variant, so the brute-force
+    oracle applies verbatim (candidate-generate-then-exact-rescore is
+    also the 100 TB shape: vectorized scan, exact math on k rows)."""
     return similarity.cosine_topk_numpy(_emb(spark, sf_dir), _QUERY_IDS, k=5)
 
 
