@@ -71,6 +71,9 @@ HEADLINE_QUERIES = (
     "incremental_monthly_revenue",
     "sample_docs_weighted",
     "changelog_latest_snapshot",
+    "scd2_user_event_history",
+    "attribution_last_touch",
+    "layout_zorder_orders",
     "antijoin_inactive_customers",
     "percentiles_lineitem_price",
     "pivot_user_event_counts",

@@ -15,6 +15,7 @@ import movie_rankings_spark.plans.relational_ext_queries  # noqa: F401
 import movie_rankings_spark.plans.relational_queries  # noqa: F401
 import movie_rankings_spark.plans.streaming_queries  # noqa: F401
 import movie_rankings_spark.plans.tpch_wide_queries  # noqa: F401
+import movie_rankings_spark.plans.warehouse_queries  # noqa: F401
 from movie_rankings_spark.plans.registry import REGISTRY
 
 #: The correctness harness walks queries() in dict order and records a

@@ -1,0 +1,166 @@
+"""SCD2 history, last-touch attribution, z-order layout (round 3).
+
+Fixture-level semantics checks (the sf0.01 oracle equivalence is
+covered by tools/check_oracle.py / the driver): hand-computed
+intervals and attributions on small changelogs, including the
+tie/boundary cases the oracle data may never hit, plus the write-path
+clustering claim for the z-order layout.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from movie_rankings_spark.operators.attribution import last_touch_attribution
+from movie_rankings_spark.operators.layout import (
+    morton_interleave,
+    write_zordered,
+)
+from movie_rankings_spark.operators.scd2 import scd2_history
+
+TS0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [
+            (eid, TS0 + dt.timedelta(minutes=m), uid, etype, float(v))
+            for eid, m, uid, etype, v in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+
+
+class TestScd2:
+    def test_intervals_chain_and_current(self, spark):
+        ev = _ev(
+            spark,
+            [
+                (1, 0, 7, "click", 1.0),
+                (2, 10, 7, "click", 2.0),
+                (3, 25, 7, "click", 3.0),
+                (4, 5, 8, "view", 9.0),
+            ],
+        )
+        hist = scd2_history(
+            ev,
+            keys=["user_id", "event_type"],
+            version_cols=["ts", "event_id"],
+            payload_cols=["value"],
+        )
+        rows = {
+            (r["user_id"], r["event_id"]): r
+            for r in hist.collect()
+        }
+        # chain: each version's valid_to is the next version's valid_from
+        assert rows[(7, 1)]["valid_to"] == rows[(7, 2)]["valid_from"]
+        assert rows[(7, 2)]["valid_to"] == rows[(7, 3)]["valid_from"]
+        # exactly one current row per key, with open interval
+        assert rows[(7, 3)]["valid_to"] is None and rows[(7, 3)]["is_current"]
+        assert not rows[(7, 1)]["is_current"]
+        assert rows[(8, 4)]["is_current"]
+
+    def test_same_ts_breaks_ties_on_event_id(self, spark):
+        ev = _ev(spark, [(2, 0, 1, "click", 2.0), (1, 0, 1, "click", 1.0)])
+        hist = scd2_history(
+            ev,
+            keys=["user_id", "event_type"],
+            version_cols=["ts", "event_id"],
+            payload_cols=["value"],
+        ).collect()
+        by_id = {r["event_id"]: r for r in hist}
+        assert not by_id[1]["is_current"]
+        assert by_id[2]["is_current"]
+
+
+class TestAttribution:
+    def test_last_touch_within_window(self, spark):
+        ev = _ev(
+            spark,
+            [
+                (1, 0, 1, "view", 0.0),
+                (2, 30, 1, "click", 0.0),
+                (3, 60, 1, "purchase", 10.0),  # -> click (latest touch)
+                (4, 0, 2, "purchase", 5.0),  # no touch -> direct
+                (5, 0, 3, "view", 0.0),
+                # 25h later: outside the 24h lookback -> direct
+                (6, 25 * 60, 3, "purchase", 7.0),
+            ],
+        )
+        out = {
+            r["touch_type"]: r
+            for r in last_touch_attribution(ev, lookback_hours=24).collect()
+        }
+        assert out["click"]["conversions"] == 1
+        assert out["click"]["attributed_revenue"] == 10.0
+        assert out["direct"]["conversions"] == 2
+        assert out["direct"]["attributed_revenue"] == 12.0
+        assert "view" not in out  # click superseded the view
+
+    def test_touch_at_same_ts_needs_smaller_event_id(self, spark):
+        # touch sorts before the purchase only via event_id tie-break
+        ev = _ev(spark, [(1, 0, 1, "click", 0.0), (2, 0, 1, "purchase", 3.0)])
+        out = {r["touch_type"]: r for r in last_touch_attribution(ev).collect()}
+        assert out == {} or "click" in out  # deterministic: click wins
+        assert out["click"]["conversions"] == 1
+        # reversed ids: purchase sorts first, no preceding touch
+        ev2 = _ev(spark, [(2, 0, 1, "click", 0.0), (1, 0, 1, "purchase", 3.0)])
+        out2 = {r["touch_type"]: r for r in last_touch_attribution(ev2).collect()}
+        assert out2["direct"]["conversions"] == 1
+
+
+class TestZorderLayout:
+    def test_morton_interleave_known_values(self, spark):
+        df = spark.createDataFrame(
+            [(0, 0), (1, 0), (0, 1), (3, 5)], "a long, b long"
+        )
+        got = {
+            (r["a"], r["b"]): r["z"]
+            for r in df.select(
+                "a", "b", morton_interleave(F.col("a"), F.col("b")).alias("z")
+            ).collect()
+        }
+        # a bits at odd positions, b bits at even: (3,5) =
+        # a=0b11 -> bits 1,3 ; b=0b101 -> bits 0,4 -> 0b11011 = 27
+        assert got[(0, 0)] == 0
+        assert got[(1, 0)] == 2
+        assert got[(0, 1)] == 1
+        assert got[(3, 5)] == 27
+
+    def test_write_clusters_both_dimensions(self, spark, tmp_path):
+        # 64x64 grid, shuffled input: after z-order re-layout each of
+        # the 8 files must cover a small sub-rectangle of BOTH dims,
+        # not a full-range slice.
+        grid = spark.range(64 * 64).select(
+            (F.col("id") % 64).alias("a"), (F.col("id") / 64).cast("long").alias("b")
+        )
+        path = str(tmp_path / "zordered")
+        write_zordered(
+            grid.repartition(13), F.col("a"), F.col("b"), path, files=8
+        )
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                F.min("a").alias("a_min"),
+                F.max("a").alias("a_max"),
+                F.min("b").alias("b_min"),
+                F.max("b").alias("b_max"),
+            )
+            .collect()
+        )
+        assert len(per_file) == 8
+        # prunability, the property the layout exists for: a reader
+        # filtering on EITHER dimension's half-range must be able to
+        # skip files outside it. Most files sit fully inside one half
+        # of each dimension (files straddling a z-block boundary may
+        # span both halves of one dim — that's inherent, and bounded).
+        # A single-column sort scores 0 for the unsorted dimension.
+        a_clean = sum(1 for r in per_file if r["a_max"] < 32 or r["a_min"] >= 32)
+        b_clean = sum(1 for r in per_file if r["b_max"] < 32 or r["b_min"] >= 32)
+        assert a_clean >= 5, [tuple(r) for r in per_file]
+        assert b_clean >= 5, [tuple(r) for r in per_file]
