@@ -87,6 +87,8 @@ HEADLINE_QUERIES = (
     "similarity_cosine_topk_numpy",
     "similarity_ivf_topk",
     "similarity_ivf_kmeans_topk",
+    "similarity_pq_topk",
+    "dedup_semantic_clusters",
     "text_quality",
     "text_langid",
     "text_pii_redaction",

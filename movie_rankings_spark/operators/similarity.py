@@ -153,11 +153,16 @@ def cosine_topk_numpy(
 
 
 def ivf_assignments(
-    embeddings: DataFrame, centroids: np.ndarray
+    embeddings: DataFrame, centroids: np.ndarray, n_probes: int = 1
 ) -> DataFrame:
-    """Assign every vector to its nearest (normalized-dot) centroid.
-    The bucket id becomes the partitioning key for candidate probes."""
+    """Assign every vector to its ``n_probes`` nearest
+    (normalized-dot) centroids — one output row per (vector, probe).
+    The bucket id becomes the partitioning key for candidate probes;
+    n_probes > 1 is soft assignment (the build-side analogue of query
+    multi-probe), trading n_probes× replication for recall on pairs
+    that straddle a cluster boundary."""
     cent = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    p = min(n_probes, len(cent))
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -165,14 +170,19 @@ def ivf_assignments(
                 continue
             mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
             mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-            buckets = np.argmax(mat @ cent.T, axis=1).astype(np.int32)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
-                    "bucket": buckets,
-                    "embedding": pdf["embedding"],
-                }
-            )
+            sims = mat @ cent.T
+            if p == 1:
+                top = np.argmax(sims, axis=1)[:, None]
+            else:
+                top = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+            for j in range(p):
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                        "bucket": top[:, j].astype(np.int32),
+                        "embedding": pdf["embedding"],
+                    }
+                )
 
     return embeddings.select("vec_id", "embedding").mapInPandas(
         assign, "vec_id long, bucket int, embedding array<float>"

@@ -63,6 +63,12 @@ _UNSEEN_FIRST = (
     "histogram_totalprice",
     "corr_price_quantity",
     "similarity_ivf_kmeans_topk",
+    # round-3 additions (no driver row yet)
+    "scd2_user_event_history",
+    "attribution_last_touch",
+    "layout_zorder_orders",
+    "similarity_pq_topk",
+    "dedup_semantic_clusters",
     "stream_sliding_6h",
     "stream_session_windows",
     "stream_dedup_user_types",

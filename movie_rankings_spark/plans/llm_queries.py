@@ -403,6 +403,34 @@ def similarity_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@REGISTRY.register("similarity_pq_topk")  # ANN: PQ codes prune, recall<1
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/pq.py): per-subspace
+    codebooks, ADC lookup-table scoring over 8-byte codes, exact
+    rescore of the survivor set. Rows-only (approximate by
+    construction); recall against the exact ranking is gated in
+    tests/test_pq.py."""
+    from movie_rankings_spark.operators.pq import pq_topk
+
+    return pq_topk(
+        _emb(spark, sf_dir), _QUERY_IDS, k=5, m_subspaces=8, n_codes=16
+    )
+
+
+@REGISTRY.register("dedup_semantic_clusters")  # recall bounded by cluster purity
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style cluster-bucketed near-dup pairs
+    (operators/semdedup.py): k-means buckets, within-cluster
+    exact-decimal cosine. Rows-only (k-means float means are not
+    engine-neutral); precision is exact by construction and recall vs
+    the all-pairs verifier is gated in tests/test_pq.py."""
+    from movie_rankings_spark.operators.semdedup import semantic_dedup_pairs
+
+    return semantic_dedup_pairs(
+        _emb(spark, sf_dir), threshold=0.45, n_clusters=16
+    ).orderBy("vec_a", "vec_b")
+
+
 # --- sampling + vocabulary + characteristic terms ---------------------------
 
 _SAMPLE_ORACLE = """

@@ -55,10 +55,11 @@ def test_headline_queries_all_registered():
 
 
 def test_registry_head_prioritizes_unseen_queries():
-    """First 50 dict entries (the slice a capped correctness harness
-    checks) must contain every query that lacked a driver row in
-    CORRECTNESS_r01/r02."""
-    head = list(all_queries.QUERIES)[:50]
+    """The head of the dict (the slice a capped correctness harness
+    checks first) must be exactly the queries that lack a driver row
+    in CORRECTNESS_r01/r02 — nothing already-verified may displace
+    them."""
+    head = list(all_queries.QUERIES)[: len(all_queries._UNSEEN_FIRST)]
     for name in all_queries._UNSEEN_FIRST:
         assert name in all_queries.QUERIES, name
         assert name in head, name

@@ -269,6 +269,8 @@ _PYTHON_RESIDENT = {
     "similarity_cosine_topk_numpy",
     "similarity_ivf_topk",
     "similarity_ivf_kmeans_topk",  # Lloyd's assignment GEMM
+    "similarity_pq_topk",  # PQ encode + ADC LUT scan
+    "dedup_semantic_clusters",  # k-means assignment GEMM
     "vocab_heavy_hitters",  # per-partition candidate value_counts
 }
 
