@@ -7,20 +7,27 @@ verifier (dedup.embedding_cosine_pairs, O(n²)) and random-hyperplane
 LSH (dedup.embedding_lsh_pairs). Cluster bucketing trades LSH's
 per-pair probabilistic guarantee for much smaller candidate sets in
 clustered corpora: candidates are O(Σ cluster²) and every bucket is a
-plain groupBy key — at 100 TB the pair join is co-partitioned by
-cluster id, no band replication (LSH shuffles docs × bands copies).
-Recall is bounded by cluster purity (a near-dup pair split across two
-clusters is missed), which is the documented SemDeDup trade-off;
-tests/test_pq.py pins recall against the exact pairs on the planted
-corpus.
+plain groupBy key — at 100 TB the pair generation is co-partitioned by
+cluster id, no band replication (LSH shuffles docs × bands copies),
+and ``n_clusters`` scales with the corpus so per-cluster GEMMs stay
+bounded (SemDeDup runs ~10⁵ clusters at web scale). Recall is bounded
+by cluster purity (a near-dup pair split across two clusters is
+missed) — the documented SemDeDup trade-off; ``n_probes`` soft
+assignment buys it back at p× replication. tests/test_pq.py pins
+recall on planted tight duplicates.
 
-Pair scoring reuses the exact-decimal cosine, so precision is exact:
-every emitted pair truly clears the threshold.
+Candidate scoring is a per-cluster float64 gram matrix (Arrow batch,
+one numpy GEMM per bucket — the same vectorized-prune shape as
+similarity.cosine_topk_numpy); survivors are rescored with the
+exact-decimal cosine, so precision is exact: every emitted pair truly
+clears the threshold, with the same double the all-pairs verifier
+reports.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -31,6 +38,10 @@ from movie_rankings_spark.operators.similarity import (
     kmeans_centroids,
 )
 
+#: float-vs-exact-decimal slack on the prefilter cut (float64 cosine
+#: is within ~1e-12 of the exact value; 1e-6 is generous)
+_PREFILTER_EPS = 1e-6
+
 
 def semantic_dedup_pairs(
     embeddings: DataFrame,
@@ -40,12 +51,12 @@ def semantic_dedup_pairs(
     n_probes: int = 1,
 ) -> DataFrame:
     """(vec_a, vec_b, cosine) for within-cluster pairs at
-    cosine >= threshold; exact-decimal scoring on the bucketed
-    candidates. ``centroid_source`` as in similarity.ivf_topk;
+    cosine >= threshold; per-cluster GEMM prefilter, exact-decimal
+    rescore. ``centroid_source`` as in similarity.ivf_topk;
     ``n_probes`` > 1 soft-assigns each vector to its p nearest
-    clusters (p× replication) to also catch moderate-similarity pairs
-    that straddle a cluster boundary — plain SemDeDup (p=1) only
-    guarantees recall on tight duplicates, which co-cluster."""
+    clusters to also catch pairs that straddle a cluster boundary —
+    plain SemDeDup (p=1) only guarantees recall on tight duplicates,
+    which co-cluster."""
     if centroid_source == "kmeans":
         centroids = kmeans_centroids(embeddings, n_clusters)
     else:
@@ -57,20 +68,42 @@ def semantic_dedup_pairs(
         )
         centroids = np.array([r["embedding"] for r in head], dtype=np.float64)
 
-    assigned = ivf_assignments(embeddings, centroids, n_probes=n_probes).select(
+    assigned = ivf_assignments(embeddings, centroids, n_probes=n_probes)
+    cut = threshold - _PREFILTER_EPS
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": []}).astype(np.int64)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        gram = mat @ mat.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = gram[ia, ib] >= cut
+        a, b = ids[ia[keep]], ids[ib[keep]]
+        return pd.DataFrame(
+            {"vec_a": np.minimum(a, b), "vec_b": np.maximum(a, b)}
+        )
+
+    cand = assigned.groupBy("bucket").applyInPandas(
+        bucket_pairs, "vec_a long, vec_b long"
+    )
+    if n_probes > 1:
+        # a pair sharing several probed buckets surfaces once per
+        # shared bucket — keep one before the rescore
+        cand = cand.dropDuplicates(["vec_a", "vec_b"])
+
+    side = embeddings.select(
         "vec_id",
-        "bucket",
         "embedding",
         F.sqrt(norm_sq_exact(F.col("embedding"))).alias("nrm"),
     )
-    a = assigned.select(
-        "bucket",
+    a = side.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
         F.col("nrm").alias("nrm_a"),
     )
-    b = assigned.select(
-        "bucket",
+    b = side.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("emb_b"),
         F.col("nrm").alias("nrm_b"),
@@ -78,14 +111,9 @@ def semantic_dedup_pairs(
     cosine = dot_exact(F.col("emb_a"), F.col("emb_b")) / (
         F.col("nrm_a") * F.col("nrm_b")
     )
-    pairs = (
-        a.join(b, ["bucket"])  # co-partitioned equi-join on cluster id
-        .filter(F.col("vec_a") < F.col("vec_b"))
+    half = a.join(F.broadcast(cand), "vec_a")  # output ≈ |candidates|
+    return (
+        b.join(F.broadcast(half), "vec_b")
         .select("vec_a", "vec_b", cosine.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
-    if n_probes > 1:
-        # a pair sharing several probed buckets surfaces once per
-        # shared bucket with the identical exact cosine — keep one
-        pairs = pairs.dropDuplicates(["vec_a", "vec_b"])
-    return pairs
