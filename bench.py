@@ -102,6 +102,8 @@ HEADLINE_QUERIES = (
     "vocab_top_words",
     "vocab_heavy_hitters",
     "vocab_top_bigrams",
+    "bpe_pair_counts",
+    "embedding_jl_projection",
     "sample_docs_deterministic",
     "sample_stratified_by_lang",
     "mix_corpus_token_budget",
@@ -160,6 +162,8 @@ COMPACT_PRIORITY = (
     "text_langid",
     "text_pii_redaction",
     "vocab_top_words",
+    "bpe_pair_counts",
+    "embedding_jl_projection",
     "decontaminate_report",
     "mix_corpus_token_budget",
     "shuffle_docs_deterministic",

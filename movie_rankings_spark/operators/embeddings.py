@@ -56,3 +56,50 @@ def quantize_int8(embeddings: DataFrame, vec_col: str = "embedding") -> DataFram
         err.alias("max_abs_err"),
         "q",
     )
+
+
+def jl_project(
+    embeddings: DataFrame,
+    out_dim: int = 16,
+    seed: int = 13,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection: x → (R x) / √out_dim
+    with R a seeded Gaussian matrix — the standard dimensionality
+    reduction in front of ANN indexing and clustering (distances
+    preserved within ε w.h.p.; the distortion bound is pinned in
+    tests/test_warehouse_ops.py).
+
+    Map-only Arrow pass (one GEMM per batch); R is out_dim × in_dim —
+    KB-sized, it rides into the closure like a broadcast. Output keeps
+    the audit scalars a downstream check needs: original and projected
+    squared norms (their ratio is the per-vector distortion).
+    """
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        r_matrix = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            if r_matrix is None:
+                r_matrix = np.random.RandomState(seed).standard_normal(
+                    (out_dim, mat.shape[1])
+                ) / np.sqrt(out_dim)
+            proj = mat @ r_matrix.T
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "proj": list(proj.astype(np.float32)),
+                    "orig_norm_sq": (mat**2).sum(axis=1),
+                    "proj_norm_sq": (proj**2).sum(axis=1),
+                }
+            )
+
+    return embeddings.select("vec_id", vec_col).mapInPandas(
+        project,
+        "vec_id long, proj array<float>, orig_norm_sq double, proj_norm_sq double",
+    )

@@ -69,6 +69,8 @@ _UNSEEN_FIRST = (
     "layout_zorder_orders",
     "similarity_pq_topk",
     "dedup_semantic_clusters",
+    "bpe_pair_counts",
+    "embedding_jl_projection",
     "stream_sliding_6h",
     "stream_session_windows",
     "stream_dedup_user_types",

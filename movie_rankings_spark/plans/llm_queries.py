@@ -744,6 +744,50 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@REGISTRY.register("embedding_jl_projection")  # seeded Gaussian: no SQL twin
+def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss 64→16 random projection
+    (operators/embeddings.py::jl_project), map-only Arrow GEMM.
+    Rows-only: the seeded Gaussian matrix has no engine-neutral SQL
+    twin; per-vector distortion audit columns ride along and the JL
+    distance-preservation bound is pinned in
+    tests/test_warehouse_ops.py."""
+    from movie_rankings_spark.operators.embeddings import jl_project
+
+    return (
+        jl_project(_emb(spark, sf_dir), out_dim=16)
+        .select("vec_id", "orig_norm_sq", "proj_norm_sq", "proj")
+        .orderBy("vec_id")
+    )
+
+
+_BPE_ORACLE = """
+WITH freq AS (
+  SELECT word, COUNT(*) AS wc
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  GROUP BY word
+),
+pairs AS (
+  SELECT substring(word, CAST(i AS INT), 2) AS pair, wc
+  FROM freq, LATERAL unnest(range(1, length(word))) AS t(i)
+  WHERE length(word) >= 2
+)
+SELECT pair, CAST(SUM(wc) AS BIGINT) AS n
+FROM pairs GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 30
+"""
+
+
+@REGISTRY.register("bpe_pair_counts", _BPE_ORACLE)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-candidate statistics (operators/tokenizer.py): top
+    adjacent character pairs weighted by word frequency. The explode
+    runs over the DISTINCT-word table (vocab-sized), never the token
+    stream — the map-side-combine shape real BPE trainers use."""
+    from movie_rankings_spark.operators.tokenizer import bpe_pair_counts as bpe
+
+    return bpe(_docs(spark, sf_dir), k=30)
+
+
 _LM_SCORE_ORACLE = """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 bi AS (

@@ -271,6 +271,7 @@ _PYTHON_RESIDENT = {
     "similarity_ivf_kmeans_topk",  # Lloyd's assignment GEMM
     "similarity_pq_topk",  # PQ encode + ADC LUT scan
     "dedup_semantic_clusters",  # k-means assignment GEMM
+    "embedding_jl_projection",  # seeded-Gaussian GEMM
     "vocab_heavy_hitters",  # per-partition candidate value_counts
 }
 

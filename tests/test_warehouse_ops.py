@@ -164,3 +164,40 @@ class TestZorderLayout:
         b_clean = sum(1 for r in per_file if r["b_max"] < 32 or r["b_min"] >= 32)
         assert a_clean >= 5, [tuple(r) for r in per_file]
         assert b_clean >= 5, [tuple(r) for r in per_file]
+
+
+class TestTokenizerAndJl:
+    def test_bpe_pair_counts_hand_computed(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "ab ab cd"), (2, "ab x")], "doc_id long, text string"
+        )
+        from movie_rankings_spark.operators.tokenizer import bpe_pair_counts
+
+        got = {r["pair"]: r["n"] for r in bpe_pair_counts(docs, k=10).collect()}
+        # "ab" occurs 3 times (weight 3), "cd" once, "x" has no pair
+        assert got == {"ab": 3, "cd": 1}
+
+    def test_jl_projection_preserves_geometry(self, spark, sf_dir):
+        from movie_rankings_spark.catalog import load_table
+        from movie_rankings_spark.operators.embeddings import jl_project
+
+        out = jl_project(
+            load_table(spark, sf_dir, "embeddings"), out_dim=16
+        ).collect()
+        assert all(len(r["proj"]) == 16 for r in out)
+        # norm distortion: E[proj_norm²] = orig_norm² per vector; at
+        # out_dim 16 individual ratios concentrate within ~3σ ≈ ±1.1
+        # and the corpus MEAN ratio within a few percent
+        ratios = [
+            r["proj_norm_sq"] / r["orig_norm_sq"]
+            for r in out
+            if r["orig_norm_sq"] > 0
+        ]
+        mean = sum(ratios) / len(ratios)
+        assert 0.9 < mean < 1.1, mean
+        assert all(0.05 < x < 4.0 for x in ratios)
+        # deterministic across runs (seeded matrix)
+        again = jl_project(
+            load_table(spark, sf_dir, "embeddings"), out_dim=16
+        ).collect()
+        assert [r["proj"] for r in out] == [r["proj"] for r in again]
