@@ -89,6 +89,7 @@ HEADLINE_QUERIES = (
     "similarity_ivf_kmeans_topk",
     "similarity_pq_topk",
     "dedup_semantic_clusters",
+    "pagerank_copurchase",
     "text_quality",
     "text_langid",
     "text_pii_redaction",
@@ -164,6 +165,7 @@ COMPACT_PRIORITY = (
     "vocab_top_words",
     "bpe_pair_counts",
     "embedding_jl_projection",
+    "pagerank_copurchase",
     "decontaminate_report",
     "mix_corpus_token_budget",
     "shuffle_docs_deterministic",

@@ -1,0 +1,130 @@
+"""Join-based PageRank (Page et al. 1999) — the second iterative-graph
+operator next to connected components (operators/components.py).
+
+Each power iteration is one co-partitioned equi-join (contributions =
+rank/out-degree shipped along edges) plus one partial-aggregated
+groupBy — the classic Pregel-style message pass expressed as
+DataFrame ops. No driver-side graph: edges and ranks live as
+DataFrames end-to-end, per-round persist/unpersist bounds lineage
+exactly like the CC loop. At 100 TB the per-round cost is one shuffle
+of the edge table keyed by src (static — AQE reuses the layout) and
+one of the contribution table keyed by dst; rank state is
+O(|nodes|).
+
+Dangling nodes (no out-edges) follow the standard treatment: their
+mass redistributes uniformly, folded in as a per-round scalar (a
+1-row aggregate broadcast into the update expression, never a
+Window-over-()).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    n_iterations: int = 10,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """(node, rank) after ``n_iterations`` power steps; ranks sum to
+    1.0 (within float tolerance). Edges are directed; pass both
+    directions for an undirected graph.
+
+    ``shuffle_partitions`` pins the exchange width for the iteration
+    (restored afterwards): rank/contribution state is |nodes|-sized —
+    often far smaller than the session default sized for fact scans —
+    and an iterative loop pays per-task overhead × rounds, so
+    right-sizing it matters more here than anywhere else. Leave None
+    to inherit the session setting (the 100 TB default)."""
+    spark = edges.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        return _pagerank(edges, src, dst, damping, n_iterations)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def _pagerank(
+    edges: DataFrame, src: str, dst: str, damping: float, n_iterations: int
+) -> DataFrame:
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # edge table annotated with 1/deg once — static across rounds
+    weighted = e.join(out_deg, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("deg")).alias("w")
+    ).persist()
+    weighted.count()
+    # dangling nodes (no out-edges) need a per-round mass scalar; a
+    # graph without them (any symmetric graph) skips that round-trip
+    has_dangling = n > e.select("src").distinct().count()
+
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+    for _ in range(n_iterations):
+        # localCheckpoint (not persist): it TRUNCATES the logical
+        # plan. persist alone leaves each round's plan nested inside
+        # the next — 10 rounds of joins whose AQE tree rendering
+        # (current + initial plan per nesting level) blows the driver
+        # heap. At 100 TB you would checkpoint to reliable storage
+        # every few rounds instead; the per-round shape is unchanged.
+        contribs = (
+            weighted.join(ranks, weighted["src"] == ranks["node"])
+            .select("dst", (F.col("rank") * F.col("w")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("mass"))
+        )
+        if has_dangling:
+            # contribs feeds BOTH the scalar and the update: checkpoint
+            # first or the lineage doubles per round
+            contribs = contribs.localCheckpoint()
+            flowed = contribs.agg(F.sum("mass")).collect()[0][0] or 0.0
+            dangling = 1.0 - flowed
+        else:
+            dangling = 0.0  # all mass flows along edges, exactly
+        ranks = nodes.join(
+            contribs, nodes["node"] == contribs["dst"], "left"
+        ).select(
+            "node",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping)
+                * (F.coalesce(F.col("mass"), F.lit(0.0)) + F.lit(dangling / n))
+            ).alias("rank"),
+        )
+        ranks = ranks.localCheckpoint()
+    nodes.unpersist()
+    weighted.unpersist()
+    return ranks
+
+
+def copurchase_edges(lineitem: DataFrame, max_basket: int = 30) -> DataFrame:
+    """Directed item-item edges: parts sharing an order, both
+    directions. Built per order via collect_set + pair explode, so the
+    work is bounded by basket size (quadratic in items-per-order,
+    never in orders); baskets above ``max_basket`` items are dropped
+    as degenerate (the standard guard that keeps a pathological
+    mega-basket from emitting millions of pairs)."""
+    baskets = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts"))
+        .filter((F.size("parts") >= 2) & (F.size("parts") <= max_basket))
+    )
+    pairs = baskets.select(
+        F.explode("parts").alias("src"), F.col("parts")
+    ).select("src", F.explode("parts").alias("dst")).filter(
+        F.col("src") != F.col("dst")
+    )
+    return pairs.distinct()

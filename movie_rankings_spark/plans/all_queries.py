@@ -71,6 +71,7 @@ _UNSEEN_FIRST = (
     "dedup_semantic_clusters",
     "bpe_pair_counts",
     "embedding_jl_projection",
+    "pagerank_copurchase",
     "stream_sliding_6h",
     "stream_session_windows",
     "stream_dedup_user_types",

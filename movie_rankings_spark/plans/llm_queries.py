@@ -272,6 +272,27 @@ def dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_components(pairs).orderBy("rep_doc_id")
 
 
+@REGISTRY.register("pagerank_copurchase")  # iterative float: no SQL twin
+def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-based PageRank over the item co-purchase graph
+    (operators/pagerank.py): parts sharing an order, both directions;
+    10 power iterations, each one edge join + one partial-aggregated
+    groupBy, no driver-side graph. Rows-only (iterative float
+    accumulation); conservation (Σrank=1), hand-computed small-graph
+    values, and dangling-mass handling are pinned in
+    tests/test_pagerank.py. Top 20 by rank."""
+    from movie_rankings_spark.catalog import load_table
+    from movie_rankings_spark.operators.pagerank import copurchase_edges, pagerank
+
+    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    pr = pagerank(edges, n_iterations=10, shuffle_partitions=8)
+    return (
+        pr.select(F.col("node").alias("l_partkey"), "rank")
+        .orderBy(F.desc("rank"), F.asc("l_partkey"))
+        .limit(20)
+    )
+
+
 @REGISTRY.register("dedup_simhash")  # fingerprints are hash-function-specific
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (rows-only: the 48-bit fingerprint is
