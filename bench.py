@@ -105,6 +105,8 @@ HEADLINE_QUERIES = (
     "vocab_top_bigrams",
     "bpe_pair_counts",
     "embedding_jl_projection",
+    "split_train_val_test",
+    "collocations_lift",
     "sample_docs_deterministic",
     "sample_stratified_by_lang",
     "mix_corpus_token_budget",

@@ -556,3 +556,82 @@ def repetition_bigram_stats(docs: DataFrame, flag_threshold: float = 0.18) -> Da
         ratio.alias("top_bigram_ratio"),
         (ratio > flag_threshold).alias("flagged"),
     )
+
+
+def hash_split_summary(docs: DataFrame) -> DataFrame:
+    """Deterministic train/val/test assignment + per-(split, lang)
+    accounting. The split key is md5(doc_id) chars 31-32 read as a
+    byte (256 buckets): test = buckets 0-12 (~5%), val = 13-25 (~5%),
+    train = the rest (~90%) — stable under retries, re-partitioning,
+    and engines (the same guarantee as hash_sample), and disjoint from
+    the sampling buckets (chars 32 / 25-30) so splits and samples
+    compose without correlation. Zero shuffle until the tiny summary
+    aggregate."""
+    b = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 31, 2), 16, 10).cast(
+        "int"
+    )
+    split = (
+        F.when(b < 13, F.lit("test")).when(b < 26, F.lit("val")).otherwise("train")
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars_total"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+def collocation_lift(docs: DataFrame, k: int = 20, min_count: int = 5) -> DataFrame:
+    """Top-k word collocations by lift = P(ab) / (P(a)·P(b)) — PMI
+    without the log, so the statistic stays an exact ratio of integer
+    counts that any engine reproduces bit-for-bit (c_ab·N and c_a·c_b
+    are < 2^53, exactly representable doubles; one division each).
+
+    Scale shape: unigram and bigram counts are partial-aggregated
+    (vocab-sized shuffles); the bigram table is pre-filtered by
+    ``min_count`` and broadcast into the two unigram joins, so the
+    vocabulary never shuffles twice; N is a 1-row aggregate, never a
+    Window-over-()."""
+    from movie_rankings_spark.functions.text import word_shingles
+
+    uni = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = (
+        docs.select(F.explode(word_shingles(F.col("text"), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    n_tokens = uni.agg(F.sum("c").alias("n_tokens"))
+    parts = F.split(F.col("bigram"), " ")
+    # each join broadcasts the bigram-sized side; the vocab-sized
+    # unigram table streams through both probes without shuffling
+    half = uni.select(F.col("word").alias("_w1"), F.col("c").alias("c_a")).join(
+        F.broadcast(
+            bi.select("bigram", "c_ab", parts[0].alias("_w1"), parts[1].alias("_w2"))
+        ),
+        "_w1",
+    )
+    scored = (
+        uni.select(F.col("word").alias("_w2"), F.col("c").alias("c_b"))
+        .join(F.broadcast(half), "_w2")
+        .crossJoin(F.broadcast(n_tokens))
+    )
+    return (
+        scored.select(
+            "bigram",
+            "c_ab",
+            (
+                (F.col("c_ab") * F.col("n_tokens")).cast("double")
+                / (F.col("c_a") * F.col("c_b")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("bigram"))
+        .limit(k)
+    )

@@ -72,6 +72,8 @@ _UNSEEN_FIRST = (
     "bpe_pair_counts",
     "embedding_jl_projection",
     "pagerank_copurchase",
+    "split_train_val_test",
+    "collocations_lift",
     "stream_sliding_6h",
     "stream_session_windows",
     "stream_dedup_user_types",

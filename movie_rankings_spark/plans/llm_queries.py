@@ -272,6 +272,64 @@ def dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_components(pairs).orderBy("rep_doc_id")
 
 
+_SPLIT_ORACLE = """
+SELECT CASE WHEN b < 13 THEN 'test' WHEN b < 26 THEN 'val'
+            ELSE 'train' END AS split,
+       lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+FROM (SELECT lang, n_chars,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 31, 2)
+                  AS INT) AS b
+      FROM documents)
+GROUP BY split, lang ORDER BY split, lang
+"""
+
+
+@REGISTRY.register("split_train_val_test", _SPLIT_ORACLE)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~90/5/5 train/val/test assignment by md5 byte
+    (textops.hash_split_summary) with per-(split, lang) accounting —
+    stable under retries/re-partitioning/engines, bucket range
+    disjoint from the sampling queries' md5 chars so splits and
+    samples compose without correlation."""
+    return textops.hash_split_summary(_docs(spark, sf_dir))
+
+
+_WORDS_SQL = "string_split(text, ' ')"
+
+_LIFT_ORACLE = f"""
+WITH toks AS (SELECT unnest({_WORDS_SQL}) AS word FROM documents),
+uni AS (SELECT word, COUNT(*) AS c FROM toks GROUP BY word),
+n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens FROM uni),
+bi AS (
+  SELECT ngram AS bigram, COUNT(*) AS c_ab FROM (
+    SELECT unnest(list_transform(range(1, len({_WORDS_SQL})),
+                  i -> concat_ws(' ', {_WORDS_SQL}[i], {_WORDS_SQL}[i+1])))
+           AS ngram
+    FROM documents
+  ) GROUP BY ngram HAVING COUNT(*) >= 5
+)
+SELECT b.bigram, b.c_ab,
+       CAST(b.c_ab * n.n_tokens AS DOUBLE)
+         / CAST(u1.c * u2.c AS DOUBLE) AS lift
+FROM bi b
+CROSS JOIN n
+JOIN uni u1 ON u1.word = string_split(b.bigram, ' ')[1]
+JOIN uni u2 ON u2.word = string_split(b.bigram, ' ')[2]
+ORDER BY lift DESC, bigram ASC LIMIT 20
+"""
+
+
+@REGISTRY.register("collocations_lift", _LIFT_ORACLE)
+def collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction by lift = P(ab)/(P(a)P(b)) — PMI minus
+    the log, kept as an exact integer-count ratio so both engines
+    produce identical doubles (textops.collocation_lift: bigram side
+    pre-filtered and broadcast, vocabulary never shuffles twice, N as
+    a 1-row aggregate)."""
+    return textops.collocation_lift(_docs(spark, sf_dir), k=20, min_count=5)
+
+
 @REGISTRY.register("pagerank_copurchase")  # iterative float: no SQL twin
 def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-based PageRank over the item co-purchase graph

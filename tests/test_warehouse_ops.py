@@ -201,3 +201,37 @@ class TestTokenizerAndJl:
             load_table(spark, sf_dir, "embeddings"), out_dim=16
         ).collect()
         assert [r["proj"] for r in out] == [r["proj"] for r in again]
+
+
+class TestSplitAndCollocations:
+    def test_split_ratios_and_stability(self, spark, sf_dir):
+        from movie_rankings_spark.catalog import load_table
+        from movie_rankings_spark.operators.textops import hash_split_summary
+
+        docs = load_table(spark, sf_dir, "documents")
+        total = docs.count()
+        out = hash_split_summary(docs).collect()
+        by_split = {}
+        for r in out:
+            by_split[r["split"]] = by_split.get(r["split"], 0) + r["n_docs"]
+        assert sum(by_split.values()) == total
+        # 13/256 ≈ 5.1% each for test/val; generous bounds at 500 docs
+        assert 0.01 * total < by_split.get("test", 0) < 0.12 * total
+        assert 0.01 * total < by_split.get("val", 0) < 0.12 * total
+        assert by_split["train"] > 0.8 * total
+        # deterministic
+        assert out == hash_split_summary(docs).collect()
+
+    def test_collocation_lift_hand_computed(self, spark):
+        from movie_rankings_spark.operators.textops import collocation_lift
+
+        # "a b" always together (lift high); "c d" independent-ish
+        docs = spark.createDataFrame(
+            [(i, "a b c") for i in range(5)] + [(9, "c d"), (10, "d c")],
+            "doc_id long, text string",
+        )
+        got = {r["bigram"]: r for r in collocation_lift(docs, k=10, min_count=5).collect()}
+        # tokens: a×5, b×5, c×7, d×2, N=19; c_ab("a b")=5
+        assert got["a b"]["c_ab"] == 5
+        assert got["a b"]["lift"] == (5 * 19) / (5 * 5)
+        assert "c d" not in got  # c_ab = 1 < min_count
