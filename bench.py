@@ -79,6 +79,7 @@ HEADLINE_QUERIES = (
     "pivot_user_event_counts",
     "udaf_price_median",
     "distinct_parts_per_supplier",
+    "hll_users_mergeable_rollup",
     "dedup_exact_groups",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

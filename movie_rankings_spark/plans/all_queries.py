@@ -74,6 +74,7 @@ _UNSEEN_FIRST = (
     "pagerank_copurchase",
     "split_train_val_test",
     "collocations_lift",
+    "hll_users_mergeable_rollup",
     "stream_sliding_6h",
     "stream_session_windows",
     "stream_dedup_user_types",

@@ -324,6 +324,31 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@REGISTRY.register("hll_users_mergeable_rollup")  # sketch bytes are engine-specific
+def hll_users_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count rollup — the pattern approx_count_
+    distinct can't express: materialize per-(event_type, day)
+    Datasketches HLL sketches once, then answer the coarser level by
+    UNIONING sketches (hll_union_agg) instead of rescanning events.
+    At 100 TB the daily sketch table is the stored artifact (KBs per
+    group); every dashboard rollup above it is sketch-merge only.
+    Rows-only (sketch estimates are engine-specific); the estimate-
+    vs-exact tolerance and the union-vs-rescan identity are pinned in
+    tests/test_plan_shapes.py."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id", 14).alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # --- §2g: window analytics over events -------------------------------------
 
 _WINDOW_ORACLE = """

@@ -367,3 +367,35 @@ def test_repetition_bigram_single_tokenize_no_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "quality_repetition_bigram")
     assert plan.count("split(text") == 1
     assert "Join" not in plan
+
+
+def test_hll_union_matches_direct_sketch_and_exact(spark, sf_dir):
+    """The mergeable-rollup contract: unioning daily sketches must
+    estimate the same count as sketching the whole column directly
+    (identical sketch algorithm, same lgK), and land within 5% of the
+    exact distinct count."""
+    from pyspark.sql import functions as F
+    from movie_rankings_spark.catalog import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    merged = {
+        r["event_type"]: r["approx_users"]
+        for r in all_queries.QUERIES["hll_users_mergeable_rollup"](
+            spark, sf_dir
+        ).collect()
+    }
+    direct = {
+        r["event_type"]: r["est"]
+        for r in e.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 14)).alias("est"))
+        .collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert merged == direct  # union of partials == one-shot sketch
+    for t, est in merged.items():
+        assert abs(est - exact[t]) / exact[t] < 0.05, (t, est, exact[t])
