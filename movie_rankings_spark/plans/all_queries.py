@@ -20,11 +20,12 @@ from movie_rankings_spark.plans.registry import REGISTRY
 
 #: The correctness harness walks queries() in dict order and records a
 #: row for the first ~50 only; rounds 1–2 covered the same head of the
-#: list, so these 47 queries have no driver correctness row yet
-#: (CORRECTNESS_r01/r02). They go FIRST this round — cheap batch shapes
-#: before the ~1 s streaming-engine runs — so that across rounds every
-#: oracle-backed query accumulates a driver-verified row. Rotate again
-#: next round if any remain uncovered.
+#: list, so these 58 queries (47 never-checked from r1/r2 + the 11
+#: round-3 additions) have no driver correctness row yet. They go
+#: FIRST — cheap batch shapes before the ~1 s streaming-engine runs —
+#: so that across rounds every oracle-backed query accumulates a
+#: driver-verified row. Rotate again next round: whatever the r3 run
+#: still didn't reach (the streaming tail) becomes the new head.
 _UNSEEN_FIRST = (
     "setops_repeat_customers",
     "antijoin_inactive_customers",
