@@ -25,6 +25,7 @@ from movie_rankings_spark.session import get_spark  # noqa: E402
 HEADLINE_QUERIES = (
     "flagship_tpch",
     "flagship_scraped",
+    "flagship_scraped_dsv2",
     "q1_pricing_summary",
     "sql_api_pricing_summary",
     "q3_shipping_priority",

@@ -76,6 +76,7 @@ _UNSEEN_FIRST = (
     "split_train_val_test",
     "collocations_lift",
     "hll_users_mergeable_rollup",
+    "flagship_scraped_dsv2",
     "stream_sliding_6h",
     "stream_session_windows",
     "stream_dedup_user_types",

@@ -90,6 +90,33 @@ def flagship_scraped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagship(scraped, n_sources=3, k=10)
 
 
+@REGISTRY.register("flagship_scraped_dsv2", _SCRAPED_ORACLE)
+def flagship_scraped_dsv2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same pipeline through the Python DataSource V2 front-end
+    (sources/datasource.py): `spark.read.format("movie_rankings")`,
+    one InputPartition per URL so the engine owns per-source
+    scheduling and retry. Identical oracle to flagship_scraped — the
+    two ingestion paths must be indistinguishable downstream."""
+    import json as _json
+
+    from movie_rankings_spark.sources import datasource
+    from movie_rankings_spark.sources.scrape_fixtures import FIXTURE_SOURCES
+
+    datasource.register(spark)
+    scraped = (
+        spark.read.format("movie_rankings")
+        .option("fetcher", "fixture")
+        .option(
+            "sources",
+            _json.dumps(
+                [{"url": s.url, "dialect": s.dialect} for s in FIXTURE_SOURCES]
+            ),
+        )
+        .load()
+    )
+    return flagship(scraped, n_sources=3, k=10)
+
+
 _TPCH_ORACLE = f"""
 WITH rev AS (
   SELECT l.l_suppkey AS suppkey, p.p_partkey AS partkey, p.p_name AS title,
