@@ -235,13 +235,24 @@ def minhash_neardup_pairs(
 SIMHASH_BITS = 48  # keeps the fingerprint a positive BIGINT
 
 
-def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+def simhash_fingerprints(docs: DataFrame, hash_fn: str = "md5") -> DataFrame:
     """48-bit SimHash over whitespace tokens: per bit, sum ±1 across
     token hashes; the sign becomes the bit. One explode + one
-    aggregation; 48 conditional sums stay in a single HashAggregate."""
+    aggregation; 48 conditional sums stay in a single HashAggregate.
+
+    ``hash_fn``: "md5" (default) takes the first 48 bits of
+    md5(token) — engine-portable, so the fingerprints (and therefore
+    the whole near-dup pair set) are reproducible in any engine and
+    the registered query is exactly oracle-checkable. "xxhash64" is
+    the faster engine-local alternative (same plan shape, cheaper
+    per-token hash) when cross-engine reproducibility isn't needed."""
+    if hash_fn == "md5":
+        h = F.conv(F.substring(F.md5(F.col("tok")), 1, 12), 16, 10).cast("long")
+    else:
+        h = F.xxhash64("tok")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", h)
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
@@ -260,12 +271,14 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     return agg.select("doc_id", fingerprint.alias("simhash"))
 
 
-def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
+def simhash_neardup_pairs(
+    docs: DataFrame, max_hamming: int = 6, hash_fn: str = "md5"
+) -> DataFrame:
     """Hamming-ball pairs via pigeonhole chunking: split 48 bits into
     4 chunks of 12; any pair within hamming<=max_hamming<=... shares at
     least one exact chunk when max_hamming < 4, and chunk-equality is
     an equi-join. Verification = bit_count(xor) <= max_hamming."""
-    fp = simhash_fingerprints(docs)
+    fp = simhash_fingerprints(docs, hash_fn=hash_fn)
     chunks = fp.select(
         "doc_id",
         "simhash",

@@ -351,11 +351,48 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@REGISTRY.register("dedup_simhash")  # fingerprints are hash-function-specific
+_SIMHASH_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+h AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(tok), 1, 12) AS BIGINT) AS h
+  FROM toks
+),
+bits AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, LATERAL unnest(range(0, 48)) AS t(b)
+  GROUP BY doc_id, b
+),
+fp AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0
+                       THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+                       ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+),
+chunks AS (
+  SELECT doc_id, simhash, (simhash >> CAST(c * 12 AS INT)) & 4095 AS val, c
+  FROM fp, LATERAL unnest(range(0, 4)) AS t(c)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM chunks a JOIN chunks b ON a.c = b.c AND a.val = b.val
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= 6
+ORDER BY doc_a, doc_b
+"""
+
+
+@REGISTRY.register("dedup_simhash", _SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only: the 48-bit fingerprint is
-    xxhash64-derived and has no engine-neutral oracle; precision is
-    covered by tests/test_dedup.py against the exact Jaccard pairs)."""
+    """SimHash near-dup pairs, exactly oracle-checkable (r3): the
+    48-bit fingerprint takes md5(token)'s first 48 bits — engine-
+    portable, so DuckDB reproduces fingerprints, pigeonhole chunks,
+    and the hamming verification bit-for-bit. Precision vs exact
+    Jaccard pairs additionally covered by tests/test_dedup.py."""
     return dedup.simhash_neardup_pairs(_docs(spark, sf_dir), max_hamming=6).orderBy(
         "doc_a", "doc_b"
     )
