@@ -235,3 +235,80 @@ class TestSplitAndCollocations:
         assert got["a b"]["c_ab"] == 5
         assert got["a b"]["lift"] == (5 * 19) / (5 * 5)
         assert "c d" not in got  # c_ab = 1 < min_count
+
+
+class TestMortonProperties:
+    def test_interleave_roundtrip_property(self, spark):
+        """Deinterleaving recovers both inputs for arbitrary 16-bit
+        values — the interleave is a bijection on (a, b) pairs."""
+        import random
+
+        rng = random.Random(3)
+        rows = [(rng.randrange(1 << 16), rng.randrange(1 << 16)) for _ in range(200)]
+        df = spark.createDataFrame(rows, "a long, b long")
+        z = morton_interleave(F.col("a"), F.col("b"))
+        # reconstruct a from odd bits, b from even bits
+        a_back = None
+        b_back = None
+        for i in range(16):
+            a_bit = F.shiftleft(
+                F.shiftright(z, 2 * i + 1).bitwiseAND(F.lit(1)), i
+            )
+            b_bit = F.shiftleft(F.shiftright(z, 2 * i).bitwiseAND(F.lit(1)), i)
+            a_back = a_bit if a_back is None else a_back.bitwiseOR(a_bit)
+            b_back = b_bit if b_back is None else b_back.bitwiseOR(b_bit)
+        got = df.select("a", "b", a_back.alias("a2"), b_back.alias("b2")).collect()
+        for r in got:
+            assert r["a"] == r["a2"] and r["b"] == r["b2"], tuple(r)
+
+    def test_z_adjacency_locality(self, spark):
+        """Consecutive z-values differ in (a, b) by at most 1 in each
+        coordinate within an aligned 4-block — the locality the layout
+        relies on (weak but cheap canary; the real guarantee is the
+        prunability test above)."""
+        df = spark.createDataFrame(
+            [(a, b) for a in range(8) for b in range(8)], "a long, b long"
+        )
+        rows = sorted(
+            df.select(
+                "a", "b", morton_interleave(F.col("a"), F.col("b")).alias("z")
+            ).collect(),
+            key=lambda r: r["z"],
+        )
+        # within each aligned pair (z even, z+1): only b's low bit flips
+        for i in range(0, len(rows), 2):
+            r0, r1 = rows[i], rows[i + 1]
+            assert r1["z"] == r0["z"] + 1
+            assert r0["a"] == r1["a"] and abs(r0["b"] - r1["b"]) == 1
+
+
+class TestScd2Properties:
+    def test_intervals_tile_without_overlap(self, spark):
+        """Per key, sorted intervals chain exactly: valid_from[i+1] ==
+        valid_to[i], one open interval per key, no gaps or overlaps —
+        for a randomized changelog."""
+        import random
+
+        rng = random.Random(7)
+        rows = []
+        eid = 0
+        for uid in range(20):
+            for _ in range(rng.randrange(1, 8)):
+                eid += 1
+                rows.append((eid, rng.randrange(0, 10_000), uid, "set", 1.0))
+        ev = _ev(spark, rows)
+        hist = scd2_history(
+            ev,
+            keys=["user_id", "event_type"],
+            version_cols=["ts", "event_id"],
+            payload_cols=["value"],
+        ).collect()
+        by_key: dict = {}
+        for r in hist:
+            by_key.setdefault((r["user_id"], r["event_type"]), []).append(r)
+        for key, ivs in by_key.items():
+            ivs.sort(key=lambda r: (r["valid_from"], r["event_id"]))
+            opens = [r for r in ivs if r["valid_to"] is None]
+            assert len(opens) == 1 and ivs[-1]["valid_to"] is None, key
+            for prev, nxt in zip(ivs, ivs[1:]):
+                assert prev["valid_to"] == nxt["valid_from"], key
