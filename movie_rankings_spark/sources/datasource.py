@@ -25,7 +25,12 @@ from __future__ import annotations
 
 import json
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from movie_rankings_spark.sources.html import (
     DEFAULT_SOURCES,
@@ -52,6 +57,9 @@ class RankingsDataSource(DataSource):
 
     def reader(self, schema) -> "RankingsReader":
         return RankingsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "RankingsStreamReader":
+        return RankingsStreamReader(self.options)
 
 
 class RankingsReader(DataSourceReader):
@@ -86,6 +94,57 @@ class RankingsReader(DataSourceReader):
                 yield (partition.url, rank, title)
         except Exception:  # noqa: BLE001 — S2: source dropout ≠ job failure
             return
+
+
+class RankingsStreamReader(SimpleDataSourceStreamReader):
+    """`spark.readStream.format("movie_rankings")` — a polling stream:
+    each micro-batch re-fetches every source (the streaming version of
+    the reference's one-shot scrape). The offset is the poll counter,
+    so replay (`readBetweenOffsets`) re-fetches the same sources —
+    exactly-once delivery downstream relies on the fetch being
+    deterministic per poll (true for fixtures; a production HTTP feed
+    would log payloads to make replays faithful, the standard
+    Kafka-less source pattern). ``max_polls`` bounds the feed (the
+    offset stops advancing), letting tests drain it deterministically.
+    """
+
+    def __init__(self, options):
+        inner = RankingsReader(options)
+        self.sources = inner.sources
+        self.fetcher = inner.fetcher
+        self.max_polls = int(options.get("max_polls", "0") or 0)  # 0 = unbounded
+
+    def initialOffset(self) -> dict:
+        return {"poll": 0}
+
+    def _scrape_once(self):
+        from movie_rankings_spark.sources.html import DIALECTS, http_fetch
+
+        if self.fetcher == "fixture":
+            from movie_rankings_spark.sources.scrape_fixtures import FixtureFetcher
+
+            fetch = FixtureFetcher()
+        else:
+            fetch = http_fetch
+        for s in self.sources:
+            try:
+                html = fetch(s.url)
+                for rank, title in DIALECTS[s.dialect](html):
+                    yield (s.url, rank, title)
+            except Exception:  # noqa: BLE001 — dropout ≠ stream failure
+                continue
+
+    def read(self, start: dict):
+        p = start["poll"]
+        if self.max_polls and p >= self.max_polls:
+            return iter([]), {"poll": p}
+        # materialized: the engine's prefetch cache copies this
+        # iterator (copy.copy), which a generator can't survive
+        return iter(list(self._scrape_once())), {"poll": p + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        for _ in range(start["poll"], end["poll"]):
+            yield from self._scrape_once()
 
 
 def register(spark) -> None:

@@ -47,3 +47,47 @@ def test_dead_source_yields_zero_rows_not_failure(spark):
     dead = FIXTURE_SOURCES + (SourceSpec("fixture://no-such-page", "imdb"),)
     good = _read(spark, FIXTURE_SOURCES).count()
     assert _read(spark, dead).count() == good
+
+
+def test_streaming_polling_source_drains_bounded_feed(spark, tmp_path):
+    """readStream over the same format: 3 polls of the fixture
+    sources, offset stops advancing at max_polls, every poll emits
+    the full scrape."""
+    import json as _json
+    import time
+
+    datasource.register(spark)
+    per_poll = _read(spark, FIXTURE_SOURCES).count()
+    df = (
+        spark.readStream.format("movie_rankings")
+        .option("fetcher", "fixture")
+        .option("max_polls", "3")
+        .option(
+            "sources",
+            _json.dumps(
+                [{"url": s.url, "dialect": s.dialect} for s in FIXTURE_SOURCES]
+            ),
+        )
+        .load()
+    )
+    name = "rankings_poll_sink"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        expected = 3 * per_poll
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if spark.table(name).count() >= expected:
+                break
+            time.sleep(0.5)
+        got = spark.table(name)
+        assert got.count() == expected, (got.count(), expected)
+        # each poll re-emits the identical scrape
+        assert got.distinct().count() == per_poll
+    finally:
+        q.stop()
