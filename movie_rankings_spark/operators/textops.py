@@ -590,11 +590,14 @@ def collocation_lift(docs: DataFrame, k: int = 20, min_count: int = 5) -> DataFr
     counts that any engine reproduces bit-for-bit (c_ab·N and c_a·c_b
     are < 2^53, exactly representable doubles; one division each).
 
-    Scale shape: unigram and bigram counts are partial-aggregated
-    (vocab-sized shuffles); the bigram table is pre-filtered by
-    ``min_count`` and broadcast into the two unigram joins, so the
-    vocabulary never shuffles twice; N is a 1-row aggregate, never a
-    Window-over-()."""
+    Scale shape: the token stream is exploded and aggregated ONCE
+    each for unigrams and bigrams (partial-agg, vocab-sized
+    shuffles). The min-count-filtered bigram table unpivots into its
+    two word slots and broadcasts into a SINGLE probe of the unigram
+    table — a naive two-join form would recompute the expensive
+    token aggregation per probe. N comes from a shuffle-free
+    sum-of-sizes scan (identical to Σ unigram counts), a 1-row
+    aggregate, never a Window-over-()."""
     from movie_rankings_spark.functions.text import word_shingles
 
     uni = (
@@ -608,19 +611,27 @@ def collocation_lift(docs: DataFrame, k: int = 20, min_count: int = 5) -> DataFr
         .agg(F.count(F.lit(1)).alias("c_ab"))
         .filter(F.col("c_ab") >= min_count)
     )
-    n_tokens = uni.agg(F.sum("c").alias("n_tokens"))
-    parts = F.split(F.col("bigram"), " ")
-    # each join broadcasts the bigram-sized side; the vocab-sized
-    # unigram table streams through both probes without shuffling
-    half = uni.select(F.col("word").alias("_w1"), F.col("c").alias("c_a")).join(
-        F.broadcast(
-            bi.select("bigram", "c_ab", parts[0].alias("_w1"), parts[1].alias("_w2"))
-        ),
-        "_w1",
+    n_tokens = docs.agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens")
     )
+    parts = F.split(F.col("bigram"), " ")
+    slots = bi.select(
+        "bigram",
+        "c_ab",
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).alias("pos"), parts[0].alias("word")),
+                F.struct(F.lit(2).alias("pos"), parts[1].alias("word")),
+            )
+        ).alias("s"),
+    ).select("bigram", "c_ab", "s.pos", "s.word")
     scored = (
-        uni.select(F.col("word").alias("_w2"), F.col("c").alias("c_b"))
-        .join(F.broadcast(half), "_w2")
+        uni.join(F.broadcast(slots), "word")
+        .groupBy("bigram", "c_ab")
+        .agg(
+            F.max(F.when(F.col("pos") == 1, F.col("c"))).alias("c_a"),
+            F.max(F.when(F.col("pos") == 2, F.col("c"))).alias("c_b"),
+        )
         .crossJoin(F.broadcast(n_tokens))
     )
     return (
