@@ -157,6 +157,16 @@ COMPACT_PRIORITY = (
     "json_props_stats",
     "timeseries_gapfill_daily",
     "changelog_latest_snapshot",
+    "scd2_user_event_history",
+    "attribution_last_touch",
+    "layout_zorder_orders",
+    "flagship_scraped_dsv2",
+    "hll_users_mergeable_rollup",
+    "split_train_val_test",
+    "collocations_lift",
+    "similarity_pq_topk",
+    "dedup_semantic_clusters",
+    "pagerank_copurchase",
     "dedup_exact_groups",
     "dedup_minhash_lsh",
     "dedup_embedding_lsh",

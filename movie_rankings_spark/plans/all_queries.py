@@ -5,7 +5,7 @@ The exported dicts are COST-ORDERED: cheap batch queries first, the
 handful of >1 s entries (Arrow/Python ANN passes, streaming-engine
 runs) last, so a time-boxed harness walking the dict in order checks
 the maximum number of queries before its budget runs out. Timings
-from BENCH_r01 at sf0.01."""
+from the per-round bench runs at sf0.01."""
 
 from __future__ import annotations
 
