@@ -26,6 +26,7 @@ HEADLINE_QUERIES = (
     "flagship_tpch",
     "flagship_scraped",
     "flagship_scraped_dsv2",
+    "flagship_scraped_udtf",
     "q1_pricing_summary",
     "sql_api_pricing_summary",
     "q3_shipping_priority",
@@ -179,7 +180,6 @@ COMPACT_PRIORITY = (
     "vocab_top_words",
     "bpe_pair_counts",
     "embedding_jl_projection",
-    "pagerank_copurchase",
     "decontaminate_report",
     "mix_corpus_token_budget",
     "shuffle_docs_deterministic",

@@ -77,6 +77,7 @@ _UNSEEN_FIRST = (
     "collocations_lift",
     "hll_users_mergeable_rollup",
     "flagship_scraped_dsv2",
+    "flagship_scraped_udtf",
     "stream_sliding_6h",
     "stream_session_windows",
     "stream_dedup_user_types",

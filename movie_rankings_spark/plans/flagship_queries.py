@@ -117,6 +117,30 @@ def flagship_scraped_dsv2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagship(scraped, n_sources=3, k=10)
 
 
+@REGISTRY.register("flagship_scraped_udtf", _SCRAPED_ORACLE)
+def flagship_scraped_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third ingestion front-end: the reference's per-source parse()
+    as a literal Python UDTF (sources/udtf.py) applied via SQL
+    LATERAL — same extractors, same dropout contract, same oracle as
+    the mapInPandas and DataSource V2 forms, so all three are provably
+    interchangeable."""
+    from movie_rankings_spark.sources import udtf as u
+    from movie_rankings_spark.sources.scrape_fixtures import FIXTURE_SOURCES
+
+    u.register(spark)
+    spark.createDataFrame(
+        [(s.url, s.dialect) for s in FIXTURE_SOURCES], "url string, dialect string"
+    ).createOrReplaceTempView("ranked_sources")
+    scraped = spark.sql(
+        """
+        SELECT s.url, p.rank, p.title
+        FROM ranked_sources s,
+             LATERAL parse_ranked_list(s.url, s.dialect, 'fixture') p
+        """
+    )
+    return flagship(scraped, n_sources=3, k=10)
+
+
 _TPCH_ORACLE = f"""
 WITH rev AS (
   SELECT l.l_suppkey AS suppkey, p.p_partkey AS partkey, p.p_name AS title,

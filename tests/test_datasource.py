@@ -91,3 +91,28 @@ def test_streaming_polling_source_drains_bounded_feed(spark, tmp_path):
         assert got.distinct().count() == per_poll
     finally:
         q.stop()
+
+
+def test_udtf_front_end_matches_other_paths(spark):
+    """Three ingestion front-ends, one row set."""
+    from movie_rankings_spark.sources import udtf as u
+
+    u.register(spark)
+    spark.createDataFrame(
+        [(s.url, s.dialect) for s in FIXTURE_SOURCES], "url string, dialect string"
+    ).createOrReplaceTempView("udtf_srcs")
+    via_udtf = {
+        tuple(r)
+        for r in spark.sql(
+            """SELECT s.url, p.rank, p.title
+               FROM udtf_srcs s,
+                    LATERAL parse_ranked_list(s.url, s.dialect, 'fixture') p"""
+        ).collect()
+    }
+    via_map = {
+        tuple(r)
+        for r in scraped_from_sources(
+            spark, FIXTURE_SOURCES, FixtureFetcher()
+        ).collect()
+    }
+    assert via_udtf == via_map and via_udtf

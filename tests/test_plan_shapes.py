@@ -264,6 +264,7 @@ def test_sessionize_single_hash_shuffle(spark, sf_dir):
 _PYTHON_RESIDENT = {
     "dedup_embedding_lsh",
     "flagship_scraped",
+    "flagship_scraped_udtf",  # LATERAL Python UDTF (fetch+parse per source)
     "multimodal_features",
     "pack_docs_batches",
     "similarity_cosine_topk_numpy",
