@@ -64,6 +64,9 @@ _UNSEEN_FIRST = (
     "histogram_totalprice",
     "corr_price_quantity",
     "similarity_ivf_kmeans_topk",
+    # rows-only in r02, oracle-backed since r3 — re-record with hash
+    "dedup_simhash",
+    "similarity_cosine_topk_numpy",
     # round-3 additions (no driver row yet)
     "scd2_user_event_history",
     "attribution_last_touch",
