@@ -86,6 +86,7 @@ HEADLINE_QUERIES = (
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_incremental_batch",
     "dedup_embedding_lsh",
     "similarity_cosine_topk",
     "similarity_cosine_topk_numpy",

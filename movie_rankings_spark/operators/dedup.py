@@ -154,16 +154,13 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def banded_buckets(
     signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
 ) -> DataFrame:
-    """Banded LSH: docs sharing any band bucket become candidates.
-    The bucket join is an equi-join on (band, bucket_hash) — shuffle
-    is proportional to docs × bands, never quadratic. The banded
-    projection is persisted: Spark does not reuse exchanges across the
-    a/b sides of a self-join, so without the cache the (expensive)
-    signature aggregation upstream would execute twice."""
-    banded = signatures.select(
+    """(doc_id, band, bucket) — the LSH index rows. In production this
+    is the table you PERSIST; every dedup run (self-join or
+    incremental batch-vs-corpus) is an equi-join against it."""
+    return signatures.select(
         "doc_id",
         F.explode(
             F.array(
@@ -181,7 +178,19 @@ def lsh_candidate_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket").persist()
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become candidates.
+    The bucket join is an equi-join on (band, bucket_hash) — shuffle
+    is proportional to docs × bands, never quadratic. The banded
+    projection is persisted: Spark does not reuse exchanges across the
+    a/b sides of a self-join, so without the cache the (expensive)
+    signature aggregation upstream would execute twice."""
+    banded = banded_buckets(signatures, bands, rows_per_band).persist()
     a = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     return (
@@ -227,6 +236,61 @@ def minhash_neardup_pairs(
         .withColumn("jaccard", jaccard)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def incremental_neardup_pairs(
+    batch: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Daily-ingest dedup: near-dup pairs between a NEW batch and the
+    EXISTING corpus — (batch_doc, corpus_doc, jaccard) — without ever
+    joining the corpus against itself.
+
+    The 100 TB shape: the corpus's banded bucket table
+    (``banded_buckets``) is the stored index, appended to as batches
+    commit; each run shuffles only batch×bands rows against it
+    (bucket equi-join), then exact-Jaccard-verifies the candidate
+    pairs. Cost scales with the batch, not the corpus — the property
+    that makes continuous dedup affordable at all."""
+    rows = num_hashes // bands
+    b_idx = banded_buckets(
+        minhash_signatures(batch, num_hashes, shingle_n), bands, rows
+    )
+    c_idx = banded_buckets(
+        minhash_signatures(corpus, num_hashes, shingle_n), bands, rows
+    )
+    cands = (
+        b_idx.select(F.col("doc_id").alias("batch_doc"), "band", "bucket")
+        .join(
+            c_idx.select(F.col("doc_id").alias("corpus_doc"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .select("batch_doc", "corpus_doc")
+        .distinct()
+    )
+    b_sets = shingle_sets(batch, shingle_n).select(
+        F.col("doc_id").alias("batch_doc"),
+        F.col("shingles").alias("sh_a"),
+        F.col("n_shingles").alias("n_a"),
+    )
+    c_sets = shingle_sets(corpus, shingle_n).select(
+        F.col("doc_id").alias("corpus_doc"),
+        F.col("shingles").alias("sh_b"),
+        F.col("n_shingles").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jaccard = inter / (F.col("n_a") + F.col("n_b") - inter)
+    return (
+        cands.join(b_sets, "batch_doc")
+        .join(c_sets, "corpus_doc")
+        .withColumn("jaccard", jaccard)
+        .filter(F.col("jaccard") >= threshold)
+        .select("batch_doc", "corpus_doc", "jaccard")
     )
 
 

@@ -20,8 +20,9 @@ from movie_rankings_spark.plans.registry import REGISTRY
 
 #: The correctness harness walks queries() in dict order and records a
 #: row for the first ~50 only; rounds 1–2 covered the same head of the
-#: list, so these 58 queries (47 never-checked from r1/r2 + the 11
-#: round-3 additions) have no driver correctness row yet. They go
+#: list, so this head (47 never-checked from r1/r2, two whose oracle landed
+#: after their rows-only row, and the round-3 additions) needs a
+#: driver correctness row. They go
 #: FIRST — cheap batch shapes before the ~1 s streaming-engine runs —
 #: so that across rounds every oracle-backed query accumulates a
 #: driver-verified row. Rotate again next round: whatever the r3 run
@@ -81,6 +82,7 @@ _UNSEEN_FIRST = (
     "hll_users_mergeable_rollup",
     "flagship_scraped_dsv2",
     "flagship_scraped_udtf",
+    "dedup_incremental_batch",
     "stream_sliding_6h",
     "stream_session_windows",
     "stream_dedup_user_types",

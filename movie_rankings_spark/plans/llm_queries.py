@@ -176,6 +176,51 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+_INCR_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id, {_SHINGLES} AS sh,
+         substr(md5(CAST(doc_id AS VARCHAR)), 30, 1) AS hb
+  FROM documents
+),
+bat AS (SELECT doc_id, sh FROM s WHERE hb IN ('0', '1')),
+cor AS (SELECT doc_id, sh FROM s WHERE hb NOT IN ('0', '1')),
+eb AS (SELECT doc_id, unnest(sh) AS g FROM bat),
+ec AS (SELECT doc_id, unnest(sh) AS g FROM cor),
+inter AS (
+  SELECT a.doc_id AS batch_doc, b.doc_id AS corpus_doc, COUNT(*) AS i
+  FROM eb a JOIN ec b ON a.g = b.g GROUP BY 1, 2
+)
+SELECT batch_doc, corpus_doc,
+       CAST(i AS DOUBLE) / (x.n + y.n - i) AS jaccard
+FROM inter
+JOIN (SELECT doc_id, len(sh) AS n FROM bat) x ON batch_doc = x.doc_id
+JOIN (SELECT doc_id, len(sh) AS n FROM cor) y ON corpus_doc = y.doc_id
+WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5
+ORDER BY batch_doc, corpus_doc
+"""
+
+
+# Oracle = exact batch-vs-corpus Jaccard pairs; as with
+# dedup_minhash_lsh, 16×4 banding catches the planted near-dups with
+# probability 1-(1-j^4)^16 ≈ 1 (< 1e-17 miss at j >= 0.95), and the
+# exact-Jaccard verification guarantees precision.
+@REGISTRY.register("dedup_incremental_batch", _INCR_ORACLE)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest dedup (operators/dedup.py::incremental_
+    neardup_pairs): the corpus's banded LSH table is the stored
+    index; a new batch (md5 hash-split ~1/8 of documents, disjoint
+    bucket position from the sampling/split queries) joins against it
+    and exact-verifies candidates. Cost scales with the batch, never
+    corpus × corpus."""
+    docs = _docs(spark, sf_dir)
+    hb = F.substring(F.md5(F.col("doc_id").cast("string")), 30, 1)
+    batch = docs.filter(hb.isin("0", "1"))
+    corpus = docs.filter(~hb.isin("0", "1"))
+    return dedup.incremental_neardup_pairs(
+        batch, corpus, threshold=0.5, num_hashes=64, bands=16
+    ).orderBy("batch_doc", "corpus_doc")
+
+
 # Exact all-pairs semantic near-dup. Norms precomputed per vector,
 # per-pair dot through the exact-decimal sum — same formula as the
 # similarity oracle below, so the cosine doubles are bit-identical.

@@ -133,3 +133,29 @@ def test_embedding_lsh_recall_against_exact(spark):
     # verification makes precision exact; recall < 1 by construction
     assert lsh <= exact
     assert len(lsh) >= 0.8 * len(exact), f"recall {len(lsh)}/{len(exact)}"
+
+
+def test_incremental_batch_finds_cross_split_dups(spark):
+    """A planted near-dup pair split across batch/corpus must surface;
+    within-corpus pairs must NOT (the run only concerns the batch)."""
+    from pyspark.sql import functions as F
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    rows = [
+        (1, base + "alpha"),          # batch side (dup of 2)
+        (2, base + "alpha extra"),    # corpus side
+        (3, base + "beta"),           # corpus (dup of 4 — both corpus)
+        (4, base + "beta extra"),
+        (5, "completely different text with no overlap at all here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.incremental_neardup_pairs(
+        docs.filter(F.col("doc_id") == 1),
+        docs.filter(F.col("doc_id") != 1),
+        threshold=0.5,
+    ).collect()
+    pairs = {(r["batch_doc"], r["corpus_doc"]) for r in out}
+    assert (1, 2) in pairs
+    assert all(p[0] == 1 for p in pairs)  # only batch-side lefts
+    for r in out:
+        assert r["jaccard"] >= 0.5
