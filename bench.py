@@ -117,6 +117,7 @@ HEADLINE_QUERIES = (
     "mix_corpus_token_budget",
     "quality_repetition_bigram",
     "shuffle_docs_deterministic",
+    "curriculum_order_docs",
     "pack_docs_batches",
     "chunk_docs_sliding",
     "quality_filtered_docs",

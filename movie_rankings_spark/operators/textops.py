@@ -646,3 +646,68 @@ def collocation_lift(docs: DataFrame, k: int = 20, min_count: int = 5) -> DataFr
         .orderBy(F.desc("lift"), F.asc("bigram"))
         .limit(k)
     )
+
+
+def curriculum_order(docs: DataFrame, buckets: int | None = None) -> DataFrame:
+    """Curriculum training order: documents scheduled easy→hard by
+    length decile (token count), pseudo-randomly shuffled WITHIN each
+    decile (md5 key) — the standard length-curriculum schedule, fully
+    deterministic and engine-portable.
+
+    Deciles come from exact percentile thresholds (a 1-row aggregate,
+    collected like any loop scalar — never a Window-over-()); the
+    global ordinal uses the same two-pass bucketed zipWithIndex as
+    shuffle_deterministic, with a composite (decile, md5-prefix)
+    bucket so no Exchange SinglePartition appears at any size.
+    Output: position, doc_id, decile, n_tokens."""
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    nb = buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    nb = max(1, min(int(nb), 4096))
+
+    scored = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("k"),
+    )
+    qs = [i / 10 for i in range(1, 10)]
+    thresholds = scored.agg(
+        F.percentile(F.col("n_tokens"), F.array(*[F.lit(q) for q in qs])).alias("t")
+    ).collect()[0]["t"]
+    decile = F.lit(1)
+    for t in thresholds:
+        decile = decile + F.when(F.col("n_tokens") > t, 1).otherwise(0)
+    keyed = scored.withColumn("decile", decile.cast("long")).withColumn(
+        "_bucket",
+        (
+            (F.col("decile") - 1) * nb
+            + F.floor(
+                F.conv(F.substring("k", 1, 4), 16, 10).cast("long")
+                * F.lit(nb)
+                / F.lit(65536)
+            )
+        ).cast("int"),
+    )
+    counts = {
+        r["_bucket"]: r["cnt"]
+        for r in keyed.groupBy("_bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, running = [], 0
+    for b in range(10 * nb):
+        offsets.append((b, running))
+        running += counts.get(b, 0)
+    off = spark.createDataFrame(offsets, "_bucket int, _offset long")
+    w = Window.partitionBy("_bucket").orderBy(
+        F.col("k").asc(), F.col("doc_id").asc()
+    )
+    return (
+        keyed.withColumn("_local", F.row_number().over(w))
+        .join(F.broadcast(off), "_bucket")
+        .select(
+            (F.col("_offset") + F.col("_local")).alias("position"),
+            "doc_id",
+            "decile",
+            "n_tokens",
+        )
+    )

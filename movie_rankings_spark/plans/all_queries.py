@@ -83,6 +83,7 @@ _UNSEEN_FIRST = (
     "flagship_scraped_dsv2",
     "flagship_scraped_udtf",
     "dedup_incremental_batch",
+    "curriculum_order_docs",
     "stream_sliding_6h",
     "stream_session_windows",
     "stream_dedup_user_types",

@@ -317,6 +317,50 @@ def dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_components(pairs).orderBy("rep_doc_id")
 
 
+_CURRICULUM_ORACLE = """
+WITH sc AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS k
+  FROM documents
+),
+t AS (SELECT quantile_cont(n_tokens,
+        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS ts FROM sc),
+d AS (
+  SELECT doc_id, n_tokens, k,
+         CAST(1 + (CASE WHEN n_tokens > ts[1] THEN 1 ELSE 0 END)
+                + (CASE WHEN n_tokens > ts[2] THEN 1 ELSE 0 END)
+                + (CASE WHEN n_tokens > ts[3] THEN 1 ELSE 0 END)
+                + (CASE WHEN n_tokens > ts[4] THEN 1 ELSE 0 END)
+                + (CASE WHEN n_tokens > ts[5] THEN 1 ELSE 0 END)
+                + (CASE WHEN n_tokens > ts[6] THEN 1 ELSE 0 END)
+                + (CASE WHEN n_tokens > ts[7] THEN 1 ELSE 0 END)
+                + (CASE WHEN n_tokens > ts[8] THEN 1 ELSE 0 END)
+                + (CASE WHEN n_tokens > ts[9] THEN 1 ELSE 0 END)
+              AS BIGINT) AS decile
+  FROM sc CROSS JOIN t
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY decile, k, doc_id) AS BIGINT)
+         AS position,
+       doc_id, decile, n_tokens
+FROM d ORDER BY position
+"""
+
+
+@REGISTRY.register("curriculum_order_docs", _CURRICULUM_ORACLE)
+def curriculum_order_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-curriculum training order (textops.curriculum_order):
+    easy→hard by token-count decile, md5-shuffled within decile.
+    Deciles from exact percentile thresholds (1-row aggregate); the
+    global ordinal is the bucketed two-pass zipWithIndex over a
+    composite (decile, md5-prefix) bucket — no Exchange
+    SinglePartition at any scale (plan-pinned)."""
+    return (
+        textops.curriculum_order(_docs(spark, sf_dir))
+        .withColumn("n_tokens", F.col("n_tokens").cast("long"))
+        .orderBy("position")
+    )
+
+
 _SPLIT_ORACLE = """
 SELECT CASE WHEN b < 13 THEN 'test' WHEN b < 26 THEN 'val'
             ELSE 'train' END AS split,

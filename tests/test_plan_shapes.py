@@ -400,3 +400,23 @@ def test_hll_union_matches_direct_sketch_and_exact(spark, sf_dir):
     assert merged == direct  # union of partials == one-shot sketch
     for t, est in merged.items():
         assert abs(est - exact[t]) / exact[t] < 0.05, (t, est, exact[t])
+
+
+def test_curriculum_order_no_single_partition(spark, sf_dir):
+    """Same contract as shuffle_deterministic: the global curriculum
+    ordinal must come from the composite-bucket two-pass, never a bare
+    global window."""
+    from movie_rankings_spark.operators import textops
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = textops.curriculum_order(docs)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "SinglePartition" not in plan
+    # positions are a permutation of 1..n and deciles are monotone
+    # along the schedule
+    rows = sorted(df.collect(), key=lambda r: r["position"])
+    assert [r["position"] for r in rows] == list(range(1, len(rows) + 1))
+    deciles = [r["decile"] for r in rows]
+    assert deciles == sorted(deciles)
