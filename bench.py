@@ -101,6 +101,7 @@ HEADLINE_QUERIES = (
     "decontaminate_report",
     "audit_orders_quality",
     "anomaly_events_zscore",
+    "robust_outliers_mad",
     "histogram_totalprice",
     "corr_price_quantity",
     "text_corpus_summary",

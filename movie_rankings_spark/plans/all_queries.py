@@ -84,6 +84,7 @@ _UNSEEN_FIRST = (
     "flagship_scraped_udtf",
     "dedup_incremental_batch",
     "curriculum_order_docs",
+    "robust_outliers_mad",
     "stream_sliding_6h",
     "stream_session_windows",
     "stream_dedup_user_types",

@@ -1492,3 +1492,71 @@ def corr_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "n", corr.alias("corr_qty_price"), cov.alias("cov_qty_price")
     )
+
+
+# Robust (median/MAD) counterpart to the z-score detector: immune to
+# the heavy tails that inflate a standard deviation. Medians are exact
+# per-group percentiles — the same interpolation in both engines
+# (proven by percentiles_lineitem_price) — and the 1.4826 normal-
+# consistency constant is a literal, so the threshold doubles match.
+_MAD_ORACLE = """
+WITH med AS (
+  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+  FROM lineitem GROUP BY l_returnflag
+),
+mad AS (
+  SELECT l.l_returnflag,
+         ANY_VALUE(m.med) AS med,
+         quantile_cont(abs(l.l_extendedprice - m.med), 0.5) AS mad
+  FROM lineitem l JOIN med m USING (l_returnflag)
+  GROUP BY l.l_returnflag
+)
+SELECT l.l_returnflag,
+       ANY_VALUE(m.med) AS med,
+       ANY_VALUE(m.mad) AS mad,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN abs(l.l_extendedprice - m.med)
+                          > 3.0 * 1.4826 * m.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM lineitem l JOIN mad m USING (l_returnflag)
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+"""
+
+
+@REGISTRY.register("robust_outliers_mad", _MAD_ORACLE)
+def robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD outlier profile per return flag: med and MAD are
+    exact per-group percentiles (two aggregate passes, each a tiny
+    per-group table broadcast back — never a Window-over-group for a
+    global scalar); the flag threshold is the standard 3·1.4826·MAD
+    robust z equivalent. At 100 TB: three co-partitioned scans of
+    lineitem, per-group state is one row each."""
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("med")
+    )
+    mad = (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.first("med").alias("med"),
+            F.percentile(
+                F.abs(F.col("l_extendedprice") - F.col("med")), F.lit(0.5)
+            ).alias("mad"),
+        )
+    )
+    out = F.abs(F.col("l_extendedprice") - F.col("med")) > 3.0 * 1.4826 * F.col(
+        "mad"
+    )
+    return (
+        li.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.first("med").alias("med"),
+            F.first("mad").alias("mad"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(out, 1).otherwise(0)).cast("long").alias("n_outliers"),
+        )
+        .orderBy("l_returnflag")
+    )
