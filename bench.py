@@ -83,6 +83,7 @@ HEADLINE_QUERIES = (
     "distinct_parts_per_supplier",
     "hll_users_mergeable_rollup",
     "dedup_exact_groups",
+    "dedup_chunks_exact",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

@@ -85,6 +85,7 @@ _UNSEEN_FIRST = (
     "dedup_incremental_batch",
     "curriculum_order_docs",
     "robust_outliers_mad",
+    "dedup_chunks_exact",
     "stream_sliding_6h",
     "stream_session_windows",
     "stream_dedup_user_types",

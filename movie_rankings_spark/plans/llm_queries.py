@@ -868,6 +868,54 @@ def chunk_docs_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "chunk_idx")
 
 
+# Chunk-level exact dedup: boilerplate spans recurring ACROSS
+# documents. Non-overlapping windows (stride == size) so a span is
+# counted once per occurrence; the md5 fingerprint groupBy pre-reduces
+# map-side, so the shuffle carries one row per distinct chunk per
+# partition — at 100 TB this is how headers/footers/license blocks
+# are found without any pairwise comparison.
+_CHUNK_DEDUP_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+chunks AS (
+  SELECT doc_id, array_to_string(t[s + 1 : s + 16], ' ') AS chunk_text
+  FROM toks, UNNEST(range(0, len(t), 16)) AS u(s)
+  WHERE len(t[s + 1 : s + 16]) = 16
+)
+SELECT md5(chunk_text) AS fingerprint,
+       COUNT(*) AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS first_doc
+FROM chunks
+GROUP BY fingerprint
+HAVING COUNT(DISTINCT doc_id) > 1
+ORDER BY fingerprint
+"""
+
+
+@REGISTRY.register("dedup_chunks_exact", _CHUNK_DEDUP_ORACLE)
+def dedup_chunks_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate 16-token spans (boilerplate finder):
+    non-overlapping chunker (textops.chunk_documents with
+    stride == size), md5 span fingerprints, one partial-aggregated
+    groupBy — no pairwise work anywhere. Spans shorter than the window
+    (document tails) are excluded so every fingerprint covers the same
+    token count."""
+    chunks = textops.chunk_documents(
+        _docs(spark, sf_dir), chunk_size=16, stride=16
+    ).filter(F.col("chunk_len") == 16)
+    return (
+        chunks.select("doc_id", F.md5("chunk_text").alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("fingerprint")
+    )
+
+
 _QUALITY_EXPR = f"""least(CAST(len({_WORDS}) AS DOUBLE) / 50.0, 1.0) * 0.5
          + (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
                   / length(text)) * 0.3
