@@ -1,0 +1,141 @@
+"""Grouped inference statistics: exact-moment OLS trend lines and a
+chi-squared independence test (SURVEY.md §2d [EXT] A8 — the
+statistical-profile tier; the reference's only statistics are sum and
+mean, `top_movies.py:140,143`).
+
+Both operators follow the repo's exactness contract for float
+oracles: every data-dependent reduction happens in DECIMAL (exact,
+order-independent), and only then does a shared closed-form IEEE
+double formula run on bit-identical inputs — so Spark and the DuckDB
+oracle agree bit-for-bit regardless of partial-aggregation order.
+
+Scale posture:
+
+* ``grouped_ols`` is one hash aggregate over (group, x, y) rows —
+  five mergeable moment sums per group, partial-agg map-side, no
+  window, no second pass. Groups × O(1) state.
+* ``chi2_contingency`` aggregates the base table ONCE into the
+  (row_var, col_var) cell table; row totals, column totals, and the
+  grand total are windows over that tiny cell table (cells ≈
+  |row domain| × |col domain| — data-independent). The 100 TB fact
+  table is scanned exactly once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def grouped_ols(
+    points: DataFrame,
+    group_cols: list[str],
+    x_col: str = "x",
+    y_col: str = "y",
+    y_scale: int = 4,
+) -> DataFrame:
+    """Per-group least-squares line y = slope*x + intercept (+ r2).
+
+    Expects integer ``x`` and DECIMAL(·, y_scale) ``y`` (caller
+    casts). Internally y is rescaled to the integer domain Y = y·10^s
+    and every moment is a SCALE-0 decimal: a scale-0 decimal→double
+    cast is one correctly-rounded integer conversion in both engines,
+    whereas casting a fractional-scale wide decimal goes through
+    double(int128)/10^s — TWO roundings, which DuckDB and the JVM
+    resolve differently at the ulp (observed on Σy²; that ulp then
+    amplifies through the r² cancellation). The slope/intercept
+    formulas divide the 10^s back out as a final IEEE op shared with
+    the oracle; r² is scale-invariant. Extends the closed form of
+    ``corr_price_quantity`` (relational_ext_queries.py) to the
+    regression coefficients.
+    """
+    x = F.col(x_col).cast("decimal(10,0)")
+    ys = (F.col(y_col) * (10**y_scale)).cast("decimal(20,0)")
+    m = points.withColumn("_ys", ys).groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum("_ys").cast("double").alias("sy"),
+        F.sum((x * F.col("_ys")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(
+            (F.col("_ys").cast("decimal(18,0)") * F.col("_ys")).cast(
+                "decimal(38,0)"
+            )
+        )
+        .cast("double")
+        .alias("syy"),
+    )
+    n = F.col("n_points").cast("double")
+    sx, sxx = F.col("sx"), F.col("sxx")
+    sy, sxy, syy = F.col("sy"), F.col("sxy"), F.col("syy")
+    unscale = F.lit(float(10**y_scale))
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    slope_s = num / den
+    intercept_s = (sy - slope_s * sx) / n
+    r2 = (num * num) / (den * (n * syy - sy * sy))
+    return m.select(
+        *group_cols,
+        "n_points",
+        (slope_s / unscale).alias("slope"),
+        (intercept_s / unscale).alias("intercept"),
+        r2.alias("r2"),
+    )
+
+
+def chi2_contingency(
+    rows: DataFrame,
+    row_var: str,
+    col_var: str,
+) -> DataFrame:
+    """Per-cell chi-squared decomposition of a contingency table:
+    observed count, expected count under independence, and the cell's
+    chi² contribution (o−e)²/e.
+
+    Emitting per-cell contributions (rather than one pre-summed
+    scalar) keeps every value a closed-form function of exact integer
+    aggregates — bit-identical across engines — and is also the more
+    useful output: the large-residual cells ARE the finding. The
+    caller (or the oracle reader) sums ``chi2_term`` for the global
+    statistic with dof = (R−1)(C−1).
+    """
+    cells = rows.groupBy(row_var, col_var).agg(
+        F.count(F.lit(1)).alias("observed")
+    )
+    # Totals come from WINDOWS over the cell table, not from re-
+    # aggregating the base: DataFrame re-reference would re-scan the
+    # 100 TB side once per total (no exchange reuse — the groupings
+    # differ). The cell table's cardinality is |row domain| × |col
+    # domain| — data-independent and tiny — so even the global-sum
+    # window's single partition is a few KB at any corpus size (the
+    # usual no-Window-over-() rule targets windows over fact-sized
+    # inputs).
+    w_row = Window.partitionBy(row_var)
+    w_col = Window.partitionBy(col_var)
+    w_all = Window.partitionBy(F.lit(1))
+    totals = cells.select(
+        row_var,
+        col_var,
+        "observed",
+        F.sum("observed").over(w_row).alias("row_total"),
+        F.sum("observed").over(w_col).alias("col_total"),
+        F.sum("observed").over(w_all).alias("grand_total"),
+    )
+    o = F.col("observed").cast("double")
+    # totals are cast to double BEFORE the product: at 100 TB the
+    # bigint product row_total*col_total (~N²) would overflow long
+    # before the double loses anything that matters here.
+    e = (
+        F.col("row_total").cast("double")
+        * F.col("col_total").cast("double")
+        / F.col("grand_total").cast("double")
+    )
+    return totals.select(
+        row_var,
+        col_var,
+        "observed",
+        e.alias("expected"),
+        ((o - e) * (o - e) / e).alias("chi2_term"),
+    )

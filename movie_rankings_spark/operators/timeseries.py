@@ -98,3 +98,56 @@ def gapfill_daily(
         prev_val.alias("ffill_value"),
         interp.alias("interp_value"),
     )
+
+
+def time_decayed_score(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    half_life_days: int = 1,
+    max_halvings: int = 50,
+) -> DataFrame:
+    """Per-key exponentially time-decayed activity score, anchored at
+    the key's OWN most recent event: score = Σ value·2^(−age_days/h).
+
+    The recency-weighted engagement feature every ranking/retention
+    model wants; unlike a sequential EWMA recurrence it needs no
+    per-row state — each term depends only on (its age, the key's max
+    ts), so it is a window max + one hash aggregate ON THE SAME KEY:
+    Spark reuses the exchange, one shuffle total, O(1) agg state.
+
+    Exactness contract: the whole decay runs in INTEGER arithmetic —
+    the value is quantized to exact micro-units (floor(v·10⁶), floor
+    of a double is tie-free), halving is an arithmetic right-shift
+    (exact ÷2^n with floor semantics in both engines), and the sum is
+    a bigint — so partial-agg order and each engine's double→decimal
+    tie-rounding (HALF_UP vs half-even, which DOES diverge on the
+    exact binary halves that 2^-n products produce) can't perturb the
+    result. The ~1e-6 quantization is part of the operator's
+    documented semantics, not noise. ``max_halvings`` caps the shift:
+    terms past it are sub-micro anyway and a >62-bit shift would
+    overflow the long.
+    """
+    w = Window.partitionBy(key)
+    age_days = F.floor(
+        (F.unix_micros(F.col("last_ts")) - F.unix_micros(F.col(ts_col)))
+        / (86400000000.0 * half_life_days)
+    ).cast("int")
+    # shiftright's numBits arg is literal-only in the Python API; the
+    # SQL form takes an expression, so the shift count becomes a
+    # materialized column consumed by an expr().
+    micro = F.floor(F.col(value_col) * 1000000.0).cast("long")
+    term = F.expr("shiftright(micro_value, halvings)")
+    return (
+        events.select(key, ts_col, value_col)
+        .withColumn("last_ts", F.max(ts_col).over(w))
+        .withColumn("halvings", F.least(age_days, F.lit(max_halvings)))
+        .withColumn("micro_value", micro)
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(term).cast("double") / 1000000.0).alias("decayed_score"),
+            F.max(F.unix_micros(F.col("last_ts"))).alias("last_us"),
+        )
+    )

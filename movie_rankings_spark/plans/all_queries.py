@@ -9,6 +9,7 @@ from the per-round bench runs at sf0.01."""
 
 from __future__ import annotations
 
+import movie_rankings_spark.plans.analytics_queries  # noqa: F401
 import movie_rankings_spark.plans.flagship_queries  # noqa: F401
 import movie_rankings_spark.plans.llm_queries  # noqa: F401
 import movie_rankings_spark.plans.relational_ext_queries  # noqa: F401
@@ -86,6 +87,9 @@ _UNSEEN_FIRST = (
     "curriculum_order_docs",
     "robust_outliers_mad",
     "dedup_chunks_exact",
+    "regression_monthly_trend",
+    "chi2_lang_source",
+    "decay_user_activity",
     "stream_sliding_6h",
     "stream_session_windows",
     "stream_dedup_user_types",

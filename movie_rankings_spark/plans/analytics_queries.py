@@ -1,0 +1,204 @@
+"""Inference-statistics tier (round-3 session 2): per-group OLS trend
+lines, chi-squared independence, and time-decayed activity scores —
+the grouped statistical models a 100 TB warehouse fits in-engine
+(SURVEY.md §2d A8; the reference's entire statistical surface is sum
+and mean, `top_movies.py:140,143`).
+
+Exactness contract shared with corr_price_quantity / anomaly_zscore:
+every reduction is DECIMAL (order-independent), every post-reduction
+formula is double arithmetic written identically in the Spark plan
+and the DuckDB oracle, so value hashes match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from movie_rankings_spark.catalog import load_table
+from movie_rankings_spark.operators.statistics import (
+    chi2_contingency,
+    grouped_ols,
+)
+from movie_rankings_spark.operators.timeseries import time_decayed_score
+from movie_rankings_spark.plans.registry import REGISTRY
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- per-nation monthly revenue trend (grouped OLS) -------------------------
+
+_REGRESSION_ORACLE = """
+WITH ord_rev AS (
+  SELECT l_orderkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS rev
+  FROM lineitem GROUP BY l_orderkey
+), monthly AS (
+  SELECT n.n_name,
+         (year(o.o_orderdate) - 1992) * 12 + month(o.o_orderdate) - 1 AS x,
+         CAST(SUM(r.rev) AS DECIMAL(18,4)) AS y
+  FROM ord_rev r
+  JOIN orders o   ON o.o_orderkey  = r.l_orderkey
+  JOIN customer c ON c.c_custkey   = o.o_custkey
+  JOIN nation n   ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2
+), scaled AS (
+  SELECT n_name, x, CAST(y * 10000 AS DECIMAL(20,0)) AS ys FROM monthly
+), m AS (
+  SELECT n_name,
+         CAST(COUNT(*) AS BIGINT) AS n_points,
+         CAST(SUM(CAST(x AS DECIMAL(10,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(x AS DECIMAL(10,0)) * CAST(x AS DECIMAL(10,0)))
+              AS DOUBLE) AS sxx,
+         CAST(SUM(ys) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(CAST(x AS DECIMAL(10,0)) * ys AS DECIMAL(38,0)))
+              AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(CAST(ys AS DECIMAL(18,0)) * ys AS DECIMAL(38,0)))
+              AS DOUBLE) AS syy
+  FROM scaled GROUP BY n_name
+)
+SELECT n_name, n_points,
+       ((CAST(n_points AS DOUBLE) * sxy - sx * sy)
+         / (CAST(n_points AS DOUBLE) * sxx - sx * sx)) / 10000.0 AS slope,
+       ((sy - ((CAST(n_points AS DOUBLE) * sxy - sx * sy)
+               / (CAST(n_points AS DOUBLE) * sxx - sx * sx)) * sx)
+         / CAST(n_points AS DOUBLE)) / 10000.0 AS intercept,
+       ((CAST(n_points AS DOUBLE) * sxy - sx * sy)
+         * (CAST(n_points AS DOUBLE) * sxy - sx * sy))
+         / ((CAST(n_points AS DOUBLE) * sxx - sx * sx)
+            * (CAST(n_points AS DOUBLE) * syy - sy * sy)) AS r2
+FROM m
+ORDER BY n_name
+"""
+
+
+@REGISTRY.register("regression_monthly_trend", _REGRESSION_ORACLE)
+def regression_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares revenue trend (slope $/month, intercept, r²) per
+    nation over its monthly revenue series — is this market growing?
+
+    Plan: lineitem pre-aggregates revenue per order BEFORE the orders
+    join (shrinks the fact-fact shuffle ~4×), customer rides AQE's
+    broadcast decision, nation is forced broadcast; then two hash
+    aggregates (month cells → per-nation moments) whose group counts
+    collapse ~10⁶× below the fact row count. The OLS closed form runs
+    on exact decimal moments (operators/statistics.py::grouped_ols) —
+    no window, no second fact scan, no regr_* dependence on either
+    engine's float summation order.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    ord_rev = li.groupBy("l_orderkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        ).alias("rev")
+    )
+    monthly = (
+        ord_rev.join(orders, orders.o_orderkey == ord_rev.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            "n_name",
+            (
+                (F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1
+            ).alias("x"),
+        )
+        .agg(F.sum("rev").cast("decimal(18,4)").alias("y"))
+    )
+    return grouped_ols(monthly, ["n_name"], "x", "y").orderBy("n_name")
+
+
+# --- chi-squared independence: documents lang × source ----------------------
+
+_CHI2_ORACLE = """
+WITH cells AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS observed
+  FROM documents GROUP BY 1, 2
+), rt AS (
+  SELECT lang, CAST(SUM(observed) AS BIGINT) AS row_total
+  FROM cells GROUP BY lang
+), ct AS (
+  SELECT source, CAST(SUM(observed) AS BIGINT) AS col_total
+  FROM cells GROUP BY source
+), g AS (
+  SELECT CAST(SUM(observed) AS BIGINT) AS grand_total FROM cells
+)
+SELECT c.lang, c.source, c.observed,
+       CAST(rt.row_total AS DOUBLE) * CAST(ct.col_total AS DOUBLE)
+         / CAST(g.grand_total AS DOUBLE) AS expected,
+       (CAST(c.observed AS DOUBLE)
+          - CAST(rt.row_total AS DOUBLE) * CAST(ct.col_total AS DOUBLE)
+            / CAST(g.grand_total AS DOUBLE))
+       * (CAST(c.observed AS DOUBLE)
+          - CAST(rt.row_total AS DOUBLE) * CAST(ct.col_total AS DOUBLE)
+            / CAST(g.grand_total AS DOUBLE))
+       / (CAST(rt.row_total AS DOUBLE) * CAST(ct.col_total AS DOUBLE)
+            / CAST(g.grand_total AS DOUBLE)) AS chi2_term
+FROM cells c JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN g
+ORDER BY lang, source
+"""
+
+
+@REGISTRY.register("chi2_lang_source", _CHI2_ORACLE)
+def chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is document language independent of source? Per-cell chi²
+    decomposition of the lang × source contingency table — the
+    corpus-skew diagnostic run before fixing sampling rates
+    (mix_corpus_token_budget consumes exactly this kind of finding).
+
+    One scan of documents builds the cell table; row/column/grand
+    totals are windows over the tiny cell table (|langs|·|sources|
+    rows, a data-independent cardinality) — the 100 TB side is read
+    once, everything after is kilobytes
+    (operators/statistics.py::chi2_contingency).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    return chi2_contingency(docs, "lang", "source").orderBy("lang", "source")
+
+
+# --- time-decayed per-user activity score -----------------------------------
+
+_DECAY_ORACLE = """
+WITH e AS (
+  SELECT user_id, ts, value,
+         MAX(ts) OVER (PARTITION BY user_id) AS last_ts
+  FROM events
+), t AS (
+  SELECT user_id, epoch_us(last_ts) AS last_us,
+         CAST(FLOOR(value * 1000000.0) AS BIGINT) AS micro_value,
+         LEAST(CAST(FLOOR((epoch_us(last_ts) - epoch_us(ts))
+                          / 86400000000.0) AS INTEGER), 50) AS halvings
+  FROM e
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(micro_value >> halvings) AS DOUBLE) / 1000000.0
+         AS decayed_score,
+       CAST(MAX(last_us) AS BIGINT) AS last_us
+FROM t
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@REGISTRY.register("decay_user_activity", _DECAY_ORACLE)
+def decay_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted engagement: per user, Σ value·2^(−age_days),
+    age measured back from that user's own latest event (half-life =
+    1 day). The standard decay feature for ranking/churn models.
+
+    No sequential recurrence: each term is a closed-form function of
+    (row ts, per-user max ts), so the whole operator is one window
+    max + one hash aggregate on the same key — Spark reuses the
+    exchange, ONE shuffle at any scale. Decay factors are exact
+    powers of two via shiftleft (no libm pow variance), terms sum in
+    decimal (operators/timeseries.py::time_decayed_score).
+    """
+    ev = _t(spark, sf_dir, "events")
+    return time_decayed_score(ev).orderBy("user_id")

@@ -1,0 +1,104 @@
+"""Inference-statistics tier: grouped OLS, chi-squared contingency,
+time-decayed activity scores (operators/statistics.py,
+operators/timeseries.py::time_decayed_score)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from movie_rankings_spark.operators.statistics import (
+    chi2_contingency,
+    grouped_ols,
+)
+from movie_rankings_spark.operators.timeseries import time_decayed_score
+from movie_rankings_spark.plans.all_queries import QUERIES
+
+
+def test_grouped_ols_recovers_exact_line(spark):
+    # y = 3x + 7 exactly -> slope 3, intercept 7, r2 = 1
+    rows = [("g", x, float(3 * x + 7)) for x in range(10)]
+    df = spark.createDataFrame(rows, "g string, x int, y double").withColumn(
+        "y", F.col("y").cast("decimal(18,4)")
+    )
+    out = grouped_ols(df, ["g"], "x", "y").collect()[0]
+    assert out["n_points"] == 10
+    assert math.isclose(out["slope"], 3.0, rel_tol=1e-12)
+    assert math.isclose(out["intercept"], 7.0, rel_tol=1e-12)
+    assert math.isclose(out["r2"], 1.0, rel_tol=1e-12)
+
+
+def test_grouped_ols_matches_numpy_per_group(spark):
+    import numpy as np
+
+    rows = []
+    rng = np.random.RandomState(7)
+    data = {}
+    for g in ["a", "b"]:
+        xs = np.arange(12)
+        ys = (2.5 if g == "a" else -1.25) * xs + rng.randint(0, 50, 12)
+        ys = np.round(ys, 4)
+        data[g] = (xs, ys)
+        rows += [(g, int(x), float(y)) for x, y in zip(xs, ys)]
+    df = spark.createDataFrame(rows, "g string, x int, y double").withColumn(
+        "y", F.col("y").cast("decimal(18,4)")
+    )
+    out = {r["g"]: r for r in grouped_ols(df, ["g"], "x", "y").collect()}
+    for g, (xs, ys) in data.items():
+        slope, intercept = np.polyfit(xs, ys, 1)
+        assert math.isclose(out[g]["slope"], slope, rel_tol=1e-9)
+        assert math.isclose(out[g]["intercept"], intercept, rel_tol=1e-9)
+        r = np.corrcoef(xs, ys)[0, 1]
+        assert math.isclose(out[g]["r2"], r * r, rel_tol=1e-9)
+
+
+def test_chi2_contingency_hand_computed(spark):
+    # 2x2 table: a/x=10, a/y=20, b/x=30, b/y=40
+    rows = (
+        [("a", "x")] * 10 + [("a", "y")] * 20 + [("b", "x")] * 30 + [("b", "y")] * 40
+    )
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = {(r["r"], r["c"]): r for r in chi2_contingency(df, "r", "c").collect()}
+    # expected(a,x) = 30*40/100 = 12
+    assert out[("a", "x")]["observed"] == 10
+    assert math.isclose(out[("a", "x")]["expected"], 12.0)
+    assert math.isclose(out[("a", "x")]["chi2_term"], 4.0 / 12.0)
+    # chi2 total = sum (o-e)^2/e ; dof 1 -> classic 100/63 ... verify vs direct
+    total = sum(r["chi2_term"] for r in out.values())
+    exp = {("a", "x"): 12.0, ("a", "y"): 18.0, ("b", "x"): 28.0, ("b", "y"): 42.0}
+    want = sum(
+        (o - exp[k]) ** 2 / exp[k]
+        for k, o in [(("a", "x"), 10), (("a", "y"), 20), (("b", "x"), 30), (("b", "y"), 40)]
+    )
+    assert math.isclose(total, want)
+
+
+def test_time_decayed_score_python_reference(spark):
+    rows = [
+        (1, "2024-01-10 00:00:00", 10.0),
+        (1, "2024-01-09 00:00:00", 10.0),  # 1 day old -> 5.0
+        (1, "2024-01-05 00:00:00", 16.0),  # 5 days old -> 0.5
+        (2, "2024-01-01 12:00:00", 3.5),  # only event -> full weight
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string, value double").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    out = {r["user_id"]: r for r in time_decayed_score(df).collect()}
+    assert out[1]["n_events"] == 3
+    assert math.isclose(out[1]["decayed_score"], 10.0 + 5.0 + 0.5)
+    assert math.isclose(out[2]["decayed_score"], 3.5)
+
+
+def test_time_decayed_score_single_shuffle(spark, sf_dir):
+    df = QUERIES["decay_user_activity"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # window max + groupBy on the same key reuse one exchange; the
+    # orderBy adds the final presentation range-exchange only.
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_chi2_single_base_scan(spark, sf_dir):
+    df = QUERIES["chi2_lang_source"](spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("parquet") == 1, "documents must be scanned exactly once"
