@@ -90,6 +90,7 @@ _UNSEEN_FIRST = (
     "regression_monthly_trend",
     "chi2_lang_source",
     "decay_user_activity",
+    "similarity_tfidf_topk",
     "stream_sliding_6h",
     "stream_session_windows",
     "stream_dedup_user_types",

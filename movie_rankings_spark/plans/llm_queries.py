@@ -1310,3 +1310,69 @@ def quality_repetition_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequent bigram per doc (operators/textops.py::
     repetition_bigram_stats), flagged above 0.18."""
     return textops.repetition_bigram_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+# --- sparse TF-IDF cosine top-k (inverted-index similarity) -----------------
+
+_TFIDF_TOPK_ORACLE = """
+WITH tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+), nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.tf * FLOOR(CAST(nd.n_docs * 1000 AS DOUBLE)
+                            / CAST(dfreq.df AS DOUBLE)) AS BIGINT) AS weight
+  FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+), norms AS (
+  SELECT doc_id,
+         CAST(SUM(CAST(CAST(weight AS DECIMAL(19,0)) * weight
+                       AS DECIMAL(38,0))) AS DOUBLE) AS norm_sq
+  FROM w GROUP BY doc_id
+), wf AS (
+  SELECT w.doc_id, d.lang, w.term, w.weight, n.norm_sq
+  FROM w JOIN documents d USING (doc_id) JOIN norms n USING (doc_id)
+), dots AS (
+  SELECT q.doc_id AS q_doc, c.doc_id AS neighbor_doc,
+         CAST(SUM(CAST(CAST(q.weight AS DECIMAL(19,0)) * c.weight
+                       AS DECIMAL(38,0))) AS DOUBLE) AS dot,
+         CAST(COUNT(*) AS BIGINT) AS n_shared_terms,
+         ANY_VALUE(q.norm_sq) AS qn, ANY_VALUE(c.norm_sq) AS cn
+  FROM wf q JOIN wf c
+    ON q.term = c.term AND q.lang = c.lang AND q.doc_id <> c.doc_id
+  WHERE q.doc_id % 100 = 0
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT q_doc, neighbor_doc, n_shared_terms,
+         dot / (sqrt(qn) * sqrt(cn)) AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_doc
+                            ORDER BY dot / (sqrt(qn) * sqrt(cn)) DESC,
+                                     neighbor_doc) AS rank
+  FROM dots
+)
+SELECT q_doc, CAST(rank AS INTEGER) AS rank, neighbor_doc, n_shared_terms,
+       cosine
+FROM ranked WHERE rank <= 5
+ORDER BY q_doc, rank
+"""
+
+
+@REGISTRY.register("similarity_tfidf_topk", _TFIDF_TOPK_ORACLE)
+def similarity_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse lexical top-5: for every 100th document, the most
+    similar same-lang documents by integer-TF-IDF cosine, computed on
+    the inverted index — the sparse dot product IS a term equi-join,
+    no vectors materialized (operators/tfidf.py). On a real corpus
+    the join would also prune df > cap stop-terms; this table's
+    ~31-word vocabulary makes that degenerate, so the lang block
+    bounds candidates instead (see module docstring)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from movie_rankings_spark.operators.tfidf import tfidf_topk
+
+    return tfidf_topk(
+        _docs(spark, sf_dir), F.col("doc_id") % 100 == 0, "lang", k=5
+    ).orderBy("q_doc", "rank")
