@@ -91,6 +91,7 @@ _UNSEEN_FIRST = (
     "chi2_lang_source",
     "decay_user_activity",
     "similarity_tfidf_topk",
+    "triangles_copurchase",
     "stream_sliding_6h",
     "stream_session_windows",
     "stream_dedup_user_types",

@@ -1376,3 +1376,56 @@ def similarity_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_topk(
         _docs(spark, sf_dir), F.col("doc_id") % 100 == 0, "lang", k=5
     ).orderBy("q_doc", "rank")
+
+
+# --- triangle counting on the co-purchase graph -----------------------------
+
+_TRIANGLES_ORACLE = """
+WITH baskets AS (
+  SELECT list_distinct(list(l_partkey)) AS parts
+  FROM lineitem GROUP BY l_orderkey
+), ok AS (
+  SELECT parts FROM baskets WHERE len(parts) BETWEEN 2 AND 30
+), pairs AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM ok, LATERAL unnest(parts) AS a(p), LATERAL unnest(parts) AS b(p)
+  WHERE a.p < b.p
+), deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs)
+  GROUP BY node
+), tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM pairs e1
+  JOIN pairs e2 ON e2.u = e1.v
+  JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(CAST(SUM(d * (d - 1)) AS BIGINT) // 2 AS BIGINT) AS n_wedges
+  FROM deg
+), ec AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM pairs)
+SELECT agg.n_nodes, ec.n_edges, agg.n_wedges, tri.n_triangles,
+       CAST(tri.n_triangles * 3 AS DOUBLE) / CAST(agg.n_wedges AS DOUBLE)
+         AS global_clustering
+FROM agg CROSS JOIN ec CROSS JOIN tri
+"""
+
+
+@REGISTRY.register("triangles_copurchase", _TRIANGLES_ORACLE)
+def triangles_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the item co-purchase graph: nodes, edges,
+    wedges, triangles, global clustering coefficient. Degree-ordered
+    orientation bounds the wedge intermediate at O(m^1.5) regardless
+    of hub skew (operators/triangles.py — 'curse of the last
+    reducer'); the oracle counts the same triangles with the
+    independent naive a<b<c join, so the two formulations must agree
+    exactly."""
+    from movie_rankings_spark.catalog import load_table
+    from movie_rankings_spark.operators.pagerank import copurchase_edges
+    from movie_rankings_spark.operators.triangles import (
+        triangle_stats,
+        undirected_edges,
+    )
+
+    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    return triangle_stats(undirected_edges(edges))
