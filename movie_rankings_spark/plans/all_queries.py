@@ -92,6 +92,7 @@ _UNSEEN_FIRST = (
     "decay_user_activity",
     "similarity_tfidf_topk",
     "triangles_copurchase",
+    "cogroup_asof_purchase",
     "stream_sliding_6h",
     "stream_session_windows",
     "stream_dedup_user_types",

@@ -202,3 +202,65 @@ def decay_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = _t(spark, sf_dir, "events")
     return time_decayed_score(ev).orderBy("user_id")
+
+
+# --- cogrouped-pandas as-of join (API-surface twin of asof.py) --------------
+
+_COGROUP_ASOF_ORACLE = """
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+r AS (
+  SELECT * FROM (
+    SELECT event_id, user_id, ts, event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                              ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type <> 'purchase'
+  ) WHERE rn = 1
+)
+SELECT p.event_id, p.user_id,
+       epoch_us(p.ts) AS ts_us,
+       r.event_id  AS prev_event_id,
+       r.event_type AS prev_event_type,
+       r.value     AS prev_value
+FROM p ASOF LEFT JOIN r ON p.user_id = r.user_id AND p.ts > r.ts
+ORDER BY p.event_id
+"""
+
+
+@REGISTRY.register("cogroup_asof_purchase", _COGROUP_ASOF_ORACLE)
+def cogroup_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """asof_purchase_context's semantics through the OTHER engine
+    surface: groupBy().cogroup().applyInPandas with a per-user
+    pandas merge_asof (operators/cogroup.py). Same single-shuffle
+    cost, same DuckDB ASOF JOIN oracle — the union+window form
+    (operators/asof.py) stays the default; this pins the cogroup API
+    against an exact oracle rather than the usual rows-only check.
+    Timestamps cross the Arrow boundary as int64 micros."""
+    from movie_rankings_spark.operators.cogroup import cogroup_asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    refs = e.filter(F.col("event_type") != "purchase").select(
+        F.col("event_id"),
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+        "value",
+    )
+    out = cogroup_asof_join(
+        purchases,
+        refs,
+        key="user_id",
+        ts_col="ts_us",
+        payload_dtypes={
+            "event_id": "Int64",
+            "event_type": "object",
+            "value": "float64",
+        },
+        schema=(
+            "event_id long, user_id long, ts_us long, prev_event_id long, "
+            "prev_event_type string, prev_value double"
+        ),
+    )
+    return out.orderBy("event_id")
