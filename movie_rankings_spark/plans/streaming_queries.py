@@ -332,3 +332,79 @@ def stream_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("props").alias("last_props"),
         "n_versions",
     ).orderBy("user_id", "event_type")
+
+
+_TWS_LIFETIME_ORACLE = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+       CAST(MIN(epoch_us(ts)) AS BIGINT) AS first_us,
+       CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_us,
+       CAST(SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT)) AS BIGINT)
+         AS sum_micro
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def _has_protobuf() -> bool:
+    """transformWithStateInPandas talks to the JVM state server over
+    a protobuf protocol; this container ships no google.protobuf (and
+    installs are off-limits), so the query registers only where the
+    dependency exists. The processor's LOGIC is still always tested —
+    tests/test_stateful.py drives handleInputRows against an
+    in-memory fake handle; the end-to-end engine test is skipif-gated
+    on this same probe."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lifetime stats through transformWithStateInPandas —
+    the Spark 4 typed-state API (ValueState + MapState, RocksDB
+    backend; streaming/stateful.py). The changelog arrives as 4
+    micro-batches (maxFilesPerTrigger=1), state carries across them,
+    and every accumulator is an integer, so the final snapshot (max
+    n_events per user) equals the batch groupBy — the full-oracle
+    check the old applyInPandasWithState twin
+    (stream_user_lifetime_stats) also gets."""
+    from pyspark.sql import Window
+
+    from movie_rankings_spark.streaming.stateful import user_lifetime_tws
+
+    src = _stage_split_events(spark, sf_dir, n=4)
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(prov_key, None)
+    spark.conf.set(prov_key, _ROCKSDB_PROVIDER)
+    try:
+        stream = ev.read_events_stream(spark, src, maxFilesPerTrigger=1)
+        out = ev.run_to_batch(
+            user_lifetime_tws(stream),
+            output_mode="update",
+            state_partitions=None,  # Python-state op: keep parallelism
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, prev)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .orderBy("user_id")
+    )
+
+
+if _has_protobuf():  # pragma: no cover — env-dependent registration
+    stream_transform_with_state = REGISTRY.register(
+        "stream_transform_with_state", _TWS_LIFETIME_ORACLE
+    )(stream_transform_with_state)
