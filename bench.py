@@ -64,6 +64,7 @@ HEADLINE_QUERIES = (
     "grouping_sets_orders",
     "setops_repeat_customers",
     "asof_purchase_context",
+    "cogroup_asof_purchase",
     "rangejoin_purchase_context",
     "overlap_view_click_windows",
     "window_rank_family",
@@ -94,8 +95,10 @@ HEADLINE_QUERIES = (
     "similarity_ivf_topk",
     "similarity_ivf_kmeans_topk",
     "similarity_pq_topk",
+    "similarity_tfidf_topk",
     "dedup_semantic_clusters",
     "pagerank_copurchase",
+    "triangles_copurchase",
     "text_quality",
     "text_langid",
     "text_pii_redaction",
@@ -105,6 +108,9 @@ HEADLINE_QUERIES = (
     "robust_outliers_mad",
     "histogram_totalprice",
     "corr_price_quantity",
+    "regression_monthly_trend",
+    "chi2_lang_source",
+    "decay_user_activity",
     "text_corpus_summary",
     "text_top_terms",
     "vocab_top_words",
@@ -155,6 +161,7 @@ COMPACT_PRIORITY = (
     "sessionize_events",
     "funnel_view_click_purchase",
     "asof_purchase_context",
+    "cogroup_asof_purchase",
     "rangejoin_purchase_context",
     "rollup_orders",
     "pivot_user_event_counts",
@@ -171,8 +178,10 @@ COMPACT_PRIORITY = (
     "split_train_val_test",
     "collocations_lift",
     "similarity_pq_topk",
+    "similarity_tfidf_topk",
     "dedup_semantic_clusters",
     "pagerank_copurchase",
+    "triangles_copurchase",
     "dedup_exact_groups",
     "dedup_minhash_lsh",
     "dedup_embedding_lsh",
