@@ -93,6 +93,8 @@ _UNSEEN_FIRST = (
     "similarity_tfidf_topk",
     "triangles_copurchase",
     "cogroup_asof_purchase",
+    "embedding_covariance",
+    "embedding_pca_project",
     "stream_sliding_6h",
     "stream_session_windows",
     "stream_dedup_user_types",

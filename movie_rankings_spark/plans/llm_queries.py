@@ -1429,3 +1429,69 @@ def triangles_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"))
     return triangle_stats(undirected_edges(edges))
+
+
+# --- embedding covariance + PCA ---------------------------------------------
+
+# NOTE the VARCHAR-mediated double casts below: DuckDB's int128→double
+# is upper·2⁶⁴ + lower — TWO roundings, off-ulp for >2⁵³ sums — while
+# its string→double parse (and the JVM's BigInteger.doubleValue) are
+# correctly rounded, so the text route is how the oracle reproduces
+# Spark's cast bit-for-bit.
+_COV_ORACLE = """
+WITH flat AS (
+  SELECT vec_id, CAST(t.i AS INTEGER) AS i,
+         CAST(FLOOR(CAST(embedding[t.i + 1] AS DOUBLE) * 1073741824.0)
+              AS BIGINT) AS q
+  FROM embeddings, LATERAL unnest(range(0, len(embedding))) AS t(i)
+),
+pairs AS (
+  SELECT a.i AS i, b.i AS j,
+         CAST(CAST(a.q AS DECIMAL(19,0)) * b.q AS DECIMAL(38,0)) AS xy
+  FROM flat a JOIN flat b ON a.vec_id = b.vec_id AND a.i <= b.i
+),
+cells AS (
+  SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(CAST(SUM(xy) AS VARCHAR) AS DOUBLE) AS sxy
+  FROM pairs GROUP BY i, j
+),
+dims AS (
+  SELECT i, CAST(CAST(SUM(CAST(q AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE) AS sx
+  FROM flat GROUP BY i
+)
+SELECT c.i, c.j, c.n,
+       (c.sxy / CAST(c.n AS DOUBLE)
+         - (di.sx / CAST(c.n AS DOUBLE)) * (dj.sx / CAST(c.n AS DOUBLE)))
+         / 1152921504606846976.0 AS cov
+FROM cells c JOIN dims di ON di.i = c.i JOIN dims dj ON dj.i = c.j
+ORDER BY c.i, c.j
+"""
+
+
+@REGISTRY.register("embedding_covariance", _COV_ORACLE)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance of the embedding corpus — the d×d
+    second-moment estimate behind whitening/PCA/drift checks, computed
+    without materializing any n×d matrix: one (i,j)-keyed shuffle of
+    exact DECIMAL(28,12) product cells (operators/pca.py, exact path;
+    the numpy per-batch Gram partial is the 100 TB hot path, pinned to
+    this one within 1e-9 by tests/test_pca.py)."""
+    from movie_rankings_spark.operators.pca import covariance_cells_exact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return covariance_cells_exact(emb).orderBy("i", "j")
+
+
+@REGISTRY.register("embedding_pca_project")  # driver-side eigh: no SQL twin
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus projected onto its top-4 principal axes: GEMM-partial
+    covariance → driver eigh of the broadcast-scale d×d (the justified
+    tiny collect) → one Arrow matmul per partition back over the
+    corpus. Rows-only (LAPACK eigenvectors are BLAS-specific);
+    variance ordering, orthonormality, sign determinism, and
+    reconstruction-vs-sklearn-free reference are pinned in
+    tests/test_pca.py."""
+    from movie_rankings_spark.operators.pca import pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_project(emb, k=4).orderBy("vec_id")
