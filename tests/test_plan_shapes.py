@@ -274,6 +274,8 @@ _PYTHON_RESIDENT = {
     "dedup_semantic_clusters",  # k-means assignment GEMM
     "embedding_jl_projection",  # seeded-Gaussian GEMM
     "vocab_heavy_hitters",  # per-partition candidate value_counts
+    "cogroup_asof_purchase",  # cogrouped merge_asof (FlatMapCoGroupsInPandas by design)
+    "embedding_pca_project",  # covariance + projection GEMM (mapInPandas by design)
 }
 
 _PY_NODE = re.compile(r"InPandas|EvalPython|PythonUDF|BatchEvalPython", re.I)
