@@ -130,6 +130,97 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_prefix_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """EXACT n-gram Jaccard join via prefix filtering (the AllPairs /
+    PPJoin family, Bayardo et al. WWW'07) — same output contract as
+    ``ngram_jaccard_pairs`` (doc_a, doc_b, jaccard ≥ threshold, no
+    false negatives) but with a candidate set that stays near-linear
+    at corpus scale instead of exploding on frequent shingles.
+
+    How: order each doc's shingles globally by ascending document
+    frequency (rarest first; ties on the hashed key). Any pair with
+    Jaccard ≥ t must share a token inside each side's first
+    ``|s| - floor(t·|s|) + 1`` tokens (one longer than the tight
+    ceil-based prefix, so float rounding can only ADD candidates,
+    never drop a true pair). The inverted index is built over
+    prefixes only, and because df-ordering puts the RAREST tokens in
+    the prefix, the join keys are low-frequency by construction —
+    no hot-key skew, unlike the full inverted-index join whose worst
+    keys are exactly the most frequent shingles. A per-token
+    positional upper bound (PPJoin) prunes further before the exact
+    ``array_intersect`` verification restores precision.
+
+    Scale: 3 shuffles — df aggregate, prefix self-join (volume ≈
+    (1-t) of the full index, rare keys only), verify join of the
+    candidate pairs back to the shingle sets. Each is linear in its
+    input; nothing is quadratic except the true-result size."""
+    sets = shingle_sets(docs, n).filter(F.col("n_shingles") > 0)
+    inv = sets.select(
+        "doc_id", "n_shingles", F.explode("shingles").alias("shingle")
+    ).persist()  # read by the df aggregate and the prefix ranking
+    df = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    prefix_len = (
+        F.col("n_shingles")
+        - F.floor(F.lit(threshold) * F.col("n_shingles"))
+        + F.lit(1)
+    )
+    prefix = (
+        inv.join(df, "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= prefix_len)
+        .select("doc_id", "n_shingles", "shingle", "rn")
+    )
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n_shingles").alias("n_a"),
+        F.col("rn").alias("rn_a"),
+        "shingle",
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n_shingles").alias("n_b"),
+        F.col("rn").alias("rn_b"),
+        "shingle",
+    )
+    # Lenient PPJoin positional bound: overlap ≤ shared token + the
+    # shorter remaining suffix; required overlap uses floor (≤ the
+    # tight ceil), so the prune is safe under float arithmetic.
+    ubound = F.lit(1) + F.least(
+        F.col("n_a") - F.col("rn_a"), F.col("n_b") - F.col("rn_b")
+    )
+    min_overlap = F.floor(
+        F.lit(threshold) / (F.lit(1.0) + F.lit(threshold))
+        * (F.col("n_a") + F.col("n_b"))
+    )
+    cands = (
+        a.join(b, "shingle")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("n_a") >= threshold * F.col("n_b"))
+            & (F.col("n_b") >= threshold * F.col("n_a"))
+            & (ubound >= min_overlap)
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.first("n_a").alias("n_a"), F.first("n_b").alias("n_b"))
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+    )
+    jaccard = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        verified.withColumn("jaccard", jaccard)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 # --- 3. MinHash + LSH -------------------------------------------------------
 
 

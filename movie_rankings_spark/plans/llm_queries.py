@@ -176,6 +176,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+# Same oracle again: prefix filtering is an EXACT algorithm (the
+# df-ordered prefix of a set must intersect the prefix of any set
+# within Jaccard threshold — Bayardo et al.), and verification is the
+# same array_intersect, so output == the full inverted-index join.
+@REGISTRY.register("dedup_jaccard_prefix", _NGRAM_ORACLE)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.jaccard_prefix_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.5
+    ).orderBy("doc_a", "doc_b")
+
+
 _INCR_ORACLE = f"""
 WITH s AS (
   SELECT doc_id, {_SHINGLES} AS sh,

@@ -159,3 +159,38 @@ def test_incremental_batch_finds_cross_split_dups(spark):
     assert all(p[0] == 1 for p in pairs)  # only batch-side lefts
     for r in out:
         assert r["jaccard"] >= 0.5
+
+
+def test_prefix_join_matches_exact_pairs(docs, exact_pairs):
+    """Prefix filtering is exact: identical edge set AND identical
+    jaccard values as the full inverted-index join."""
+    exact_vals = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    prefix_vals = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.jaccard_prefix_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    assert prefix_vals == exact_vals
+    assert len(prefix_vals) > 0
+
+
+def test_prefix_join_threshold_boundary(spark):
+    """Pairs exactly AT the threshold must survive the lenient
+    prefix/positional prunes (the float-safety claim)."""
+    # 4 words -> 2 trigram shingles each; sharing 1 of 3 distinct
+    # shingles between 5-word docs gives jaccard exactly 1/3... build
+    # a pair at exactly 0.5: sets {s1,s2,s3} and {s2,s3,s4} share 2 of
+    # 4 -> 0.5 with 5-word docs.
+    rows = [
+        (1, "a b c d e"),   # shingles: abc bcd cde
+        (2, "b c d e f"),   # shingles: bcd cde def  -> inter 2, union 4
+        (3, "x y z w v"),   # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.jaccard_prefix_pairs(df, n=3, threshold=0.5).collect()
+    }
+    assert got == {(1, 2): 0.5}
