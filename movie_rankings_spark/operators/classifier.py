@@ -1,0 +1,78 @@
+"""Model-based document scoring: hashed-feature linear classifier.
+
+The FineWeb-Edu / DCLM curation step the heuristic tier can't cover:
+a TRAINED quality classifier (fastText-style linear model over hashed
+bag-of-words features) scores every document and a threshold gates the
+corpus. The scoring plan is the part that must scale:
+
+  tokens (explode) → feature bucket (md5 mod dim, codegen)
+      → broadcast join against the weight table (the model)
+      → per-doc SUM (map-side partial agg) → logit / gate
+
+The weight table here is generated deterministically from the bucket
+id (md5 slice → integer in [-100, 100]) so the DuckDB oracle can
+reproduce every score bit-for-bit; in production you load the trained
+weights parquet instead — same plan, same broadcast. Weights are kept
+INTEGER (×100 fixed-point) so the per-doc sum is exact and
+order-independent across engines; the double `score` is a single
+division at the end.
+
+Scale: the model is O(dim) rows — broadcast, never shuffled. The only
+shuffle is the per-doc aggregate of (doc_id, weight), with map-side
+combine; token explosion never leaves the mapper un-reduced.
+
+Reference scope: the reference (top_movies.py) has no model scoring;
+this is north-star [EXT] tier alongside quality_score/lm_score.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from movie_rankings_spark.functions.text import words
+
+DEFAULT_DIM = 4096
+
+
+def _hex_slice_long(col, start: int, length: int):
+    """First `length` hex digits of md5(col) as a non-negative long —
+    the engine-portable hash (DuckDB: CAST('0x' || substr(md5(x),...)
+    AS BIGINT))."""
+    return F.conv(F.substring(F.md5(col), start, length), 16, 10).cast("long")
+
+
+def hashed_weight_table(spark: SparkSession, dim: int = DEFAULT_DIM) -> DataFrame:
+    """The "model": bucket → integer weight in [-100, 100] (×100
+    fixed-point), derived from md5(bucket) so both engines can build
+    it. Swap this constructor for `spark.read.parquet(model_path)` in
+    production; every downstream plan is unchanged."""
+    return spark.range(dim).select(
+        F.col("id").alias("bucket"),
+        (_hex_slice_long(F.col("id").cast("string"), 1, 8) % 201 - 100).alias(
+            "weight"
+        ),
+    )
+
+
+def hashed_bow_scores(docs: DataFrame, dim: int = DEFAULT_DIM) -> DataFrame:
+    """Per-document linear-classifier logit over hashed bag-of-words
+    features. Columns: doc_id, logit_x100 (exact bigint), score
+    (double, logit/100), keep (logit > 0). The sigmoid is monotone in
+    the logit, so gating on `keep`/score is gating on probability."""
+    weights = hashed_weight_table(docs.sparkSession, dim)
+    toks = docs.select("doc_id", F.explode(words(F.col("text"))).alias("tok"))
+    bucketed = toks.select(
+        "doc_id", (_hex_slice_long(F.col("tok"), 1, 8) % dim).alias("bucket")
+    )
+    return (
+        bucketed.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum("weight").alias("logit_x100"))
+        .select(
+            "doc_id",
+            "logit_x100",
+            (F.col("logit_x100").cast("double") / 100.0).alias("score"),
+            (F.col("logit_x100") > 0).alias("keep"),
+        )
+    )

@@ -1506,3 +1506,39 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pca_project(emb, k=4).orderBy("vec_id")
+
+
+_CLASSIFIER_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 4096 AS bucket
+  FROM toks
+),
+wt AS (
+  SELECT CAST(b AS BIGINT) AS bucket,
+         CAST('0x' || substr(md5(CAST(b AS VARCHAR)), 1, 8) AS BIGINT)
+           % 201 - 100 AS weight
+  FROM (SELECT unnest(range(0, 4096)) AS b)
+)
+SELECT doc_id,
+       CAST(SUM(weight) AS BIGINT) AS logit_x100,
+       CAST(SUM(weight) AS DOUBLE) / 100.0 AS score,
+       SUM(weight) > 0 AS keep
+FROM feat JOIN wt USING (bucket)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@REGISTRY.register("classifier_doc_scores", _CLASSIFIER_ORACLE)
+def classifier_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-model quality gate (fastText-style hashed linear
+    classifier): md5-bucketed BoW features, broadcast weight table,
+    exact fixed-point logit sum (operators/classifier.py). The model
+    constructor is swappable for a trained-weights parquet; the
+    deterministic md5 weights make the score oracle-exact."""
+    from movie_rankings_spark.operators.classifier import hashed_bow_scores
+
+    return hashed_bow_scores(_docs(spark, sf_dir)).orderBy("doc_id")
