@@ -1,0 +1,62 @@
+"""Join-key skew profiling — the observability pass you run BEFORE
+picking a join strategy at 100 TB.
+
+Every shuffle join / aggregation hashes on a key; a power-law key
+makes one reducer the straggler. This operator reports, per candidate
+key, the frequency-distribution facts that decide the mitigation:
+max/avg ratio (skew factor → salting or AQE skew-join), top-1 share
+(→ broadcast the hot key's rows separately), key cardinality
+(→ broadcast vs shuffle side choice).
+
+Plan: one groupBy(key).count() shuffle (map-side combine makes the
+shuffle O(distinct keys)), then a single-row aggregate of the count
+distribution. Moments use exact integer/decimal sums, and the final
+stddev/ratio formulas are double arithmetic written identically in
+the DuckDB oracle — the same exactness contract as anomaly_zscore.
+
+Reference scope: north-star [EXT] observability tier (the reference
+has no profiling surface; `top_movies.py` operates on 30 rows).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def key_skew_profile(df: DataFrame, key: str, label: str) -> DataFrame:
+    """One row of skew statistics for `df` grouped by `key`."""
+    counts = df.groupBy(F.col(key).alias("k")).agg(F.count(F.lit(1)).alias("n"))
+    agg = counts.agg(
+        F.count(F.lit(1)).alias("nk"),
+        F.sum("n").cast("decimal(28,0)").alias("s"),
+        F.sum(F.col("n").cast("decimal(18,0)") * F.col("n"))
+        .cast("decimal(38,0)")
+        .alias("ss"),
+        F.max("n").alias("mx"),
+        F.min("n").alias("mn"),
+    )
+    avg = agg["s"].cast("double") / agg["nk"]
+    return agg.select(
+        F.lit(label).alias("key_name"),
+        F.col("nk").cast("long").alias("n_keys"),
+        F.col("s").cast("long").alias("total_rows"),
+        F.col("mx").cast("long").alias("max_rows"),
+        F.col("mn").cast("long").alias("min_rows"),
+        avg.alias("avg_rows"),
+        F.sqrt(
+            F.greatest(
+                F.col("ss").cast("double") / F.col("nk") - avg * avg, F.lit(0.0)
+            )
+        ).alias("stddev_rows"),
+        (F.col("mx").cast("double") / avg).alias("skew_factor"),
+        (F.col("mx").cast("double") / F.col("s").cast("double")).alias("top_share"),
+    )
+
+
+def skew_profiles(profiles: list[DataFrame]) -> DataFrame:
+    """Union of per-key profiles — each input is an independent
+    scan+shuffle; the union is row-count len(profiles)."""
+    return reduce(lambda a, b: a.unionByName(b), profiles)

@@ -264,3 +264,56 @@ def cogroup_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return out.orderBy("event_id")
+
+
+def _skew_block(table: str, key: str) -> str:
+    return f"""
+  SELECT '{table}.{key}' AS key_name,
+         CAST(nk AS BIGINT) AS n_keys,
+         CAST(s AS BIGINT) AS total_rows,
+         CAST(mx AS BIGINT) AS max_rows,
+         CAST(mn AS BIGINT) AS min_rows,
+         CAST(s AS DOUBLE) / nk AS avg_rows,
+         sqrt(greatest(CAST(ss AS DOUBLE) / nk
+              - (CAST(s AS DOUBLE) / nk) * (CAST(s AS DOUBLE) / nk), 0.0))
+           AS stddev_rows,
+         CAST(mx AS DOUBLE) / (CAST(s AS DOUBLE) / nk) AS skew_factor,
+         CAST(mx AS DOUBLE) / CAST(s AS DOUBLE) AS top_share
+  FROM (
+    SELECT COUNT(*) AS nk,
+           CAST(SUM(n) AS DECIMAL(28,0)) AS s,
+           CAST(SUM(CAST(n AS DECIMAL(18,0)) * n) AS DECIMAL(38,0)) AS ss,
+           MAX(n) AS mx, MIN(n) AS mn
+    FROM (SELECT {key}, COUNT(*) AS n FROM {table} GROUP BY 1)
+  )"""
+
+
+_SKEW_ORACLE = (
+    _skew_block("orders", "o_custkey")
+    + "\nUNION ALL\n"
+    + _skew_block("lineitem", "l_suppkey")
+    + "\nUNION ALL\n"
+    + _skew_block("events", "user_id")
+    + "\nORDER BY key_name"
+)
+
+
+@REGISTRY.register("skew_profile_join_keys", _SKEW_ORACLE)
+def skew_profile_join_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-frequency skew report for the three hottest join keys —
+    the pre-flight check that decides salting / AQE skew-join /
+    broadcast-the-hot-key (operators/profiling.py). One
+    O(distinct-keys) shuffle per key; moments from exact decimal sums
+    with the shared double formula."""
+    from movie_rankings_spark.operators.profiling import (
+        key_skew_profile,
+        skew_profiles,
+    )
+
+    return skew_profiles(
+        [
+            key_skew_profile(_t(spark, sf_dir, "orders"), "o_custkey", "orders.o_custkey"),
+            key_skew_profile(_t(spark, sf_dir, "lineitem"), "l_suppkey", "lineitem.l_suppkey"),
+            key_skew_profile(_t(spark, sf_dir, "events"), "user_id", "events.user_id"),
+        ]
+    ).orderBy("key_name")

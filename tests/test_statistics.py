@@ -102,3 +102,20 @@ def test_chi2_single_base_scan(spark, sf_dir):
     df = QUERIES["chi2_lang_source"](spark, sf_dir)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("parquet") == 1, "documents must be scanned exactly once"
+
+
+def test_key_skew_profile_hand_computed(spark):
+    from movie_rankings_spark.operators.profiling import key_skew_profile
+
+    # key 1 -> 6 rows, key 2 -> 2, key 3 -> 2 : nk=3, total=10
+    rows = [(1,)] * 6 + [(2,)] * 2 + [(3,)] * 2
+    df = spark.createDataFrame(rows, "k long")
+    r = key_skew_profile(df, "k", "t.k").collect()[0]
+    assert r["n_keys"] == 3 and r["total_rows"] == 10
+    assert r["max_rows"] == 6 and r["min_rows"] == 2
+    assert abs(r["avg_rows"] - 10 / 3) < 1e-12
+    assert abs(r["skew_factor"] - 6 / (10 / 3)) < 1e-12
+    assert r["top_share"] == 0.6
+    # population stddev of [6,2,2]
+    import statistics as st
+    assert abs(r["stddev_rows"] - st.pstdev([6, 2, 2])) < 1e-12
