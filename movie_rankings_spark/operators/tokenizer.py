@@ -49,3 +49,87 @@ def bpe_pair_counts(docs: DataFrame, k: int = 30) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(k)
     )
+
+
+def _symbol_pair_counts(vocab: DataFrame) -> DataFrame:
+    """Adjacent (left, right) symbol-pair totals over the weighted
+    vocabulary — the per-round statistic. Explode runs over distinct
+    words only; the groupBy reduces map-side to pair-vocab size."""
+    pairs = vocab.filter(F.size("symbols") >= 2).select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("symbols"), 1, F.size("symbols") - 1),
+                F.slice(F.col("symbols"), 2, F.size("symbols") - 1),
+                lambda a, b: F.struct(a.alias("left"), b.alias("right")),
+            )
+        ).alias("p"),
+        "wc",
+    )
+    return pairs.groupBy("p.left", "p.right").agg(F.sum("wc").alias("n"))
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 12) -> DataFrame:
+    """Full BPE merge-rule training (Sennrich et al. 2016),
+    distributed: per round, one pair-count aggregation over the
+    weighted DISTINCT-WORD vocabulary picks the most frequent adjacent
+    symbol pair (ties broken lexicographically — deterministic), and a
+    left-to-right greedy fold rewrites every word's symbol array.
+
+    Output: one row per learned rule — step (1-based), left, right,
+    merged, n (the pair's corpus frequency when chosen). Stops early
+    when no adjacent pair remains.
+
+    Scale: the corpus is touched ONCE (word-frequency groupBy with
+    map-side combine); every round after that runs on the vocab table
+    (≈ millions of rows at 100 TB, constant in corpus size). Per round:
+    one pair aggregate + a 1-row driver fetch (the argmax — the
+    textbook justified collect) + a codegen fold rewrite. Lineage is
+    truncated per round with localCheckpoint, the connected-components
+    idiom, so the plan does not grow with the merge count."""
+    freq = (
+        docs.select(F.explode(words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    vocab = freq.select(
+        F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+               ).alias("symbols"),
+        "wc",
+    ).localCheckpoint(eager=True)
+
+    rules: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        top = (
+            _symbol_pair_counts(vocab)
+            .orderBy(F.desc("n"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, n = top[0]["left"], top[0]["right"], top[0]["n"]
+        merged = left + right
+        rules.append((step, left, right, merged, n))
+        # greedy left-to-right merge: the merged symbol becomes the new
+        # "previous", so overlapping occurrences ("aaa" under a+a)
+        # resolve exactly like the single-node trainer.
+        fold = F.aggregate(
+            F.col("symbols"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (x == F.lit(right)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        vocab = vocab.select(fold.alias("symbols"), "wc").localCheckpoint(
+            eager=True
+        )
+
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        rules, "step int, left string, right string, merged string, n long"
+    )

@@ -1542,3 +1542,16 @@ def classifier_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from movie_rankings_spark.operators.classifier import hashed_bow_scores
 
     return hashed_bow_scores(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+@REGISTRY.register("bpe_train_merges")  # iterative argmax loop: no SQL twin
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE merge-rule training, 12 rounds (operators/tokenizer.py
+    ::bpe_train): corpus touched once (word-frequency combine), then
+    vocab-sized pair aggregates + codegen greedy folds per round.
+    Rows-only by design (driver-loop argmax is not SQL-expressible);
+    exact equality against a single-node Python reference trainer is
+    pinned in tests/test_tokenizer_train.py."""
+    from movie_rankings_spark.operators.tokenizer import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir), n_merges=12).orderBy("step")
