@@ -1555,3 +1555,34 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from movie_rankings_spark.operators.tokenizer import bpe_train
 
     return bpe_train(_docs(spark, sf_dir), n_merges=12).orderBy("step")
+
+
+@REGISTRY.register("logreg_train_quality")  # GD loop: no SQL twin
+def logreg_train_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a logistic-regression language gate in-engine (predict
+    lang == 'en' from length / punctuation / stopword-rate features),
+    15 full-batch GD steps, each one map-side-combined aggregate over
+    the persisted feature cache (operators/mlgd.py). Rows-only: double
+    gradient sums are reduce-order-dependent at the 1e-12 level; the
+    numpy single-node reference equality (1e-6) and monotone-loss
+    checks live in tests/test_mlgd.py."""
+    from movie_rankings_spark.functions.text import (
+        punct_ratio,
+        stopword_hits,
+        words,
+    )
+    from movie_rankings_spark.operators.mlgd import logreg_train_history_df
+
+    docs = _docs(spark, sf_dir)
+    n_words = F.size(words(F.col("text"))).cast("double")
+    feats = docs.select(
+        (F.col("lang") == "en").cast("int").alias("is_en"),
+        (n_words / 100.0).alias("f_len"),
+        punct_ratio(F.col("text")).alias("f_punct"),
+        (stopword_hits(F.col("text"), "en").cast("double") / n_words).alias(
+            "f_stop"
+        ),
+    )
+    return logreg_train_history_df(
+        feats, "is_en", ["f_len", "f_punct", "f_stop"], lr=0.5, iters=15
+    ).orderBy("iter")

@@ -1,0 +1,62 @@
+"""logreg_train vs a numpy single-node reference: same trajectory
+within float-reduce tolerance; loss decreases; learns a separable
+rule."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from movie_rankings_spark.operators.mlgd import (
+    logreg_train,
+    logreg_train_history_df,
+)
+
+
+def _ref_gd(X, y, lr, iters):
+    Xb = np.hstack([np.ones((len(X), 1)), X])
+    w = np.zeros(Xb.shape[1])
+    hist = []
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-Xb @ w))
+        g = Xb.T @ (p - y) / len(y)
+        w = w - lr * g
+        loss = float(np.mean(-y * np.log(p) - (1 - y) * np.log(1 - p)))
+        hist.append((loss, w.copy()))
+    return w, hist
+
+
+@pytest.fixture(scope="module")
+def toy(spark):
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(400, 2))
+    y = (X[:, 0] + 0.5 * X[:, 1] > 0).astype(float)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(t)) for (a, b), t in zip(X, y)],
+        "x1 double, x2 double, y double",
+    )
+    return X, y, df
+
+
+def test_matches_numpy_reference(toy):
+    X, y, df = toy
+    w, hist = logreg_train(df, "y", ["x1", "x2"], lr=0.5, iters=10)
+    w_ref, hist_ref = _ref_gd(X, y, 0.5, 10)
+    assert np.allclose(w, w_ref, atol=1e-8)
+    assert np.allclose([h["loss"] for h in hist], [l for l, _ in hist_ref], atol=1e-8)
+
+
+def test_loss_decreases_and_separates(toy):
+    X, y, df = toy
+    w, hist = logreg_train(df, "y", ["x1", "x2"], lr=0.5, iters=20)
+    losses = [h["loss"] for h in hist]
+    assert losses[-1] < losses[0] * 0.8
+    # learned direction matches the generating rule (x1 + 0.5 x2)
+    assert w[1] > 0 and w[2] > 0 and w[1] > w[2]
+
+
+def test_history_df_schema(toy):
+    _, _, df = toy
+    out = logreg_train_history_df(df, "y", ["x1", "x2"], iters=3)
+    assert out.columns == ["iter", "loss", "w0", "w1", "w2"]
+    assert out.count() == 3
