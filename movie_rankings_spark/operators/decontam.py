@@ -50,3 +50,84 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 3) -> DataFram
     """The corpus minus contaminated documents."""
     hits = contamination_report(docs, benchmark, n=n)
     return docs.join(hits.select("doc_id"), "doc_id", "left_anti")
+
+
+def _bloom_positions(col, m: int, k: int):
+    """The k bit positions of a key: pmod(xxhash64(key, seed), m) —
+    evaluated identically at build and probe time, all codegen."""
+    return [F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m)) for i in range(k)]
+
+
+def build_bloom_bits(keys: DataFrame, col: str, m: int, k: int) -> list[int]:
+    """Bloom bit array (m bits as m/64 signed longs) over a SMALL key
+    set. The set-bit positions are computed distributed (the same
+    xxhash64 exprs the probe uses) and only the ≤ k·|keys| distinct
+    positions come to the driver — bounded by the tiny side, which is
+    the premise of any broadcast sketch. At larger build sides you'd
+    fold the bit array with treeAggregate; the probe is unchanged."""
+    pos = (
+        keys.select(
+            F.explode(F.array(*_bloom_positions(F.col(col), m, k))).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    bits = [0] * ((m + 63) // 64)
+    for r in pos:
+        bits[r["p"] // 64] |= 1 << (r["p"] % 64)
+    return [b - (1 << 64) if b >= (1 << 63) else b for b in bits]
+
+
+def _bloom_might_contain_sql(bits_col: str, key_col: str, m: int, k: int):
+    """AND over the k bit tests — true for every inserted key (no
+    false negatives), true for a false-positive fraction ≈ (set/m)^k
+    of others. Spelled as a SQL expression because the Python
+    shiftright wrapper only takes a constant shift; positions are
+    non-negative, so int division == floor."""
+    tests = []
+    for i in range(k):
+        p = f"pmod(xxhash64({key_col}, {i}), {m})"
+        word = f"element_at({bits_col}, cast({p} / 64 AS INT) + 1)"
+        tests.append(f"(shiftright({word}, cast({p} % 64 AS INT)) & 1) = 1")
+    return F.expr(" AND ".join(tests))
+
+
+def contamination_report_bloom(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    num_bits: int = 400_000,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Same output as ``contamination_report`` (exact — no false
+    negatives, no false positives) but the corpus-side probe is a
+    BLOOM FILTER, for when the benchmark shingle set outgrows an
+    exact broadcast hash set (many suites × 13-grams, or blocklists
+    of URLs/domains in the billions): ~8-10 bits/entry instead of
+    ~25 bytes/entry, a 20× smaller broadcast. Built in pure codegen
+    (xxhash64 k-probe against a literal bit array — Spark's
+    bloom_filter_agg/might_contain pair is optimizer-internal, not a
+    public SQL function, so the bit math is spelled out).
+
+    Plan: bit array from the benchmark shingles → literal broadcast →
+    k bit-tests prune corpus shingles map-side → the surviving
+    candidates (true hits + FP noise ≈ (bits set/m)^k) are verified
+    with the exact equi-join, which removes every false positive. At
+    100 TB the verify join shuffles candidates only, never the
+    corpus."""
+    bench = (
+        benchmark.select(F.explode(word_shingles(F.col("text"), n)).alias("sh"))
+        .distinct()
+    )
+    bits = F.lit(build_bloom_bits(bench, "sh", num_bits, num_hashes))
+    cand = (
+        _distinct_shingles(docs, n, "sh")
+        .withColumn("_bf", bits)
+        .filter(_bloom_might_contain_sql("_bf", "sh", num_bits, num_hashes))
+        .drop("_bf")
+    )
+    return (
+        cand.join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )

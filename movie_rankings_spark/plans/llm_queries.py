@@ -1586,3 +1586,22 @@ def logreg_train_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logreg_train_history_df(
         feats, "is_en", ["f_len", "f_punct", "f_stop"], lr=0.5, iters=15
     ).orderBy("iter")
+
+
+# Exact oracle reuse: bloom pruning has no false negatives and the
+# exact verify join removes every false positive, so the bloom-gated
+# report equals the broadcast-hash-set report row-for-row.
+@REGISTRY.register("decontaminate_bloom_gate", _DECONTAM_ORACLE)
+def decontaminate_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination with a bloom-sketch probe (operators/decontam
+    .py::contamination_report_bloom): 20× smaller broadcast than the
+    exact shingle set, map-side codegen bit-test prune,
+    candidates-only verify join. Output identical to
+    decontaminate_report."""
+    from movie_rankings_spark.operators.decontam import (
+        contamination_report_bloom,
+    )
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return contamination_report_bloom(docs, bench, n=3).orderBy("doc_id")

@@ -57,3 +57,41 @@ def test_redact_pii_patterns(spark):
     assert got[0] == "mail me at <EMAIL>."
     assert got[1] == "call <PHONE> or <PHONE> now"
     assert got[2] == "no pii here 12345"
+
+
+def test_bloom_gate_equals_exact_report(spark, sf_dir):
+    from movie_rankings_spark.catalog import load_table
+    from movie_rankings_spark.operators.decontam import (
+        contamination_report,
+        contamination_report_bloom,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    exact = {(r["doc_id"], r["n_hits"]) for r in contamination_report(docs, bench).collect()}
+    bloom = {
+        (r["doc_id"], r["n_hits"])
+        for r in contamination_report_bloom(docs, bench).collect()
+    }
+    assert bloom == exact and len(exact) > 0
+
+
+def test_bloom_gate_exact_even_when_saturated(spark):
+    """A deliberately tiny bloom (massive FP rate) must still return
+    the exact answer — the verify join owns precision; the sketch
+    only owns recall, which is structural."""
+    from movie_rankings_spark.operators.decontam import (
+        contamination_report,
+        contamination_report_bloom,
+    )
+
+    rows = [(i, f"w{i} w{i+1} w{i+2} w{i+3} common one two three") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame(rows[:3], "doc_id long, text string")
+    exact = {(r["doc_id"], r["n_hits"]) for r in contamination_report(docs, bench).collect()}
+    tiny = {
+        (r["doc_id"], r["n_hits"])
+        for r in contamination_report_bloom(docs, bench, num_bits=64, num_hashes=2).collect()
+    }
+    assert tiny == exact
