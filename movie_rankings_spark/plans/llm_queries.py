@@ -1605,3 +1605,46 @@ def decontaminate_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     return contamination_report_bloom(docs, bench, n=3).orderBy("doc_id")
+
+
+_CMS_ORACLE = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+cells AS (
+  SELECT r, CAST('0x' || substr(md5(word || ':' || r), 1, 8) AS BIGINT)
+            % 512 AS bucket, COUNT(*) AS n
+  FROM toks, LATERAL unnest(range(0, 4)) AS t(r)
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT word, COUNT(*) AS true_n FROM toks GROUP BY 1 HAVING COUNT(*) >= 200
+),
+est AS (
+  SELECT t.word, MIN(c.n) AS cms_est
+  FROM truth t, LATERAL unnest(range(0, 4)) AS s(r)
+  JOIN cells c
+    ON c.r = s.r
+   AND c.bucket = CAST('0x' || substr(md5(t.word || ':' || s.r), 1, 8)
+                       AS BIGINT) % 512
+  GROUP BY t.word
+)
+SELECT t.word, CAST(t.true_n AS BIGINT) AS true_n,
+       CAST(e.cms_est AS BIGINT) AS cms_est,
+       CAST(e.cms_est - t.true_n AS BIGINT) AS overestimate
+FROM truth t JOIN est e USING (word) ORDER BY word
+"""
+
+
+@REGISTRY.register("cms_word_frequency", _CMS_ORACLE)
+def cms_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream, probed with the
+    ≥200-count words (operators/cms.py): O(d·w) mergeable counter
+    grid, min-over-rows estimates. md5 hashing makes every cell and
+    estimate DuckDB-reproducible, so even the sketch is value-hash
+    checked."""
+    from movie_rankings_spark.operators.cms import cms_word_frequency_report
+
+    return cms_word_frequency_report(
+        _docs(spark, sf_dir), depth=4, width=512, min_count=200
+    ).orderBy("word")
