@@ -300,3 +300,71 @@ def ivf_topk(
         .filter(F.col("rn") <= k)
         .orderBy("query_id", "rn")
     )
+
+
+def mmr_topk(
+    embeddings: DataFrame,
+    query_ids: Sequence[int],
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified retrieval (Carbonell &
+    Goldstein '98): per query, pool the exact top-`pool` neighbours,
+    then greedily pick k maximizing λ·sim(q,d) − (1−λ)·max_{s∈S}
+    sim(d,s) — the RAG/search step that stops the top-k from being k
+    near-copies of the same passage.
+
+    Scale shape: relevance pooling is the exact distributed top-k
+    (one shuffle); the greedy selection is inherently sequential but
+    only over the POOLED candidates — an applyInPandas over groups of
+    `pool` rows (a 20×20 GEMM per query), never over the corpus. The
+    declared-Python-stage contract covers it.
+
+    Output: query_id, vec_id, mmr_rank (1-based selection order),
+    cosine (relevance), mmr_score (the greedy objective at pick
+    time; rank 1 reports λ·cosine)."""
+    cands = cosine_topk_exact(embeddings, query_ids, k=pool).drop("rn")
+    vecs = embeddings.select("vec_id", "embedding")
+    pooled = cands.join(vecs, "vec_id")
+
+    def select_mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["cosine", "vec_id"], ascending=[False, True])
+        mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        rel = pdf["cosine"].to_numpy(dtype=np.float64)
+        pair = mat @ mat.T
+        n = len(pdf)
+        chosen: list[int] = []
+        scores: list[float] = []
+        free = list(range(n))
+        while free and len(chosen) < k:
+            if chosen:
+                red = pair[np.ix_(free, chosen)].max(axis=1)
+            else:
+                red = np.zeros(len(free))
+            obj = lam * rel[free] - (1.0 - lam) * red
+            # ties: lowest vec_id wins (argmax returns first, rows are
+            # sorted by (-cosine, vec_id) so equal-obj order is stable)
+            j = int(np.argmax(obj))
+            scores.append(float(obj[j]))
+            chosen.append(free.pop(j))
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[chosen].to_numpy(),
+                "vec_id": pdf["vec_id"].iloc[chosen].to_numpy(),
+                "mmr_rank": np.arange(1, len(chosen) + 1, dtype=np.int32),
+                "cosine": rel[chosen],
+                "mmr_score": np.array(scores),
+            }
+        )
+
+    return (
+        pooled.groupBy("query_id")
+        .applyInPandas(
+            select_mmr,
+            "query_id long, vec_id long, mmr_rank int, cosine double, "
+            "mmr_score double",
+        )
+        .orderBy("query_id", "mmr_rank")
+    )

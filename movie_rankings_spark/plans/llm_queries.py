@@ -1648,3 +1648,16 @@ def cms_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_word_frequency_report(
         _docs(spark, sf_dir), depth=4, width=512, min_count=200
     ).orderBy("word")
+
+
+@REGISTRY.register("similarity_mmr_topk")  # greedy argmax loop: no SQL twin
+def similarity_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware retrieval: exact top-20 relevance pool per
+    query, then per-group greedy MMR selection of 5 (λ=0.7) in a
+    bounded applyInPandas (operators/similarity.py::mmr_topk).
+    Rows-only (sequential greedy objective is not SQL-expressible);
+    equality against a single-node numpy reference and the
+    diversity-beats-redundancy property live in tests/test_mmr.py."""
+    return similarity.mmr_topk(
+        _emb(spark, sf_dir), _QUERY_IDS, k=5, pool=20, lam=0.7
+    )

@@ -276,6 +276,7 @@ _PYTHON_RESIDENT = {
     "vocab_heavy_hitters",  # per-partition candidate value_counts
     "cogroup_asof_purchase",  # cogrouped merge_asof (FlatMapCoGroupsInPandas by design)
     "embedding_pca_project",  # covariance + projection GEMM (mapInPandas by design)
+    "similarity_mmr_topk",  # greedy MMR selection over pooled candidates
 }
 
 _PY_NODE = re.compile(r"InPandas|EvalPython|PythonUDF|BatchEvalPython", re.I)
