@@ -87,6 +87,7 @@ HEADLINE_QUERIES = (
     "dedup_chunks_exact",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_jaccard_prefix",
     "dedup_minhash_lsh",
     "dedup_incremental_batch",
     "dedup_embedding_lsh",
@@ -96,13 +97,18 @@ HEADLINE_QUERIES = (
     "similarity_ivf_kmeans_topk",
     "similarity_pq_topk",
     "similarity_tfidf_topk",
+    "similarity_mmr_topk",
     "dedup_semantic_clusters",
     "pagerank_copurchase",
     "triangles_copurchase",
+    "skew_profile_join_keys",
+    "cms_word_frequency",
+    "classifier_doc_scores",
     "text_quality",
     "text_langid",
     "text_pii_redaction",
     "decontaminate_report",
+    "decontaminate_bloom_gate",
     "audit_orders_quality",
     "anomaly_events_zscore",
     "robust_outliers_mad",
@@ -117,6 +123,8 @@ HEADLINE_QUERIES = (
     "vocab_heavy_hitters",
     "vocab_top_bigrams",
     "bpe_pair_counts",
+    "bpe_train_merges",
+    "logreg_train_quality",
     "embedding_jl_projection",
     "split_train_val_test",
     "collocations_lift",
@@ -185,14 +193,16 @@ COMPACT_PRIORITY = (
     "dedup_exact_groups",
     "dedup_minhash_lsh",
     "dedup_embedding_lsh",
-    "dedup_ngram_jaccard",
     "similarity_cosine_topk",
-    "similarity_ivf_topk",
     "text_quality",
     "text_langid",
     "text_pii_redaction",
     "vocab_top_words",
     "bpe_pair_counts",
+    "bpe_train_merges",
+    "classifier_doc_scores",
+    "dedup_jaccard_prefix",
+    "similarity_mmr_topk",
     "embedding_jl_projection",
     "decontaminate_report",
     "mix_corpus_token_budget",
@@ -201,7 +211,6 @@ COMPACT_PRIORITY = (
     "chunk_docs_sliding",
     "multimodal_frame_sample",
     "stream_tumbling_daily",
-    "stream_session_windows",
     "stream_stream_view_purchase",
     "stream_upsert_snapshot",
 )

@@ -32,7 +32,6 @@ _UNSEEN_FIRST = (
     "setops_repeat_customers",
     "antijoin_inactive_customers",
     "percentiles_lineitem_price",
-    "approx_percentiles_price",
     "pivot_user_event_counts",
     "udaf_price_median",
     "asof_purchase_context",
@@ -65,7 +64,6 @@ _UNSEEN_FIRST = (
     "anomaly_events_zscore",
     "histogram_totalprice",
     "corr_price_quantity",
-    "similarity_ivf_kmeans_topk",
     # rows-only in r02, oracle-backed since r3 — re-record with hash
     "dedup_simhash",
     "similarity_cosine_topk_numpy",
@@ -73,14 +71,9 @@ _UNSEEN_FIRST = (
     "scd2_user_event_history",
     "attribution_last_touch",
     "layout_zorder_orders",
-    "similarity_pq_topk",
-    "dedup_semantic_clusters",
     "bpe_pair_counts",
-    "embedding_jl_projection",
-    "pagerank_copurchase",
     "split_train_val_test",
     "collocations_lift",
-    "hll_users_mergeable_rollup",
     "flagship_scraped_dsv2",
     "flagship_scraped_udtf",
     "dedup_incremental_batch",
@@ -94,7 +87,11 @@ _UNSEEN_FIRST = (
     "triangles_copurchase",
     "cogroup_asof_purchase",
     "embedding_covariance",
-    "embedding_pca_project",
+    "skew_profile_join_keys",
+    "dedup_jaccard_prefix",
+    "classifier_doc_scores",
+    "decontaminate_bloom_gate",
+    "cms_word_frequency",
     "stream_sliding_6h",
     "stream_session_windows",
     "stream_dedup_user_types",
@@ -105,6 +102,18 @@ _UNSEEN_FIRST = (
     "stream_tumbling_daily",
     "stream_user_lifetime_stats",
     "stream_upsert_snapshot",
+    # rows-only (weaker driver row) — after every oracle-backed unseen
+    "approx_percentiles_price",
+    "similarity_ivf_kmeans_topk",
+    "similarity_pq_topk",
+    "dedup_semantic_clusters",
+    "embedding_jl_projection",
+    "pagerank_copurchase",
+    "hll_users_mergeable_rollup",
+    "embedding_pca_project",
+    "bpe_train_merges",
+    "logreg_train_quality",
+    "similarity_mmr_topk",
 )
 
 #: most expensive entries at sf0.01, slowest-last; everything absent
@@ -117,6 +126,11 @@ _COSTLY_LAST = (
     "similarity_ivf_kmeans_topk",
     "dedup_embedding_lsh",
     "dedup_minhash_lsh",
+    "skew_profile_join_keys",
+    "dedup_jaccard_prefix",
+    "classifier_doc_scores",
+    "decontaminate_bloom_gate",
+    "cms_word_frequency",
     "stream_sliding_6h",
     "stream_session_windows",
     "stream_dedup_user_types",
