@@ -101,28 +101,30 @@ def chi2_contingency(
     caller (or the oracle reader) sums ``chi2_term`` for the global
     statistic with dof = (R−1)(C−1).
     """
-    cells = rows.groupBy(row_var, col_var).agg(
-        F.count(F.lit(1)).alias("observed")
+    # The cell table's cardinality is |row domain| × |col domain| —
+    # data-independent and tiny — and BOTH the totals projection and
+    # the grand-total scalar read it, so it is persisted: the 100 TB
+    # base is scanned exactly once (Catalyst's ReuseExchange does not
+    # unify the two aggregate branches here). Row/col totals are
+    # PARTITIONED windows over the cached cells; the grand total is a
+    # 1-row aggregate cross-joined back (the quality_filtered
+    # broadcast-scalar pattern) — no Window-over-() anywhere (a
+    # lit(1) partition spec would constant-fold to exactly that).
+    cells = (
+        rows.groupBy(row_var, col_var)
+        .agg(F.count(F.lit(1)).alias("observed"))
+        .persist()
     )
-    # Totals come from WINDOWS over the cell table, not from re-
-    # aggregating the base: DataFrame re-reference would re-scan the
-    # 100 TB side once per total (no exchange reuse — the groupings
-    # differ). The cell table's cardinality is |row domain| × |col
-    # domain| — data-independent and tiny — so even the global-sum
-    # window's single partition is a few KB at any corpus size (the
-    # usual no-Window-over-() rule targets windows over fact-sized
-    # inputs).
     w_row = Window.partitionBy(row_var)
     w_col = Window.partitionBy(col_var)
-    w_all = Window.partitionBy(F.lit(1))
+    grand = cells.agg(F.sum("observed").alias("grand_total"))
     totals = cells.select(
         row_var,
         col_var,
         "observed",
         F.sum("observed").over(w_row).alias("row_total"),
         F.sum("observed").over(w_col).alias("col_total"),
-        F.sum("observed").over(w_all).alias("grand_total"),
-    )
+    ).crossJoin(F.broadcast(grand))
     o = F.col("observed").cast("double")
     # totals are cast to double BEFORE the product: at 100 TB the
     # bigint product row_total*col_total (~N²) would overflow long

@@ -98,10 +98,19 @@ def test_time_decayed_score_single_shuffle(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
-def test_chi2_single_base_scan(spark, sf_dir):
+def test_chi2_single_base_scan_and_no_global_window(spark, sf_dir):
+    """Both total branches (row/col windows, grand scalar) must read
+    the PERSISTED cell table — the base is materialized once — and no
+    window may run with an empty partition spec (the lit(1) trick
+    constant-folds to exactly that)."""
     df = QUERIES["chi2_lang_source"](spark, sf_dir)
-    plan = df._jdf.queryExecution().optimizedPlan().toString()
-    assert plan.count("parquet") == 1, "documents must be scanned exactly once"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 2, "cells cache must feed both branches"
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        head = m.group(1).split(",")[0].strip()
+        assert not (" ASC" in head or " DESC" in head), f"global window: {m.group(1)}"
 
 
 def test_key_skew_profile_hand_computed(spark):
