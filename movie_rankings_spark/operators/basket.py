@@ -1,0 +1,108 @@
+"""Market-basket association rules over order baskets.
+
+The statistics layer on top of the co-purchase graph tier
+(pagerank/triangles use the same edges): for item pairs bought in the
+same order, emit support / confidence / lift — the classic
+recommendation & assortment signal, and at corpus scale the shape
+matters more than the formula:
+
+  1. Distinct (basket, item) — dedups line-level repeats so a basket
+     contributes one unit of support per item.
+  2. FREQUENT-ITEM PREFILTER (the a-priori property): an item below
+     min_item_support cannot appear in any frequent pair, so the
+     quadratic within-basket pair join runs over frequent items only.
+     This is what bounds the explode — a 100-item basket of long-tail
+     items generates zero pairs.
+  3. Within-basket pair self-join (a < b) + pair-count aggregate.
+  4. Rules in both directions with confidence n_ab/n_antecedent and
+     lift N·n_ab/(n_a·n_b).
+
+Shuffles: item-support agg, basket self-join on the basket key, pair
+agg — each linear in its input. Basket-size skew (one giant order)
+is the known hazard: the prefilter caps it in practice and AQE
+skew-join handles the residue; a hard per-basket item cap is the
+documented escape hatch for adversarial data.
+
+Exactness: all counts are integers; confidence/lift are double
+ratios of exact bigints — bit-reproducible in DuckDB, so the query is
+value-hash checked.
+
+Reference scope: north-star [EXT] tier (reference has no basket
+surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def association_rules(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_item_support: int = 20,
+    min_pair_support: int = 3,
+) -> DataFrame:
+    """Rules (antecedent → consequent) over co-occurring item pairs.
+
+    Columns: antecedent, consequent, n_antecedent, n_consequent,
+    n_both, n_baskets, confidence, lift."""
+    bi = baskets.select(
+        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+    ).distinct()
+    n_baskets = bi.agg(
+        F.countDistinct("basket").cast("long").alias("n_baskets")
+    )
+    support = (
+        bi.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+        .filter(F.col("n_item") >= min_item_support)
+    )
+    frequent = bi.join(support, "item").select("basket", "item", "n_item")
+    a = frequent.select(
+        "basket", F.col("item").alias("ia"), F.col("n_item").alias("n_a")
+    )
+    b = frequent.select(
+        "basket", F.col("item").alias("ib"), F.col("n_item").alias("n_b")
+    )
+    pairs = (
+        a.join(b, "basket")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(
+            F.count(F.lit(1)).alias("n_both"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
+        .filter(F.col("n_both") >= min_pair_support)
+    )
+    fwd = pairs.select(
+        F.col("ia").alias("antecedent"),
+        F.col("ib").alias("consequent"),
+        F.col("n_a").alias("n_antecedent"),
+        F.col("n_b").alias("n_consequent"),
+        "n_both",
+    )
+    rev = pairs.select(
+        F.col("ib").alias("antecedent"),
+        F.col("ia").alias("consequent"),
+        F.col("n_b").alias("n_antecedent"),
+        F.col("n_a").alias("n_consequent"),
+        "n_both",
+    )
+    rules = fwd.unionByName(rev).crossJoin(F.broadcast(n_baskets))
+    conf = F.col("n_both").cast("double") / F.col("n_antecedent").cast("double")
+    lift = (
+        F.col("n_both").cast("double") * F.col("n_baskets").cast("double")
+    ) / (F.col("n_antecedent").cast("double") * F.col("n_consequent").cast("double"))
+    return rules.select(
+        "antecedent",
+        "consequent",
+        "n_antecedent",
+        "n_consequent",
+        "n_both",
+        "n_baskets",
+        conf.alias("confidence"),
+        lift.alias("lift"),
+    )

@@ -119,10 +119,14 @@ def contamination_report_bloom(
         benchmark.select(F.explode(word_shingles(F.col("text"), n)).alias("sh"))
         .distinct()
     )
-    bits = F.lit(build_bloom_bits(bench, "sh", num_bits, num_hashes))
+    # The bit array rides a broadcast 1-row DataFrame, NOT a plan
+    # literal: a CreateArray of ~6k literals inflates the generated
+    # code past JIT limits (measured ~4× slower whole-stage fallback).
+    bits = build_bloom_bits(bench, "sh", num_bits, num_hashes)
+    bits_df = docs.sparkSession.createDataFrame([(bits,)], "_bf array<bigint>")
     cand = (
         _distinct_shingles(docs, n, "sh")
-        .withColumn("_bf", bits)
+        .crossJoin(F.broadcast(bits_df))
         .filter(_bloom_might_contain_sql("_bf", "sh", num_bits, num_hashes))
         .drop("_bf")
     )

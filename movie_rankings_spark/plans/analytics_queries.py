@@ -317,3 +317,55 @@ def skew_profile_join_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             key_skew_profile(_t(spark, sf_dir, "events"), "user_id", "events.user_id"),
         ]
     ).orderBy("key_name")
+
+
+_BASKET_ORACLE = """
+WITH bi AS (
+  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+),
+nb AS (SELECT COUNT(DISTINCT basket) AS n_baskets FROM bi),
+sup AS (
+  SELECT item, COUNT(*) AS n_item FROM bi GROUP BY 1
+  HAVING COUNT(*) >= 20
+),
+freq AS (SELECT bi.basket, bi.item, sup.n_item FROM bi JOIN sup USING (item)),
+pairs AS (
+  SELECT a.item AS ia, b.item AS ib, COUNT(*) AS n_both,
+         MIN(a.n_item) AS n_a, MIN(b.n_item) AS n_b
+  FROM freq a JOIN freq b ON a.basket = b.basket AND a.item < b.item
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+),
+rules AS (
+  SELECT ia AS antecedent, ib AS consequent,
+         n_a AS n_antecedent, n_b AS n_consequent, n_both FROM pairs
+  UNION ALL
+  SELECT ib, ia, n_b, n_a, n_both FROM pairs
+)
+SELECT antecedent, consequent,
+       CAST(n_antecedent AS BIGINT) AS n_antecedent,
+       CAST(n_consequent AS BIGINT) AS n_consequent,
+       CAST(n_both AS BIGINT) AS n_both,
+       CAST(nb.n_baskets AS BIGINT) AS n_baskets,
+       CAST(n_both AS DOUBLE) / CAST(n_antecedent AS DOUBLE) AS confidence,
+       CAST(n_both AS DOUBLE) * CAST(nb.n_baskets AS DOUBLE)
+         / (CAST(n_antecedent AS DOUBLE) * CAST(n_consequent AS DOUBLE))
+         AS lift
+FROM rules, nb ORDER BY antecedent, consequent
+"""
+
+
+@REGISTRY.register("basket_association_rules", _BASKET_ORACLE)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket support/confidence/lift over order baskets
+    (operators/basket.py): a-priori frequent-item prefilter bounds
+    the within-basket pair join; exact integer counts → double
+    ratios, fully oracle-checked."""
+    from movie_rankings_spark.operators.basket import association_rules
+
+    return association_rules(
+        _t(spark, sf_dir, "lineitem"),
+        "l_orderkey",
+        "l_partkey",
+        min_item_support=20,
+        min_pair_support=3,
+    ).orderBy("antecedent", "consequent")
