@@ -117,6 +117,7 @@ HEADLINE_QUERIES = (
     "regression_monthly_trend",
     "chi2_lang_source",
     "decay_user_activity",
+    "basket_association_rules",
     "text_corpus_summary",
     "text_top_terms",
     "vocab_top_words",

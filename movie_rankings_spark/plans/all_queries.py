@@ -92,6 +92,7 @@ _UNSEEN_FIRST = (
     "classifier_doc_scores",
     "decontaminate_bloom_gate",
     "cms_word_frequency",
+    "basket_association_rules",
     "stream_sliding_6h",
     "stream_session_windows",
     "stream_dedup_user_types",
@@ -131,6 +132,7 @@ _COSTLY_LAST = (
     "classifier_doc_scores",
     "decontaminate_bloom_gate",
     "cms_word_frequency",
+    "basket_association_rules",
     "stream_sliding_6h",
     "stream_session_windows",
     "stream_dedup_user_types",
