@@ -118,6 +118,7 @@ HEADLINE_QUERIES = (
     "chi2_lang_source",
     "decay_user_activity",
     "basket_association_rules",
+    "drift_train_val_js",
     "text_corpus_summary",
     "text_top_terms",
     "vocab_top_words",

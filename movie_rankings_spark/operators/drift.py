@@ -1,0 +1,72 @@
+"""Distribution-drift monitoring: Jensen-Shannon divergence between
+the train and validation token distributions.
+
+The check a training pipeline runs after every split/ingest: "does
+val still look like train?" A drifting JS (or a drifting per-source
+run of this report) catches ingest bugs, contamination of one split,
+and topic shift before they show up as eval noise.
+
+Estimate: add-one-smoothed unigram distributions over the SHARED
+vocabulary, JS(p,q) = ½Σ p·ln(p/m) + ½Σ q·ln(q/m), m = (p+q)/2 —
+symmetric, bounded by ln 2, zero iff identical.
+
+Scale shape: the corpus is reduced ONCE — one conditional-aggregate
+groupBy(word) produces both sides' counts (no second scan, no join of
+two count tables); totals are a 1-row broadcast. Per-word math is
+closed-form doubles from exact integer counts. The ln terms are
+rounded to DECIMAL(18,9) and the per-word contribution to
+DECIMAL(28,15) before the global sum (the bigram-LM convention), so
+the reduction is order-independent and the one-row report value-hash
+matches DuckDB.
+
+The split rule is hash_split_summary's md5-byte bucket (test 0-12,
+val 13-25, train rest) — test is held out of the comparison.
+
+Reference scope: north-star [EXT] observability tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from movie_rankings_spark.functions.text import words
+
+
+def js_token_drift(docs: DataFrame) -> DataFrame:
+    """One-row report: n_train_tokens, n_val_tokens, vocab_size,
+    js_divergence."""
+    b = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 31, 2), 16, 10
+    ).cast("int")
+    side = (
+        F.when(b < 13, F.lit(None).cast("string"))
+        .when(b < 26, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    toks = (
+        docs.select(side.alias("side"), F.explode(words(F.col("text"))).alias("word"))
+        .filter(F.col("side").isNotNull())
+    )
+    counts = toks.groupBy("word").agg(
+        F.sum(F.when(F.col("side") == "train", 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("side") == "val", 1).otherwise(0)).alias("cv"),
+    )
+    totals = counts.agg(
+        F.sum("ct").alias("nt"),
+        F.sum("cv").alias("nv"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    j = counts.crossJoin(F.broadcast(totals))
+    p = (F.col("ct") + 1).cast("double") / (F.col("nt") + F.col("v")).cast("double")
+    q = (F.col("cv") + 1).cast("double") / (F.col("nv") + F.col("v")).cast("double")
+    m = (p + q) / 2.0
+    logp = F.log(p / m).cast("decimal(18,9)").cast("double")
+    logq = F.log(q / m).cast("decimal(18,9)").cast("double")
+    contrib = (p * logp * 0.5 + q * logq * 0.5).cast("decimal(28,15)")
+    return j.select("nt", "nv", "v", contrib.alias("c")).groupBy().agg(
+        F.first("nt").alias("n_train_tokens"),
+        F.first("nv").alias("n_val_tokens"),
+        F.first("v").cast("long").alias("vocab_size"),
+        F.sum("c").cast("double").alias("js_divergence"),
+    )

@@ -93,6 +93,7 @@ _UNSEEN_FIRST = (
     "decontaminate_bloom_gate",
     "cms_word_frequency",
     "basket_association_rules",
+    "drift_train_val_js",
     "stream_sliding_6h",
     "stream_session_windows",
     "stream_dedup_user_types",
@@ -133,6 +134,7 @@ _COSTLY_LAST = (
     "decontaminate_bloom_gate",
     "cms_word_frequency",
     "basket_association_rules",
+    "drift_train_val_js",
     "stream_sliding_6h",
     "stream_session_windows",
     "stream_dedup_user_types",

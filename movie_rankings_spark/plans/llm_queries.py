@@ -1661,3 +1661,53 @@ def similarity_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.mmr_topk(
         _emb(spark, sf_dir), _QUERY_IDS, k=5, pool=20, lam=0.7
     )
+
+
+_DRIFT_ORACLE = """
+WITH toks AS (
+  SELECT CASE WHEN b < 13 THEN NULL WHEN b < 26 THEN 'val'
+              ELSE 'train' END AS side,
+         unnest(string_split(text, ' ')) AS word
+  FROM (SELECT text,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 31, 2)
+                    AS INT) AS b
+        FROM documents)
+),
+counts AS (
+  SELECT word,
+         SUM(CASE WHEN side = 'train' THEN 1 ELSE 0 END) AS ct,
+         SUM(CASE WHEN side = 'val' THEN 1 ELSE 0 END) AS cv
+  FROM toks WHERE side IS NOT NULL GROUP BY word
+),
+tot AS (SELECT SUM(ct) AS nt, SUM(cv) AS nv, COUNT(*) AS v FROM counts),
+terms AS (
+  SELECT nt, nv, v,
+         CAST((p * CAST(CAST(ln(p / m) AS DECIMAL(18,9)) AS DOUBLE) * 0.5
+             + q * CAST(CAST(ln(q / m) AS DECIMAL(18,9)) AS DOUBLE) * 0.5)
+              AS DECIMAL(28,15)) AS c
+  FROM (
+    SELECT nt, nv, v,
+           CAST(ct + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE) AS p,
+           CAST(cv + 1 AS DOUBLE) / CAST(nv + v AS DOUBLE) AS q,
+           (CAST(ct + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE)
+            + CAST(cv + 1 AS DOUBLE) / CAST(nv + v AS DOUBLE)) / 2.0 AS m
+    FROM counts, tot
+  )
+)
+SELECT CAST(MIN(nt) AS BIGINT) AS n_train_tokens,
+       CAST(MIN(nv) AS BIGINT) AS n_val_tokens,
+       CAST(MIN(v) AS BIGINT) AS vocab_size,
+       CAST(SUM(c) AS DOUBLE) AS js_divergence
+FROM terms
+"""
+
+
+@REGISTRY.register("drift_train_val_js", _DRIFT_ORACLE)
+def drift_train_val_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-vs-val token-distribution drift (operators/drift.py):
+    one conditional-aggregate corpus reduction, 1-row broadcast
+    totals, DECIMAL-rounded log terms so the smoothed JS divergence
+    is order-independent and value-hash exact."""
+    from movie_rankings_spark.operators.drift import js_token_drift
+
+    return js_token_drift(_docs(spark, sf_dir))
