@@ -48,9 +48,16 @@ def association_rules(
 
     Columns: antecedent, consequent, n_antecedent, n_consequent,
     n_both, n_baskets, confidence, lift."""
-    bi = baskets.select(
-        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
-    ).distinct()
+    # persisted: the basket-count scalar, the item-support aggregate,
+    # and the frequent-item join all read it — uncached, the fact
+    # would be scanned three times.
+    bi = (
+        baskets.select(
+            F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+        )
+        .distinct()
+        .persist()
+    )
     n_baskets = bi.agg(
         F.countDistinct("basket").cast("long").alias("n_baskets")
     )

@@ -43,7 +43,19 @@ def _bucket(col, seed: int, width: int):
 
 def cms_build(tokens: DataFrame, col: str, depth: int, width: int) -> DataFrame:
     """The sketch as a (row, bucket, n) table — d·w cells max."""
-    cells = tokens.select(
+    counted = tokens.groupBy(col).agg(F.count(F.lit(1)).alias("n"))
+    return cms_build_from_counts(counted, col, "n", depth, width)
+
+
+def cms_build_from_counts(
+    counts: DataFrame, col: str, n_col: str, depth: int, width: int
+) -> DataFrame:
+    """Sketch from a pre-aggregated (key, count) table: the d-way
+    explode and d×w cell reduction run over VOCAB rows, not the raw
+    stream — the shape that matters when the same counts table feeds
+    other consumers (one corpus scan total)."""
+    cells = counts.select(
+        F.col(n_col).alias("_n"),
         F.explode(
             F.array(
                 *[
@@ -54,9 +66,9 @@ def cms_build(tokens: DataFrame, col: str, depth: int, width: int) -> DataFrame:
                     for i in range(depth)
                 ]
             )
-        ).alias("c")
+        ).alias("c"),
     )
-    return cells.groupBy("c.row", "c.bucket").agg(F.count(F.lit(1)).alias("n"))
+    return cells.groupBy("c.row", "c.bucket").agg(F.sum("_n").alias("n"))
 
 
 def cms_estimate(
@@ -93,13 +105,13 @@ def cms_word_frequency_report(
     word whose TRUE count ≥ min_count, and report word, true_n,
     cms_est, overestimate (est − true ≥ 0 always; ≤ 2N/w with
     probability 1 − 2^−d per the CMS bound)."""
+    # ONE corpus scan: the word-count table (vocab-sized, persisted)
+    # feeds the sketch build, the truth side, and the probe — without
+    # the cache each branch would rescan the token stream.
     toks = docs.select(F.explode(words(F.col("text"))).alias("word"))
-    sketch = cms_build(toks, "word", depth, width)
-    truth = (
-        toks.groupBy("word")
-        .agg(F.count(F.lit(1)).alias("true_n"))
-        .filter(F.col("true_n") >= min_count)
-    )
+    counted = toks.groupBy("word").agg(F.count(F.lit(1)).alias("true_n")).persist()
+    sketch = cms_build_from_counts(counted, "word", "true_n", depth, width)
+    truth = counted.filter(F.col("true_n") >= min_count)
     est = cms_estimate(sketch, truth.select("word"), "word", depth, width)
     return truth.join(est, "word").select(
         "word",

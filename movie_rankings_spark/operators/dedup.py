@@ -156,7 +156,10 @@ def jaccard_prefix_pairs(
     (1-t) of the full index, rare keys only), verify join of the
     candidate pairs back to the shingle sets. Each is linear in its
     input; nothing is quadratic except the true-result size."""
-    sets = shingle_sets(docs, n).filter(F.col("n_shingles") > 0)
+    # sets is persisted too: the prefix index derives from it AND both
+    # verify sides re-read the full shingle arrays — uncached, docs
+    # would be re-shingled three times (scan audit showed 6 base scans).
+    sets = shingle_sets(docs, n).filter(F.col("n_shingles") > 0).persist()
     inv = sets.select(
         "doc_id", "n_shingles", F.explode("shingles").alias("shingle")
     ).persist()  # read by the df aggregate and the prefix ranking

@@ -48,10 +48,13 @@ def js_token_drift(docs: DataFrame) -> DataFrame:
         docs.select(side.alias("side"), F.explode(words(F.col("text"))).alias("word"))
         .filter(F.col("side").isNotNull())
     )
+    # persisted: the totals scalar and the per-word join both read it,
+    # and exchange reuse does not unify the two aggregate branches —
+    # without the cache the corpus would be scanned twice. Vocab-sized.
     counts = toks.groupBy("word").agg(
         F.sum(F.when(F.col("side") == "train", 1).otherwise(0)).alias("ct"),
         F.sum(F.when(F.col("side") == "val", 1).otherwise(0)).alias("cv"),
-    )
+    ).persist()
     totals = counts.agg(
         F.sum("ct").alias("nt"),
         F.sum("cv").alias("nv"),
