@@ -12,11 +12,16 @@ expressible both ways, which makes the cogroup path ORACLE-CHECKABLE
 against the same DuckDB ASOF JOIN — a stronger check than the
 rows-only gate most Python-resident operators get.
 
-Scale posture: cogroup shuffles both sides by the key once (same cost
-as the window form's single shuffle), Arrow-batches per group, and
-state is bounded by the largest single key's rows. Timestamps cross
-the boundary as int64 microseconds — no tz/ns-resolution drift
-between the JVM, Arrow, and pandas.
+Scale posture: the cogroup key is a HASH BUCKET of the join key, not
+the key itself — cogrouping per raw key pays the Arrow/pandas
+per-group overhead once per key (measured 5× slower on many small
+keys); per bucket, `merge_asof(..., by=key)` does the per-key as-of
+in one vectorized call. Both sides shuffle once on the bucket (same
+cost as the window form's single shuffle); bucket count bounds group
+memory and parallelism independently of key cardinality — the same
+two-level trick as salted top-k. Timestamps cross the boundary as
+int64 microseconds — no tz/ns-resolution drift between the JVM,
+Arrow, and pandas.
 """
 
 from __future__ import annotations
@@ -24,6 +29,7 @@ from __future__ import annotations
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def cogroup_asof_join(
@@ -33,6 +39,7 @@ def cogroup_asof_join(
     ts_col: str,
     payload_dtypes: dict[str, str],
     schema: str,
+    num_buckets: int = 64,
 ) -> DataFrame:
     """LEFT as-of join: for each left row, the latest right row of the
     same ``key`` with ts strictly earlier. ``left`` and ``right``
@@ -47,21 +54,25 @@ def cogroup_asof_join(
     into a long field.
     """
     payload_cols = list(payload_dtypes)
+    bucket = F.pmod(F.xxhash64(F.col(key)), F.lit(num_buckets)).alias("_b")
 
     def merge(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
-        ldf = ldf.sort_values(ts_col, kind="mergesort")
+        ldf = ldf.drop(columns=["_b"]).sort_values(ts_col, kind="mergesort")
         if rdf.empty:
             out = ldf.copy()
         else:
             rdf = (
-                rdf.sort_values([ts_col, payload_cols[0]], kind="mergesort")
-                .drop_duplicates(ts_col, keep="last")
+                rdf.drop(columns=["_b"])
+                .sort_values([ts_col, payload_cols[0]], kind="mergesort")
+                .drop_duplicates([key, ts_col], keep="last")
+                .sort_values(ts_col, kind="mergesort")
                 .rename(columns={c: "prev_" + c for c in payload_cols})
             )
             out = pd.merge_asof(
                 ldf,
-                rdf.drop(columns=[key]),
+                rdf,
                 on=ts_col,
+                by=key,
                 allow_exact_matches=False,
                 direction="backward",
             )
@@ -74,7 +85,8 @@ def cogroup_asof_join(
         return out
 
     return (
-        left.groupBy(key)
-        .cogroup(right.groupBy(key))
+        left.withColumn("_b", bucket)
+        .groupBy("_b")
+        .cogroup(right.withColumn("_b", bucket).groupBy("_b"))
         .applyInPandas(merge, schema)
     )
