@@ -282,3 +282,93 @@ def test_funnel_counts_match_python_reference(spark, rows):
             want[(i, stage)] += 1
             prev_t = min(hits)
     assert got == want
+
+
+_word = st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+)
+_doc_text = st.lists(_word, min_size=0, max_size=12).map(" ".join)
+
+
+@_SETTINGS
+@given(st.lists(_doc_text, min_size=2, max_size=14))
+def test_prefix_join_equals_full_inverted_index(spark, texts):
+    """Prefix filtering must be EXACT on arbitrary corpora: same edge
+    set and jaccard values as the full inverted-index join — the
+    AllPairs no-false-negatives guarantee under the lenient bounds."""
+    from movie_rankings_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(df, n=2, threshold=0.4).collect()
+    }
+    pref = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.jaccard_prefix_pairs(df, n=2, threshold=0.4).collect()
+    }
+    assert pref == full
+
+
+@_SETTINGS
+@given(st.lists(_word, min_size=1, max_size=60))
+def test_cms_never_underestimates(spark, tokens):
+    """CMS estimate >= true count for every key, at any width."""
+    from collections import Counter
+
+    from movie_rankings_spark.operators.cms import cms_build, cms_estimate
+
+    df = spark.createDataFrame([(t,) for t in tokens], "word string")
+    truth = Counter(tokens)
+    sketch = cms_build(df, "word", depth=2, width=4)
+    probes = df.distinct()
+    est = {
+        r["word"]: r["cms_est"]
+        for r in cms_estimate(sketch, probes, "word", 2, 4).collect()
+    }
+    assert all(est[w] >= c for w, c in truth.items())
+
+
+@_SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 6), st.sampled_from("ABCDE")),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_association_rules_match_python_reference(spark, pairs):
+    """Support/confidence/lift vs a dict-based reference on random
+    basket data (dedup of line repeats included)."""
+    from collections import defaultdict
+
+    from movie_rankings_spark.operators.basket import association_rules
+
+    df = spark.createDataFrame(pairs, "o long, item string")
+    got = {
+        (r["antecedent"], r["consequent"]): (
+            r["n_antecedent"], r["n_consequent"], r["n_both"],
+            r["confidence"], r["lift"],
+        )
+        for r in association_rules(df, "o", "item", 1, 1).collect()
+    }
+    baskets = defaultdict(set)
+    for o, i in pairs:
+        baskets[o].add(i)
+    support = defaultdict(int)
+    both = defaultdict(int)
+    for items in baskets.values():
+        for i in items:
+            support[i] += 1
+        for a in items:
+            for b in items:
+                if a < b:
+                    both[(a, b)] += 1
+    nb = len(baskets)
+    want = {}
+    for (a, b), n in both.items():
+        want[(a, b)] = (support[a], support[b], n, n / support[a], n * nb / (support[a] * support[b]))
+        want[(b, a)] = (support[b], support[a], n, n / support[b], n * nb / (support[a] * support[b]))
+    assert got == want
