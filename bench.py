@@ -113,6 +113,7 @@ HEADLINE_QUERIES = (
     "anomaly_events_zscore",
     "robust_outliers_mad",
     "histogram_totalprice",
+    "histogram_equidepth_price",
     "corr_price_quantity",
     "regression_monthly_trend",
     "chi2_lang_source",
@@ -131,6 +132,7 @@ HEADLINE_QUERIES = (
     "split_train_val_test",
     "collocations_lift",
     "sample_docs_deterministic",
+    "sample_k_per_lang",
     "sample_stratified_by_lang",
     "mix_corpus_token_budget",
     "quality_repetition_bigram",

@@ -94,6 +94,8 @@ _UNSEEN_FIRST = (
     "cms_word_frequency",
     "basket_association_rules",
     "drift_train_val_js",
+    "histogram_equidepth_price",
+    "sample_k_per_lang",
     "stream_sliding_6h",
     "stream_session_windows",
     "stream_dedup_user_types",
@@ -135,6 +137,8 @@ _COSTLY_LAST = (
     "cms_word_frequency",
     "basket_association_rules",
     "drift_train_val_js",
+    "histogram_equidepth_price",
+    "sample_k_per_lang",
     "stream_sliding_6h",
     "stream_session_windows",
     "stream_dedup_user_types",

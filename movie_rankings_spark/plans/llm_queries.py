@@ -1711,3 +1711,35 @@ def drift_train_val_js(spark: SparkSession, sf_dir: str) -> DataFrame:
     from movie_rankings_spark.operators.drift import js_token_drift
 
     return js_token_drift(_docs(spark, sf_dir))
+
+
+_KPG_ORACLE = """
+SELECT lang, doc_id, rn FROM (
+  SELECT lang, doc_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rn
+  FROM documents
+) WHERE rn <= 3 ORDER BY lang, rn
+"""
+
+
+@REGISTRY.register("sample_k_per_lang", _KPG_ORACLE)
+def sample_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic EXACT-k-per-group sample (vs the RATE-based
+    stratified sampler): md5-ordered row_number per lang, keep 3.
+    The md5 order is a seeded uniform shuffle, so this is reservoir
+    sampling's output computed deterministically — stable across
+    retries, partitionings, and engines. One shuffle on the group
+    key; the window is per-group, never global."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .orderBy("lang", "rn")
+    )

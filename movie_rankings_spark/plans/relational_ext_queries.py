@@ -1560,3 +1560,52 @@ def robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+_EQUIDEPTH_ORACLE = """
+WITH t AS (
+  SELECT [quantile_cont(o_totalprice, 0.125), quantile_cont(o_totalprice, 0.25),
+          quantile_cont(o_totalprice, 0.375), quantile_cont(o_totalprice, 0.5),
+          quantile_cont(o_totalprice, 0.625), quantile_cont(o_totalprice, 0.75),
+          quantile_cont(o_totalprice, 0.875)] AS ths
+  FROM orders
+)
+SELECT CAST(len(list_filter(t.ths, x -> o.o_totalprice > x)) AS BIGINT)
+         AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       MIN(o.o_totalprice) AS min_price,
+       MAX(o.o_totalprice) AS max_price
+FROM orders o, t GROUP BY 1 ORDER BY 1
+"""
+
+
+@REGISTRY.register("histogram_equidepth_price", _EQUIDEPTH_ORACLE)
+def histogram_equidepth_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile-boundary) histogram — the complement of
+    the fixed-width histogram_totalprice and the structure behind
+    range-partition boundaries and optimizer column stats. Textbook
+    two-pass shape: pass 1 computes the 7 octile thresholds (exact
+    percentile, 1-row broadcast); pass 2 buckets every row by
+    counting thresholds strictly below it (codegen array filter) into
+    a partial+final hash aggregate. Exact-interpolation percentile
+    matches DuckDB quantile_cont, so the report is value-hash
+    checked."""
+    o = _t(spark, sf_dir, "orders")
+    ths = o.agg(
+        F.percentile(
+            "o_totalprice", F.lit([i / 8.0 for i in range(1, 8)])
+        ).alias("ths")
+    )
+    j = o.crossJoin(F.broadcast(ths))
+    bucket = F.size(
+        F.filter(F.col("ths"), lambda t: F.col("o_totalprice") > t)
+    ).cast("long")
+    return (
+        j.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .orderBy("bucket")
+    )

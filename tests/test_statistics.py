@@ -128,3 +128,22 @@ def test_key_skew_profile_hand_computed(spark):
     # population stddev of [6,2,2]
     import statistics as st
     assert abs(r["stddev_rows"] - st.pstdev([6, 2, 2])) < 1e-12
+
+
+def test_equidepth_buckets_balanced(spark, sf_dir):
+    rows = QUERIES["histogram_equidepth_price"](spark, sf_dir).collect()
+    assert len(rows) == 8
+    counts = [r["n_orders"] for r in rows]
+    assert max(counts) - min(counts) <= max(2, 0.02 * sum(counts))
+    # buckets tile the range in order
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo["max_price"] <= hi["min_price"]
+
+
+def test_sample_k_per_lang_deterministic_and_exact_k(spark, sf_dir):
+    a = QUERIES["sample_k_per_lang"](spark, sf_dir).collect()
+    b = QUERIES["sample_k_per_lang"](spark, sf_dir).collect()
+    assert a == b
+    from collections import Counter
+    per_lang = Counter(r["lang"] for r in a)
+    assert all(v == 3 for v in per_lang.values())
