@@ -151,6 +151,7 @@ HEADLINE_QUERIES = (
     "stream_stream_view_purchase",
     "stream_stream_outer_attribution",
     "stream_upsert_snapshot",
+    "stream_dedup_incremental",
 )
 
 

@@ -352,11 +352,34 @@ def incremental_neardup_pairs(
     pairs. Cost scales with the batch, not the corpus — the property
     that makes continuous dedup affordable at all."""
     rows = num_hashes // bands
-    b_idx = banded_buckets(
-        minhash_signatures(batch, num_hashes, shingle_n), bands, rows
-    )
     c_idx = banded_buckets(
         minhash_signatures(corpus, num_hashes, shingle_n), bands, rows
+    )
+    c_sets = shingle_sets(corpus, shingle_n)
+    return incremental_pairs_against_index(
+        batch, c_idx, c_sets, threshold, num_hashes, bands, shingle_n
+    )
+
+
+def incremental_pairs_against_index(
+    batch: DataFrame,
+    c_idx: DataFrame,
+    c_sets: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The index-reuse form of ``incremental_neardup_pairs``: the
+    corpus side arrives as its PERSISTED artifacts — the banded
+    bucket table ``c_idx`` (doc_id, band, bucket) and the shingle-set
+    table ``c_sets`` (doc_id, shingles, n_shingles), both written
+    once when the corpus commits — so a run touches the corpus only
+    through index lookups. This is the function the streaming ingest
+    path calls per micro-batch."""
+    rows = num_hashes // bands
+    b_idx = banded_buckets(
+        minhash_signatures(batch, num_hashes, shingle_n), bands, rows
     )
     cands = (
         b_idx.select(F.col("doc_id").alias("batch_doc"), "band", "bucket")
@@ -372,7 +395,7 @@ def incremental_neardup_pairs(
         F.col("shingles").alias("sh_a"),
         F.col("n_shingles").alias("n_a"),
     )
-    c_sets = shingle_sets(corpus, shingle_n).select(
+    c_sets = c_sets.select(
         F.col("doc_id").alias("corpus_doc"),
         F.col("shingles").alias("sh_b"),
         F.col("n_shingles").alias("n_b"),

@@ -106,6 +106,7 @@ _UNSEEN_FIRST = (
     "stream_tumbling_daily",
     "stream_user_lifetime_stats",
     "stream_upsert_snapshot",
+    "stream_dedup_incremental",
     # rows-only (weaker driver row) — after every oracle-backed unseen
     "approx_percentiles_price",
     "similarity_ivf_kmeans_topk",
@@ -149,6 +150,7 @@ _COSTLY_LAST = (
     "stream_tumbling_daily",
     "stream_user_lifetime_stats",
     "stream_upsert_snapshot",
+    "stream_dedup_incremental",
 )
 
 

@@ -408,3 +408,73 @@ if _has_protobuf():  # pragma: no cover — env-dependent registration
     stream_transform_with_state = REGISTRY.register(
         "stream_transform_with_state", _TWS_LIFETIME_ORACLE
     )(stream_transform_with_state)
+
+
+# --- streaming incremental dedup against the stored LSH index ---------------
+
+# same oracle as the batch incremental dedup: the stream's appended
+# pairs table equals the one-shot batch answer (micro-batches
+# partition the ingest slice; pairs are disjoint across batches)
+from movie_rankings_spark.plans.llm_queries import _INCR_ORACLE  # noqa: E402
+
+
+def _stage_dedup_stream(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Idempotent staging: the md5-split ingest slice (hb 0/1) as TWO
+    landing-zone files → two micro-batches; the rest of the corpus
+    materialized once as the stored LSH index."""
+    import os
+
+    from movie_rankings_spark.catalog import table_path
+    from movie_rankings_spark.streaming.dedup_stream import write_corpus_index
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.dirname(ev._CHECKPOINT_ROOT)
+    src_dir = os.path.join(root, "stream_src", f"docs_batch_{tag}")
+    idx_dir = os.path.join(root, "stream_src", f"docs_index_{tag}")
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    hb = F.substring(F.md5(F.col("doc_id").cast("string")), 30, 1)
+    if not os.path.exists(os.path.join(src_dir, "_SUCCESS")):
+        docs.filter(hb.isin("0", "1")).repartition(2, "doc_id").write.mode(
+            "overwrite"
+        ).parquet(src_dir)
+    if not os.path.exists(
+        os.path.join(idx_dir, "sets", "_SUCCESS")
+    ):
+        write_corpus_index(docs.filter(~hb.isin("0", "1")), idx_dir)
+    return src_dir, idx_dir
+
+
+@REGISTRY.register("stream_dedup_incremental", _INCR_ORACLE)
+def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous ingest dedup: new documents land as files, each
+    micro-batch (maxFilesPerTrigger=1) is near-dup-checked against
+    the PERSISTED corpus LSH index and its verified pairs appended —
+    streaming/dedup_stream.py. Per-batch cost is batch×bands index
+    lookups + exact verification of candidates; exactly-once file
+    processing makes the appended table equal the batch query, so the
+    exact batch oracle applies verbatim."""
+    import os
+    import uuid
+
+    from movie_rankings_spark.streaming.dedup_stream import (
+        DOCS_SCHEMA,
+        stream_incremental_dedup,
+    )
+
+    src_dir, idx_dir = _stage_dedup_stream(spark, sf_dir)
+    run_dir = os.path.join(
+        os.path.dirname(ev._CHECKPOINT_ROOT), "dedup_stream", uuid.uuid4().hex[:12]
+    )
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out_dir = os.path.join(run_dir, "pairs")
+    stream_incremental_dedup(
+        stream,
+        index_dir=idx_dir,
+        out_dir=out_dir,
+        checkpoint_dir=os.path.join(run_dir, "ckpt"),
+    )
+    return spark.read.parquet(out_dir).orderBy("batch_doc", "corpus_doc")

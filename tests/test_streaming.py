@@ -132,3 +132,54 @@ def test_stream_dedup_exact_distinct(spark, sf_dir):
         output_mode="append",
     )
     assert out.count() == out.select("user_id", "event_type").distinct().count()
+
+
+def test_stream_incremental_dedup_equals_batch_and_is_exactly_once(spark, sf_dir):
+    """The streamed pairs table must equal the one-shot batch
+    incremental dedup, and re-draining the same checkpoint must not
+    duplicate rows (exactly-once file processing)."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from movie_rankings_spark.catalog import load_table
+    from movie_rankings_spark.operators.dedup import incremental_neardup_pairs
+    from movie_rankings_spark.plans.streaming_queries import _stage_dedup_stream
+    from movie_rankings_spark.streaming.dedup_stream import (
+        DOCS_SCHEMA,
+        stream_incremental_dedup,
+    )
+    from movie_rankings_spark.streaming.events import _CHECKPOINT_ROOT
+
+    src_dir, idx_dir = _stage_dedup_stream(spark, sf_dir)
+    run = os.path.join(
+        os.path.dirname(_CHECKPOINT_ROOT), "dedup_stream_t", uuid.uuid4().hex[:8]
+    )
+    out, ckpt = os.path.join(run, "pairs"), os.path.join(run, "ckpt")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(DOCS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        stream_incremental_dedup(stream, idx_dir, out, ckpt)
+
+    drain()
+    streamed = {
+        (r["batch_doc"], r["corpus_doc"], round(r["jaccard"], 12))
+        for r in spark.read.parquet(out).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    hb = F.substring(F.md5(F.col("doc_id").cast("string")), 30, 1)
+    batch_ans = {
+        (r["batch_doc"], r["corpus_doc"], round(r["jaccard"], 12))
+        for r in incremental_neardup_pairs(
+            docs.filter(hb.isin("0", "1")), docs.filter(~hb.isin("0", "1"))
+        ).collect()
+    }
+    assert streamed == batch_ans and len(streamed) > 0
+    n_before = spark.read.parquet(out).count()
+    drain()  # same checkpoint: no new files -> no new rows
+    assert spark.read.parquet(out).count() == n_before
