@@ -152,6 +152,7 @@ HEADLINE_QUERIES = (
     "stream_stream_outer_attribution",
     "stream_upsert_snapshot",
     "stream_dedup_incremental",
+    "stream_cms_maintained",
 )
 
 

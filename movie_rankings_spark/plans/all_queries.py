@@ -107,6 +107,7 @@ _UNSEEN_FIRST = (
     "stream_user_lifetime_stats",
     "stream_upsert_snapshot",
     "stream_dedup_incremental",
+    "stream_cms_maintained",
     # rows-only (weaker driver row) — after every oracle-backed unseen
     "approx_percentiles_price",
     "similarity_ivf_kmeans_topk",
@@ -151,6 +152,7 @@ _COSTLY_LAST = (
     "stream_user_lifetime_stats",
     "stream_upsert_snapshot",
     "stream_dedup_incremental",
+    "stream_cms_maintained",
 )
 
 

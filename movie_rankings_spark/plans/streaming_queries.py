@@ -478,3 +478,84 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint_dir=os.path.join(run_dir, "ckpt"),
     )
     return spark.read.parquet(out_dir).orderBy("batch_doc", "corpus_doc")
+
+
+# --- streaming CMS sketch maintenance ---------------------------------------
+
+# same oracle as the batch CMS report: cell addition is a commutative
+# monoid, so the maintained table after N micro-batches is identical
+# to the one-shot sketch
+from movie_rankings_spark.plans.llm_queries import _CMS_ORACLE  # noqa: E402
+
+
+def _stage_split_docs(spark: SparkSession, sf_dir: str, n: int = 3) -> str:
+    """The full documents table split into n landing-zone files
+    (idempotent) so the stream sees n micro-batches."""
+    import os
+
+    from movie_rankings_spark.catalog import table_path
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    dst = os.path.join(
+        os.path.dirname(ev._CHECKPOINT_ROOT), "stream_src", f"docs_split_{tag}_{n}"
+    )
+    if not os.path.exists(os.path.join(dst, "_SUCCESS")):
+        docs = spark.read.parquet(table_path(sf_dir, "documents"))
+        docs.repartition(n, "doc_id").write.mode("overwrite").parquet(dst)
+    return dst
+
+
+@REGISTRY.register("stream_cms_maintained", _CMS_ORACLE)
+def stream_cms_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CMS word-frequency report answered from a sketch MAINTAINED
+    by a stream (streaming/sketch_stream.py): documents arrive as 3
+    micro-batches, each folds its O(d·w) cell partials into a
+    versioned cells table (exactly-once via per-batch versions + an
+    atomic pointer). Cell addition is commutative, so the maintained
+    sketch — and therefore every probe estimate — is bit-identical to
+    the batch build, and the exact batch oracle applies."""
+    import os
+    import uuid
+
+    from movie_rankings_spark.operators.cms import cms_estimate
+    from movie_rankings_spark.streaming.dedup_stream import DOCS_SCHEMA
+    from movie_rankings_spark.streaming.sketch_stream import (
+        current_cells,
+        stream_cms_maintenance,
+    )
+
+    src_dir = _stage_split_docs(spark, sf_dir, n=3)
+    run_dir = os.path.join(
+        os.path.dirname(ev._CHECKPOINT_ROOT), "cms_stream", uuid.uuid4().hex[:12]
+    )
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    stream_cms_maintenance(
+        stream,
+        table_dir=os.path.join(run_dir, "cells"),
+        checkpoint_dir=os.path.join(run_dir, "ckpt"),
+        depth=4,
+        width=512,
+    )
+    cells = current_cells(spark, os.path.join(run_dir, "cells"))
+    docs = spark.read.parquet(src_dir)
+    truth = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+        .filter(F.col("true_n") >= 200)
+    )
+    est = cms_estimate(cells, truth.select("word"), "word", 4, 512)
+    return (
+        truth.join(est, "word")
+        .select(
+            "word",
+            "true_n",
+            "cms_est",
+            (F.col("cms_est") - F.col("true_n")).alias("overestimate"),
+        )
+        .orderBy("word")
+    )

@@ -183,3 +183,57 @@ def test_stream_incremental_dedup_equals_batch_and_is_exactly_once(spark, sf_dir
     n_before = spark.read.parquet(out).count()
     drain()  # same checkpoint: no new files -> no new rows
     assert spark.read.parquet(out).count() == n_before
+
+
+def test_stream_cms_cells_equal_batch_sketch(spark, sf_dir):
+    """After draining 3 micro-batches, the maintained cells table is
+    bit-identical to the one-shot sketch; re-draining the checkpoint
+    changes nothing."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from movie_rankings_spark.operators.cms import cms_build
+    from movie_rankings_spark.plans.streaming_queries import _stage_split_docs
+    from movie_rankings_spark.streaming.dedup_stream import DOCS_SCHEMA
+    from movie_rankings_spark.streaming.events import _CHECKPOINT_ROOT
+    from movie_rankings_spark.streaming.sketch_stream import (
+        current_cells,
+        stream_cms_maintenance,
+    )
+
+    src = _stage_split_docs(spark, sf_dir, n=3)
+    run = os.path.join(
+        os.path.dirname(_CHECKPOINT_ROOT), "cms_stream_t", uuid.uuid4().hex[:8]
+    )
+    cells_dir, ckpt = os.path.join(run, "cells"), os.path.join(run, "ckpt")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(DOCS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        stream_cms_maintenance(stream, cells_dir, ckpt, depth=3, width=64)
+
+    drain()
+    maintained = {
+        (r["row"], r["bucket"]): r["n"]
+        for r in current_cells(spark, cells_dir).collect()
+    }
+    toks = (
+        spark.read.parquet(src)
+        .select(F.explode(F.split("text", " ")).alias("word"))
+    )
+    batch = {
+        (r["row"], r["bucket"]): r["n"]
+        for r in cms_build(toks, "word", 3, 64).collect()
+    }
+    assert maintained == batch and len(batch) > 0
+    drain()
+    again = {
+        (r["row"], r["bucket"]): r["n"]
+        for r in current_cells(spark, cells_dir).collect()
+    }
+    assert again == batch
