@@ -90,6 +90,7 @@ HEADLINE_QUERIES = (
     "dedup_jaccard_prefix",
     "dedup_minhash_lsh",
     "dedup_incremental_batch",
+    "dedup_cluster_reps_star",
     "dedup_embedding_lsh",
     "similarity_cosine_topk",
     "similarity_cosine_topk_numpy",

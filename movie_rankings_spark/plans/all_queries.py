@@ -96,6 +96,7 @@ _UNSEEN_FIRST = (
     "drift_train_val_js",
     "histogram_equidepth_price",
     "sample_k_per_lang",
+    "dedup_cluster_reps_star",
     "stream_sliding_6h",
     "stream_session_windows",
     "stream_dedup_user_types",
@@ -141,6 +142,7 @@ _COSTLY_LAST = (
     "drift_train_val_js",
     "histogram_equidepth_price",
     "sample_k_per_lang",
+    "dedup_cluster_reps_star",
     "stream_sliding_6h",
     "stream_session_windows",
     "stream_dedup_user_types",

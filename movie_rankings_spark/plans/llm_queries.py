@@ -1743,3 +1743,32 @@ def sample_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .orderBy("lang", "rn")
     )
+
+
+# Same oracle as dedup_cluster_reps: both CC algorithms compute the
+# same partition of the same verified edge set.
+@REGISTRY.register("dedup_cluster_reps_star", _CLUSTER_ORACLE)
+def dedup_cluster_reps_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_cluster_reps through the O(log n)-round small-star /
+    large-star alternation (operators/components.py::
+    connected_components_star) instead of min-label propagation —
+    the variant that survives high-diameter graphs (a path of 10⁶
+    nodes needs ~20 star rounds vs 10⁶ label rounds). Same DuckDB
+    transitive-closure oracle."""
+    from movie_rankings_spark.operators.components import (
+        connected_components_star,
+    )
+
+    pairs = dedup.minhash_neardup_pairs(
+        _docs(spark, sf_dir), threshold=0.5, num_hashes=64, bands=16
+    )
+    cc = connected_components_star(pairs)
+    return (
+        cc.groupBy("component")
+        .agg(
+            F.min("node").alias("rep_doc_id"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select("rep_doc_id", "n_members")
+        .orderBy("rep_doc_id")
+    )
