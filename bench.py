@@ -83,6 +83,7 @@ HEADLINE_QUERIES = (
     "udaf_price_median",
     "distinct_parts_per_supplier",
     "hll_users_mergeable_rollup",
+    "bitmap_users_rollup",
     "dedup_exact_groups",
     "dedup_chunks_exact",
     "dedup_simhash",
@@ -190,6 +191,7 @@ COMPACT_PRIORITY = (
     "layout_zorder_orders",
     "flagship_scraped_dsv2",
     "hll_users_mergeable_rollup",
+    "bitmap_users_rollup",
     "split_train_val_test",
     "collocations_lift",
     "similarity_pq_topk",
@@ -215,7 +217,6 @@ COMPACT_PRIORITY = (
     "mix_corpus_token_budget",
     "shuffle_docs_deterministic",
     "pack_docs_batches",
-    "chunk_docs_sliding",
     "multimodal_frame_sample",
     "stream_tumbling_daily",
     "stream_stream_view_purchase",

@@ -97,6 +97,7 @@ _UNSEEN_FIRST = (
     "histogram_equidepth_price",
     "sample_k_per_lang",
     "dedup_cluster_reps_star",
+    "bitmap_users_rollup",
     "stream_sliding_6h",
     "stream_session_windows",
     "stream_dedup_user_types",
@@ -143,6 +144,7 @@ _COSTLY_LAST = (
     "histogram_equidepth_price",
     "sample_k_per_lang",
     "dedup_cluster_reps_star",
+    "bitmap_users_rollup",
     "stream_sliding_6h",
     "stream_session_windows",
     "stream_dedup_user_types",

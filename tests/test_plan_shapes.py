@@ -423,3 +423,27 @@ def test_curriculum_order_no_single_partition(spark, sf_dir):
     assert [r["position"] for r in rows] == list(range(1, len(rows) + 1))
     deciles = [r["decile"] for r in rows]
     assert deciles == sorted(deciles)
+
+
+def test_bitmap_rollup_merges_cached_daily_table(spark, sf_dir):
+    """The merged per-type distinct must come from bitmap_or_agg over
+    the PERSISTED daily bitmap table (one events scan feeds both
+    branches), and the exact merge must agree with countDistinct."""
+    df = all_queries.QUERIES["bitmap_users_rollup"](spark, sf_dir)
+    plan = _plan(spark, sf_dir, "bitmap_users_rollup")
+    assert "bitmap_or_agg" in plan
+    assert "InMemoryTableScan" in plan
+    rows = {r["event_type"]: r for r in df.collect()}
+    from pyspark.sql import functions as F
+    from movie_rankings_spark.catalog import load_table
+
+    exact = {
+        r["event_type"]: r["d"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    for t, r in rows.items():
+        assert r["distinct_users_merged"] == exact[t]
+        assert r["sum_daily_distinct"] >= r["distinct_users_merged"]
