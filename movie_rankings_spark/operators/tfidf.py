@@ -99,10 +99,14 @@ def tfidf_topk(
     weights = doc_term_weights(docs, idf_quant)
     norms = doc_norms(weights)
     blocks = docs.select("doc_id", block_col)
+    # persisted: BOTH sides of the term join (query and candidate)
+    # read the full weight table — uncached, the tf/df/norm pipeline
+    # (several aggregates over the corpus) executes once per side.
     w_full = (
         weights.join(blocks, "doc_id")
         .join(norms, "doc_id")
         .select("doc_id", block_col, "term", "weight", "norm_sq")
+        .persist()
     )
     qw = w_full.filter(query_pred).select(
         F.col("doc_id").alias("q_doc"),

@@ -53,11 +53,13 @@ def triangle_stats(und: DataFrame) -> DataFrame:
     u_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
+    # o feeds both wedge sides and the closure probe: persist so the
+    # degree joins run once, not three times.
     o = e.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("d_dst"),
-    )
+    ).persist()
     x, y = o.alias("x"), o.alias("y")
     wedge = x.join(
         y,
