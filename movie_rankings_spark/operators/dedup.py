@@ -235,7 +235,17 @@ def minhash_signatures(
     (re-hashing the 8-byte long is ~3× cheaper per function than
     hashing the raw ~25-byte shingle string num_hashes times, and the
     family stays uniform). Output: doc_id, sig array."""
-    sh = shingle_sets(docs, shingle_n).select(
+    return minhash_signatures_from_sets(shingle_sets(docs, shingle_n), num_hashes)
+
+
+def minhash_signatures_from_sets(
+    sets: DataFrame, num_hashes: int = 64
+) -> DataFrame:
+    """Signatures from an existing shingle_sets table — the form the
+    dedup pipelines use so a (persisted) sets table feeds BOTH the
+    signature aggregation and the exact verification, and documents
+    are shingled exactly once."""
+    sh = sets.select(
         "doc_id", F.explode("shingles").alias("shingle")
     )
     mins = [
@@ -308,10 +318,10 @@ def minhash_neardup_pairs(
     p = 1-(1-0.5^4)^16 ≈ 0.64, and the planted near-dups (j≥0.95)
     with p ≈ 1-1e-18; verification makes precision exact."""
     rows = num_hashes // bands
-    sigs = minhash_signatures(docs, num_hashes, shingle_n)
+    sets = shingle_sets(docs, shingle_n).persist()  # one shingling pass
+    # feeds signatures AND both verify sides (no exchange reuse there)
+    sigs = minhash_signatures_from_sets(sets, num_hashes)
     cands = lsh_candidate_pairs(sigs, bands, rows)
-    sets = shingle_sets(docs, shingle_n).persist()  # reused by both
-    # verify sides (no cross-self-join exchange reuse in Spark)
     a = sets.select(
         F.col("doc_id").alias("doc_a"),
         F.col("shingles").alias("sh_a"),
@@ -352,10 +362,10 @@ def incremental_neardup_pairs(
     pairs. Cost scales with the batch, not the corpus — the property
     that makes continuous dedup affordable at all."""
     rows = num_hashes // bands
+    c_sets = shingle_sets(corpus, shingle_n).persist()
     c_idx = banded_buckets(
-        minhash_signatures(corpus, num_hashes, shingle_n), bands, rows
+        minhash_signatures_from_sets(c_sets, num_hashes), bands, rows
     )
-    c_sets = shingle_sets(corpus, shingle_n)
     return incremental_pairs_against_index(
         batch, c_idx, c_sets, threshold, num_hashes, bands, shingle_n
     )
@@ -378,8 +388,9 @@ def incremental_pairs_against_index(
     through index lookups. This is the function the streaming ingest
     path calls per micro-batch."""
     rows = num_hashes // bands
+    b_sets_full = shingle_sets(batch, shingle_n).persist()
     b_idx = banded_buckets(
-        minhash_signatures(batch, num_hashes, shingle_n), bands, rows
+        minhash_signatures_from_sets(b_sets_full, num_hashes), bands, rows
     )
     cands = (
         b_idx.select(F.col("doc_id").alias("batch_doc"), "band", "bucket")
@@ -390,7 +401,7 @@ def incremental_pairs_against_index(
         .select("batch_doc", "corpus_doc")
         .distinct()
     )
-    b_sets = shingle_sets(batch, shingle_n).select(
+    b_sets = b_sets_full.select(
         F.col("doc_id").alias("batch_doc"),
         F.col("shingles").alias("sh_a"),
         F.col("n_shingles").alias("n_a"),

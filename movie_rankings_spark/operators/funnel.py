@@ -39,7 +39,14 @@ def funnel_stage_times(
                 out.select(user_col, F.col(prev).alias("_prev_ts")), user_col
             ).filter(F.col(ts_col) > F.col("_prev_ts"))
         t = matched.groupBy(user_col).agg(F.min(ts_col).alias(f"stage{i}_ts"))
+        # each stage's table is read twice (the next stage's gating
+        # join AND the running left-join chain) and the chain itself
+        # is embedded once per later stage — persist per stage so the
+        # events scans stay at one pruned scan per stage instead of
+        # O(stages²) re-derivations. The cached frames are per-user
+        # stage timestamps, tiny next to events.
         out = t if out is None else out.join(t, user_col, "left")
+        out = out.persist()
         prev = f"stage{i}_ts"
     return out
 
@@ -48,12 +55,16 @@ def funnel_counts(events: DataFrame, stages: Sequence[str]) -> DataFrame:
     """The funnel report: (stage, event_type, n_users) with strictly
     non-increasing counts down the stages."""
     times = funnel_stage_times(events, stages)
-    counts = [
-        times.agg(
-            F.lit(i).alias("stage"),
-            F.lit(stage).alias("event_type"),
-            F.count(f"stage{i}_ts").alias("n_users"),
-        )
-        for i, stage in enumerate(stages, start=1)
-    ]
-    return reduce(DataFrame.unionByName, counts).orderBy("stage")
+    wide = times.agg(
+        *[
+            F.count(f"stage{i}_ts").alias(f"c{i}")
+            for i in range(1, len(stages) + 1)
+        ]
+    )
+    stack_args = ", ".join(
+        f"{i}, '{stage}', c{i}" for i, stage in enumerate(stages, start=1)
+    )
+    # one aggregate pass + an unpivot, instead of one agg per stage
+    return wide.selectExpr(
+        f"stack({len(stages)}, {stack_args}) AS (stage, event_type, n_users)"
+    ).orderBy("stage")
