@@ -1,0 +1,87 @@
+"""Scan-duplication audit: flag queries whose physical plan mentions
+the same base table more than once WITHOUT an InMemoryTableScan
+covering the reuse.
+
+Exchange reuse does NOT unify differing aggregate branches over the
+same subtree (verified empirically — see the chi2 / basket / CMS /
+drift fixes), so a DataFrame referenced by two branches silently
+rescans its input. This audit catches that class before it ships.
+
+Counting caveat: plan TEXT embeds cached child plans and AQE repeats
+subtrees, so raw mention counts overcount for cached/iterative plans.
+A finding here means "open the plan", not "bug" — multi-scan is
+legitimate for self-joins (q21, triangles' naive oracle), scalar-
+subquery shapes (q15/q17), two-pass algorithms (equi-depth histogram,
+robust MAD), and snapshot diffs.
+
+Usage: python tools/scan_audit.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from collections import Counter
+
+sys.path.insert(0, "/root/repo")
+
+from movie_rankings_spark.plans import all_queries  # noqa: E402
+from movie_rankings_spark.session import get_spark  # noqa: E402
+
+#: queries whose plan BUILD executes driver-loop jobs (skip: slow)
+EXECUTING = {"bpe_train_merges", "logreg_train_quality"}
+
+#: reviewed multi-scan shapes (see module docstring)
+KNOWN_LEGIT = {
+    "setops_repeat_customers",  # per-branch set operands
+    "q15_top_supplier", "q17_small_quantity_revenue",  # scalar subqueries
+    "q7_volume_shipping", "q8_market_share",  # two nation roles
+    "q11_important_parts", "q20_heavy_red_shippers",
+    "q21_waiting_suppliers", "q22_global_sales_opportunity",
+    "asof_purchase_context", "rangejoin_purchase_context",
+    "overlap_view_click_windows", "cogroup_asof_purchase",  # two event roles
+    "cohort_retention_daily", "timeseries_gapfill_daily",
+    "incremental_monthly_revenue", "diff_orders_snapshots",
+    "anomaly_events_zscore",  # window+agg branches, shared exchange
+    "robust_outliers_mad",  # documented 3-pass median/MAD/flag
+    "histogram_equidepth_price",  # documented 2-pass equi-depth
+    "dedup_simhash", "similarity_cosine_topk_numpy",
+    "dedup_ngram_jaccard", "dedup_embedding_cosine",  # self-join sides
+    "chi2_lang_source", "drift_train_val_js",  # cached; text artifact
+    "collocations_lift", "embedding_covariance",
+    "dedup_semantic_clusters", "similarity_mmr_topk",
+    "funnel_view_click_purchase",  # per-stage pruned scans
+    "bitmap_users_rollup",  # cached; text artifact
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    names = sys.argv[2:] or [
+        n
+        for n in all_queries.QUERIES
+        if not n.startswith("stream_") and n not in EXECUTING
+    ]
+    spark = get_spark("scan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    findings = 0
+    for name in names:
+        try:
+            df = all_queries.QUERIES[name](spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as ex:  # noqa: BLE001
+            print(f"ERR   {name}: {str(ex)[:80]}")
+            findings += 1
+            continue
+        counts = Counter(re.findall(r"/(\w+)\.parquet", plan))
+        dups = {t: n for t, n in counts.items() if n > 1}
+        cached = plan.count("InMemoryTableScan")
+        if dups and name not in KNOWN_LEGIT:
+            findings += 1
+            print(f"DUP   {name}: {dups} (InMemoryTableScan={cached})")
+    print(f"{findings} findings / {len(names)} queries audited")
+    return 1 if findings else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
