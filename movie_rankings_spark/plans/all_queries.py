@@ -20,14 +20,14 @@ import movie_rankings_spark.plans.warehouse_queries  # noqa: F401
 from movie_rankings_spark.plans.registry import REGISTRY
 
 #: The correctness harness walks queries() in dict order and records a
-#: row for the first ~50 only; rounds 1–2 covered the same head of the
-#: list, so this head (47 never-checked from r1/r2, two whose oracle landed
-#: after their rows-only row, and the round-3 additions) needs a
-#: driver correctness row. They go
-#: FIRST — cheap batch shapes before the ~1 s streaming-engine runs —
-#: so that across rounds every oracle-backed query accumulates a
-#: driver-verified row. Rotate again next round: whatever the r3 run
-#: still didn't reach (the streaming tail) becomes the new head.
+#: row for the first ~50 only; the union of r01+r02 covered 61
+#: queries, leaving 77 with no driver row. This head is ordered for
+#: maximum driver value: never-checked ORACLE-BACKED batch queries
+#: first (the entire first 55 are oracle-backed; 53 never checked),
+#: then the streaming tail (oracle-backed but ~1-5 s each), then
+#: rows-only entries (their driver row is the weaker check). Rotate
+#: again next round: whatever the r3 run didn't reach becomes the
+#: new head.
 _UNSEEN_FIRST = (
     "setops_repeat_customers",
     "antijoin_inactive_customers",
