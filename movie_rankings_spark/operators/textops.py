@@ -200,9 +200,10 @@ def doc_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     )
     tf = tokens.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     total = docs.agg(F.count(F.lit(1)).alias("_n_docs"))
-    df_t = tokens.select("doc_id", "word").distinct().groupBy("word").agg(
-        F.count(F.lit(1)).alias("df")
-    )
+    # df derives FROM tf — its rows are already distinct (doc, word),
+    # so counting them per word needs no second pass over the token
+    # stream (one less corpus scan; Catalyst reuses tf's exchange).
+    df_t = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(df_t, "word")
         .join(F.broadcast(total))

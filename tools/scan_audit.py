@@ -52,6 +52,23 @@ KNOWN_LEGIT = {
     "dedup_semantic_clusters", "similarity_mmr_topk",
     "funnel_view_click_purchase",  # per-stage pruned scans
     "bitmap_users_rollup",  # cached; text artifact
+    # corpus + probe/query slices of one table (different filters):
+    "decontaminate_bloom_gate", "decontaminate_report",
+    "similarity_cosine_topk",
+    # documented multi-pass algorithms (threshold pass + apply pass —
+    # at 100 TB a pruned re-scan beats caching a corpus-sized frame):
+    "quality_filtered_docs", "text_lm_score", "vocab_heavy_hitters",
+    "pipeline_curated_chunks", "mix_corpus_token_budget",
+    "text_top_terms",  # tf pass + metadata-cheap count pass
+    # persisted-intermediate plans whose cache text repeats the scan:
+    "similarity_tfidf_topk", "triangles_copurchase",
+    "dedup_jaccard_prefix", "cms_word_frequency",
+    "basket_association_rules", "dedup_cluster_reps",
+    "dedup_cluster_reps_star", "dedup_minhash_lsh",
+    "dedup_incremental_batch", "dedup_embedding_lsh",
+    # train + encode + rescore are separate pipeline stages the demo
+    # query runs end-to-end; production persists codes between them:
+    "similarity_pq_topk",
 }
 
 
