@@ -55,6 +55,7 @@ HEADLINE_QUERIES = (
     "topk_parts_per_brand_salted",
     "window_events_analytics",
     "sessionize_events",
+    "session_paths_top",
     "funnel_view_click_purchase",
     "cohort_retention_daily",
     "json_props_stats",
@@ -175,6 +176,7 @@ COMPACT_PRIORITY = (
     "window_events_analytics",
     "window_rolling_revenue_7d",
     "sessionize_events",
+    "session_paths_top",
     "funnel_view_click_purchase",
     "asof_purchase_context",
     "cogroup_asof_purchase",
@@ -217,7 +219,6 @@ COMPACT_PRIORITY = (
     "mix_corpus_token_budget",
     "shuffle_docs_deterministic",
     "pack_docs_batches",
-    "multimodal_frame_sample",
     "stream_tumbling_daily",
     "stream_stream_view_purchase",
     "stream_upsert_snapshot",

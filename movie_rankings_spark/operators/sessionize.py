@@ -50,3 +50,45 @@ def session_stats(events: DataFrame, gap_minutes: int = 360) -> DataFrame:
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
         (F.max("ts").cast("long") - F.min("ts").cast("long")).alias("duration_s"),
     )
+
+
+def session_paths(
+    events: DataFrame, gap_minutes: int = 360, n: int = 3, k: int = 15
+) -> DataFrame:
+    """Top-k most common length-n event-type paths within sessions —
+    the "common user journeys" product-analytics query.
+
+    Per session the event sequence is ordered deterministically by
+    (ts, event_id) via array_sort over structs (collect_list alone
+    has no order guarantee across retries/partitionings); paths are
+    n-gram windows over the sequence (functions.text.array_shingles),
+    counted corpus-wide. One extra shuffle past sessionize (the
+    session collect), then a path-vocab aggregate with map-side
+    combine; the top-k is a TakeOrdered, never a global sort. Ties
+    break on the path string, so the cut is total-ordered and
+    oracle-exact."""
+    from movie_rankings_spark.functions.text import array_shingles
+
+    s = sessionize(events, gap_minutes)
+    seqs = (
+        s.groupBy("user_id", "session_seq")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.unix_micros("ts").alias("t"),
+                        F.col("event_id").alias("e"),
+                        F.col("event_type").alias("ty"),
+                    )
+                )
+            ).alias("evs")
+        )
+        .select(F.transform("evs", lambda x: x["ty"]).alias("types"))
+    )
+    tri = seqs.select(F.explode(array_shingles(F.col("types"), n)).alias("path"))
+    return (
+        tri.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "path")
+        .limit(k)
+    )

@@ -98,6 +98,7 @@ _UNSEEN_FIRST = (
     "sample_k_per_lang",
     "dedup_cluster_reps_star",
     "bitmap_users_rollup",
+    "session_paths_top",
     "stream_sliding_6h",
     "stream_session_windows",
     "stream_dedup_user_types",
@@ -145,6 +146,7 @@ _COSTLY_LAST = (
     "sample_k_per_lang",
     "dedup_cluster_reps_star",
     "bitmap_users_rollup",
+    "session_paths_top",
     "stream_sliding_6h",
     "stream_session_windows",
     "stream_dedup_user_types",

@@ -1609,3 +1609,42 @@ def histogram_equidepth_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+_PATHS_ORACLE = """
+WITH marked AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w <= 21600000000
+              THEN 0 ELSE 1 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, event_id, ts, event_type,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq
+  FROM marked
+), seqs AS (
+  SELECT user_id, session_seq,
+         list(event_type ORDER BY ts, event_id) AS types
+  FROM sess GROUP BY 1, 2
+), tri AS (
+  SELECT unnest(list_transform(range(1, len(types) - 1),
+                i -> concat_ws(' ', types[i], types[i+1], types[i+2])))
+           AS path
+  FROM seqs
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM tri GROUP BY path ORDER BY n_occurrences DESC, path LIMIT 15
+"""
+
+
+@REGISTRY.register("session_paths_top", _PATHS_ORACLE)
+def session_paths_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common 3-step user journeys within 6 h sessions
+    (operators/sessionize.py::session_paths): deterministic per-
+    session ordering via array_sort over (ts, event_id, type)
+    structs, n-gram paths, TakeOrdered top-15 with a total-order
+    tie-break."""
+    from movie_rankings_spark.operators.sessionize import session_paths
+
+    return session_paths(_t(spark, sf_dir, "events"), 360, 3, 15)

@@ -372,3 +372,27 @@ def test_association_rules_match_python_reference(spark, pairs):
         want[(a, b)] = (support[a], support[b], n, n / support[a], n * nb / (support[a] * support[b]))
         want[(b, a)] = (support[b], support[a], n, n / support[b], n * nb / (support[a] * support[b]))
     assert got == want
+
+
+def test_session_paths_hand_computed(spark):
+    """One user, one session, known sequence -> known trigrams; a gap
+    splits the path."""
+    from movie_rankings_spark.operators.sessionize import session_paths
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 7, "view"),
+        (2, "2024-01-01 10:01:00", 7, "click"),
+        (3, "2024-01-01 10:02:00", 7, "purchase"),
+        (4, "2024-01-01 10:03:00", 7, "view"),
+        # 7-hour gap: new session -> no trigram spans it
+        (5, "2024-01-01 17:30:00", 7, "view"),
+        (6, "2024-01-01 17:31:00", 7, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) ts", "user_id", "event_type")
+    got = {
+        r["path"]: r["n_occurrences"]
+        for r in session_paths(df, 360, 3, 10).collect()
+    }
+    assert got == {"view click purchase": 1, "click purchase view": 1}
