@@ -117,6 +117,7 @@ HEADLINE_QUERIES = (
     "robust_outliers_mad",
     "histogram_totalprice",
     "histogram_equidepth_price",
+    "quantile_normalize_price",
     "corr_price_quantity",
     "regression_monthly_trend",
     "chi2_lang_source",

@@ -15,10 +15,13 @@ Scale posture:
   five mergeable moment sums per group, partial-agg map-side, no
   window, no second pass. Groups × O(1) state.
 * ``chi2_contingency`` aggregates the base table ONCE into the
-  (row_var, col_var) cell table; row totals, column totals, and the
-  grand total are windows over that tiny cell table (cells ≈
-  |row domain| × |col domain| — data-independent). The 100 TB fact
-  table is scanned exactly once.
+  persisted (row_var, col_var) cell table; row/col totals are
+  partitioned windows over it and the grand total is a 1-row
+  broadcast scalar (cells ≈ |row domain| × |col domain| —
+  data-independent). The 100 TB fact table is scanned exactly once.
+* ``quantile_rank_map`` is the global-rank transform computed by the
+  bucketed two-pass (sketch bounds + exact per-bucket cumulatives) —
+  never an Exchange SinglePartition.
 """
 
 from __future__ import annotations
@@ -140,4 +143,72 @@ def chi2_contingency(
         "observed",
         e.alias("expected"),
         ((o - e) * (o - e) / e).alias("chi2_term"),
+    )
+
+
+def quantile_rank_map(
+    df: DataFrame, value_col: str, buckets: int | None = None
+) -> DataFrame:
+    """Global quantile normalization WITHOUT a global sort: the map
+    value → percent-rank ``(rows strictly below) / (N − 1)`` — the
+    rank-based feature transform (quantile normalization, copula
+    features, drift-stable scaling). Joining this (distinct-value-
+    sized) map back to the fact normalizes every row.
+
+    A bare ``Window.orderBy(value)`` would plan Exchange
+    SinglePartition; instead the shuffle_deterministic two-pass:
+
+    1. distinct-value counts (one shuffle, map-side combined);
+    2. approx_percentile bounds split values into `buckets` contiguous
+       ranges (the sketch only PLACES bucket boundaries — every rank
+       below is exact);
+    3. per-bucket cumulative counts (windows partitioned by bucket) +
+       driver prefix-summed bucket offsets (≤ buckets rows collected)
+       give the exact global min-rank of every value in parallel.
+
+    Output: value, n_rows (ties), pct ∈ [0, 1]."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    n = buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n = max(1, min(int(n), 4096))
+
+    vc = df.groupBy(F.col(value_col).alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    bounds = df.agg(
+        F.percentile_approx(
+            value_col, F.lit([i / n for i in range(1, n)]), F.lit(10_000)
+        ).alias("b")
+    ).collect()[0]["b"]
+    bounds = sorted(set(bounds or []))
+    blit = F.lit(bounds) if bounds else F.lit([float("-inf")])
+    vb = vc.withColumn(
+        "_bucket", F.size(F.filter(blit, lambda b: F.col("v") > b))
+    )
+    totals = {
+        r["_bucket"]: r["t"]
+        for r in vb.groupBy("_bucket").agg(F.sum("c").alias("t")).collect()
+    }
+    offsets, running = [], 0
+    for b in range(len(bounds) + 1):
+        offsets.append((b, running))
+        running += totals.get(b, 0)
+    grand_n = running
+    off = spark.createDataFrame(offsets, "_bucket int, _offset long")
+    w = Window.partitionBy("_bucket").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    denom = float(max(grand_n - 1, 1))
+    return (
+        vb.withColumn("_cum", F.sum("c").over(w))
+        .join(F.broadcast(off), "_bucket")
+        .select(
+            F.col("v").alias("value"),
+            F.col("c").alias("n_rows"),
+            (
+                (F.col("_offset") + F.col("_cum") - F.col("c")).cast("double")
+                / F.lit(denom)
+            ).alias("pct"),
+        )
     )

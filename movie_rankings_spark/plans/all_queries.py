@@ -99,6 +99,7 @@ _UNSEEN_FIRST = (
     "dedup_cluster_reps_star",
     "bitmap_users_rollup",
     "session_paths_top",
+    "quantile_normalize_price",
     "stream_sliding_6h",
     "stream_session_windows",
     "stream_dedup_user_types",
@@ -147,6 +148,7 @@ _COSTLY_LAST = (
     "dedup_cluster_reps_star",
     "bitmap_users_rollup",
     "session_paths_top",
+    "quantile_normalize_price",
     "stream_sliding_6h",
     "stream_session_windows",
     "stream_dedup_user_types",

@@ -369,3 +369,34 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_item_support=20,
         min_pair_support=3,
     ).orderBy("antecedent", "consequent")
+
+
+_QNORM_ORACLE = """
+WITH vc AS (
+  SELECT o_totalprice AS v, COUNT(*) AS c FROM orders GROUP BY 1
+),
+t AS (
+  SELECT v, c,
+         SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER () AS n
+  FROM vc
+)
+SELECT v AS value, CAST(c AS BIGINT) AS n_rows,
+       CAST(cum - c AS DOUBLE) / (n - 1) AS pct
+FROM t ORDER BY value
+"""
+
+
+@REGISTRY.register("quantile_normalize_price", _QNORM_ORACLE)
+def quantile_normalize_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global percent-rank map for o_totalprice (operators/statistics
+    .py::quantile_rank_map): the rank-based normalization computed by
+    sketch-bounded buckets + exact per-bucket cumulative counts +
+    driver offset prefix sums — never an Exchange SinglePartition
+    (the DuckDB twin's global window is the semantics, not the
+    plan)."""
+    from movie_rankings_spark.operators.statistics import quantile_rank_map
+
+    return quantile_rank_map(
+        _t(spark, sf_dir, "orders"), "o_totalprice", buckets=32
+    ).orderBy("value")

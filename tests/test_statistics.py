@@ -147,3 +147,33 @@ def test_sample_k_per_lang_deterministic_and_exact_k(spark, sf_dir):
     from collections import Counter
     per_lang = Counter(r["lang"] for r in a)
     assert all(v == 3 for v in per_lang.values())
+
+
+def test_quantile_rank_map_matches_percent_rank(spark):
+    """pct must equal pandas-style min-rank percent_rank, ties
+    sharing one value row, across bucket boundaries."""
+    import random
+
+    from movie_rankings_spark.operators.statistics import quantile_rank_map
+
+    rng = random.Random(3)
+    vals = [float(rng.randrange(40)) for _ in range(500)]  # heavy ties
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {r["value"]: (r["n_rows"], r["pct"]) for r in quantile_rank_map(df, "x", 8).collect()}
+    n = len(vals)
+    s = sorted(vals)
+    for v in set(vals):
+        below = sum(1 for y in vals if y < v)
+        ties = vals.count(v)
+        assert got[v] == (ties, below / (n - 1)), v
+    # pct endpoints
+    assert got[min(vals)][1] == 0.0
+    assert abs(got[max(vals)][1] - (n - vals.count(max(vals))) / (n - 1)) < 1e-15
+
+
+def test_quantile_rank_no_single_partition(spark, sf_dir):
+    df = QUERIES["quantile_normalize_price"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the presentation orderBy is a range exchange; the rank itself
+    # must never funnel through one task
+    assert "Exchange SinglePartition" not in plan
