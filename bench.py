@@ -101,12 +101,14 @@ HEADLINE_QUERIES = (
     "similarity_pq_topk",
     "similarity_tfidf_topk",
     "similarity_mmr_topk",
+    "knn_label_propagation",
     "dedup_semantic_clusters",
     "pagerank_copurchase",
     "triangles_copurchase",
     "skew_profile_join_keys",
     "cms_word_frequency",
     "classifier_doc_scores",
+    "classifier_auc_eval",
     "text_quality",
     "text_langid",
     "text_pii_redaction",
@@ -213,13 +215,12 @@ COMPACT_PRIORITY = (
     "bpe_pair_counts",
     "bpe_train_merges",
     "classifier_doc_scores",
+    "classifier_auc_eval",
     "dedup_jaccard_prefix",
     "similarity_mmr_topk",
     "embedding_jl_projection",
     "decontaminate_report",
-    "mix_corpus_token_budget",
     "shuffle_docs_deterministic",
-    "pack_docs_batches",
     "stream_tumbling_daily",
     "stream_stream_view_purchase",
     "stream_upsert_snapshot",

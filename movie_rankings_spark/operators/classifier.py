@@ -76,3 +76,62 @@ def hashed_bow_scores(docs: DataFrame, dim: int = DEFAULT_DIM) -> DataFrame:
             (F.col("logit_x100") > 0).alias("keep"),
         )
     )
+
+
+def classifier_auc(docs: DataFrame, label_col) -> DataFrame:
+    """Exact ROC-AUC of the hashed-BoW classifier against a boolean
+    label — the in-engine evaluation closing the train → score →
+    evaluate loop. AUC = P(score⁺ > score⁻) + ½·P(score⁺ = score⁻),
+    computed from the DISTINCT-LOGIT count table: logits are integer
+    fixed-point, so the table is bounded by the logit range (not the
+    corpus), and the pairwise probability is an exact sum of
+    pos(s)·(neg_below(s) + ½·neg(s)) over it.
+
+    Scale: one corpus scan into the logit histogram; the neg-below
+    table is a theta self-join of the BOUNDED histogram (a global
+    window would be an Exchange SinglePartition; the join shape is
+    size-independent of the corpus). Pair counts sum in DECIMAL —
+    P·N overflows bigint at corpus scale. Output: n_pos, n_neg, auc."""
+    scored = hashed_bow_scores(docs).join(
+        docs.select("doc_id", label_col.cast("int").alias("_y")), "doc_id"
+    )
+    vc = (
+        scored.groupBy("logit_x100")
+        .agg(
+            F.sum("_y").alias("pos"),
+            (F.count(F.lit(1)) - F.sum("_y")).alias("neg"),
+        )
+        .persist()  # read by both sides of the theta join + totals
+    )
+    a = vc.select(
+        F.col("logit_x100").alias("s"), F.col("pos").alias("p"), F.col("neg").alias("n")
+    )
+    b = vc.select(F.col("logit_x100").alias("s2"), F.col("neg").alias("n2"))
+    nb = (
+        a.join(b, F.col("s2") < F.col("s"), "left")
+        .groupBy("s", "p", "n")
+        .agg(F.coalesce(F.sum("n2"), F.lit(0)).alias("neg_below"))
+    )
+    num = F.sum(
+        (
+            F.col("p").cast("decimal(18,0)")
+            * (F.col("neg_below") * 2 + F.col("n")).cast("decimal(18,0)")
+        ).cast("decimal(38,0)")
+    )  # 2× numerator keeps the half-weight tie term integral
+    totals = nb.agg(
+        F.sum("p").cast("long").alias("n_pos"),
+        F.sum("n").cast("long").alias("n_neg"),
+        num.alias("_num2"),
+    )
+    return totals.select(
+        "n_pos",
+        "n_neg",
+        (
+            F.col("_num2").cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("n_pos").cast("double")
+                * F.col("n_neg").cast("double")
+            )
+        ).alias("auc"),
+    )

@@ -368,3 +368,63 @@ def mmr_topk(
         )
         .orderBy("query_id", "mmr_rank")
     )
+
+
+def knn_label_propagation(
+    embeddings: DataFrame, query_pred, k: int = 5
+) -> DataFrame:
+    """k-nearest-neighbor label assignment for a held-out slice — the
+    weak-supervision / label-propagation step: every held-out vector
+    takes the majority label of its k exact-cosine neighbors among
+    the LABELED remainder (holdout rows never vote).
+
+    Scale shape: identical to cosine_topk_exact — held-out side
+    broadcast, exact-decimal cosine per pair, per-query window top-k —
+    plus a label join and a (query, label) vote count. Ties break
+    (votes DESC, label ASC): deterministic, so the whole prediction
+    is oracle-exact. Output: query_id, true_label, pred_label,
+    n_votes."""
+    q = embeddings.filter(query_pred).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.sqrt(norm_sq_exact(F.col("embedding"))).alias("q_nrm"),
+        F.col("label").alias("true_label"),
+    )
+    corpus = embeddings.filter(~query_pred).select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(norm_sq_exact(F.col("embedding"))).alias("nrm"),
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "true_label",
+        "vec_id",
+        "label",
+        (
+            dot_exact(F.col("q_emb"), F.col("embedding"))
+            / (F.col("q_nrm") * F.col("nrm"))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    nn = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    votes = nn.groupBy("query_id", "true_label", "label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("label").asc()
+    )
+    return (
+        votes.withColumn("_r", F.row_number().over(wv))
+        .filter(F.col("_r") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("label").alias("pred_label"),
+            "n_votes",
+        )
+    )

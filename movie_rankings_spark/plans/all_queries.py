@@ -100,6 +100,8 @@ _UNSEEN_FIRST = (
     "bitmap_users_rollup",
     "session_paths_top",
     "quantile_normalize_price",
+    "knn_label_propagation",
+    "classifier_auc_eval",
     "stream_sliding_6h",
     "stream_session_windows",
     "stream_dedup_user_types",
@@ -149,6 +151,8 @@ _COSTLY_LAST = (
     "bitmap_users_rollup",
     "session_paths_top",
     "quantile_normalize_price",
+    "knn_label_propagation",
+    "classifier_auc_eval",
     "stream_sliding_6h",
     "stream_session_windows",
     "stream_dedup_user_types",

@@ -1772,3 +1772,100 @@ def dedup_cluster_reps_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rep_doc_id", "n_members")
         .orderBy("rep_doc_id")
     )
+
+
+_KNN_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, label AS true_label
+  FROM embeddings WHERE vec_id % 97 = 0
+),
+pairs AS (
+  SELECT q.query_id, q.true_label, e.vec_id, e.label,
+         {_COSINE_SQL.format(a='q.q_emb', b='e.embedding')} AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id % 97 <> 0
+),
+nn AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rn
+    FROM pairs
+  ) WHERE rn <= 5
+),
+votes AS (
+  SELECT query_id, true_label, label, COUNT(*) AS n_votes
+  FROM nn GROUP BY 1, 2, 3
+)
+SELECT query_id, true_label, label AS pred_label,
+       CAST(n_votes AS BIGINT) AS n_votes
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY n_votes DESC, label ASC) AS r
+  FROM votes
+) WHERE r = 1 ORDER BY query_id
+"""
+
+
+@REGISTRY.register("knn_label_propagation", _KNN_ORACLE)
+def knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weak supervision via exact kNN: the vec_id%97 holdout takes the
+    majority label of its 5 nearest labeled neighbors
+    (operators/similarity.py::knn_label_propagation). Deterministic
+    vote tie-break ⇒ fully oracle-exact predictions."""
+    return similarity.knn_label_propagation(
+        _emb(spark, sf_dir), F.col("vec_id") % 97 == 0, k=5
+    ).orderBy("query_id")
+
+
+_AUC_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 4096 AS bucket
+  FROM toks
+),
+wt AS (
+  SELECT CAST(b AS BIGINT) AS bucket,
+         CAST('0x' || substr(md5(CAST(b AS VARCHAR)), 1, 8) AS BIGINT)
+           % 201 - 100 AS weight
+  FROM (SELECT unnest(range(0, 4096)) AS b)
+),
+scores AS (
+  SELECT f.doc_id, CAST(SUM(weight) AS BIGINT) AS logit
+  FROM feat f JOIN wt USING (bucket) GROUP BY 1
+),
+labeled AS (
+  SELECT s.logit, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM scores s JOIN documents d USING (doc_id)
+),
+vc AS (
+  SELECT logit, SUM(y) AS pos, COUNT(*) - SUM(y) AS neg
+  FROM labeled GROUP BY 1
+),
+nb AS (
+  SELECT a.logit AS s, a.pos AS p, a.neg AS n,
+         COALESCE(SUM(b.neg), 0) AS neg_below
+  FROM vc a LEFT JOIN vc b ON b.logit < a.logit
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+       CAST(SUM(n) AS BIGINT) AS n_neg,
+       CAST(SUM(CAST(p AS DECIMAL(18,0))
+                * CAST(neg_below * 2 + n AS DECIMAL(18,0))) AS DOUBLE)
+         / (2.0 * CAST(SUM(p) AS DOUBLE) * CAST(SUM(n) AS DOUBLE)) AS auc
+FROM nb
+"""
+
+
+@REGISTRY.register("classifier_auc_eval", _AUC_ORACLE)
+def classifier_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the hashed-BoW classifier against the lang
+    label (operators/classifier.py::classifier_auc): distinct-logit
+    histogram (bounded by the integer logit range), theta self-join
+    for negatives-below, decimal pair sums. Closes the in-engine
+    train → score → evaluate loop, fully value-hash checked."""
+    from movie_rankings_spark.operators.classifier import classifier_auc
+
+    return classifier_auc(_docs(spark, sf_dir), F.col("lang") == "en")

@@ -45,3 +45,57 @@ def test_model_is_broadcast_not_shuffled(spark):
     plan = hashed_bow_scores(df)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_auc_hand_computed_with_ties(spark):
+    """The histogram/theta-join AUC must equal a direct pairwise
+    P(s⁺>s⁻)+½P(s⁺=s⁻) computed from the same scores — ties and all
+    — and stay within [0, 1]."""
+    from movie_rankings_spark.operators.classifier import classifier_auc
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "alpha beta gamma delta", "en"),
+        (2, "alpha beta gamma", "en"),
+        (3, "uno dos tres quatro", "fr"),
+        (4, "zeta eta theta", "fr"),
+        (5, "alpha beta", "en"),
+        (6, "dos tres", "fr"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = classifier_auc(df, F.col("lang") == "en").collect()[0]
+    assert out["n_pos"] == 3 and out["n_neg"] == 3
+    assert 0.0 <= out["auc"] <= 1.0
+    # exact cross-check against a direct pairwise computation
+    from movie_rankings_spark.operators.classifier import hashed_bow_scores
+
+    sc = {r["doc_id"]: r["logit_x100"] for r in hashed_bow_scores(df).collect()}
+    pos = [sc[i] for i, _, l in rows if l == "en"]
+    neg = [sc[i] for i, _, l in rows if l == "fr"]
+    want = sum(
+        1.0 if p > q else (0.5 if p == q else 0.0) for p in pos for q in neg
+    ) / (len(pos) * len(neg))
+    assert out["auc"] == want
+
+
+def test_knn_label_propagation_planted_clusters(spark):
+    """Two well-separated clusters with distinct labels: every
+    held-out vector must take its own cluster's label."""
+    import numpy as np
+
+    from movie_rankings_spark.operators import similarity
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(4)
+    rows = []
+    for i in range(40):
+        c = i % 2
+        base = np.array([5.0, 0.0, 0.0]) if c == 0 else np.array([0.0, 5.0, 0.0])
+        v = base + rng.normal(scale=0.2, size=3)
+        rows.append((i, [float(x) for x in v], c))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = similarity.knn_label_propagation(df, F.col("vec_id") % 5 == 0, k=3).collect()
+    assert len(out) == 8
+    for r in out:
+        assert r["pred_label"] == r["true_label"]
+        assert r["n_votes"] == 3  # unanimous within a clean cluster
