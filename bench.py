@@ -159,6 +159,7 @@ HEADLINE_QUERIES = (
     "stream_upsert_snapshot",
     "stream_dedup_incremental",
     "stream_cms_maintained",
+    "stream_bitmap_users_rollup",
 )
 
 

@@ -114,6 +114,7 @@ _UNSEEN_FIRST = (
     "stream_upsert_snapshot",
     "stream_dedup_incremental",
     "stream_cms_maintained",
+    "stream_bitmap_users_rollup",
     # rows-only (weaker driver row) — after every oracle-backed unseen
     "approx_percentiles_price",
     "similarity_ivf_kmeans_topk",
@@ -165,6 +166,7 @@ _COSTLY_LAST = (
     "stream_upsert_snapshot",
     "stream_dedup_incremental",
     "stream_cms_maintained",
+    "stream_bitmap_users_rollup",
 )
 
 

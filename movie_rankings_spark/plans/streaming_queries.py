@@ -559,3 +559,68 @@ def stream_cms_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("word")
     )
+
+
+# --- streaming bitmap maintenance (exact distinct rollup from a stream) -----
+
+# same oracle as the batch bitmap rollup: bitmap OR is commutative,
+# associative and IDEMPOTENT, so the maintained daily-bitmap table is
+# bit-identical to the batch build
+from movie_rankings_spark.plans.relational_queries import (  # noqa: E402
+    _BITMAP_ROLLUP_ORACLE,
+)
+
+
+@REGISTRY.register("stream_bitmap_users_rollup", _BITMAP_ROLLUP_ORACLE)
+def stream_bitmap_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bitmap_users_rollup answered from bitmaps MAINTAINED by the
+    event stream (streaming/sketch_stream.py): 4 micro-batches OR
+    their per-(type, day, bucket) partials into a versioned table —
+    idempotent at the BIT level, so even a replayed batch cannot
+    drift the count — then the exact distinct rollup reads the
+    maintained table, never the events again."""
+    import os
+    import uuid
+
+    from movie_rankings_spark.streaming.sketch_stream import (
+        current_cells,
+        stream_bitmap_maintenance,
+    )
+
+    src = _stage_split_events(spark, sf_dir, n=4)
+    run_dir = os.path.join(
+        os.path.dirname(ev._CHECKPOINT_ROOT), "bm_stream", uuid.uuid4().hex[:12]
+    )
+    stream = ev.read_events_stream(spark, src, maxFilesPerTrigger=1)
+    stream_bitmap_maintenance(
+        stream,
+        table_dir=os.path.join(run_dir, "bm"),
+        checkpoint_dir=os.path.join(run_dir, "ckpt"),
+    )
+    daily = current_cells(spark, os.path.join(run_dir, "bm")).persist()
+    daily_counts = (
+        daily.groupBy("event_type", "day")
+        .agg(F.expr("CAST(sum(bitmap_count(bm)) AS BIGINT)").alias("d"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("d").alias("sum_daily_distinct"),
+        )
+    )
+    merged = (
+        daily.groupBy("event_type", "buck")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .groupBy("event_type")
+        .agg(
+            F.expr("CAST(sum(bitmap_count(bm)) AS BIGINT)").alias(
+                "distinct_users_merged"
+            )
+        )
+    )
+    return (
+        daily_counts.join(merged, "event_type")
+        .select(
+            "event_type", "n_days", "sum_daily_distinct", "distinct_users_merged"
+        )
+        .orderBy("event_type")
+    )

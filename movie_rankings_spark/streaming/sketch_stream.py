@@ -95,3 +95,56 @@ def stream_cms_maintenance(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_bitmap_maintenance(
+    events_stream: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """The EXACT twin of the CMS maintenance above: per-(event_type,
+    day, bucket) user-id BITMAPS kept current by the event stream.
+    Bitmap OR is commutative, associative AND idempotent — a replayed
+    batch cannot even double-count a bit, the strongest exactly-once
+    story in the streaming tier — so the maintained table is
+    bit-identical to the batch build and distinct-user rollups read
+    from it are EXACT (bitmap_users_rollup's oracle applies)."""
+    spark = events_stream.sparkSession
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        partial = batch_df.groupBy(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.expr("bitmap_bucket_number(user_id)").alias("buck"),
+        ).agg(
+            F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias(
+                "bm"
+            )
+        )
+        bases = [v for v in _versions(table_dir) if v < batch_id]
+        base = max(bases) if bases else None
+        if base is not None:
+            cur = spark.read.parquet(_version_dir(table_dir, base))
+            partial = (
+                cur.unionByName(partial)
+                .groupBy("event_type", "day", "buck")
+                .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+            )
+        partial.write.mode("overwrite").parquet(_version_dir(table_dir, batch_id))
+        tmp = _pointer(table_dir) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(batch_id))
+        os.replace(tmp, _pointer(table_dir))
+        for v in _versions(table_dir):
+            if base is not None and v < base:
+                shutil.rmtree(_version_dir(table_dir, v), ignore_errors=True)
+
+    q = (
+        events_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

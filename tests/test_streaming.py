@@ -237,3 +237,55 @@ def test_stream_cms_cells_equal_batch_sketch(spark, sf_dir):
         for r in current_cells(spark, cells_dir).collect()
     }
     assert again == batch
+
+
+def test_stream_bitmaps_equal_batch_and_or_is_idempotent(spark, sf_dir):
+    """Maintained daily bitmaps == batch-built bitmaps cell-for-cell;
+    re-draining (idempotent OR) changes nothing."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from movie_rankings_spark.catalog import load_table
+    from movie_rankings_spark.plans.streaming_queries import _stage_split_events
+    from movie_rankings_spark.streaming import events as ev
+    from movie_rankings_spark.streaming.sketch_stream import (
+        current_cells,
+        stream_bitmap_maintenance,
+    )
+
+    src = _stage_split_events(spark, sf_dir, n=4)
+    run = os.path.join(
+        os.path.dirname(ev._CHECKPOINT_ROOT), "bm_stream_t", uuid.uuid4().hex[:8]
+    )
+    bm_dir, ckpt = os.path.join(run, "bm"), os.path.join(run, "ckpt")
+
+    def drain():
+        stream_bitmap_maintenance(
+            ev.read_events_stream(spark, src, maxFilesPerTrigger=1), bm_dir, ckpt
+        )
+
+    drain()
+    maintained = {
+        (r["event_type"], str(r["day"]), r["buck"]): bytes(r["bm"])
+        for r in current_cells(spark, bm_dir).collect()
+    }
+    batch = {
+        (r["event_type"], str(r["day"]), r["buck"]): bytes(r["bm"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.expr("bitmap_bucket_number(user_id)").alias("buck"),
+        )
+        .agg(F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm"))
+        .collect()
+    }
+    assert maintained == batch and len(batch) > 0
+    drain()
+    again = {
+        (r["event_type"], str(r["day"]), r["buck"]): bytes(r["bm"])
+        for r in current_cells(spark, bm_dir).collect()
+    }
+    assert again == batch
