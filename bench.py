@@ -116,6 +116,7 @@ HEADLINE_QUERIES = (
     "decontaminate_bloom_gate",
     "audit_orders_quality",
     "anomaly_events_zscore",
+    "anomaly_rolling_zscore",
     "robust_outliers_mad",
     "histogram_totalprice",
     "histogram_equidepth_price",

@@ -151,3 +151,57 @@ def time_decayed_score(
             F.max(F.unix_micros(F.col("last_ts"))).alias("last_us"),
         )
     )
+
+
+def rolling_zscore_anomaly(
+    events: DataFrame,
+    window_rows: int = 10,
+    min_history: int = 5,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Per-user rolling anomaly flags: each event's value against the
+    mean/σ of its own trailing ``window_rows`` events (current row
+    excluded — the flag must not condition on the value it judges).
+    The windowed complement of the corpus-global z-score detector
+    (`anomaly_events_zscore`): local baselines catch regime-change
+    spikes a global σ absorbs.
+
+    One shuffle (user partition), one in-partition sort shared by all
+    four window expressions. Moments use exact DECIMAL window sums
+    (order-independent) with the shared double formula, so flags and
+    statistics are value-hash exact. Events with fewer than
+    ``min_history`` predecessors emit NULL stats and never flag."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-window_rows, -1)
+    )
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+    ss = (
+        F.sum(
+            (F.col("value").cast("decimal(18,6)") * F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(38,12)")
+        )
+        .over(w)
+        .cast("double")
+    )
+    nd = n.cast("double")
+    mean = s / nd
+    std = F.sqrt(F.greatest(ss / nd - (s / nd) * (s / nd), F.lit(0.0)))
+    enough = n >= min_history
+    return events.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.when(enough, mean).alias("trail_mean"),
+        F.when(enough, std).alias("trail_std"),
+        F.when(
+            enough,
+            F.abs(F.col("value") - mean) > F.lit(threshold) * std,
+        )
+        .otherwise(F.lit(False))
+        .alias("is_anomaly"),
+    )

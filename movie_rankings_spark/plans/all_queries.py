@@ -102,6 +102,7 @@ _UNSEEN_FIRST = (
     "quantile_normalize_price",
     "knn_label_propagation",
     "classifier_auc_eval",
+    "anomaly_rolling_zscore",
     "stream_sliding_6h",
     "stream_session_windows",
     "stream_dedup_user_types",
@@ -154,6 +155,7 @@ _COSTLY_LAST = (
     "quantile_normalize_price",
     "knn_label_propagation",
     "classifier_auc_eval",
+    "anomaly_rolling_zscore",
     "stream_sliding_6h",
     "stream_session_windows",
     "stream_dedup_user_types",

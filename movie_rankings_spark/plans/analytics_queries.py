@@ -400,3 +400,42 @@ def quantile_normalize_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_rank_map(
         _t(spark, sf_dir, "orders"), "o_totalprice", buckets=32
     ).orderBy("value")
+
+
+_ROLLING_Z_ORACLE = """
+WITH t AS (
+  SELECT event_id, user_id, value,
+         COUNT(*) OVER w AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(18,6))
+                       * CAST(value AS DECIMAL(18,6))
+                       AS DECIMAL(38,12))) OVER w AS DOUBLE) AS ss
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, value,
+       CASE WHEN n >= 5 THEN s / n END AS trail_mean,
+       CASE WHEN n >= 5 THEN
+         sqrt(greatest(ss / n - (s / n) * (s / n), 0.0)) END AS trail_std,
+       COALESCE(CASE WHEN n >= 5 THEN
+         abs(value - s / n)
+           > 3.0 * sqrt(greatest(ss / n - (s / n) * (s / n), 0.0)) END,
+         FALSE) AS is_anomaly
+FROM t ORDER BY event_id
+"""
+
+
+@REGISTRY.register("anomaly_rolling_zscore", _ROLLING_Z_ORACLE)
+def anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling per-user z-score flags (operators/timeseries.py::
+    rolling_zscore_anomaly): trailing-10-event local baseline,
+    current row excluded, exact decimal window moments + shared
+    double formula — one shuffle, one sort, value-hash exact."""
+    from movie_rankings_spark.operators.timeseries import (
+        rolling_zscore_anomaly,
+    )
+
+    return rolling_zscore_anomaly(_t(spark, sf_dir, "events")).orderBy(
+        "event_id"
+    )

@@ -177,3 +177,27 @@ def test_quantile_rank_no_single_partition(spark, sf_dir):
     # the presentation orderBy is a range exchange; the rank itself
     # must never funnel through one task
     assert "Exchange SinglePartition" not in plan
+
+
+def test_rolling_zscore_hand_computed(spark):
+    """Stable series then a spike: the spike flags, the stable run
+    does not, and rows without enough history emit NULL stats."""
+    from movie_rankings_spark.operators.timeseries import rolling_zscore_anomaly
+
+    rows = [(i, f"2024-01-01 10:{i:02d}:00", 1, 10.0 + (i % 2)) for i in range(10)]
+    rows.append((10, "2024-01-01 10:10:00", 1, 500.0))  # spike
+    rows.append((11, "2024-01-01 10:11:00", 1, 10.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, value double"
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) ts", "user_id", "value")
+    out = {r["event_id"]: r for r in rolling_zscore_anomaly(df).collect()}
+    assert out[2]["trail_mean"] is None and not out[2]["is_anomaly"]
+    assert not out[9]["is_anomaly"]
+    assert out[10]["is_anomaly"]
+    # after the spike enters the window, sigma explodes -> 10.0 unflagged
+    assert not out[11]["is_anomaly"]
+    # hand-check one mean: event 9 sees events 0..8 -> values 10,11 alternating
+    import statistics as st
+    vals = [10.0 + (i % 2) for i in range(9)]
+    assert abs(out[9]["trail_mean"] - st.mean(vals)) < 1e-12
+    assert abs(out[9]["trail_std"] - st.pstdev(vals)) < 1e-12
