@@ -148,6 +148,7 @@ HEADLINE_QUERIES = (
     "pack_docs_batches",
     "chunk_docs_sliding",
     "quality_filtered_docs",
+    "quality_filtered_per_lang",
     "pipeline_curated_chunks",
     "multimodal_frame_sample",
     "multimodal_resize_meta",

@@ -712,3 +712,30 @@ def curriculum_order(docs: DataFrame, buckets: int | None = None) -> DataFrame:
             "n_tokens",
         )
     )
+
+
+def quality_filtered_per_group(
+    docs: DataFrame, group_col: str = "lang", pct: float = 0.75
+) -> DataFrame:
+    """Per-GROUP percentile quality gate: each group keeps its own
+    top-(1−pct) quality slice — the fair-representation variant of
+    ``quality_filtered`` (one global threshold lets a high-quality
+    language crowd out every other; per-lang thresholds preserve the
+    corpus mix, the Gopher/FineWeb practice).
+
+    The per-group thresholds are a group-cardinality aggregate
+    broadcast back (never a Window over the corpus partitioned only
+    by group — thresholds are |groups| rows, the fact never sorts).
+    Same exact-percentile caveat as the global gate: swap in
+    approx_percentile at 100 TB; the plan shape is identical."""
+    scored = docs.select(
+        "doc_id", group_col, "source", quality_score(F.col("text")).alias("quality")
+    )
+    thr = scored.groupBy(group_col).agg(
+        F.percentile("quality", F.lit(pct)).alias("_thr")
+    )
+    return (
+        scored.join(F.broadcast(thr), group_col)
+        .filter(F.col("quality") > F.col("_thr"))
+        .select("doc_id", group_col, "source", "quality")
+    )

@@ -103,6 +103,7 @@ _UNSEEN_FIRST = (
     "knn_label_propagation",
     "classifier_auc_eval",
     "anomaly_rolling_zscore",
+    "quality_filtered_per_lang",
     "stream_sliding_6h",
     "stream_session_windows",
     "stream_dedup_user_types",
@@ -156,6 +157,7 @@ _COSTLY_LAST = (
     "knn_label_propagation",
     "classifier_auc_eval",
     "anomaly_rolling_zscore",
+    "quality_filtered_per_lang",
     "stream_sliding_6h",
     "stream_session_windows",
     "stream_dedup_user_types",

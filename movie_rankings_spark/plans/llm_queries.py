@@ -1869,3 +1869,36 @@ def classifier_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from movie_rankings_spark.operators.classifier import classifier_auc
 
     return classifier_auc(_docs(spark, sf_dir), F.col("lang") == "en")
+
+
+_QFILTER_GROUP_ORACLE = """
+WITH scored AS (
+  SELECT doc_id, lang, source,
+         least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) * 0.5
+           + (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                         AS DOUBLE) / length(text)) * 0.3
+           + least(CAST(len(list_filter(string_split(text, ' '),
+                    w -> list_contains(['the','a','of','and','to','in','is',
+                                        'it','that','for'], w)))
+                        AS DOUBLE) / len(string_split(text, ' ')) * 5.0, 1.0)
+             * 0.2 AS quality
+  FROM documents
+),
+thr AS (
+  SELECT lang, quantile_cont(quality, 0.75) AS t FROM scored GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.source, s.quality
+FROM scored s JOIN thr USING (lang)
+WHERE s.quality > thr.t ORDER BY s.doc_id
+"""
+
+
+@REGISTRY.register("quality_filtered_per_lang", _QFILTER_GROUP_ORACLE)
+def quality_filtered_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language percentile quality gate (operators/textops.py::
+    quality_filtered_per_group): each lang keeps its own top quartile
+    so one language can't crowd out the mix; |groups|-row threshold
+    table broadcast back, fact never sorts."""
+    return textops.quality_filtered_per_group(
+        _docs(spark, sf_dir), "lang", 0.75
+    ).orderBy("doc_id")
