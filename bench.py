@@ -85,6 +85,7 @@ HEADLINE_QUERIES = (
     "distinct_parts_per_supplier",
     "hll_users_mergeable_rollup",
     "bitmap_users_rollup",
+    "active_users_rolling",
     "dedup_exact_groups",
     "dedup_chunks_exact",
     "dedup_simhash",
@@ -200,6 +201,7 @@ COMPACT_PRIORITY = (
     "flagship_scraped_dsv2",
     "hll_users_mergeable_rollup",
     "bitmap_users_rollup",
+    "active_users_rolling",
     "split_train_val_test",
     "collocations_lift",
     "similarity_pq_topk",

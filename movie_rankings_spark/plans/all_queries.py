@@ -104,6 +104,7 @@ _UNSEEN_FIRST = (
     "classifier_auc_eval",
     "anomaly_rolling_zscore",
     "quality_filtered_per_lang",
+    "active_users_rolling",
     "stream_sliding_6h",
     "stream_session_windows",
     "stream_dedup_user_types",
@@ -158,6 +159,7 @@ _COSTLY_LAST = (
     "classifier_auc_eval",
     "anomaly_rolling_zscore",
     "quality_filtered_per_lang",
+    "active_users_rolling",
     "stream_sliding_6h",
     "stream_session_windows",
     "stream_dedup_user_types",

@@ -439,3 +439,29 @@ def anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_zscore_anomaly(_t(spark, sf_dir, "events")).orderBy(
         "event_id"
     )
+
+
+_ACTIVE_USERS_ORACLE = """
+WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+SELECT strftime(d.day, '%Y-%m-%d') AS day,
+       CAST((SELECT COUNT(DISTINCT e.user_id) FROM events e
+             WHERE CAST(e.ts AS DATE) = d.day) AS BIGINT) AS dau,
+       CAST((SELECT COUNT(DISTINCT e.user_id) FROM events e
+             WHERE CAST(e.ts AS DATE) BETWEEN d.day - 6 AND d.day)
+            AS BIGINT) AS wau
+FROM days d ORDER BY day
+"""
+
+
+@REGISTRY.register("active_users_rolling", _ACTIVE_USERS_ORACLE)
+def active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DAU / trailing-7-day WAU from daily bitmaps
+    (operators/timeseries.py::rolling_active_users): per-bucket
+    RANGE-frame bitmap ORs over a densified day×bucket grid — the
+    rolling-distinct query answered exactly, not by sketch, and
+    value-hash checked against brute-force COUNT(DISTINCT)."""
+    from movie_rankings_spark.operators.timeseries import (
+        rolling_active_users,
+    )
+
+    return rolling_active_users(_t(spark, sf_dir, "events"), 7)

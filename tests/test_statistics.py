@@ -201,3 +201,26 @@ def test_rolling_zscore_hand_computed(spark):
     vals = [10.0 + (i % 2) for i in range(9)]
     assert abs(out[9]["trail_mean"] - st.mean(vals)) < 1e-12
     assert abs(out[9]["trail_std"] - st.pstdev(vals)) < 1e-12
+
+
+def test_rolling_active_users_hand_computed(spark):
+    """Gap days and multi-bucket users: WAU must union across gap
+    days inside the frame and reset beyond it."""
+    from movie_rankings_spark.operators.timeseries import rolling_active_users
+
+    rows = [
+        # day 1: users 1,2 ; day 2: user 2 ; day 5: user 40000 (2nd
+        # bitmap bucket) ; day 20: user 1 (outside any 7-day frame)
+        (1, "2024-01-01 10:00:00", 1), (2, "2024-01-01 11:00:00", 2),
+        (3, "2024-01-02 10:00:00", 2),
+        (4, "2024-01-05 10:00:00", 40000),
+        (5, "2024-01-20 10:00:00", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long"
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) ts", "user_id")
+    out = {r["day"]: (r["dau"], r["wau"]) for r in rolling_active_users(df, 7).collect()}
+    assert out["2024-01-01"] == (2, 2)
+    assert out["2024-01-02"] == (1, 2)       # union of days 1-2
+    assert out["2024-01-05"] == (1, 3)       # users 1,2,40000 across buckets
+    assert out["2024-01-20"] == (1, 1)       # frame reset
