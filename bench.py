@@ -56,6 +56,7 @@ HEADLINE_QUERIES = (
     "window_events_analytics",
     "sessionize_events",
     "session_paths_top",
+    "session_transition_matrix",
     "funnel_view_click_purchase",
     "cohort_retention_daily",
     "json_props_stats",
@@ -184,6 +185,7 @@ COMPACT_PRIORITY = (
     "window_rolling_revenue_7d",
     "sessionize_events",
     "session_paths_top",
+    "session_transition_matrix",
     "funnel_view_click_purchase",
     "asof_purchase_context",
     "cogroup_asof_purchase",
@@ -225,7 +227,6 @@ COMPACT_PRIORITY = (
     "similarity_mmr_topk",
     "embedding_jl_projection",
     "decontaminate_report",
-    "shuffle_docs_deterministic",
     "stream_tumbling_daily",
     "stream_stream_view_purchase",
     "stream_upsert_snapshot",

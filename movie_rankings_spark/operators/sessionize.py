@@ -92,3 +92,53 @@ def session_paths(
         .orderBy(F.desc("n_occurrences"), "path")
         .limit(k)
     )
+
+
+def session_transition_matrix(
+    events: DataFrame, gap_minutes: int = 360
+) -> DataFrame:
+    """First-order Markov transition estimates between event types
+    within sessions: P(next | current) = n(current→next) / n(current→·)
+    — the navigation model behind next-action prediction and funnel
+    design. Same deterministic per-session sequencing as
+    session_paths; probabilities are exact bigint ratios, so the
+    matrix is value-hash checked."""
+    from movie_rankings_spark.functions.text import array_shingles
+
+    s = sessionize(events, gap_minutes)
+    seqs = (
+        s.groupBy("user_id", "session_seq")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.unix_micros("ts").alias("t"),
+                        F.col("event_id").alias("e"),
+                        F.col("event_type").alias("ty"),
+                    )
+                )
+            ).alias("evs")
+        )
+        .select(F.transform("evs", lambda x: x["ty"]).alias("types"))
+    )
+    pairs = seqs.select(
+        F.explode(array_shingles(F.col("types"), 2)).alias("pair")
+    ).select(
+        F.substring_index("pair", " ", 1).alias("cur_type"),
+        F.substring_index("pair", " ", -1).alias("next_type"),
+    )
+    counts = pairs.groupBy("cur_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cur_type")
+    return counts.select(
+        "cur_type",
+        "next_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(w).cast("double")
+        ).alias("prob"),
+    )

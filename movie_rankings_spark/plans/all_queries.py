@@ -105,6 +105,7 @@ _UNSEEN_FIRST = (
     "anomaly_rolling_zscore",
     "quality_filtered_per_lang",
     "active_users_rolling",
+    "session_transition_matrix",
     "stream_sliding_6h",
     "stream_session_windows",
     "stream_dedup_user_types",
@@ -160,6 +161,7 @@ _COSTLY_LAST = (
     "anomaly_rolling_zscore",
     "quality_filtered_per_lang",
     "active_users_rolling",
+    "session_transition_matrix",
     "stream_sliding_6h",
     "stream_session_windows",
     "stream_dedup_user_types",

@@ -1648,3 +1648,51 @@ def session_paths_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     from movie_rankings_spark.operators.sessionize import session_paths
 
     return session_paths(_t(spark, sf_dir, "events"), 360, 3, 15)
+
+
+_TRANSITIONS_ORACLE = """
+WITH marked AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w <= 21600000000
+              THEN 0 ELSE 1 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, event_id, ts, event_type,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq
+  FROM marked
+), seqs AS (
+  SELECT user_id, session_seq,
+         list(event_type ORDER BY ts, event_id) AS types
+  FROM sess GROUP BY 1, 2
+), pairs AS (
+  SELECT split_part(p, ' ', 1) AS cur_type, split_part(p, ' ', 2) AS next_type
+  FROM (
+    SELECT unnest(list_transform(range(1, len(types)),
+                  i -> concat_ws(' ', types[i], types[i+1]))) AS p
+    FROM seqs
+  )
+), counts AS (
+  SELECT cur_type, next_type, COUNT(*) AS n FROM pairs GROUP BY 1, 2
+)
+SELECT cur_type, next_type, CAST(n AS BIGINT) AS n_transitions,
+       CAST(n AS DOUBLE)
+         / CAST(SUM(n) OVER (PARTITION BY cur_type) AS DOUBLE) AS prob
+FROM counts ORDER BY cur_type, next_type
+"""
+
+
+@REGISTRY.register("session_transition_matrix", _TRANSITIONS_ORACLE)
+def session_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transitions between event types within 6 h
+    sessions (operators/sessionize.py::session_transition_matrix):
+    deterministic sequences, exact bigint transition counts, exact
+    row-normalized probabilities."""
+    from movie_rankings_spark.operators.sessionize import (
+        session_transition_matrix as stm,
+    )
+
+    return stm(_t(spark, sf_dir, "events"), 360).orderBy(
+        "cur_type", "next_type"
+    )

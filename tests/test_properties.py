@@ -396,3 +396,18 @@ def test_session_paths_hand_computed(spark):
         for r in session_paths(df, 360, 3, 10).collect()
     }
     assert got == {"view click purchase": 1, "click purchase view": 1}
+
+
+def test_transition_matrix_rows_sum_to_one(spark, sf_dir):
+    from movie_rankings_spark.catalog import load_table
+    from movie_rankings_spark.operators.sessionize import (
+        session_transition_matrix,
+    )
+
+    out = session_transition_matrix(load_table(spark, sf_dir, "events")).collect()
+    from collections import defaultdict
+    rows = defaultdict(float)
+    for r in out:
+        assert 0.0 < r["prob"] <= 1.0
+        rows[r["cur_type"]] += r["prob"]
+    assert rows and all(abs(s - 1.0) < 1e-9 for s in rows.values())
