@@ -99,6 +99,7 @@ HEADLINE_QUERIES = (
     "similarity_cosine_topk",
     "similarity_cosine_topk_numpy",
     "similarity_ivf_topk",
+    "retrieval_eval_ivf",
     "similarity_ivf_kmeans_topk",
     "similarity_pq_topk",
     "similarity_tfidf_topk",

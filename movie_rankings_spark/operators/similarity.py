@@ -428,3 +428,40 @@ def knn_label_propagation(
             "n_votes",
         )
     )
+
+
+def retrieval_eval(
+    result: DataFrame,
+    truth: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """In-engine IR evaluation: per-query recall@k and MRR of a
+    retrieval `result` against exact `truth` (both shaped query_id /
+    vec_id / rank'd by arrival order via a rank column or implied by
+    rn). Joins on (query_id, vec_id): one broadcast-size join per
+    evaluated query set — at scale this is how you continuously audit
+    the ANN index against an exact-scored sample.
+
+    Expects both inputs to carry query_id, vec_id and a 1-based
+    `rn`/`rank` position column named 'rn'. Output: query_id,
+    n_relevant_found, recall_at_k, mrr (0 when no relevant found)."""
+    t = truth.select("query_id", F.col("vec_id").alias("t_vec"))
+    r = result.select(
+        "query_id", F.col("vec_id").alias("r_vec"), F.col("rn").alias("r_rank")
+    )
+    hits = r.join(
+        t, (r["query_id"] == t["query_id"]) & (r["r_vec"] == t["t_vec"])
+    ).select(r["query_id"].alias("query_id"), "r_rank")
+    per_q = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_relevant_found"),
+        (F.lit(1.0) / F.min("r_rank").cast("double")).alias("mrr"),
+    )
+    all_q = truth.select("query_id").distinct()
+    return all_q.join(per_q, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_relevant_found", F.lit(0)).alias("n_relevant_found"),
+        (
+            F.coalesce("n_relevant_found", F.lit(0)).cast("double") / float(k)
+        ).alias("recall_at_k"),
+        F.coalesce("mrr", F.lit(0.0)).alias("mrr"),
+    )

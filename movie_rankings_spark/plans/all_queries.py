@@ -131,6 +131,7 @@ _UNSEEN_FIRST = (
     "bpe_train_merges",
     "logreg_train_quality",
     "similarity_mmr_topk",
+    "retrieval_eval_ivf",
 )
 
 #: most expensive entries at sf0.01, slowest-last; everything absent

@@ -1902,3 +1902,16 @@ def quality_filtered_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.quality_filtered_per_group(
         _docs(spark, sf_dir), "lang", 0.75
     ).orderBy("doc_id")
+
+
+@REGISTRY.register("retrieval_eval_ivf")  # ANN inside: rows-only
+def retrieval_eval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous ANN auditing: per-query recall@5 and MRR of the IVF
+    index against the exact brute-force top-5
+    (operators/similarity.py::retrieval_eval). Rows-only (the ANN
+    side is approximate by construction); the aggregate recall floor
+    is asserted in tests/test_similarity.py's recall gates, and this
+    query is the operational per-query report those gates sample."""
+    exact = similarity.cosine_topk_exact(_emb(spark, sf_dir), _QUERY_IDS, k=5)
+    ivf = similarity.ivf_topk(_emb(spark, sf_dir), _QUERY_IDS, k=5)
+    return similarity.retrieval_eval(ivf, exact, k=5).orderBy("query_id")

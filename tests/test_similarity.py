@@ -85,3 +85,19 @@ def test_kmeans_centroids_shape_and_convergence(emb):
 
 def test_exact_topk_shape(exact_topk):
     assert len(exact_topk) == len(QUERY_IDS) * 5
+
+
+def test_retrieval_eval_identity_and_zero(spark, sf_dir):
+    """Exact-vs-itself must score recall 1.0 / MRR 1.0 per query; a
+    disjoint result set scores 0."""
+    from movie_rankings_spark.catalog import load_table
+    from movie_rankings_spark.operators import similarity
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.cosine_topk_exact(emb, (3, 11), k=5)
+    perfect = similarity.retrieval_eval(exact, exact, k=5).collect()
+    assert all(r["recall_at_k"] == 1.0 and r["mrr"] == 1.0 for r in perfect)
+    wrong = exact.withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    zero = similarity.retrieval_eval(wrong, exact, k=5).collect()
+    assert all(r["recall_at_k"] == 0.0 and r["mrr"] == 0.0 for r in zero)
