@@ -277,6 +277,7 @@ _PYTHON_RESIDENT = {
     "cogroup_asof_purchase",  # cogrouped merge_asof (FlatMapCoGroupsInPandas by design)
     "embedding_pca_project",  # covariance + projection GEMM (mapInPandas by design)
     "similarity_mmr_topk",  # greedy MMR selection over pooled candidates
+    "retrieval_eval_ivf",  # evaluates the IVF path (Arrow GEMM inside)
 }
 
 _PY_NODE = re.compile(r"InPandas|EvalPython|PythonUDF|BatchEvalPython", re.I)
