@@ -121,8 +121,10 @@ HEADLINE_QUERIES = (
     "anomaly_events_zscore",
     "anomaly_rolling_zscore",
     "robust_outliers_mad",
+    "winsorized_mean_price",
     "histogram_totalprice",
     "histogram_equidepth_price",
+    "histogram2d_qty_price",
     "quantile_normalize_price",
     "corr_price_quantity",
     "regression_monthly_trend",

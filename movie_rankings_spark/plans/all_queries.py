@@ -106,6 +106,8 @@ _UNSEEN_FIRST = (
     "quality_filtered_per_lang",
     "active_users_rolling",
     "session_transition_matrix",
+    "winsorized_mean_price",
+    "histogram2d_qty_price",
     "stream_sliding_6h",
     "stream_session_windows",
     "stream_dedup_user_types",
@@ -163,6 +165,8 @@ _COSTLY_LAST = (
     "quality_filtered_per_lang",
     "active_users_rolling",
     "session_transition_matrix",
+    "winsorized_mean_price",
+    "histogram2d_qty_price",
     "stream_sliding_6h",
     "stream_session_windows",
     "stream_dedup_user_types",

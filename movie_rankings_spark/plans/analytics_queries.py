@@ -465,3 +465,98 @@ def active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return rolling_active_users(_t(spark, sf_dir, "events"), 7)
+
+
+_WINSOR_ORACLE = """
+WITH b AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.05) AS lo,
+         quantile_cont(l_extendedprice, 0.95) AS hi
+  FROM lineitem GROUP BY 1
+)
+SELECT l.l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(least(greatest(l.l_extendedprice, b.lo), b.hi)
+                     AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+         AS winsorized_mean,
+       CAST(SUM(CASE WHEN l.l_extendedprice < b.lo
+                       OR l.l_extendedprice > b.hi
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+FROM lineitem l JOIN b USING (l_returnflag)
+GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+"""
+
+
+@REGISTRY.register("winsorized_mean_price", _WINSOR_ORACLE)
+def winsorized_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorized mean (values clipped to the group's
+    [p5, p95] before averaging) — the robust-mean companion to the
+    median/MAD profile: keeps every row's vote but caps outlier
+    leverage. Two passes (exact percentile bounds broadcast back,
+    then clip+mean with exact decimal sums), the documented
+    robust-statistics shape."""
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    b = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.05)).alias("lo"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("hi"),
+    )
+    clipped = F.least(
+        F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi")
+    )
+    out_of_band = (F.col("l_extendedprice") < F.col("lo")) | (
+        F.col("l_extendedprice") > F.col("hi")
+    )
+    return (
+        li.join(F.broadcast(b), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (
+                F.sum(clipped.cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("winsorized_mean"),
+            F.sum(F.when(out_of_band, 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_HIST2D_ORACLE = """
+SELECT CAST(least(floor(l_quantity / 10), 4) AS BIGINT) AS qty_bucket,
+       CAST(least(floor(l_extendedprice / 20000), 4) AS BIGINT)
+         AS price_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@REGISTRY.register("histogram2d_qty_price", _HIST2D_ORACLE)
+def histogram2d_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D fixed-grid histogram (quantity × price, 5×5 open-topped
+    buckets) with per-cell revenue — the heatmap aggregation behind
+    density/joint-distribution dashboards: one hash aggregate on the
+    derived (bucket, bucket) key, shuffle ≤ 25 rows per partition
+    regardless of fact size."""
+    li = _t(spark, sf_dir, "lineitem")
+    qb = F.least(F.floor(F.col("l_quantity") / 10), F.lit(4)).cast("long")
+    pb = F.least(F.floor(F.col("l_extendedprice") / 20000), F.lit(4)).cast(
+        "long"
+    )
+    return (
+        li.groupBy(qb.alias("qty_bucket"), pb.alias("price_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("qty_bucket", "price_bucket")
+    )
