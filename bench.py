@@ -118,6 +118,16 @@ HEADLINE_QUERIES = (
     "decontaminate_report",
     "decontaminate_bloom_gate",
     "audit_orders_quality",
+    "profile_columns_orders",
+    "kanonymity_customers",
+    "classifier_calibration_bins",
+    "mix_temperature_sampling",
+    "dedup_cluster_keep_best",
+    "dedup_editdistance_verify",
+    "centroid_similarity_labels",
+    "funnel_time_bounded",
+    "attribution_position_based",
+    "tokenizer_encode_bpe",
     "anomaly_events_zscore",
     "anomaly_rolling_zscore",
     "robust_outliers_mad",
@@ -167,6 +177,7 @@ HEADLINE_QUERIES = (
     "stream_dedup_incremental",
     "stream_cms_maintained",
     "stream_bitmap_users_rollup",
+    "stream_running_topk_users",
 )
 
 
@@ -187,11 +198,9 @@ COMPACT_PRIORITY = (
     "window_events_analytics",
     "window_rolling_revenue_7d",
     "sessionize_events",
-    "session_paths_top",
     "session_transition_matrix",
     "funnel_view_click_purchase",
     "asof_purchase_context",
-    "cogroup_asof_purchase",
     "rangejoin_purchase_context",
     "rollup_orders",
     "pivot_user_event_counts",
@@ -203,12 +212,10 @@ COMPACT_PRIORITY = (
     "scd2_user_event_history",
     "attribution_last_touch",
     "layout_zorder_orders",
-    "flagship_scraped_dsv2",
     "hll_users_mergeable_rollup",
     "bitmap_users_rollup",
     "active_users_rolling",
     "split_train_val_test",
-    "collocations_lift",
     "similarity_pq_topk",
     "similarity_tfidf_topk",
     "dedup_semantic_clusters",
@@ -230,6 +237,10 @@ COMPACT_PRIORITY = (
     "similarity_mmr_topk",
     "embedding_jl_projection",
     "decontaminate_report",
+    "profile_columns_orders",
+    "mix_temperature_sampling",
+    "dedup_cluster_keep_best",
+    "tokenizer_encode_bpe",
     "stream_tumbling_daily",
     "stream_stream_view_purchase",
     "stream_upsert_snapshot",

@@ -77,3 +77,85 @@ def last_touch_attribution(
         )
         .orderBy("touch_type")
     )
+
+
+def position_based_attribution(
+    events: DataFrame,
+    touch_types: Sequence[str] = ("view", "click"),
+    conversion_type: str = "purchase",
+    lookback_hours: int = 24,
+) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution: each
+    conversion splits its value over every qualifying touch in the
+    lookback window — 100% to a lone touch, 50/50 to a pair, else
+    40% first / 40% last / 20% spread over the middles. Conversions
+    with no touch credit 'direct'.
+
+    Returns (touch_type, credited_conversions, attributed_revenue):
+    fractional conversion credit and revenue, each share rounded to
+    DECIMAL(18,6) BEFORE summing so the rollup is order-independent
+    and bit-identical to the SQL oracle.
+
+    Scale: unlike last-touch (O(1) window state), multi-touch needs
+    the touch SET per conversion. The window frame is
+    RANGE-bounded to the lookback interval (micros), so per-row state
+    is the touches inside the window — bounded by lookback × event
+    rate, NOT user history; the naive conversions⋈touches range join
+    would shuffle the event table twice. Within-frame order is made
+    total by sorting the collected (ts, event_id) structs, so
+    first/last credit is deterministic under timestamp ties."""
+    mic = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(mic)
+        .rangeBetween(-(lookback_hours * 3_600_000_000), -1)
+    )
+    touch = F.when(
+        F.col("event_type").isin(list(touch_types)),
+        F.struct(
+            F.unix_micros(F.col("ts")).alias("t_mic"),
+            F.col("event_id").alias("t_id"),
+            F.col("event_type").alias("t_type"),
+        ),
+    )
+    conv = events.withColumn(
+        "_touches", F.array_sort(F.collect_list(touch).over(w))
+    ).filter(F.col("event_type") == conversion_type)
+
+    n = F.size("_touches")
+    weighted = conv.select(
+        F.col("value"),
+        F.when(
+            n == 0,
+            F.array(
+                F.struct(
+                    F.lit("direct").alias("t_type"), F.lit(1.0).alias("wt")
+                )
+            ),
+        )
+        .otherwise(
+            F.transform(
+                "_touches",
+                lambda t, i: F.struct(
+                    t["t_type"].alias("t_type"),
+                    F.when(n == 1, F.lit(1.0))
+                    .when(n == 2, F.lit(0.5))
+                    .when((i == 0) | (i == n - 1), F.lit(0.4))
+                    .otherwise(F.lit(0.2) / (n - 2).cast("double"))
+                    .alias("wt"),
+                ),
+            )
+        )
+        .alias("credits"),
+    ).select(F.col("value"), F.explode("credits").alias("c"))
+
+    share = (F.col("value") * F.col("c.wt")).cast("decimal(18,6)")
+    credit = F.col("c.wt").cast("decimal(18,6)")
+    return (
+        weighted.groupBy(F.col("c.t_type").alias("touch_type"))
+        .agg(
+            F.sum(credit).cast("double").alias("credited_conversions"),
+            F.sum(share).cast("double").alias("attributed_revenue"),
+        )
+        .orderBy("touch_type")
+    )

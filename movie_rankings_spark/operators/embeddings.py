@@ -103,3 +103,69 @@ def jl_project(
         project,
         "vec_id long, proj array<float>, orig_norm_sq double, proj_norm_sq double",
     )
+
+
+def label_centroids(embeddings: DataFrame, dim: int = 64) -> DataFrame:
+    """Per-label mean embedding (the class prototype): exact decimal
+    element sums / count, reassembled into an array<double> ordered by
+    position. One explode-aggregate shuffle bounded by |labels|×dim
+    rows; the |labels|-row result is driver-free (array_sort over
+    collected (pos, value) structs — order-deterministic)."""
+    el = embeddings.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    )
+    sums = el.groupBy("label", "pos").agg(
+        F.sum(F.col("v").cast("double").cast("decimal(28,12)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        sums.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("pos"),
+                            (F.col("s").cast("double") / F.col("n")).alias(
+                                "m"
+                            ),
+                        )
+                    )
+                ),
+                lambda st: st["m"],
+            ).alias("centroid"),
+            F.first("n").alias("n_members"),
+        )
+    )
+
+
+def centroid_pairwise_cosine(centroids: DataFrame) -> DataFrame:
+    """Pairwise cosine between label centroids (label_a < label_b) —
+    the class-prototype confusion structure an embedding-quality audit
+    reads (high inter-class cosine = labels the encoder cannot
+    separate). Input is |labels| rows, so the self-join is trivially
+    broadcast; the cosine uses the exact-decimal product sums from
+    functions/vectors.py so values hash-match the SQL oracle."""
+    from movie_rankings_spark.functions.vectors import cosine_exact
+
+    a = centroids.select(
+        F.col("label").alias("label_a"),
+        F.col("centroid").alias("ca"),
+        F.col("n_members").alias("n_a"),
+    )
+    b = centroids.select(
+        F.col("label").alias("label_b"),
+        F.col("centroid").alias("cb"),
+        F.col("n_members").alias("n_b"),
+    )
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            cosine_exact(F.col("ca"), F.col("cb")).alias("cosine"),
+        )
+        .orderBy("label_a", "label_b")
+    )

@@ -27,9 +27,16 @@ def funnel_stage_times(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    max_gap_hours: int | None = None,
 ) -> DataFrame:
     """Per-user earliest completion time of each reached stage:
-    (user, stage_1..stage_N ts columns, nulls once the funnel broke)."""
+    (user, stage_1..stage_N ts columns, nulls once the funnel broke).
+
+    ``max_gap_hours`` adds the conversion-window variant: stage k
+    counts only if it happens within that many hours AFTER the first
+    stage-(k-1) completion (micro-second-exact bound, same predicate
+    in the DuckDB oracle) — the "funnel with a deadline" every
+    product-analytics engine ships next to the unbounded one."""
     out = None
     prev = None
     for i, stage in enumerate(stages, start=1):
@@ -38,6 +45,12 @@ def funnel_stage_times(
             matched = matched.join(
                 out.select(user_col, F.col(prev).alias("_prev_ts")), user_col
             ).filter(F.col(ts_col) > F.col("_prev_ts"))
+            if max_gap_hours is not None:
+                matched = matched.filter(
+                    F.unix_micros(F.col(ts_col))
+                    - F.unix_micros(F.col("_prev_ts"))
+                    <= max_gap_hours * 3_600_000_000
+                )
         t = matched.groupBy(user_col).agg(F.min(ts_col).alias(f"stage{i}_ts"))
         # each stage's table is read twice (the next stage's gating
         # join AND the running left-join chain) and the chain itself
@@ -51,10 +64,14 @@ def funnel_stage_times(
     return out
 
 
-def funnel_counts(events: DataFrame, stages: Sequence[str]) -> DataFrame:
+def funnel_counts(
+    events: DataFrame,
+    stages: Sequence[str],
+    max_gap_hours: int | None = None,
+) -> DataFrame:
     """The funnel report: (stage, event_type, n_users) with strictly
     non-increasing counts down the stages."""
-    times = funnel_stage_times(events, stages)
+    times = funnel_stage_times(events, stages, max_gap_hours=max_gap_hours)
     wide = times.agg(
         *[
             F.count(f"stage{i}_ts").alias(f"c{i}")

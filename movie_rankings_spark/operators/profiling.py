@@ -60,3 +60,52 @@ def skew_profiles(profiles: list[DataFrame]) -> DataFrame:
     """Union of per-key profiles — each input is an independent
     scan+shuffle; the union is row-count len(profiles)."""
     return reduce(lambda a, b: a.unionByName(b), profiles)
+
+
+def column_profile(df: DataFrame, renders: dict[str, object]) -> DataFrame:
+    """ANALYZE-TABLE-style per-column statistics in ONE aggregate pass:
+    one row per profiled column with n_rows, n_nulls, n_distinct, and
+    min/max rendered to engine-portable strings.
+
+    `renders` maps column name → a function(Column) -> Column that
+    renders min/max to a string deterministically across engines
+    (doubles via DECIMAL(18,4), timestamps via cast — bare double→
+    string formatting differs between engines).
+
+    Plan shape: a single wide aggregate computes every per-column
+    statistic together — Spark compiles the N exact count(distinct)
+    into one Expand (×N+1 row multiply) feeding one partial+final
+    aggregate, so the fact table is SCANNED ONCE regardless of how
+    many columns are profiled. The per-column rows are then unpivoted
+    from the 1-row aggregate with an explode over a literal struct
+    array (driver-free, N rows total). At 100 TB you swap the exact
+    count(distinct) for approx_count_distinct (HLL, no Expand) —
+    same one-scan shape, same output schema; the exact form is kept
+    here because it is the oracle-checkable one."""
+    cols = list(renders)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        render = renders[c]
+        aggs += [
+            F.count(c).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__ndv"),
+            render(F.min(c)).cast("string").alias(f"{c}__min"),
+            render(F.max(c)).cast("string").alias(f"{c}__max"),
+        ]
+    row = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n").cast("long").alias("n_rows"),
+                (F.col("__n") - F.col(f"{c}__nn")).cast("long").alias("n_nulls"),
+                F.col(f"{c}__ndv").cast("long").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_value"),
+                F.col(f"{c}__max").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return (
+        row.select(F.explode(per_col).alias("p")).select("p.*").orderBy("column")
+    )

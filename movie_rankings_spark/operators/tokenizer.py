@@ -133,3 +133,78 @@ def bpe_train(docs: DataFrame, n_merges: int = 12) -> DataFrame:
     return spark.createDataFrame(
         rules, "step int, left string, right string, merged string, n long"
     )
+
+
+def bpe_apply_rules(vocab: DataFrame, rules: list[tuple[str, str, str]]) -> DataFrame:
+    """Apply an ordered list of (left, right, merged) BPE rules to the
+    `symbols` arrays of a weighted vocabulary — the ENCODE half of the
+    tokenizer. Each rule is the same greedy left-to-right codegen fold
+    used during training, chained in rule order; lineage is truncated
+    every few rules so the plan stays flat for long rule lists."""
+    def _merge_step(left: str, right: str, merged: str):
+        def step(acc, x):
+            return F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (x == F.lit(right)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(x)))
+
+        return step
+
+    for i, (left, right, merged) in enumerate(rules):
+        fold = F.aggregate(
+            F.col("symbols"),
+            F.array().cast("array<string>"),
+            _merge_step(left, right, merged),
+        )
+        vocab = vocab.select(fold.alias("symbols"), "word", "wc")
+        if (i + 1) % 4 == 0:
+            vocab = vocab.localCheckpoint(eager=True)
+    return vocab
+
+
+def bpe_encode_token_counts(docs: DataFrame, n_merges: int = 8) -> DataFrame:
+    """Train-then-encode: learn `n_merges` BPE rules on the corpus,
+    then tokenize every document with them. Output: doc_id, n_words,
+    n_bpe_tokens (symbols after merges; pre-merge it equals character
+    count of the concatenated words).
+
+    Scale shape: training and encoding both run on the DISTINCT-WORD
+    vocabulary (corpus tokens reduce map-side into vocab rows); the
+    per-word token count then re-joins the document token stream via a
+    BROADCAST of the vocab map — the fact table is scanned twice
+    (vocab build + final join) and never carries symbol arrays.
+    The rule list itself is n_merges rows — the textbook justified
+    driver collect (same as bpe_train's per-round argmax)."""
+    trained = bpe_train(docs, n_merges=n_merges)
+    rules = [
+        (r["left"], r["right"], r["merged"])
+        for r in trained.orderBy("step").collect()
+    ]
+    freq = (
+        docs.select(F.explode(words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    vocab = freq.select(
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        ).alias("symbols"),
+        "word",
+        "wc",
+    )
+    encoded = bpe_apply_rules(vocab, rules).select(
+        "word", F.size("symbols").alias("n_tok")
+    )
+    toks = docs.select("doc_id", F.explode(words(F.col("text"))).alias("word"))
+    return (
+        toks.join(F.broadcast(encoded), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_tok").cast("long").alias("n_bpe_tokens"),
+        )
+    )

@@ -67,6 +67,17 @@ _UNSEEN_FIRST = (
     # rows-only in r02, oracle-backed since r3 — re-record with hash
     "dedup_simhash",
     "similarity_cosine_topk_numpy",
+    # round-3 session-4 additions (oracle-backed, never checked)
+    "profile_columns_orders",
+    "kanonymity_customers",
+    "classifier_calibration_bins",
+    "mix_temperature_sampling",
+    "dedup_cluster_keep_best",
+    "funnel_time_bounded",
+    "attribution_position_based",
+    "centroid_similarity_labels",
+    "dedup_editdistance_verify",
+    "stream_running_topk_users",
     # round-3 additions (no driver row yet)
     "scd2_user_event_history",
     "attribution_last_touch",
@@ -134,6 +145,7 @@ _UNSEEN_FIRST = (
     "logreg_train_quality",
     "similarity_mmr_topk",
     "retrieval_eval_ivf",
+    "tokenizer_encode_bpe",
 )
 
 #: most expensive entries at sf0.01, slowest-last; everything absent

@@ -560,3 +560,131 @@ def histogram2d_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qty_bucket", "price_bucket")
     )
+
+
+# --- ANALYZE-style table profile (orders) -----------------------------------
+
+_PROFILE_ORACLE = """
+WITH s AS (SELECT * FROM orders)
+SELECT 'o_custkey' AS "column",
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+       CAST(MIN(o_custkey) AS VARCHAR) AS min_value,
+       CAST(MAX(o_custkey) AS VARCHAR) AS max_value
+FROM s
+UNION ALL
+SELECT 'o_orderdate', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+       CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR)
+FROM s
+UNION ALL
+SELECT 'o_orderkey', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT),
+       CAST(MIN(o_orderkey) AS VARCHAR), CAST(MAX(o_orderkey) AS VARCHAR)
+FROM s
+UNION ALL
+SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+       MIN(o_orderpriority), MAX(o_orderpriority)
+FROM s
+UNION ALL
+SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+       MIN(o_orderstatus), MAX(o_orderstatus)
+FROM s
+UNION ALL
+SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+       CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+       CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,4)) AS VARCHAR),
+       CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,4)) AS VARCHAR)
+FROM s
+ORDER BY "column"
+"""
+
+
+@REGISTRY.register("profile_columns_orders", _PROFILE_ORACLE)
+def profile_columns_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-TABLE statistics for every orders column in ONE scan
+    (operators/profiling.py::column_profile): per column n_rows /
+    n_nulls / exact NDV / portable min-max strings, the inputs a
+    cost-based optimizer (and a data-quality dashboard) reads. The N
+    exact count(distinct) compile to a single Expand feeding one
+    aggregate — the fact is never scanned per-column; at 100 TB the
+    same shape runs with approx_count_distinct (no Expand)."""
+    from movie_rankings_spark.operators.profiling import column_profile
+
+    ident = lambda c: c  # noqa: E731
+    dec4 = lambda c: c.cast("decimal(18,4)")  # noqa: E731
+    return column_profile(
+        _t(spark, sf_dir, "orders"),
+        {
+            "o_orderkey": ident,
+            "o_custkey": ident,
+            "o_orderstatus": ident,
+            "o_totalprice": dec4,
+            "o_orderdate": ident,
+            "o_orderpriority": ident,
+        },
+    )
+
+
+# --- k-anonymity risk report (customer quasi-identifiers) -------------------
+
+_KANON_ORACLE = """
+WITH g AS (
+  SELECT c_mktsegment, c_nationkey, COUNT(*) AS sz
+  FROM customer GROUP BY 1, 2
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(MIN(sz) AS BIGINT) AS min_group_size,
+       CAST(SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_risky_groups,
+       CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+         AS n_risky_rows,
+       CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(sz) AS DOUBLE) AS risky_share
+FROM g GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+@REGISTRY.register("kanonymity_customers", _KANON_ORACLE)
+def kanonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (mktsegment, nationkey) quasi-
+    identifier — the privacy gate a training-data release runs before
+    shipping user-derived rows: per segment, how many equivalence
+    classes fall below k=5 and what share of rows they expose.
+
+    Two hash aggregates, both with map-side combine: fact →
+    quasi-identifier group sizes (shuffle bounded by |QI| domain),
+    then |QI| rows → per-segment summary. No window, no sort until
+    the |segments|-row tail."""
+    c = _t(spark, sf_dir, "customer")
+    g = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    risky = F.when(F.col("sz") < 5, F.col("sz")).otherwise(F.lit(0))
+    return (
+        g.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.min("sz").alias("min_group_size"),
+            F.sum(F.when(F.col("sz") < 5, 1).otherwise(0))
+            .cast("long")
+            .alias("n_risky_groups"),
+            F.sum(risky).cast("long").alias("n_risky_rows"),
+            (
+                F.sum(risky).cast("double")
+                / F.sum("sz").cast("double")
+            ).alias("risky_share"),
+        )
+        .withColumn("n_groups", F.col("n_groups").cast("long"))
+        .withColumn("min_group_size", F.col("min_group_size").cast("long"))
+        .orderBy("c_mktsegment")
+    )

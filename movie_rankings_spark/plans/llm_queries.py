@@ -1915,3 +1915,380 @@ def retrieval_eval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = similarity.cosine_topk_exact(_emb(spark, sf_dir), _QUERY_IDS, k=5)
     ivf = similarity.ivf_topk(_emb(spark, sf_dir), _QUERY_IDS, k=5)
     return similarity.retrieval_eval(ivf, exact, k=5).orderBy("query_id")
+
+
+# --- classifier calibration (bins of the hashed-BoW logit) ------------------
+
+_CALIBRATION_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 4096 AS bucket
+  FROM toks
+),
+wt AS (
+  SELECT CAST(b AS BIGINT) AS bucket,
+         CAST('0x' || substr(md5(CAST(b AS VARCHAR)), 1, 8) AS BIGINT)
+           % 201 - 100 AS weight
+  FROM (SELECT unnest(range(0, 4096)) AS b)
+),
+scores AS (
+  SELECT f.doc_id, CAST(SUM(weight) AS BIGINT) AS logit
+  FROM feat f JOIN wt USING (bucket) GROUP BY 1
+),
+labeled AS (
+  SELECT CAST(floor(s.logit / 500.0) AS BIGINT) AS score_bin,
+         s.logit, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM scores s JOIN documents d USING (doc_id)
+)
+SELECT score_bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(y) AS BIGINT) AS n_pos,
+       CAST(SUM(y) AS DOUBLE) / COUNT(*) AS pos_rate,
+       CAST(SUM(logit) AS DOUBLE) / (100.0 * COUNT(*)) AS avg_score
+FROM labeled GROUP BY score_bin ORDER BY score_bin
+"""
+
+
+@REGISTRY.register("classifier_calibration_bins", _CALIBRATION_ORACLE)
+def classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration curve of the hashed-BoW classifier: logits bucketed
+    into width-5.0 score bins, each bin reporting observed positive
+    rate vs mean score — the reliability diagram that decides whether
+    the gate threshold transfers across corpora. Companion to
+    classifier_auc_eval (ranking quality); this is probability
+    quality. One scoring pass (broadcast model join, per-doc partial
+    agg) then a bounded-cardinality bin aggregate; logit sums stay
+    integer so every bin statistic is exact."""
+    from movie_rankings_spark.operators.classifier import hashed_bow_scores
+
+    docs = _docs(spark, sf_dir)
+    scored = hashed_bow_scores(docs).join(
+        docs.select(
+            "doc_id", (F.col("lang") == "en").cast("int").alias("_y")
+        ),
+        "doc_id",
+    )
+    return (
+        scored.groupBy(
+            F.floor(F.col("logit_x100") / F.lit(500.0))
+            .cast("long")
+            .alias("score_bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_y").cast("long").alias("n_pos"),
+            (F.sum("_y").cast("double") / F.count(F.lit(1))).alias("pos_rate"),
+            (
+                F.sum("logit_x100").cast("double")
+                / (F.lit(100.0) * F.count(F.lit(1)))
+            ).alias("avg_score"),
+        )
+        .orderBy("score_bin")
+    )
+
+
+# --- temperature-scaled language mix (XLM-R style, alpha = 0.5) -------------
+
+_MIX_TEMP_ORACLE = """
+WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+m AS (SELECT MIN(n) AS mn FROM c),
+r AS (
+  SELECT lang, n,
+         sqrt(CAST(mn AS DOUBLE) / CAST(n AS DOUBLE)) AS keep_rate
+  FROM c CROSS JOIN m
+)
+SELECT r.lang, CAST(r.n AS BIGINT) AS n_docs, r.keep_rate,
+       CAST(SUM(CASE WHEN
+             CAST('0x' || substr(md5('mixT' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) / 4294967296.0 < r.keep_rate
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM documents d JOIN r USING (lang)
+GROUP BY 1, 2, 3 ORDER BY r.lang
+"""
+
+
+@REGISTRY.register("mix_temperature_sampling", _MIX_TEMP_ORACLE)
+def mix_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled multilingual sampling (the XLM-R / mT5
+    recipe at alpha = 0.5): head languages are deterministically
+    downsampled toward sqrt-proportional shares — keep_rate(lang) =
+    sqrt(n_min / n_lang), so the rarest language keeps everything and
+    a 100x-bigger language keeps 10%. Companion to
+    mix_corpus_token_budget (budget-driven mix); this is the
+    distribution-flattening mix.
+
+    Exactness: alpha = 0.5 makes the rate a single sqrt of a double
+    ratio — sqrt and divide are IEEE correctly-rounded in both
+    engines (pow is not, which is why the alpha isn't a parameter in
+    the oracle-checked form). Membership is the md5-fraction
+    coin-flip keyed on 'mixT'||doc_id, the same derandomized
+    per-row hash every sampling operator here uses.
+
+    Scale: one groupBy(lang) for counts (|langs| rows), a broadcast
+    of the rate table back onto the fact, one conditional aggregate
+    — the corpus is scanned once and never sorted/salted."""
+    docs = _docs(spark, sf_dir)
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    mn = counts.agg(F.min("n").alias("mn"))
+    rates = counts.crossJoin(F.broadcast(mn)).select(
+        "lang",
+        "n",
+        F.sqrt(F.col("mn").cast("double") / F.col("n").cast("double")).alias(
+            "keep_rate"
+        ),
+    )
+    frac = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mixT"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .groupBy("lang", "n", "keep_rate")
+        .agg(
+            F.sum(F.when(frac < F.col("keep_rate"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept")
+        )
+        .select(
+            "lang",
+            F.col("n").cast("long").alias("n_docs"),
+            "keep_rate",
+            "n_kept",
+        )
+        .orderBy("lang")
+    )
+
+
+# --- near-dup clusters: keep the BEST-quality member -------------------------
+
+_KEEP_BEST_ORACLE = f"""
+WITH RECURSIVE s AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+sz AS (SELECT doc_id, len(sh) AS n FROM s),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+  WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5
+),
+und AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach AS (
+  SELECT u, u AS v FROM (SELECT DISTINCT u FROM und)
+  UNION
+  SELECT r.u, n2.v FROM reach r JOIN und n2 ON r.v = n2.u
+),
+labels AS (SELECT u, MIN(v) AS component FROM reach GROUP BY u),
+q AS (
+  SELECT doc_id,
+         least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) * 0.5
+           + (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                         AS DOUBLE) / length(text)) * 0.3
+           + least(CAST(len(list_filter(string_split(text, ' '),
+                    w -> list_contains({_STOP_EN}, w)))
+                        AS DOUBLE) / len(string_split(text, ' ')) * 5.0, 1.0)
+             * 0.2 AS quality
+  FROM documents
+),
+ranked AS (
+  SELECT l.component, l.u AS doc_id, q.quality,
+         ROW_NUMBER() OVER (
+           PARTITION BY l.component
+           ORDER BY q.quality DESC, l.u ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY l.component) AS n_members
+  FROM labels l JOIN q ON l.u = q.doc_id
+)
+SELECT doc_id AS keep_doc_id, CAST(n_members AS BIGINT) AS n_members, quality
+FROM ranked WHERE rn = 1 ORDER BY keep_doc_id
+"""
+
+
+@REGISTRY.register("dedup_cluster_keep_best", _KEEP_BEST_ORACLE)
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup collapse: the production dedup policy
+    keeps each cluster's HIGHEST-QUALITY member, not its smallest id
+    (the arbitrary-rep policy of dedup_cluster_reps throws away the
+    best copy whenever a cleaner near-duplicate exists). MinHash-LSH
+    candidate pairs → connected components → per-component argmax of
+    the heuristic quality score (tie: min doc_id).
+
+    Scale: components' label table is |clustered docs| rows — tiny
+    next to the corpus; the quality join touches only those rows, and
+    the per-component window partitions by component (no global
+    sort). Components come from the O(log n) small-star/large-star
+    rounds (min-label propagation needs graph-diameter rounds — 2.7x
+    slower here, unboundedly worse on chain-shaped clusters). Oracled
+    exactly via the recursive-CTE transitive closure over the
+    verified-exact edge set plus the same quality formula."""
+    from movie_rankings_spark.operators.components import (
+        connected_components_star,
+    )
+    from movie_rankings_spark.functions.text import quality_score
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_neardup_pairs(
+        docs, threshold=0.5, num_hashes=64, bands=16
+    )
+    labels = connected_components_star(pairs)
+    q = docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+    member = labels.join(q, labels["node"] == q["doc_id"]).select(
+        "component", "doc_id", "quality"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    wc = Window.partitionBy("component")
+    return (
+        member.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc).cast("long"))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("doc_id").alias("keep_doc_id"), "n_members", "quality"
+        )
+        .orderBy("keep_doc_id")
+    )
+
+
+@REGISTRY.register("tokenizer_encode_bpe")  # iterative training inside: rows-only
+def tokenizer_encode_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE ENCODE (operators/tokenizer.py::
+    bpe_encode_token_counts): learns 8 merge rules on the corpus, then
+    tokenizes every document with them — per doc, words vs post-merge
+    BPE token counts. Rows-only registration (the trainer's argmax
+    loop is iterative, not SQL-expressible); exactness vs a pure-
+    Python reference tokenizer is pinned in tests/test_tokenizer.py."""
+    from movie_rankings_spark.operators.tokenizer import (
+        bpe_encode_token_counts,
+    )
+
+    return bpe_encode_token_counts(_docs(spark, sf_dir), n_merges=8).orderBy(
+        "doc_id"
+    )
+
+
+# --- label-centroid confusion structure (r3s4) ------------------------------
+
+_CENTROID_ORACLE = f"""
+WITH el AS (
+  SELECT label,
+         unnest(range(1, len(embedding) + 1)) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT label, pos,
+         CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+  FROM el GROUP BY 1, 2
+),
+arr AS (
+  SELECT label, list(m ORDER BY pos) AS c FROM cent GROUP BY label
+),
+mem AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM embeddings GROUP BY 1)
+SELECT a.label AS label_a, b.label AS label_b,
+       ma.n AS n_a, mb.n AS n_b,
+       {_COSINE_SQL.format(a='a.c', b='b.c')} AS cosine
+FROM arr a JOIN arr b ON a.label < b.label
+JOIN mem ma ON ma.label = a.label
+JOIN mem mb ON mb.label = b.label
+ORDER BY label_a, label_b
+"""
+
+
+@REGISTRY.register("centroid_similarity_labels", _CENTROID_ORACLE)
+def centroid_similarity_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-prototype confusion audit (operators/embeddings.py::
+    label_centroids + centroid_pairwise_cosine): per-label mean
+    embedding (exact decimal element sums), then pairwise cosine
+    between the |labels| prototypes — high inter-class cosine flags
+    labels the encoder cannot separate (the embedding-quality
+    companion to classifier_auc_eval). One |labels|×dim aggregate
+    shuffle; the pairwise stage is a broadcast self-join over |labels|
+    rows."""
+    from movie_rankings_spark.operators.embeddings import (
+        centroid_pairwise_cosine,
+        label_centroids,
+    )
+
+    return centroid_pairwise_cosine(label_centroids(_emb(spark, sf_dir)))
+
+
+# --- edit-distance verification of near-dup pairs (r3s4) --------------------
+
+_EDITDIST_ORACLE = f"""
+WITH s AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+sz AS (SELECT doc_id, len(sh) AS n FROM s),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+  WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+       CAST(1.0 AS DOUBLE)
+         - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+           / greatest(length(a.text), length(b.text)) AS edit_sim,
+       (CAST(levenshtein(a.text, b.text) AS DOUBLE)
+          / greatest(length(a.text), length(b.text))) <= 0.2 AS edit_pass
+FROM pairs p
+JOIN documents a ON p.doc_a = a.doc_id
+JOIN documents b ON p.doc_b = b.doc_id
+ORDER BY p.doc_a, p.doc_b
+"""
+
+
+@REGISTRY.register("dedup_editdistance_verify", _EDITDIST_ORACLE)
+def dedup_editdistance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-stage verifier on the near-dup pair set: exact
+    Levenshtein similarity per candidate pair plus the stricter
+    edit-gate flag (dist/maxlen <= 0.2) — the character-level check
+    that catches shingle-level false friends (same vocabulary, heavy
+    reordering). Levenshtein is O(len_a x len_b) per pair, which is
+    exactly why it only ever runs on the LSH-verified PAIR table
+    (|pairs| rows), never the corpus; both engines ship the same
+    classic DP levenshtein, so the report is value-hash exact."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_neardup_pairs(
+        docs, threshold=0.5, num_hashes=64, bands=16
+    ).select("doc_a", "doc_b")
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+    dist = F.levenshtein(F.col("ta"), F.col("tb"))
+    maxlen = F.greatest(F.length("ta"), F.length("tb"))
+    ratio = dist.cast("double") / maxlen
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            dist.cast("long").alias("edit_dist"),
+            (F.lit(1.0) - ratio).alias("edit_sim"),
+            (ratio <= 0.2).alias("edit_pass"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1696,3 +1696,106 @@ def session_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stm(_t(spark, sf_dir, "events"), 360).orderBy(
         "cur_type", "next_type"
     )
+
+
+# --- conversion-window funnel (r3s4) ----------------------------------------
+
+_FUNNEL_TB_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t1
+    AND date_diff('microsecond', v.t1, e.ts) <= CAST(6 AS BIGINT) * 3600 * 1000000
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+    AND date_diff('microsecond', c.t2, e.ts) <= CAST(6 AS BIGINT) * 3600 * 1000000
+  GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT 1 AS stage, 'view' AS event_type, COUNT(*) AS n_users FROM v
+  UNION ALL
+  SELECT 2, 'click', COUNT(*) FROM c
+  UNION ALL
+  SELECT 3, 'purchase', COUNT(*) FROM p
+) ORDER BY stage
+"""
+
+
+@REGISTRY.register("funnel_time_bounded", _FUNNEL_TB_ORACLE)
+def funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel: each stage must land within 6 h of
+    the previous stage's first completion (microsecond-exact bound) —
+    the "funnel with a deadline" that separates intent from drift.
+    Same co-partitioned per-stage plan as funnel_view_click_purchase;
+    the gap predicate rides the existing stage-gating join, adding no
+    shuffle."""
+    from movie_rankings_spark.operators.funnel import funnel_counts
+
+    return funnel_counts(
+        _t(spark, sf_dir, "events"),
+        ["view", "click", "purchase"],
+        max_gap_hours=6,
+    )
+
+
+# --- U-shaped multi-touch attribution (r3s4) --------------------------------
+
+_ATTR_POS_ORACLE = """
+WITH conv AS (
+  SELECT event_id AS conv_id, user_id, ts, value
+  FROM events WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT user_id, ts, event_id, event_type
+  FROM events WHERE event_type IN ('view', 'click')
+),
+pair AS (
+  SELECT c.conv_id, c.value, t.event_type AS t_type,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.conv_id ORDER BY t.ts, t.event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY c.conv_id) AS n
+  FROM conv c JOIN t ON c.user_id = t.user_id
+   AND t.ts < c.ts
+   AND date_diff('microsecond', t.ts, c.ts) <= CAST(24 AS BIGINT) * 3600 * 1000000
+),
+w AS (
+  SELECT conv_id, value, t_type,
+         CASE WHEN n = 1 THEN CAST(1.0 AS DOUBLE)
+              WHEN n = 2 THEN CAST(0.5 AS DOUBLE)
+              WHEN rn = 1 OR rn = n THEN CAST(0.4 AS DOUBLE)
+              ELSE CAST(0.2 AS DOUBLE) / CAST(n - 2 AS DOUBLE) END AS wt
+  FROM pair
+),
+direct AS (
+  SELECT c.conv_id, c.value, 'direct' AS t_type, CAST(1.0 AS DOUBLE) AS wt
+  FROM conv c
+  WHERE NOT EXISTS (SELECT 1 FROM pair p WHERE p.conv_id = c.conv_id)
+),
+allc AS (SELECT * FROM w UNION ALL SELECT * FROM direct)
+SELECT t_type AS touch_type,
+       CAST(SUM(CAST(wt AS DECIMAL(18,6))) AS DOUBLE)
+         AS credited_conversions,
+       CAST(SUM(CAST(value * wt AS DECIMAL(18,6))) AS DOUBLE)
+         AS attributed_revenue
+FROM allc GROUP BY 1 ORDER BY 1
+"""
+
+
+@REGISTRY.register("attribution_position_based", _ATTR_POS_ORACLE)
+def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped multi-touch attribution (operators/attribution.py::
+    position_based_attribution): 40/40 to first/last touch inside the
+    24 h lookback, 20% across the middles, 100%/50-50 for 1-2 touches,
+    'direct' when none. The lookback-RANGE window keeps per-row state
+    bounded by the window (not user history); credit shares round to
+    DECIMAL(18,6) before summing so the rollup hash-matches the
+    oracle's join+window formulation exactly."""
+    from movie_rankings_spark.operators.attribution import (
+        position_based_attribution,
+    )
+
+    return position_based_attribution(_t(spark, sf_dir, "events"))

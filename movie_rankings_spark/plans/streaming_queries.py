@@ -624,3 +624,27 @@ def stream_bitmap_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_RUNNING_TOPK_ORACLE = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY user_id
+ORDER BY total_value DESC, user_id ASC LIMIT 10
+"""
+
+
+@REGISTRY.register("stream_running_topk_users", _RUNNING_TOPK_ORACLE)
+def stream_running_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained top-10 leaderboard (streaming/events.py
+    ::running_topk_users): complete-mode per-user totals + the
+    streaming-legal global sort+limit, re-emitted per trigger. The
+    batch-SQL oracle asserts the final emission equals the exact
+    batch top-k — stream/batch equivalence for a query whose state
+    (one row per user) never expires."""
+    out = ev.run_to_batch(
+        ev.running_topk_users(ev.events_stream(spark, sf_dir)),
+        output_mode="complete",
+    )
+    return out.orderBy(F.desc("total_value"), F.asc("user_id"))

