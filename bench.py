@@ -167,6 +167,8 @@ HEADLINE_QUERIES = (
     "pipeline_curated_chunks",
     "multimodal_frame_sample",
     "multimodal_resize_meta",
+    "multimodal_audio_frames",
+    "erasure_audit_events",
     "stream_tumbling_daily",
     "stream_session_windows",
     "stream_user_lifetime_stats",

@@ -150,3 +150,62 @@ def sample_frames(media: DataFrame, fps: float = 1.0) -> DataFrame:
     return media.filter(F.col("kind") == "video").select(
         "media_id", frame_ts.alias("frame_ms"), "payload", "meta"
     )
+
+
+AUDIO_FRAMES_SCHEMA = (
+    "media_id long, frame_idx int, n_samples int, rms double, zcr double"
+)
+
+
+def audio_window_features(
+    media: DataFrame, frame: int = 1024, hop: int = 512
+) -> DataFrame:
+    """Audio framing + per-frame features (RMS energy, zero-crossing
+    rate) over the binary payload — the windowed-DSP plumbing every
+    audio pipeline runs before a real feature net. The DECODE line is
+    the stand-in (payload bytes reinterpreted as int8 PCM — this
+    container ships no audio codec); everything around it is the real
+    distributed shape: Arrow-batched mapInPandas, per-row frame
+    explosion in numpy (stride-tricks windowing, no Python loop over
+    samples), one output row per (media, frame).
+
+    Scale: frames per row = ceil(len/hop) — output is linear in total
+    audio duration and never collects; a real decoder swaps ONE line
+    (bytes -> codec -> PCM) and keeps schema, partitioning, and batch
+    shape."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out: dict[str, list] = {
+                "media_id": [],
+                "frame_idx": [],
+                "n_samples": [],
+                "rms": [],
+                "zcr": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                pcm = np.frombuffer(payload, dtype=np.int8).astype(np.float64)
+                if pcm.size == 0:
+                    continue
+                n_frames = max(1, int(np.ceil(pcm.size / hop)))
+                for i in range(n_frames):
+                    w = pcm[i * hop : i * hop + frame]
+                    if w.size == 0:
+                        break
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["n_samples"].append(int(w.size))
+                    out["rms"].append(float(np.sqrt(np.mean(w * w))))
+                    sign_changes = int(np.sum(np.abs(np.diff(np.signbit(w)))))
+                    out["zcr"].append(
+                        sign_changes / w.size if w.size > 1 else 0.0
+                    )
+            yield pd.DataFrame(out)
+
+    return (
+        media.filter(F.col("kind") == "audio")
+        .select("media_id", "payload")
+        .mapInPandas(run, AUDIO_FRAMES_SCHEMA)
+    )

@@ -77,6 +77,8 @@ _UNSEEN_FIRST = (
     "attribution_position_based",
     "centroid_similarity_labels",
     "dedup_editdistance_verify",
+    "multimodal_audio_frames",
+    "erasure_audit_events",
     "stream_running_topk_users",
     # round-3 additions (no driver row yet)
     "scd2_user_event_history",

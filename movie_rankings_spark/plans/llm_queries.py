@@ -2292,3 +2292,122 @@ def dedup_editdistance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --- multimodal audio framing (r3s4) ----------------------------------------
+
+_AUDIO_ORACLE = """
+WITH m AS (
+  SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 1
+),
+f AS (
+  SELECT media_id, text,
+         CAST(unnest(range(0, CAST(ceil(length(text) / 512.0) AS BIGINT)))
+              AS INTEGER) AS frame_idx
+  FROM m
+),
+w AS (
+  SELECT media_id, frame_idx,
+         substr(text, frame_idx * 512 + 1, 1024) AS win
+  FROM f
+),
+v AS (
+  SELECT media_id, frame_idx,
+         CAST(length(win) AS INTEGER) AS n_samples,
+         list_transform(range(1, length(win) + 1),
+           j -> CASE WHEN ascii(substr(win, j, 1)) >= 128
+                     THEN ascii(substr(win, j, 1)) - 256
+                     ELSE ascii(substr(win, j, 1)) END) AS vals
+  FROM w
+),
+s AS (
+  SELECT media_id, frame_idx, n_samples,
+         list_sum(list_transform(vals, x -> CAST(x AS BIGINT) * x)) AS ss,
+         list_sum(list_transform(range(2, n_samples + 1),
+           j -> CASE WHEN (vals[j] < 0) <> (vals[j - 1] < 0)
+                     THEN 1 ELSE 0 END)) AS zc
+  FROM v
+)
+SELECT media_id, frame_idx, n_samples,
+       sqrt(CAST(ss AS DOUBLE) / n_samples) AS rms,
+       CASE WHEN n_samples > 1
+            THEN CAST(COALESCE(zc, 0) AS DOUBLE) / n_samples
+            ELSE CAST(0.0 AS DOUBLE) END AS zcr
+FROM s ORDER BY media_id, frame_idx
+"""
+
+
+@REGISTRY.register("multimodal_audio_frames", _AUDIO_ORACLE)
+def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio framing + per-frame RMS / zero-crossing rate
+    (operators/multimodal.py::audio_window_features): the windowed-DSP
+    plumbing of an audio pipeline, Arrow-batched, one output row per
+    (media, frame). The decode line is the deterministic stand-in
+    (payload bytes as int8 PCM — no codec in this container), which
+    makes the WHOLE path oracle-checkable: integer square sums and
+    sign-change counts are exact in both engines, so rms/zcr
+    hash-match bit-for-bit."""
+    from movie_rankings_spark.operators import multimodal
+
+    media = multimodal.synthesize_media(_docs(spark, sf_dir))
+    return multimodal.audio_window_features(media).orderBy(
+        "media_id", "frame_idx"
+    )
+
+
+# --- GDPR erasure impact audit (r3s4) ---------------------------------------
+
+_ERASURE_ORACLE = """
+WITH f AS (SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 3)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN f.user_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_erased,
+       CAST(SUM(CASE WHEN f.user_id IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_remaining,
+       CAST(COUNT(DISTINCT CASE WHEN f.user_id IS NOT NULL
+                                THEN e.user_id END) AS BIGINT)
+         AS n_forgotten_users
+FROM events e LEFT JOIN f USING (user_id)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@REGISTRY.register("erasure_audit_events", _ERASURE_ORACLE)
+def erasure_audit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten impact audit: given a forget list (here a
+    deterministic predicate standing in for the uploaded id table),
+    report per event type how many rows erasure removes, how many
+    remain, and how many distinct users are being forgotten — the
+    pre-flight every GDPR delete job runs, and the post-flight proof
+    is its n_erased=0 re-run. Completes the governance tier next to
+    kanonymity_customers and text_pii_redaction.
+
+    Scale: the forget list BROADCASTS onto a single fact scan (left
+    join + conditional aggregates — erase counts and retention counts
+    in one pass, no second scan for the complement); the actual
+    delete is the same broadcast as an anti-join write."""
+    ev = load_table(spark, sf_dir, "events")
+    forget = (
+        ev.filter(F.col("user_id") % 97 == 3).select("user_id").distinct()
+    )
+    flagged = ev.join(
+        F.broadcast(forget.withColumn("_forget", F.lit(1))),
+        "user_id",
+        "left",
+    )
+    is_f = F.col("_forget").isNotNull()
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.when(is_f, 1).otherwise(0)).cast("long").alias("n_erased"),
+            F.sum(F.when(is_f, 0).otherwise(1))
+            .cast("long")
+            .alias("n_remaining"),
+            F.countDistinct(F.when(is_f, F.col("user_id")))
+            .cast("long")
+            .alias("n_forgotten_users"),
+        )
+        .orderBy("event_type")
+    )

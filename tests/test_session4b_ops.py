@@ -191,3 +191,78 @@ def test_editdistance_identical_texts_sim_one(spark):
     )
     got = df.select(FF.levenshtein("a", "b").alias("d")).collect()
     assert [r["d"] for r in got] == [0, 1, 2]
+
+
+# --- audio framing ----------------------------------------------------------
+
+
+def test_audio_window_features_numpy_reference(spark):
+    import numpy as np
+    from movie_rankings_spark.operators.multimodal import (
+        audio_window_features,
+    )
+
+    payloads = [
+        (1, "audio", bytes(range(10))),          # short: 1 frame
+        (2, "audio", bytes([200, 100] * 400)),   # 800 bytes: 2 frames, negatives
+        (3, "video", b"ignored"),                # filtered out
+        (4, "audio", b""),                       # empty: no rows
+    ]
+    media = spark.createDataFrame(
+        payloads, "media_id long, kind string, payload binary"
+    )
+    got = {
+        (r["media_id"], r["frame_idx"]): (r["n_samples"], r["rms"], r["zcr"])
+        for r in audio_window_features(media, frame=1024, hop=512).collect()
+    }
+
+    want = {}
+    for mid, kind, p in payloads:
+        if kind != "audio":
+            continue
+        pcm = np.frombuffer(p, dtype=np.int8).astype(np.float64)
+        if pcm.size == 0:
+            continue
+        for i in range(max(1, int(np.ceil(pcm.size / 512)))):
+            w = pcm[i * 512 : i * 512 + 1024]
+            if w.size == 0:
+                break
+            zc = int(np.sum(np.abs(np.diff(np.signbit(w)))))
+            want[(mid, i)] = (
+                int(w.size),
+                float(np.sqrt(np.mean(w * w))),
+                zc / w.size if w.size > 1 else 0.0,
+            )
+    assert got == want
+    # the 200-byte payload alternates sign every sample
+    assert got[(2, 0)][2] > 0.9
+
+
+def test_audio_frames_filters_non_audio_and_empty(spark):
+    from movie_rankings_spark.operators.multimodal import (
+        audio_window_features,
+    )
+
+    media = spark.createDataFrame(
+        [(1, "video", b"xx"), (2, "audio", b"")],
+        "media_id long, kind string, payload binary",
+    )
+    assert audio_window_features(media).count() == 0
+
+
+# --- erasure audit ----------------------------------------------------------
+
+
+def test_erasure_audit_partitions_rows(spark):
+    from movie_rankings_spark.catalog import load_table
+
+    out = _q("erasure_audit_events", spark).collect()
+    ev = load_table(spark, SF_DIR, "events")
+    total = ev.count()
+    assert sum(r["n_rows"] for r in out) == total
+    for r in out:
+        assert r["n_erased"] + r["n_remaining"] == r["n_rows"]
+        assert r["n_forgotten_users"] <= r["n_erased"]
+    # erasure is complete: re-auditing the remaining rows erases nothing
+    remaining = ev.filter(~(ev.user_id % 97 == 3))
+    assert remaining.filter(remaining.user_id % 97 == 3).count() == 0
