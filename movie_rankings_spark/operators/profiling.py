@@ -72,23 +72,31 @@ def column_profile(df: DataFrame, renders: dict[str, object]) -> DataFrame:
     (doubles via DECIMAL(18,4), timestamps via cast — bare double→
     string formatting differs between engines).
 
-    Plan shape: a single wide aggregate computes every per-column
-    statistic together — Spark compiles the N exact count(distinct)
-    into one Expand (×N+1 row multiply) feeding one partial+final
-    aggregate, so the fact table is SCANNED ONCE regardless of how
-    many columns are profiled. The per-column rows are then unpivoted
-    from the 1-row aggregate with an explode over a literal struct
-    array (driver-free, N rows total). At 100 TB you swap the exact
-    count(distinct) for approx_count_distinct (HLL, no Expand) —
-    same one-scan shape, same output schema; the exact form is kept
-    here because it is the oracle-checkable one."""
+    Plan shape — two column-pruned scans, hash aggregates only, no
+    sort over fact-sized data:
+
+      1. counts + native-ordered min/max for every column in one
+         grouping-free aggregate (min/max compare in the column's own
+         type and render AFTER — a string-stacked min would order
+         numerics lexicographically). No grouping keys ⇒ even the
+         string-buffer SortAggregate fallback inserts no Sort.
+      2. exact NDV via a stacked (column, value-string) explode →
+         distinct → per-column count: every phase is a HashAggregate
+         with map-side combine; the shuffle is NDV-sized.
+
+    The obvious one-scan alternative — N count(distinct) in one
+    aggregate — compiles to an Expand (×N+1 row multiply) feeding
+    SortAggregates KEYED on the value columns (string buffers forbid
+    hash aggregation), i.e. two full sorts of N× the fact: measured
+    5.1 s vs ~1 s for this form at sf0.1. At 100 TB swap step 2 for
+    approx_count_distinct inside step 1 (HLL partials hash-aggregate
+    fine) — one scan, same schema, approximate NDV."""
     cols = list(renders)
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         render = renders[c]
         aggs += [
             F.count(c).alias(f"{c}__nn"),
-            F.countDistinct(c).alias(f"{c}__ndv"),
             render(F.min(c)).cast("string").alias(f"{c}__min"),
             render(F.max(c)).cast("string").alias(f"{c}__max"),
         ]
@@ -99,13 +107,44 @@ def column_profile(df: DataFrame, renders: dict[str, object]) -> DataFrame:
                 F.lit(c).alias("column"),
                 F.col("__n").cast("long").alias("n_rows"),
                 (F.col("__n") - F.col(f"{c}__nn")).cast("long").alias("n_nulls"),
-                F.col(f"{c}__ndv").cast("long").alias("n_distinct"),
                 F.col(f"{c}__min").alias("min_value"),
                 F.col(f"{c}__max").alias("max_value"),
             )
             for c in cols
         ]
     )
+    base = row.select(F.explode(per_col).alias("p")).select("p.*")
+
+    stacked = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+    ndv = (
+        stacked.filter(F.col("v").isNotNull())
+        .distinct()
+        .groupBy("column")
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+    )
     return (
-        row.select(F.explode(per_col).alias("p")).select("p.*").orderBy("column")
+        base.join(F.broadcast(ndv), "column", "left")
+        .select(
+            "column",
+            "n_rows",
+            "n_nulls",
+            F.coalesce(F.col("n_distinct"), F.lit(0)).cast("long").alias(
+                "n_distinct"
+            ),
+            "min_value",
+            "max_value",
+        )
+        .orderBy("column")
     )

@@ -41,9 +41,10 @@ def test_column_profile_counts_nulls_and_ndv(spark):
     assert rows["s"]["min_value"] == "a" and rows["s"]["max_value"] == "c"
 
 
-def test_column_profile_single_scan(spark):
-    """The N-column profile must not scan the table once per column:
-    exactly one scan node in the physical plan."""
+def test_column_profile_plan_shape(spark):
+    """Two column-pruned scans (stats pass + NDV pass), hash
+    aggregates for the NDV path, and no Expand-based multi-distinct
+    (which would sort-aggregate an (N+1)x row multiply)."""
     from movie_rankings_spark.operators.profiling import column_profile
     from movie_rankings_spark.catalog import load_table
 
@@ -51,7 +52,9 @@ def test_column_profile_single_scan(spark):
     plan = column_profile(
         df, {"o_orderkey": lambda c: c, "o_orderstatus": lambda c: c}
     )._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Scan parquet") == 1
+    assert plan.count("Scan parquet") == 2
+    assert "Expand" not in plan
+    assert "HashAggregate" in plan
 
 
 # --- k-anonymity ------------------------------------------------------------
