@@ -1,0 +1,177 @@
+"""Physical-plan anti-pattern audit over every registered batch query.
+
+Flags the node types that kill 100 TB plans when they appear
+unreviewed:
+
+  * CartesianProduct / BroadcastNestedLoopJoin — non-equi joins that
+    scale as |A|x|B|. Legit only when one side is provably tiny
+    (allowlisted per query with the reason).
+  * BatchEvalPython — row-at-a-time Python UDF (the slow path; this
+    repo's contract is Arrow-vectorized Python only).
+  * Exchange SinglePartition feeding a Window — a global window
+    funnels the whole input through one task (the class of the old
+    shuffle_docs_deterministic defect). Single-partition exchanges
+    that feed 1-row global AGGREGATES are fine and not flagged.
+
+Text-plan caveats: AQE/cached subtrees repeat text, so this audit is
+"open the plan on finding", not "bug on finding" — same contract as
+scan_audit.py. Allowlist entries each carry the review verdict.
+
+Usage: python tools/plan_audit.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from movie_rankings_spark.plans import all_queries  # noqa: E402
+from movie_rankings_spark.session import get_spark  # noqa: E402
+
+#: queries whose plan BUILD executes driver-loop jobs (skip: slow)
+EXECUTING = {"bpe_train_merges", "logreg_train_quality", "tokenizer_encode_bpe"}
+
+#: reviewed nested-loop / cartesian shapes — each joins a provably
+#: tiny side (collected scalar, |labels| rows, |groups| thresholds)
+NESTED_LOOP_LEGIT = {
+    "q11_important_parts",  # 1-row global threshold vs group sums
+    "q22_global_sales_opportunity",  # 1-row avg-balance scalar
+    "percentiles_lineitem_price",  # interpolation bounds vs 1-row
+    "udaf_price_median",  # same shape through the UDAF
+    "approx_percentiles_price",
+    "histogram_totalprice",  # 1-row min/max bounds broadcast
+    "histogram_equidepth_price",  # 1-row quantile boundary array
+    "quantile_normalize_price",  # 1-row bucket-bound array
+    "corr_price_quantity",  # 1-row moment vector
+    "regression_monthly_trend",
+    "winsorized_mean_price",
+    "robust_outliers_mad",
+    "chi2_lang_source",  # 1-row totals vs contingency cells
+    "drift_train_val_js",
+    "quality_filtered_docs",  # 1-row percentile threshold
+    "quality_filtered_per_lang",  # |langs|-row thresholds
+    "text_lm_score",
+    "pipeline_curated_chunks",
+    "mix_corpus_token_budget",  # |langs|-row rate table
+    "mix_temperature_sampling",  # |langs|-row rate table (n_min scalar)
+    "text_top_terms",  # 1-row doc-count
+    "vocab_heavy_hitters",  # 1-row n/k threshold
+    "doc_top_terms",
+    "centroid_similarity_labels",  # |labels| x |labels| prototype join
+    "cube_lineitem_flags",  # grand-total row against 1-row
+    "decay_user_activity",  # 1-row reference-time scalar
+    "curriculum_order_docs",  # 1-row quantile boundary array
+    "split_train_val_test",  # 3-row ratio table
+    "sample_docs_weighted",  # 1-row total-weight scalar
+    "embedding_covariance",  # 1-row mean vector
+    "embedding_pca_project",  # d x d covariance against 1-row
+    "anomaly_events_zscore",  # 1-row global moments
+    "audit_orders_quality",  # 1-row expectation summary vs bounds
+    "decontaminate_report",  # 1-row corpus size
+    "decontaminate_bloom_gate",  # 1-row bloom bit array
+    "cms_word_frequency",  # d x w cells vs 1-row probe list
+    "skew_profile_join_keys",  # per-key 1-row profiles unioned
+    "dedup_semantic_clusters",  # centroid table vs 1-row stats
+    "similarity_ivf_kmeans_topk",  # centroid refresh scalars
+    "stream_cms_maintained",  # cells vs 1-row version pointer
+    "stream_bitmap_users_rollup",
+    "q20_heavy_red_shippers",  # qty > 1-row aggregated threshold
+    "collocations_lift",  # 1-row corpus totals vs bigram counts
+    "similarity_tfidf_topk",  # 1-row idf normalizer / query slice
+    "triangles_copurchase",  # 1-row totals cross joins
+    "basket_association_rules",  # 1-row basket count vs rules
+    "knn_label_propagation",  # documented exact kNN: 1/97 holdout x corpus
+    "classifier_auc_eval",  # theta join of the BOUNDED logit histogram
+    "active_users_rolling",  # day x bucket grid densify (bounded)
+    "similarity_mmr_topk",  # bounded query set vs pool
+    "retrieval_eval_ivf",  # bounded query set
+    "dedup_embedding_cosine",  # documented exact verifier tier (scale path: dedup_embedding_lsh)
+    "similarity_cosine_topk",  # broadcast 8-query side (documented exact tier)
+}
+
+#: row-at-a-time Python allowed ONLY for the literal Spark-4 @udtf
+#: demonstration front-end (the UDTF API is row-based by design; the
+#: production form is flagship_scraped's Arrow mapInPandas)
+ROW_PYTHON_LEGIT = {"flagship_scraped_udtf"}
+
+#: reviewed single-partition-into-window shapes (tiny inputs)
+GLOBAL_WINDOW_LEGIT = {
+    "vocab_top_words",  # top-k already reduced to k rows
+    "vocab_top_bigrams",
+    "bpe_pair_counts",
+    "session_paths_top",  # k path rows
+    "collocations_lift",  # k collocation rows
+    "basket_association_rules",  # k rule rows
+    "histogram_equidepth_price",  # b boundary rows
+    "session_transition_matrix",  # |types|^2 rows
+    "classifier_auc_eval",  # bounded logit histogram
+    "classifier_calibration_bins",
+    "knn_label_propagation",  # holdout votes (bounded query set)
+    "retrieval_eval_ivf",
+    "similarity_mmr_topk",
+}
+
+
+def audit_plan(name: str, plan: str) -> list[str]:
+    flags: list[str] = []
+    if "CartesianProduct" in plan and name not in NESTED_LOOP_LEGIT:
+        flags.append("CartesianProduct")
+    if "BroadcastNestedLoopJoin" in plan and name not in NESTED_LOOP_LEGIT:
+        flags.append("BroadcastNestedLoopJoin")
+    if "BatchEvalPython" in plan and name not in ROW_PYTHON_LEGIT:
+        flags.append("BatchEvalPython(row-at-a-time UDF)")
+    if name not in GLOBAL_WINDOW_LEGIT:
+        # SinglePartition exchange CONSUMED by a Window: in tree text
+        # the consumer is the nearest ancestor line, i.e. the closest
+        # PREVIOUS line with a shallower node marker (":-"/"+-").
+        lines = plan.splitlines()
+
+        def depth(line: str) -> int:
+            m = re.search(r"[:+]-", line)
+            return m.start() if m else -1
+
+        for i, line in enumerate(lines):
+            if "Exchange SinglePartition" not in line:
+                continue
+            d = depth(line)
+            for j in range(i - 1, -1, -1):
+                dj = depth(lines[j])
+                if dj != -1 and dj < d:
+                    if re.search(r"\bWindow\b", lines[j]):
+                        flags.append("SinglePartition->Window")
+                    break
+            if "SinglePartition->Window" in flags:
+                break
+    return flags
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    names = sys.argv[2:] or [
+        n
+        for n in all_queries.QUERIES
+        if not n.startswith("stream_") and n not in EXECUTING
+    ]
+    spark = get_spark("plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    findings = 0
+    for name in names:
+        try:
+            df = all_queries.QUERIES[name](spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as ex:  # noqa: BLE001
+            print(f"ERR   {name}: {str(ex)[:80]}")
+            findings += 1
+            continue
+        flags = audit_plan(name, plan)
+        if flags:
+            findings += 1
+            print(f"FLAG  {name}: {', '.join(flags)}")
+    print(f"{findings} findings / {len(names)} queries audited")
+    return 1 if findings else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
