@@ -51,6 +51,8 @@ HEADLINE_QUERIES = (
     "q20_heavy_red_shippers",
     "q21_waiting_suppliers",
     "from_json_props_map",
+    "variant_props_analytics",
+    "unpivot_daily_metrics",
     "topk_parts_per_brand",
     "topk_parts_per_brand_salted",
     "window_events_analytics",

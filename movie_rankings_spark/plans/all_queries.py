@@ -79,6 +79,8 @@ _UNSEEN_FIRST = (
     "dedup_editdistance_verify",
     "multimodal_audio_frames",
     "erasure_audit_events",
+    "variant_props_analytics",
+    "unpivot_daily_metrics",
     "stream_running_topk_users",
     # round-3 additions (no driver row yet)
     "scd2_user_event_history",

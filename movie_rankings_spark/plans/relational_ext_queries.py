@@ -1799,3 +1799,90 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return position_based_attribution(_t(spark, sf_dir, "events"))
+
+
+# --- Spark 4 VariantType semi-structured analytics (r3s4) -------------------
+
+_VARIANT_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER))
+            AS BIGINT) AS sum_k,
+       CAST(COUNT(DISTINCT CAST(json_extract_string(props, '$.k')
+                                AS INTEGER)) AS BIGINT) AS ndv_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER))
+            AS INTEGER) AS max_k
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+@REGISTRY.register("variant_props_analytics", _VARIANT_ORACLE)
+def variant_props_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through Spark 4's VariantType — the
+    open-format JSON path that replaces schema-on-write structs when
+    payloads drift: parse_json once into a binary variant, then typed
+    try_variant_get extraction feeding ordinary aggregates. Variant
+    keeps parsing single-pass and pushdown-friendly (vs re-parsing
+    the JSON string per field, the from_json_props_map trade-off
+    documented there); the aggregate itself is a plain map-side-
+    combined hash agg on event_type."""
+    e = _t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.countDistinct("k").cast("long").alias("ndv_k"),
+            F.max("k").cast("int").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- UNPIVOT / melt (r3s4) --------------------------------------------------
+
+_UNPIVOT_ORACLE = f"""
+WITH d AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         {', '.join(f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}"
+                    for t in _EVENT_TYPES)}
+  FROM events GROUP BY 1
+)
+SELECT day, metric, CAST(n AS BIGINT) AS n FROM (
+  {' UNION ALL '.join(f"SELECT day, 'n_{t}' AS metric, n_{t} AS n FROM d"
+                      for t in _EVENT_TYPES)}
+) ORDER BY day, metric
+"""
+
+
+@REGISTRY.register("unpivot_daily_metrics", _UNPIVOT_ORACLE)
+def unpivot_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long UNPIVOT (`DataFrame.unpivot`, the melt operator and
+    pivot's §2f inverse): per-day conditional metric columns flattened
+    to (day, metric, n) rows. Unpivot is a zero-shuffle Expand over
+    the already-aggregated |days|-row table — the fact is touched once
+    by the conditional aggregate; the reshape multiplies only the
+    tiny wide table."""
+    e = _t(spark, sf_dir, "events")
+    wide = e.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        *[
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(
+                f"n_{t}"
+            )
+            for t in _EVENT_TYPES
+        ]
+    )
+    return (
+        wide.unpivot(
+            ids=["day"],
+            values=[f"n_{t}" for t in _EVENT_TYPES],
+            variableColumnName="metric",
+            valueColumnName="n",
+        )
+        .select("day", "metric", F.col("n").cast("long").alias("n"))
+        .orderBy("day", "metric")
+    )

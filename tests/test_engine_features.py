@@ -1,0 +1,98 @@
+"""Engine-surface features: VariantType semi-structured path, UNPIVOT
+reshape, join-strategy hints, and observe() in-flight metrics."""
+
+from __future__ import annotations
+
+from pyspark.sql import Observation
+from pyspark.sql import functions as F
+
+from movie_rankings_spark.catalog import load_table
+from movie_rankings_spark.plans import all_queries
+from tests.conftest import SF_DIR
+
+
+def test_variant_extraction_matches_string_json(spark):
+    """try_variant_get through parse_json must agree with the string
+    get_json_object path on every row."""
+    e = load_table(spark, SF_DIR, "events")
+    both = e.select(
+        F.try_variant_get(F.parse_json("props"), "$.k", "int").alias("v"),
+        F.get_json_object("props", "$.k").cast("int").alias("s"),
+    )
+    assert both.filter(~(F.col("v").eqNullSafe(F.col("s")))).count() == 0
+
+
+def test_variant_handles_malformed_json(spark):
+    df = spark.createDataFrame(
+        [('{"k": 7}',), ("not json",), (None,)], "props string"
+    )
+    got = df.select(
+        F.try_variant_get(
+            F.try_parse_json("props"), "$.k", "int"
+        ).alias("k")
+    ).collect()
+    assert [r["k"] for r in got] == [7, None, None]
+
+
+def test_unpivot_roundtrips_pivot(spark):
+    """melt(pivot(x)) over a complete value list reproduces the long
+    counts exactly."""
+    e = load_table(spark, SF_DIR, "events")
+    long_direct = {
+        (r["event_type"],): r["n"]
+        for r in e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    types = sorted(t for (t,) in long_direct)
+    wide = e.groupBy().pivot("event_type", types).count()
+    back = wide.unpivot(
+        ids=[], values=types, variableColumnName="event_type",
+        valueColumnName="n",
+    )
+    got = {(r["event_type"],): r["n"] for r in back.collect()}
+    assert got == long_direct
+
+
+def test_join_strategy_hints_control_physical_plan(spark):
+    """The strategy hints every 100 TB tuning session reaches for must
+    actually flip the physical operator."""
+    o = load_table(spark, SF_DIR, "orders")
+    c = load_table(spark, SF_DIR, "customer")
+
+    merge = o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+    assert "SortMergeJoin" in merge._jdf.queryExecution().executedPlan().toString()
+
+    shuffle_hash = o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey)
+    assert (
+        "ShuffledHashJoin"
+        in shuffle_hash._jdf.queryExecution().executedPlan().toString()
+    )
+
+    bcast = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    assert (
+        "BroadcastHashJoin"
+        in bcast._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def test_observe_metrics_piggyback_on_one_pass(spark):
+    """df.observe() collects dataset metrics DURING the action — the
+    zero-extra-scan observability hook for production pipelines."""
+    li = load_table(spark, SF_DIR, "lineitem")
+    obs = Observation("li_metrics")
+    out = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty_sum"),
+    ).filter(F.col("l_quantity") > 25)
+    kept = out.count()
+    metrics = obs.get
+    assert metrics["rows_seen"] == li.count()
+    assert kept < metrics["rows_seen"]
+    assert float(metrics["qty_sum"]) > 0
+
+
+def test_new_queries_registered():
+    for n in ("variant_props_analytics", "unpivot_daily_metrics"):
+        assert n in all_queries.QUERIES and n in all_queries.ORACLES
