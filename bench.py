@@ -53,6 +53,7 @@ HEADLINE_QUERIES = (
     "from_json_props_map",
     "variant_props_analytics",
     "unpivot_daily_metrics",
+    "hierarchy_rollup_customers",
     "topk_parts_per_brand",
     "topk_parts_per_brand_salted",
     "window_events_analytics",

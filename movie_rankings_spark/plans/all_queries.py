@@ -81,6 +81,7 @@ _UNSEEN_FIRST = (
     "erasure_audit_events",
     "variant_props_analytics",
     "unpivot_daily_metrics",
+    "hierarchy_rollup_customers",
     "stream_running_topk_users",
     # round-3 additions (no driver row yet)
     "scd2_user_event_history",

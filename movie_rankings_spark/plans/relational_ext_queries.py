@@ -1886,3 +1886,50 @@ def unpivot_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", "metric", F.col("n").cast("long").alias("n"))
         .orderBy("day", "metric")
     )
+
+
+# --- recursive CTE hierarchy rollup (Spark 4, r3s4) --------------------------
+
+_HIERARCHY_ORACLE = """
+WITH RECURSIVE base AS (
+  SELECT c_custkey AS id,
+         CASE WHEN c_custkey >= 10 THEN CAST(floor(c_custkey / 10) AS BIGINT) END
+           AS parent,
+         c_acctbal
+  FROM customer
+),
+tree AS (
+  SELECT id, id AS root, 0 AS depth FROM base WHERE parent IS NULL
+  UNION ALL
+  SELECT b.id, t.root, t.depth + 1
+  FROM base b JOIN tree t ON b.parent = t.id
+)
+SELECT t.root,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(MAX(t.depth) AS INTEGER) AS max_depth,
+       CAST(SUM(CAST(b.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+         AS subtree_balance
+FROM tree t JOIN base b ON t.id = b.id
+GROUP BY t.root ORDER BY t.root
+"""
+
+
+@REGISTRY.register("hierarchy_rollup_customers", _HIERARCHY_ORACLE)
+def hierarchy_rollup_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE hierarchy rollup (Spark 4 WITH RECURSIVE — the
+    org-chart / BOM query class): a deterministic referral forest over
+    customers (parent = custkey/10) walked root-down, then per-root
+    subtree size / max depth / exact balance rollup. The identical
+    ANSI text runs on both engines — the SQL front-end's recursion
+    surface, like sql_api_pricing_summary for scans.
+
+    Scale: recursion depth = tree height (log10 of the key domain
+    here, ~7 at 100 TB); each round is one equi-join of the frontier
+    against the base — frontier-sized shuffles, the same per-round
+    shape as connected-components. Spark currently supports UNION ALL
+    recursion only (acyclic inputs; cyclic closure stays with the
+    iterative CC operators)."""
+    from movie_rankings_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_HIERARCHY_ORACLE)

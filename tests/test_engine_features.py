@@ -96,3 +96,45 @@ def test_observe_metrics_piggyback_on_one_pass(spark):
 def test_new_queries_registered():
     for n in ("variant_props_analytics", "unpivot_daily_metrics"):
         assert n in all_queries.QUERIES and n in all_queries.ORACLES
+
+
+def test_hierarchy_rollup_python_reference(spark):
+    """Recursive-CTE forest rollup vs a driver-side reference walk."""
+    from movie_rankings_spark.catalog import load_table
+
+    rows = load_table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_acctbal"
+    ).collect()
+    parent = {
+        r["c_custkey"]: (r["c_custkey"] // 10 if r["c_custkey"] >= 10 else None)
+        for r in rows
+    }
+    bal = {r["c_custkey"]: r["c_acctbal"] for r in rows}
+
+    def root_depth(k):
+        d = 0
+        while parent[k] is not None:
+            k = parent[k]
+            d += 1
+        return k, d
+
+    from collections import defaultdict
+
+    want = defaultdict(lambda: [0, 0, 0.0])
+    for k in parent:
+        root, depth = root_depth(k)
+        want[root][0] += 1
+        want[root][1] = max(want[root][1], depth)
+        want[root][2] += round(bal[k], 2)
+
+    got = {
+        r["root"]: (r["n_nodes"], r["max_depth"], r["subtree_balance"])
+        for r in all_queries.QUERIES["hierarchy_rollup_customers"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for root, (n, d, b) in want.items():
+        gn, gd, gb = got[root]
+        assert (gn, gd) == (n, d)
+        assert abs(gb - b) < 1e-6

@@ -278,6 +278,7 @@ _PYTHON_RESIDENT = {
     "embedding_pca_project",  # covariance + projection GEMM (mapInPandas by design)
     "similarity_mmr_topk",  # greedy MMR selection over pooled candidates
     "retrieval_eval_ivf",  # evaluates the IVF path (Arrow GEMM inside)
+    "multimodal_audio_frames",  # windowed DSP over binary payloads (mapInPandas by design)
 }
 
 _PY_NODE = re.compile(r"InPandas|EvalPython|PythonUDF|BatchEvalPython", re.I)
