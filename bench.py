@@ -107,6 +107,7 @@ HEADLINE_QUERIES = (
     "similarity_pq_topk",
     "similarity_tfidf_topk",
     "similarity_mmr_topk",
+    "search_bm25_topk",
     "knn_label_propagation",
     "dedup_semantic_clusters",
     "pagerank_copurchase",

@@ -82,6 +82,7 @@ _UNSEEN_FIRST = (
     "variant_props_analytics",
     "unpivot_daily_metrics",
     "hierarchy_rollup_customers",
+    "search_bm25_topk",
     "stream_running_topk_users",
     # round-3 additions (no driver row yet)
     "scd2_user_event_history",

@@ -2411,3 +2411,60 @@ def erasure_audit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- BM25 ranked retrieval (r3s4) -------------------------------------------
+
+_BM25_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+  WHERE tok IN ('scan', 'table', 'filter') GROUP BY 1, 2
+),
+dl AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+),
+corpus AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(CAST(dl AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+),
+dft AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+w AS (
+  SELECT tok,
+         CAST(floor(CAST(n_docs * 1000 AS DOUBLE) / CAST(df AS DOUBLE))
+              AS BIGINT) AS idf_q,
+         avgdl
+  FROM dft CROSS JOIN corpus
+),
+s AS (
+  SELECT tf.doc_id,
+         CAST(CAST(w.idf_q AS DOUBLE)
+              * (CAST(tf.tf AS DOUBLE) * 2.2)
+              / (CAST(tf.tf AS DOUBLE)
+                 + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / w.avgdl))
+              AS DECIMAL(18,6)) AS term_score
+  FROM tf JOIN w USING (tok) JOIN dl USING (doc_id)
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+       CAST(SUM(term_score) AS DOUBLE) AS score
+FROM s GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+@REGISTRY.register("search_bm25_topk", _BM25_ORACLE)
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval (operators/search.py::bm25_topk)
+    for the query {scan, table, filter}: inverted-index postings of
+    the query terms only (term filter directly above the explode),
+    quantized-integer idf (the TF-IDF operator's engine-portable
+    trick — no ln), per-term scores DECIMAL-rounded before the
+    per-doc sum so the ranking hash-matches the SQL oracle, and a
+    TakeOrdered top-k tail. The search-engine scoring surface next to
+    similarity_tfidf_topk's vector-space one."""
+    from movie_rankings_spark.operators.search import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), ["scan", "table", "filter"], k=10)

@@ -138,3 +138,58 @@ def test_hierarchy_rollup_python_reference(spark):
         gn, gd, gb = got[root]
         assert (gn, gd) == (n, d)
         assert abs(gb - b) < 1e-6
+
+
+def test_bm25_matches_python_reference(spark):
+    import math
+
+    from movie_rankings_spark.operators.search import bm25_topk
+
+    texts = {
+        1: "table scan filter table table",
+        2: "scan scan scan scan scan scan scan scan",
+        3: "filter join agg window",
+        4: "nothing relevant here at all",
+        5: "table filter scan",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in sorted(texts.items())], "doc_id long, text string"
+    )
+    terms = ["scan", "table", "filter"]
+    k1, b, quant = 1.2, 0.75, 1000
+
+    tf = {
+        (d, t): texts[d].split(" ").count(t)
+        for d in texts
+        for t in terms
+        if t in texts[d].split(" ")
+    }
+    dl = {d: len(texts[d].split(" ")) for d in texts}
+    n = len(texts)
+    avgdl = sum(dl.values()) / n
+    dfreq = {t: sum(1 for d in texts if (d, t) in tf) for t in terms}
+    want = {}
+    for d in texts:
+        score, matched = 0.0, 0
+        for t in terms:
+            if (d, t) not in tf:
+                continue
+            matched += 1
+            idf_q = math.floor(n * quant / dfreq[t])
+            f = tf[(d, t)]
+            part = (f * (k1 + 1)) / (f + k1 * (1 - b + b * dl[d] / avgdl))
+            score += round(idf_q * part, 6)
+        if matched:
+            want[d] = (matched, round(score, 6))
+
+    got = {
+        r["doc_id"]: (r["n_terms_matched"], round(r["score"], 6))
+        for r in bm25_topk(df, terms, k=10).collect()
+    }
+    assert got == want
+    # ranking sanity: doc 1 (3 distinct matches incl. rare 'table')
+    # outranks the scan-spammer doc 2 (saturation + low idf)
+    ordered = [
+        r["doc_id"] for r in bm25_topk(df, terms, k=10).collect()
+    ]
+    assert ordered.index(1) < ordered.index(2)

@@ -69,6 +69,9 @@ KNOWN_LEGIT = {
     # train + encode + rescore are separate pipeline stages the demo
     # query runs end-to-end; production persists codes between them:
     "similarity_pq_topk",
+    # postings slice + doc-length pass (re-scan beats caching the
+    # corpus-sized exploded frame; same trade as text_top_terms):
+    "search_bm25_topk",
 }
 
 
