@@ -289,3 +289,112 @@ def test_stream_bitmaps_equal_batch_and_or_is_idempotent(spark, sf_dir):
         for r in current_cells(spark, bm_dir).collect()
     }
     assert again == batch
+
+
+def test_rocksdb_state_store_provider_equals_batch(spark, sf_dir):
+    """The RocksDB state-store provider — the backend whose state
+    capacity is disk-bounded, i.e. the 100 TB configuration — must
+    run the watermarked windowed aggregate and produce exactly the
+    in-memory provider's (= batch) result."""
+    from pyspark.sql import functions as F
+
+    from movie_rankings_spark.catalog import load_table
+    from movie_rankings_spark.streaming import events as ev
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        out = ev.run_to_batch(
+            ev.tumbling_daily_counts(ev.events_stream(spark, sf_dir))
+        )
+        got = {
+            (r["day"], r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in out.collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+    e = load_table(spark, sf_dir, "events")
+    want = {
+        (r["day"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in e.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_stream_restart_resumes_aggregation_state(spark, sf_dir, tmp_path):
+    """Stop-and-restart continuity: drain half the input files, stop,
+    let more files arrive, re-drain the SAME checkpoint — the final
+    complete-mode aggregate must equal the batch answer over ALL
+    files (state restored, early files not reprocessed)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from movie_rankings_spark.plans.streaming_queries import _stage_split_events
+    from movie_rankings_spark.streaming.events import read_events_stream
+
+    staged = _stage_split_events(spark, sf_dir, n=4)
+    parts = sorted(
+        p.name for p in __import__("pathlib").Path(staged).glob("part-*")
+    )
+    assert len(parts) == 4
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    def drain(qname):
+        stream = read_events_stream(spark, str(src))
+        totals = stream.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+        )
+        q = (
+            totals.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["event_type"]): r["n"]
+            for r in spark.sql(f"SELECT * FROM {qname}").collect()
+        }
+
+    for p in parts[:2]:
+        shutil.copy(f"{staged}/{p}", src / p)
+    first = drain("restart_t1")
+
+    for p in parts[2:]:
+        shutil.copy(f"{staged}/{p}", src / p)
+    second = drain("restart_t2")
+
+    full = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet(staged)
+        .groupBy("event_type")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert second == full
+    partial_total = sum(first.values())
+    assert 0 < partial_total < sum(full.values())
