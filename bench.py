@@ -92,6 +92,7 @@ HEADLINE_QUERIES = (
     "active_users_rolling",
     "dedup_exact_groups",
     "dedup_chunks_exact",
+    "dedup_substring_spans",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_jaccard_prefix",

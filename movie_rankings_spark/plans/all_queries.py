@@ -83,6 +83,7 @@ _UNSEEN_FIRST = (
     "unpivot_daily_metrics",
     "hierarchy_rollup_customers",
     "search_bm25_topk",
+    "dedup_substring_spans",
     "stream_running_topk_users",
     # round-3 additions (no driver row yet)
     "scd2_user_event_history",

@@ -2468,3 +2468,52 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from movie_rankings_spark.operators.search import bm25_topk
 
     return bm25_topk(_docs(spark, sf_dir), ["scan", "table", "filter"], k=10)
+
+
+# --- exact duplicated-substring spans (r3s4) --------------------------------
+
+_SUBSTR_SPANS_ORACLE = """
+WITH grams AS (
+  SELECT doc_id,
+         CAST(unnest(range(1, greatest(length(text) - 20 + 1, 0) + 1))
+              AS INTEGER) AS pos,
+         text
+  FROM documents
+),
+g AS (SELECT doc_id, pos, substr(text, pos, 20) AS gram FROM grams),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+marked AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+b AS (
+  SELECT doc_id, pos,
+         CASE WHEN COALESCE(pos - lag(pos) OVER w, 0) > 20
+              THEN 1 ELSE 0 END AS new_s
+  FROM marked WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+s AS (
+  SELECT doc_id, pos,
+         SUM(new_s) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) AS span
+  FROM b
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS INTEGER) AS span_start,
+       CAST(MAX(pos) + 19 AS INTEGER) AS span_end,
+       CAST(MAX(pos) + 19 - MIN(pos) + 1 AS INTEGER) AS span_len,
+       CAST(COUNT(*) AS BIGINT) AS n_grams
+FROM s GROUP BY doc_id, span
+ORDER BY doc_id, span_start
+"""
+
+
+@REGISTRY.register("dedup_substring_spans", _SUBSTR_SPANS_ORACLE)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring span report (operators/dedup.py::
+    duplicated_substring_spans): the suffix-array substring-dedup
+    pass of Lee et al. 2022 re-expressed as explode → frequency →
+    per-doc span merge — character-level memorization-prone regions,
+    complementing the document-level dedup ladder. Every stage is
+    relational and the gram key stays a string here, so the whole
+    report is value-hash exact against DuckDB; the 100 TB form swaps
+    the group key for xxhash64(gram) (fixed-width shuffle) with
+    collision verify, as documented on the operator."""
+    return dedup.duplicated_substring_spans(_docs(spark, sf_dir), 20)

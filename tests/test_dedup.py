@@ -194,3 +194,52 @@ def test_prefix_join_threshold_boundary(spark):
         for r in dedup.jaccard_prefix_pairs(df, n=3, threshold=0.5).collect()
     }
     assert got == {(1, 2): 0.5}
+
+
+def test_duplicated_substring_spans_hand_fixture(spark):
+    from movie_rankings_spark.operators.dedup import (
+        duplicated_substring_spans,
+    )
+
+    shared = "the quick brown fox jumps over"  # 30 chars, in both docs
+    docs = spark.createDataFrame(
+        [
+            (1, f"AA {shared}Qunique tail one zzzz"),
+            (2, f"{shared}Wtotally different ending here"),
+            (3, "no duplication in this document at all x"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_len"])
+        for r in duplicated_substring_spans(docs, gram_len=20).collect()
+    }
+    # every 20-gram inside `shared` occurs in both docs -> one maximal
+    # span per doc covering exactly the shared region
+    assert got[1] == (4, 4 + len(shared) - 1, len(shared))
+    assert got[2] == (1, len(shared), len(shared))
+    assert 3 not in got
+
+
+def test_duplicated_substring_spans_gap_splits(spark):
+    from movie_rankings_spark.operators.dedup import (
+        duplicated_substring_spans,
+    )
+
+    a = "X" * 20
+    b = "Y" * 20
+    mid = "m n o p q r s t u v w x y z 1 2 3 4 5"  # > 20 chars, unique-ish
+    docs = spark.createDataFrame(
+        [(1, f"{a}{mid}{b}"), (2, f"{a} | {b}")],
+        "doc_id long, text string",
+    )
+    rows = [
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicated_substring_spans(docs, gram_len=20).collect()
+        if r["doc_id"] == 1
+    ]
+    # the two duplicated runs are separated by > gram_len in doc 1 ->
+    # two distinct spans, not one merged one
+    assert len(rows) == 2
+    assert rows[0][1] == 1
+    assert rows[1][2] == 20 + len(mid) + 20
