@@ -162,6 +162,7 @@ HEADLINE_QUERIES = (
     "sample_k_per_lang",
     "sample_stratified_by_lang",
     "mix_corpus_token_budget",
+    "dsir_importance_topk",
     "quality_repetition_bigram",
     "shuffle_docs_deterministic",
     "curriculum_order_docs",

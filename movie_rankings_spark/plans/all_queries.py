@@ -84,6 +84,7 @@ _UNSEEN_FIRST = (
     "hierarchy_rollup_customers",
     "search_bm25_topk",
     "dedup_substring_spans",
+    "dsir_importance_topk",
     "stream_running_topk_users",
     # round-3 additions (no driver row yet)
     "scd2_user_event_history",

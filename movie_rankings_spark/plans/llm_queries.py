@@ -2517,3 +2517,60 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the group key for xxhash64(gram) (fixed-width shuffle) with
     collision verify, as documented on the operator."""
     return dedup.duplicated_substring_spans(_docs(spark, sf_dir), 20)
+
+
+# --- DSIR importance resampling (r3s4) --------------------------------------
+
+_DSIR_ORACLE = """
+WITH base AS (
+  SELECT doc_id, source, source = 'src0' AS tgt,
+         unnest(string_split(text, ' ')) AS word
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, source, tgt, word, COUNT(*) AS tf
+  FROM base GROUP BY 1, 2, 3, 4
+),
+vocab AS (
+  SELECT word,
+         SUM(CASE WHEN tgt THEN tf ELSE 0 END) AS ct,
+         SUM(CASE WHEN tgt THEN 0 ELSE tf END) AS cs
+  FROM tf GROUP BY 1
+),
+totals AS (
+  SELECT SUM(ct) AS tt, SUM(cs) AS ts, COUNT(*) AS v FROM vocab
+),
+lam AS (
+  SELECT word,
+         CAST(ln(CAST(ct + 1 AS DOUBLE) / CAST(tt + v AS DOUBLE))
+              AS DECIMAL(18,9))
+         - CAST(ln(CAST(cs + 1 AS DOUBLE) / CAST(ts + v AS DOUBLE))
+                AS DECIMAL(18,9)) AS lam
+  FROM vocab CROSS JOIN totals
+)
+SELECT tf.doc_id, tf.source,
+       CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+       CAST(SUM(CAST(tf.tf * lam.lam AS DECIMAL(28,9))) AS DOUBLE)
+         AS log_weight
+FROM tf JOIN lam USING (word)
+WHERE NOT tf.tgt
+GROUP BY 1, 2
+ORDER BY log_weight DESC, doc_id LIMIT 20
+"""
+
+
+@REGISTRY.register("dsir_importance_topk", _DSIR_ORACLE)
+def dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators/dsir.py): source-pool documents
+    ranked by target-likeness under smoothed unigram importance
+    weights (target = the src0 slice standing in for the wanted
+    domain). The curation step between heuristic gates
+    (quality_filtered_docs) and model scoring (classifier_doc_scores)
+    — distribution matching without training a model. DECIMAL-rounded
+    ln terms + exact decimal accumulation make the ranking value-hash
+    exact (the drift-monitor convention)."""
+    from movie_rankings_spark.operators.dsir import (
+        dsir_importance_topk as op,
+    )
+
+    return op(_docs(spark, sf_dir), F.col("source") == "src0", k=20)

@@ -193,3 +193,28 @@ def test_bm25_matches_python_reference(spark):
         r["doc_id"] for r in bm25_topk(df, terms, k=10).collect()
     ]
     assert ordered.index(1) < ordered.index(2)
+
+
+def test_dsir_ranks_target_like_docs_higher(spark):
+    from movie_rankings_spark.operators.dsir import dsir_importance_topk
+
+    target_words = "alpha beta gamma delta epsilon"
+    source_words = "zeta eta theta iota kappa"
+    rows = [
+        # target slice defines the wanted distribution
+        (1, "tgt", f"{target_words} {target_words}"),
+        (2, "tgt", f"{target_words} alpha beta"),
+        # source pool: doc 10 mimics the target, doc 11 does not,
+        # doc 12 is mixed
+        (10, "src", f"{target_words} {target_words} alpha"),
+        (11, "src", f"{source_words} {source_words}"),
+        (12, "src", f"{target_words} {source_words}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = dsir_importance_topk(df, F.col("source") == "tgt", k=10).collect()
+    ranked = [r["doc_id"] for r in out]
+    assert set(ranked) == {10, 11, 12}  # only source docs are scored
+    assert ranked[0] == 10 and ranked[-1] == 11
+    w = {r["doc_id"]: r["log_weight"] for r in out}
+    assert w[10] > w[12] > w[11]
+    assert w[10] > 0 > w[11]  # target-like gains, source-only loses
