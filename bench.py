@@ -157,6 +157,8 @@ HEADLINE_QUERIES = (
     "logreg_train_quality",
     "embedding_jl_projection",
     "split_train_val_test",
+    "split_time_embargo",
+    "folds_grouped_by_user",
     "collocations_lift",
     "sample_docs_deterministic",
     "sample_k_per_lang",

@@ -85,6 +85,8 @@ _UNSEEN_FIRST = (
     "search_bm25_topk",
     "dedup_substring_spans",
     "dsir_importance_topk",
+    "split_time_embargo",
+    "folds_grouped_by_user",
     "stream_running_topk_users",
     # round-3 additions (no driver row yet)
     "scd2_user_event_history",

@@ -1933,3 +1933,135 @@ def hierarchy_rollup_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_HIERARCHY_ORACLE)
+
+
+# --- leakage-safe temporal split with embargo (r3s4) ------------------------
+
+_TIME_SPLIT_ORACLE = """
+WITH b AS (
+  SELECT epoch_us(MIN(ts))
+         + CAST(floor((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) * 0.8)
+                AS BIGINT) AS cut_us
+  FROM events
+),
+tagged AS (
+  SELECT e.*,
+         CASE WHEN epoch_us(e.ts) <= b.cut_us THEN 'train'
+              WHEN epoch_us(e.ts) > b.cut_us + 86400000000 THEN 'test'
+              ELSE 'embargo' END AS split
+  FROM events e CROSS JOIN b
+)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+FROM tagged GROUP BY split ORDER BY split
+"""
+
+
+@REGISTRY.register("split_time_embargo", _TIME_SPLIT_ORACLE)
+def split_time_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe temporal split: train = first 80% of the time
+    range, test = after a 1-day EMBARGO past the cut (rows inside the
+    gap are dropped, so trailing-window features computed on train
+    can't leak into test — the time-series companion to the hash
+    split). The cut is an exact timestamp-arithmetic scalar (1-row
+    broadcast); one conditional-aggregate pass tags and summarizes."""
+    e = _t(spark, sf_dir, "events")
+    b = e.agg(
+        (
+            F.unix_micros(F.min("ts"))
+            + F.floor(
+                (
+                    F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
+                ).cast("double")
+                * 0.8
+            ).cast("long")
+        ).alias("cut_us")
+    )
+    mic = F.unix_micros(F.col("ts"))
+    tagged = e.crossJoin(F.broadcast(b)).withColumn(
+        "split",
+        F.when(mic <= F.col("cut_us"), "train")
+        .when(mic > F.col("cut_us") + F.lit(86_400_000_000), "test")
+        .otherwise("embargo"),
+    )
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "first_ts"
+            ),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "last_ts"
+            ),
+        )
+        .orderBy("split")
+    )
+
+
+# --- grouped k-fold assignment (r3s4) ---------------------------------------
+
+_KFOLD_ORACLE = """
+WITH folds AS (
+  SELECT user_id,
+         CAST('0x' || substr(md5('fold' || CAST(user_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 5 AS fold_id
+  FROM (SELECT DISTINCT user_id FROM events)
+)
+SELECT f.fold_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events e JOIN folds f USING (user_id)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@REGISTRY.register("folds_grouped_by_user", _KFOLD_ORACLE)
+def folds_grouped_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped 5-fold cross-validation assignment: every event of a
+    user lands in ONE fold (md5-derived, deterministic) so per-user
+    signals can't leak across folds — the entity-level k-fold every
+    behavioral-model eval needs, vs naive row-level folds. The fold
+    map derives from the same fact scan (distinct user_ids) and
+    broadcasts back; one conditional pass summarizes balance."""
+    e = _t(spark, sf_dir, "events")
+    folds = (
+        e.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("fold"), F.col("user_id").cast("string")
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 5
+            ).alias("fold_id"),
+        )
+    )
+    return (
+        e.join(F.broadcast(folds), "user_id")
+        .groupBy("fold_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("fold_id")
+    )

@@ -218,3 +218,35 @@ def test_dsir_ranks_target_like_docs_higher(spark):
     w = {r["doc_id"]: r["log_weight"] for r in out}
     assert w[10] > w[12] > w[11]
     assert w[10] > 0 > w[11]  # target-like gains, source-only loses
+
+
+def test_time_embargo_split_partitions_and_gap(spark):
+    from movie_rankings_spark.catalog import load_table
+
+    out = {
+        r["split"]: r
+        for r in all_queries.QUERIES["split_time_embargo"](
+            spark, SF_DIR
+        ).collect()
+    }
+    total = load_table(spark, SF_DIR, "events").count()
+    assert sum(r["n_events"] for r in out.values()) == total
+    assert set(out) <= {"train", "embargo", "test"}
+    # ordering: train ends before embargo begins before test begins
+    if "test" in out and "train" in out:
+        assert out["train"]["last_ts"] < out["test"]["first_ts"]
+    if "embargo" in out:
+        assert out["train"]["last_ts"] <= out["embargo"]["first_ts"]
+        assert out["embargo"]["last_ts"] <= out["test"]["first_ts"]
+
+
+def test_grouped_folds_are_user_disjoint(spark):
+    from pyspark.sql import functions as FF
+
+    from movie_rankings_spark.catalog import load_table
+
+    out = all_queries.QUERIES["folds_grouped_by_user"](spark, SF_DIR).collect()
+    e = load_table(spark, SF_DIR, "events")
+    assert sum(r["n_events"] for r in out) == e.count()
+    assert sum(r["n_users"] for r in out) == e.select("user_id").distinct().count()
+    assert {r["fold_id"] for r in out} <= set(range(5))
