@@ -143,6 +143,8 @@ HEADLINE_QUERIES = (
     "quantile_normalize_price",
     "corr_price_quantity",
     "regression_monthly_trend",
+    "regression_theilsen_trend",
+    "seasonality_monthly_index",
     "chi2_lang_source",
     "decay_user_activity",
     "basket_association_rules",

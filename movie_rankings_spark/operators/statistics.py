@@ -212,3 +212,58 @@ def quantile_rank_map(
             ).alias("pct"),
         )
     )
+
+
+def grouped_theilsen(
+    points: DataFrame, keys: list[str], x_col: str, y_col: str
+) -> DataFrame:
+    """Theil–Sen robust trend per group: slope = median of all
+    pairwise slopes, intercept = median of per-point residual
+    intercepts under that slope — up to ~29% outlier contamination
+    leaves the estimate intact, the breakdown-point companion to
+    grouped_ols exactly as MAD is to stddev.
+
+    Input contract: y_col is an exact DECIMAL (cast to double here,
+    identically in the oracle), x_col integer. Output: keys,
+    n_points, n_pairs, ts_slope, ts_intercept.
+
+    Scale: pairwise slopes are quadratic IN THE GROUP SIZE — correct
+    here because the input is an already-aggregated series (months ×
+    group: ~100 points → ~5k pairs per group), never the fact table;
+    the medians are exact percentiles over those bounded pair sets.
+    The fact-sized work happened upstream in the series aggregation."""
+    a = points.select(
+        *keys,
+        F.col(x_col).alias("x1"),
+        F.col(y_col).cast("double").alias("y1"),
+    )
+    b = points.select(
+        *keys,
+        F.col(x_col).alias("x2"),
+        F.col(y_col).cast("double").alias("y2"),
+    )
+    pairs = a.join(b, keys).filter(F.col("x1") < F.col("x2"))
+    slopes = pairs.select(
+        *keys,
+        (
+            (F.col("y2") - F.col("y1"))
+            / (F.col("x2") - F.col("x1")).cast("double")
+        ).alias("slope"),
+    )
+    med_slope = slopes.groupBy(*keys).agg(
+        F.percentile("slope", F.lit(0.5)).alias("ts_slope"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    resid = points.join(med_slope, keys).select(
+        *keys,
+        "ts_slope",
+        "n_pairs",
+        (
+            F.col(y_col).cast("double")
+            - F.col("ts_slope") * F.col(x_col).cast("double")
+        ).alias("b0"),
+    )
+    return resid.groupBy(*keys, "ts_slope", "n_pairs").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.percentile("b0", F.lit(0.5)).alias("ts_intercept"),
+    ).select(*keys, "n_points", "n_pairs", "ts_slope", "ts_intercept")

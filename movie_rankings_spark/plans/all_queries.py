@@ -87,6 +87,8 @@ _UNSEEN_FIRST = (
     "dsir_importance_topk",
     "split_time_embargo",
     "folds_grouped_by_user",
+    "regression_theilsen_trend",
+    "seasonality_monthly_index",
     "stream_running_topk_users",
     # round-3 additions (no driver row yet)
     "scd2_user_event_history",

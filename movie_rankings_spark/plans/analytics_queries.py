@@ -688,3 +688,139 @@ def kanonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("min_group_size", F.col("min_group_size").cast("long"))
         .orderBy("c_mktsegment")
     )
+
+
+# --- Theil–Sen robust trend (r3s4) ------------------------------------------
+
+_THEILSEN_ORACLE = """
+WITH ord_rev AS (
+  SELECT l_orderkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS rev
+  FROM lineitem GROUP BY l_orderkey
+), monthly AS (
+  SELECT n.n_name,
+         (year(o.o_orderdate) - 1992) * 12 + month(o.o_orderdate) - 1 AS x,
+         CAST(SUM(r.rev) AS DECIMAL(18,4)) AS y
+  FROM ord_rev r
+  JOIN orders o   ON o.o_orderkey  = r.l_orderkey
+  JOIN customer c ON c.c_custkey   = o.o_custkey
+  JOIN nation n   ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2
+), slopes AS (
+  SELECT a.n_name,
+         (CAST(b.y AS DOUBLE) - CAST(a.y AS DOUBLE))
+           / CAST(b.x - a.x AS DOUBLE) AS slope
+  FROM monthly a JOIN monthly b
+    ON a.n_name = b.n_name AND a.x < b.x
+), med AS (
+  SELECT n_name,
+         quantile_cont(slope, 0.5) AS ts_slope,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM slopes GROUP BY 1
+), resid AS (
+  SELECT m.n_name, d.ts_slope, d.n_pairs,
+         CAST(m.y AS DOUBLE) - d.ts_slope * CAST(m.x AS DOUBLE) AS b0
+  FROM monthly m JOIN med d USING (n_name)
+)
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       n_pairs, ts_slope,
+       quantile_cont(b0, 0.5) AS ts_intercept
+FROM resid GROUP BY n_name, ts_slope, n_pairs
+ORDER BY n_name
+"""
+
+
+@REGISTRY.register("regression_theilsen_trend", _THEILSEN_ORACLE)
+def regression_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust revenue trend per nation (operators/
+    statistics.py::grouped_theilsen) — median-of-pairwise-slopes,
+    immune to the promo-month spikes that swing the OLS slope
+    (regression_monthly_trend is the efficiency companion). Pairwise
+    work is quadratic only in the ALREADY-AGGREGATED monthly series
+    (bounded per group), never the fact."""
+    from movie_rankings_spark.operators.statistics import grouped_theilsen
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    ord_rev = li.groupBy("l_orderkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        ).alias("rev")
+    )
+    monthly = (
+        ord_rev.join(orders, orders.o_orderkey == ord_rev.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            "n_name",
+            (
+                (F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1
+            ).alias("x"),
+        )
+        .agg(F.sum("rev").cast("decimal(18,4)").alias("y"))
+    )
+    return grouped_theilsen(monthly, ["n_name"], "x", "y").orderBy("n_name")
+
+
+# --- classical seasonal index (r3s4) ----------------------------------------
+
+_SEASONAL_ORACLE = """
+WITH monthly AS (
+  SELECT month(o_orderdate) AS month_of_year,
+         (year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1 AS x,
+         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS y
+  FROM orders GROUP BY 1, 2
+), base AS (
+  SELECT CAST(SUM(y) AS DOUBLE) / COUNT(*) AS grand_mean FROM monthly
+)
+SELECT month_of_year,
+       CAST(COUNT(*) AS BIGINT) AS n_months,
+       CAST(SUM(y) AS DOUBLE) / COUNT(*) AS mean_revenue,
+       (CAST(SUM(y) AS DOUBLE) / COUNT(*)) / b.grand_mean AS seasonal_index
+FROM monthly CROSS JOIN base b
+GROUP BY month_of_year, b.grand_mean
+ORDER BY month_of_year
+"""
+
+
+@REGISTRY.register("seasonality_monthly_index", _SEASONAL_ORACLE)
+def seasonality_monthly_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal index: each calendar month's mean revenue
+    over the grand monthly mean (index > 1 = seasonally strong) —
+    the decomposition step before de-seasonalized trend fitting. Two
+    bounded aggregates (month cells → 12-row index) + a 1-row
+    broadcast; exact decimal sums make the ratios engine-identical."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.month("o_orderdate").alias("month_of_year"),
+        ((F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1).alias(
+            "x"
+        ),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("y"))
+    base = monthly.agg(
+        (F.sum("y").cast("double") / F.count(F.lit(1))).alias("grand_mean")
+    )
+    return (
+        monthly.crossJoin(F.broadcast(base))
+        .groupBy("month_of_year", "grand_mean")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_months"),
+            (F.sum("y").cast("double") / F.count(F.lit(1))).alias(
+                "mean_revenue"
+            ),
+        )
+        .select(
+            "month_of_year",
+            "n_months",
+            "mean_revenue",
+            (F.col("mean_revenue") / F.col("grand_mean")).alias(
+                "seasonal_index"
+            ),
+        )
+        .orderBy("month_of_year")
+    )

@@ -224,3 +224,39 @@ def test_rolling_active_users_hand_computed(spark):
     assert out["2024-01-02"] == (1, 2)       # union of days 1-2
     assert out["2024-01-05"] == (1, 3)       # users 1,2,40000 across buckets
     assert out["2024-01-20"] == (1, 1)       # frame reset
+
+
+def test_theilsen_ignores_outlier_month(spark):
+    """One corrupted point swings OLS but leaves Theil-Sen at the
+    true slope (the robustness claim)."""
+    from movie_rankings_spark.operators.statistics import (
+        grouped_ols,
+        grouped_theilsen,
+    )
+    from pyspark.sql import functions as F
+
+    pts = [(i, float(10 + 2 * i)) for i in range(12)]
+    pts[5] = (5, 10000.0)  # outlier
+    df = spark.createDataFrame(
+        [("g", x, y) for x, y in pts], "k string, x int, y double"
+    ).select("k", "x", F.col("y").cast("decimal(18,4)").alias("y"))
+
+    ts = grouped_theilsen(df, ["k"], "x", "y").first()
+    assert abs(ts["ts_slope"] - 2.0) < 1e-9
+    assert abs(ts["ts_intercept"] - 10.0) < 1e-9
+    assert ts["n_points"] == 12 and ts["n_pairs"] == 66
+
+    ols = grouped_ols(df, ["k"], "x", "y").first()
+    assert abs(ols["slope"] - 2.0) > 10  # OLS is dragged by the spike
+
+
+def test_theilsen_exact_on_clean_line(spark):
+    from movie_rankings_spark.operators.statistics import grouped_theilsen
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a", x, float(3 * x - 7)) for x in range(8)],
+        "k string, x int, y double",
+    ).select("k", "x", F.col("y").cast("decimal(18,4)").alias("y"))
+    r = grouped_theilsen(df, ["k"], "x", "y").first()
+    assert (r["ts_slope"], r["ts_intercept"]) == (3.0, -7.0)
