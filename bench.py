@@ -190,6 +190,7 @@ HEADLINE_QUERIES = (
     "stream_cms_maintained",
     "stream_bitmap_users_rollup",
     "stream_running_topk_users",
+    "stream_session_dynamic_gap",
 )
 
 

@@ -90,6 +90,7 @@ _UNSEEN_FIRST = (
     "regression_theilsen_trend",
     "seasonality_monthly_index",
     "stream_running_topk_users",
+    "stream_session_dynamic_gap",
     # round-3 additions (no driver row yet)
     "scd2_user_event_history",
     "attribution_last_touch",

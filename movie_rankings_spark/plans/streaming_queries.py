@@ -648,3 +648,46 @@ def stream_running_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="complete",
     )
     return out.orderBy(F.desc("total_value"), F.asc("user_id"))
+
+
+_SESSION_DYN_ORACLE = """
+WITH x AS (
+  SELECT user_id, ts, event_id,
+         epoch_us(ts) + CASE WHEN event_type = 'purchase'
+                             THEN 3600000000 ELSE 1800000000 END AS end_us
+  FROM events
+),
+y AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN MAX(end_us) OVER w IS NULL
+                   OR epoch_us(ts) >= MAX(end_us) OVER w
+              THEN 1 ELSE 0 END AS new_s
+  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM y
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+@REGISTRY.register("stream_session_dynamic_gap", _SESSION_DYN_ORACLE)
+def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap session windows as a REAL stream
+    (streaming/events.py::session_counts_dynamic): purchase events
+    hold sessions open 60 min vs 30 for the rest. The batch oracle
+    reproduces merge semantics with a running-max-of-ends window
+    (an event reaching exactly the furthest end starts a new
+    session — half-open [ts, ts+gap) spans)."""
+    out = ev.run_to_batch(
+        ev.session_counts_dynamic(ev.events_stream(spark, sf_dir))
+    )
+    return out.orderBy("user_id", "session_start")

@@ -360,3 +360,32 @@ def running_topk_users(events: DataFrame, k: int = 10) -> DataFrame:
         .alias("total_value"),
     )
     return totals.orderBy(F.desc("total_value"), F.asc("user_id")).limit(k)
+
+
+def session_counts_dynamic(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Per-user session windows with a DYNAMIC per-event gap
+    (F.session_window with a Column gap — the Spark 4 surface):
+    purchases hold the session open for 60 minutes, everything else
+    30 — the engagement-weighted sessionization product analytics
+    actually ships. Each event spans [ts, ts+gap(event)); overlapping
+    spans per user merge, so an event landing exactly at the current
+    session's furthest end starts a NEW session (half-open windows —
+    the batch oracle's running-max >= predicate mirrors this)."""
+    gap = F.when(
+        F.col("event_type") == "purchase",
+        F.expr("make_interval(0, 0, 0, 0, 0, 60, 0)"),
+    ).otherwise(F.expr("make_interval(0, 0, 0, 0, 0, 30, 0)"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )
