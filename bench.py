@@ -27,6 +27,7 @@ HEADLINE_QUERIES = (
     "flagship_scraped",
     "flagship_scraped_dsv2",
     "flagship_scraped_udtf",
+    "flagship_pandas_api",
     "q1_pricing_summary",
     "sql_api_pricing_summary",
     "q3_shipping_priority",

@@ -89,6 +89,7 @@ _UNSEEN_FIRST = (
     "folds_grouped_by_user",
     "regression_theilsen_trend",
     "seasonality_monthly_index",
+    "flagship_pandas_api",
     "stream_running_topk_users",
     "stream_session_dynamic_gap",
     # round-3 additions (no driver row yet)

@@ -249,3 +249,51 @@ def flagship_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_n=100,
     )
     return flagship(scraped, n_sources=3, k=10, apply_aliases=False)
+
+
+@REGISTRY.register("flagship_pandas_api", _FIXTURE_ORACLE)
+def flagship_pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship query through the PANDAS API ON SPARK — the
+    migration bridge for the reference's actual users: the reference
+    IS pandas (top_movies.py:128-144), and this variant keeps its
+    idioms (`to_numeric(errors='coerce').fillna(0)`, `.str.replace`,
+    groupby-size gate, `sort_values().head(10)`) while every step
+    compiles to the same distributed plans as the DataFrame form —
+    same oracle as flagship_fixture, value-hash identical.
+
+    Semantics notes vs raw pandas: the group-count gate is a
+    merge-with-counts (ps.GroupBy.transform takes callables only —
+    it Arrow-evaluates per group; the merge form stays JVM-side), and
+    the sort is made total with the title tie-break because pandas'
+    unstable quicksort order is not a semantics any engine should
+    reproduce."""
+    import pyspark.pandas as pspd
+
+    from movie_rankings_spark.functions.normalize import ALIAS_OVERRIDES
+
+    pdf = scraped_fixture_df(spark).pandas_api()
+    title = pdf["title"].replace(dict(ALIAS_OVERRIDES))
+    comp = (
+        title.str.replace(r"[^a-zA-Z0-9 ]", "", regex=True)
+        .str.replace(r"\s{2,}", " ", regex=True)
+        .str.lower()
+    )
+    df = pdf.assign(
+        rank=pspd.to_numeric(pdf["rank"], errors="coerce")
+        .fillna(0)
+        .astype("int32"),
+        title_comp=comp,
+    )[["url", "rank", "title_comp"]]
+    cnt = df.groupby("title_comp").size().rename("_n").reset_index()
+    surv = df.merge(cnt, on="title_comp")
+    surv = surv[surv["_n"] == N_SOURCES]
+    agg = (
+        surv.groupby("title_comp")
+        .agg(
+            rank_sum=("rank", "sum"),
+            rank_avg=("rank", "mean"),
+            n_rows=("rank", "count"),
+        )
+        .reset_index()
+    )
+    return agg.sort_values(["rank_sum", "title_comp"]).head(10).to_spark()
