@@ -250,3 +250,59 @@ def test_grouped_folds_are_user_disjoint(spark):
     assert sum(r["n_events"] for r in out) == e.count()
     assert sum(r["n_users"] for r in out) == e.select("user_id").distinct().count()
     assert {r["fold_id"] for r in out} <= set(range(5))
+
+
+def test_parquet_aggregate_pushdown_metadata_only(spark):
+    """DSv2 parquet answers COUNT/MIN/MAX from footer statistics
+    (PushedAggregation) — at 100 TB these queries never read data
+    pages. v1 path (the session default) has no such pushdown, which
+    is why the capability is pinned behind the explicit conf swap."""
+    from pyspark.sql import functions as FF
+
+    prev_v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    prev_agg = spark.conf.get("spark.sql.parquet.aggregatePushdown")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try:
+        df = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        q = df.agg(
+            FF.count(FF.lit(1)).alias("n"),
+            FF.min("o_orderkey").alias("mn"),
+            FF.max("o_orderkey").alias("mx"),
+        )
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "PushedAggregation: [COUNT(*), MIN(o_orderkey), MAX(o_orderkey)]" in plan
+        row = q.first()
+    finally:
+        spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", prev_agg)
+    full = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    assert row["n"] == full.count()
+    assert row["mn"] == full.agg(FF.min("o_orderkey")).first()[0]
+    assert row["mx"] == full.agg(FF.max("o_orderkey")).first()[0]
+
+
+def test_nested_struct_schema_pruning(spark):
+    """Selecting one field of a struct column must prune the read
+    schema to that leaf (nested-schema pruning), not fetch the whole
+    struct."""
+    import tempfile
+
+    from pyspark.sql import functions as FF
+
+    from movie_rankings_spark.catalog import load_table
+    from movie_rankings_spark.operators.multimodal import synthesize_media
+
+    with tempfile.TemporaryDirectory() as d:
+        synthesize_media(load_table(spark, SF_DIR, "documents")).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/media")
+        media = spark.read.parquet(f"{d}/media")
+        q = media.select("media_id", FF.col("meta.width").alias("w"))
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "ReadSchema" in plan
+        # payload (the big binary) must not appear in the read schema
+        read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+        assert "payload" not in read_schema
+        assert "width" in read_schema and "height" not in read_schema
+        assert q.count() > 0
