@@ -192,6 +192,7 @@ HEADLINE_QUERIES = (
     "stream_bitmap_users_rollup",
     "stream_running_topk_users",
     "stream_session_dynamic_gap",
+    "stream_dedup_then_window",
 )
 
 

@@ -92,6 +92,7 @@ _UNSEEN_FIRST = (
     "flagship_pandas_api",
     "stream_running_topk_users",
     "stream_session_dynamic_gap",
+    "stream_dedup_then_window",
     # round-3 additions (no driver row yet)
     "scd2_user_event_history",
     "attribution_last_touch",

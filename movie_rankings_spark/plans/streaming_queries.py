@@ -691,3 +691,39 @@ def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.session_counts_dynamic(ev.events_stream(spark, sf_dir))
     )
     return out.orderBy("user_id", "session_start")
+
+
+_CHAINED_ORACLE = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       event_type, COUNT(*) AS n_events
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@REGISTRY.register("stream_dedup_then_window", _CHAINED_ORACLE)
+def stream_dedup_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful streaming operators in one query (the Spark 4
+    capability): watermarked dropDuplicatesWithinWatermark on
+    event_id — the exactly-once guard against an at-least-once
+    upstream replaying events — feeding a watermarked tumbling
+    aggregate. Two independent state stores in one micro-batch
+    pipeline; complete output mode emits every window (append would
+    withhold windows the final watermark hasn't closed — 5 of 150
+    here). The batch oracle holds because event_id is unique in the
+    source (the dedup is the guard against an at-least-once upstream,
+    not a reducer) and the aggregate must be unaffected by its
+    presence."""
+    s = ev.events_stream(spark, sf_dir)
+    chained = (
+        s.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "n_events",
+        )
+    )
+    out = ev.run_to_batch(chained, output_mode="complete")
+    return out.orderBy("day", "event_type")
