@@ -62,6 +62,7 @@ HEADLINE_QUERIES = (
     "session_paths_top",
     "session_transition_matrix",
     "funnel_view_click_purchase",
+    "funnel_time_to_convert",
     "cohort_retention_daily",
     "json_props_stats",
     "orders_by_month",
@@ -143,6 +144,7 @@ HEADLINE_QUERIES = (
     "histogram2d_qty_price",
     "quantile_normalize_price",
     "corr_price_quantity",
+    "gini_customer_revenue",
     "regression_monthly_trend",
     "regression_theilsen_trend",
     "seasonality_monthly_index",

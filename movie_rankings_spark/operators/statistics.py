@@ -267,3 +267,78 @@ def grouped_theilsen(
         F.count(F.lit(1)).cast("long").alias("n_points"),
         F.percentile("b0", F.lit(0.5)).alias("ts_intercept"),
     ).select(*keys, "n_points", "n_pairs", "ts_slope", "ts_intercept")
+
+
+def gini_exact(df: DataFrame, value_col: str) -> DataFrame:
+    """Exact Gini coefficient of a value distribution WITHOUT a global
+    sort — the inequality/concentration metric ("what share of revenue
+    do the top customers hold") computed distributively.
+
+    From the rank identity G = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n over the
+    ascending sort, a TIE GROUP of value v with c rows and r rows
+    strictly below contributes v·(c·r + c(c+1)/2) to Σ i·x₍ᵢ₎ — so the
+    whole statistic reduces over the DISTINCT-VALUE table with exact
+    min-ranks, which the quantile_rank_map bucketing already computes
+    scalably (sketch-placed contiguous buckets, per-bucket cumulative
+    counts, driver prefix-sum of ≤buckets offsets — never an Exchange
+    SinglePartition).
+
+    Input contract: value_col is an exact DECIMAL. Output: one row —
+    n_values, total (double), gini (double)."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    n_b = max(
+        1, min(int(spark.conf.get("spark.sql.shuffle.partitions")), 4096)
+    )
+    vc = df.groupBy(F.col(value_col).alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    bounds = df.agg(
+        F.percentile_approx(
+            value_col, F.lit([i / n_b for i in range(1, n_b)]), F.lit(10_000)
+        ).alias("b")
+    ).collect()[0]["b"]
+    bounds = sorted(set(float(b) for b in (bounds or [])))
+    blit = F.lit(bounds) if bounds else F.lit([float("-inf")])
+    vb = vc.withColumn(
+        "_bucket", F.size(F.filter(blit, lambda b: F.col("v") > b))
+    )
+    totals = {
+        r["_bucket"]: r["t"]
+        for r in vb.groupBy("_bucket").agg(F.sum("c").alias("t")).collect()
+    }
+    offsets, running = [], 0
+    for b in range(len(bounds) + 1):
+        offsets.append((b, running))
+        running += totals.get(b, 0)
+    off = spark.createDataFrame(offsets, "_bucket int, _offset long")
+    w = Window.partitionBy("_bucket").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = (
+        vb.withColumn("_cum", F.sum("c").over(w))
+        .join(F.broadcast(off), "_bucket")
+        .withColumn("_r", F.col("_offset") + F.col("_cum") - F.col("c"))
+    )
+    # rank-weight per tie group: c*r + c(c+1)/2, kept in a narrow
+    # decimal so v * weight stays inside precision 38 (the DSIR trap)
+    wsum = (
+        F.col("c") * F.col("_r") + (F.col("c") * (F.col("c") + 1)) / 2
+    ).cast("decimal(16,0)")
+    agg = ranked.agg(
+        F.sum("c").cast("long").alias("n_values"),
+        F.sum(F.col("v") * F.col("c").cast("decimal(10,0)")).alias("_s1"),
+        F.sum(F.col("v") * wsum).alias("_s2"),
+    )
+    n = F.col("n_values").cast("double")
+    return agg.select(
+        "n_values",
+        F.col("_s1").cast("double").alias("total"),
+        (
+            F.lit(2.0)
+            * F.col("_s2").cast("double")
+            / (n * F.col("_s1").cast("double"))
+            - (n + 1) / n
+        ).alias("gini"),
+    )

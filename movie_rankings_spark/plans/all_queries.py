@@ -89,6 +89,8 @@ _UNSEEN_FIRST = (
     "folds_grouped_by_user",
     "regression_theilsen_trend",
     "seasonality_monthly_index",
+    "gini_customer_revenue",
+    "funnel_time_to_convert",
     "flagship_pandas_api",
     "stream_running_topk_users",
     "stream_session_dynamic_gap",

@@ -824,3 +824,45 @@ def seasonality_monthly_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month_of_year")
     )
+
+
+# --- revenue-concentration Gini (r3s4) --------------------------------------
+
+_GINI_ORACLE = """
+WITH cust_rev AS (
+  SELECT o_custkey,
+         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT rev, ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS rn
+  FROM cust_rev
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_values,
+       CAST(SUM(rev) AS DOUBLE) AS total,
+       2.0 * CAST(SUM(rev * CAST(rn AS DECIMAL(16,0))) AS DOUBLE)
+         / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(rev) AS DOUBLE))
+       - (CAST(COUNT(*) AS DOUBLE) + 1) / CAST(COUNT(*) AS DOUBLE)
+         AS gini
+FROM ranked
+"""
+
+
+@REGISTRY.register("gini_customer_revenue", _GINI_ORACLE)
+def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of per-customer revenue
+    (operators/statistics.py::gini_exact) — the concentration metric
+    behind "whale" analyses, computed WITHOUT a global sort: tie
+    groups over the distinct-value table with bucketed exact
+    min-ranks reduce the rank identity distributively (the
+    quantile-normalization machinery re-used for an economics
+    statistic). The oracle's global ROW_NUMBER form is the
+    small-scale verifier; tie order doesn't change Σ rn·x because
+    tied values are equal."""
+    from movie_rankings_spark.operators.statistics import gini_exact
+
+    o = _t(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev")
+    )
+    return gini_exact(rev, "rev")

@@ -2065,3 +2065,80 @@ def folds_grouped_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold_id")
     )
+
+
+# --- funnel time-to-convert (r3s4) ------------------------------------------
+
+_FUNNEL_TTC_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id
+),
+g1 AS (
+  SELECT date_diff('microsecond', v.t1, c.t2) AS gap_us
+  FROM c JOIN v USING (user_id)
+),
+g2 AS (
+  SELECT date_diff('microsecond', c.t2, p.t3) AS gap_us
+  FROM p JOIN c USING (user_id)
+)
+SELECT * FROM (
+  SELECT 'view->click' AS transition,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         quantile_cont(CAST(gap_us AS DOUBLE), 0.5) / 1000000.0 AS median_s,
+         quantile_cont(CAST(gap_us AS DOUBLE), 0.9) / 1000000.0 AS p90_s,
+         CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) / 1000000.0 AS mean_s
+  FROM g1
+  UNION ALL
+  SELECT 'click->purchase', CAST(COUNT(*) AS BIGINT),
+         quantile_cont(CAST(gap_us AS DOUBLE), 0.5) / 1000000.0,
+         quantile_cont(CAST(gap_us AS DOUBLE), 0.9) / 1000000.0,
+         CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) / 1000000.0
+  FROM g2
+) ORDER BY transition
+"""
+
+
+@REGISTRY.register("funnel_time_to_convert", _FUNNEL_TTC_ORACLE)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution per funnel transition: median /
+    p90 / mean seconds between first stage completions — the latency
+    half of funnel analytics (the counts half is
+    funnel_view_click_purchase; same per-stage co-partitioned plan,
+    plus one bounded percentile aggregate per transition on integer
+    microsecond gaps)."""
+    from movie_rankings_spark.operators.funnel import funnel_stage_times
+
+    times = funnel_stage_times(
+        _t(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+    def _report(label, lo, hi):
+        gap = (F.unix_micros(F.col(hi)) - F.unix_micros(F.col(lo))).alias(
+            "gap_us"
+        )
+        g = times.filter(F.col(hi).isNotNull()).select(gap)
+        pct = F.percentile(F.col("gap_us").cast("double"), F.lit([0.5, 0.9]))
+        return g.agg(
+            F.lit(label).alias("transition"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            (pct[0] / 1e6).alias("median_s"),
+            (pct[1] / 1e6).alias("p90_s"),
+            (
+                F.sum("gap_us").cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1e6)
+            ).alias("mean_s"),
+        )
+
+    return (
+        _report("view->click", "stage1_ts", "stage2_ts")
+        .unionByName(_report("click->purchase", "stage2_ts", "stage3_ts"))
+        .orderBy("transition")
+    )

@@ -260,3 +260,32 @@ def test_theilsen_exact_on_clean_line(spark):
     ).select("k", "x", F.col("y").cast("decimal(18,4)").alias("y"))
     r = grouped_theilsen(df, ["k"], "x", "y").first()
     assert (r["ts_slope"], r["ts_intercept"]) == (3.0, -7.0)
+
+
+def test_gini_known_distributions(spark):
+    from movie_rankings_spark.operators.statistics import gini_exact
+    from pyspark.sql import functions as F
+
+    # perfectly equal -> 0
+    eq = spark.createDataFrame([(i, 10.0) for i in range(50)], "k long, x double")
+    eq = eq.select("k", F.col("x").cast("decimal(18,4)").alias("x"))
+    assert abs(gini_exact(eq, "x").first()["gini"]) < 1e-12
+
+    # one holder of everything among n -> (n-1)/n
+    n = 40
+    one = spark.createDataFrame(
+        [(i, 100.0 if i == 0 else 0.0) for i in range(n)], "k long, x double"
+    ).select("k", F.col("x").cast("decimal(18,4)").alias("x"))
+    assert abs(gini_exact(one, "x").first()["gini"] - (n - 1) / n) < 1e-12
+
+    # python-reference equality on an arbitrary multiset (with ties)
+    vals = [1.0, 1.0, 2.0, 3.5, 3.5, 3.5, 10.0, 0.0, 7.25, 2.0]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "k long, x double"
+    ).select("k", F.col("x").cast("decimal(18,4)").alias("x"))
+    s = sorted(vals)
+    nn = len(s)
+    ref = 2 * sum((i + 1) * v for i, v in enumerate(s)) / (nn * sum(s)) - (
+        nn + 1
+    ) / nn
+    assert abs(gini_exact(df, "x").first()["gini"] - ref) < 1e-12
