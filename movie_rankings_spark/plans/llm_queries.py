@@ -2574,3 +2574,128 @@ def dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return op(_docs(spark, sf_dir), F.col("source") == "src0", k=20)
+
+
+# --- language-ID confusion matrix (r3s4) ------------------------------------
+
+
+def _langid_confusion_oracle() -> str:
+    score_exprs = ",\n       ".join(
+        f"CAST(len(list_intersect(list_distinct({_WORDS}), "
+        f"{_sql_list(LANG_STOPWORDS[lang])})) AS INTEGER) AS score_{lang}"
+        for lang in LANG_ORDER
+    )
+    greatest = (
+        "GREATEST(" + ", ".join(f"score_{lang}" for lang in LANG_ORDER) + ")"
+    )
+    case_arms = " ".join(
+        f"WHEN score_{lang} = {greatest} THEN '{lang}'" for lang in LANG_ORDER
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang AS lang_label,
+       {score_exprs}
+  FROM documents
+),
+pred AS (
+  SELECT lang_label,
+         CASE WHEN {greatest} <= 0 THEN 'und' {case_arms} ELSE 'und' END
+           AS lang_pred
+  FROM scored
+),
+totals AS (
+  SELECT lang_label, COUNT(*) AS n_label FROM pred GROUP BY 1
+)
+SELECT p.lang_label, p.lang_pred,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS DOUBLE) / CAST(t.n_label AS DOUBLE) AS label_share
+FROM pred p JOIN totals t USING (lang_label)
+GROUP BY p.lang_label, p.lang_pred, t.n_label
+ORDER BY p.lang_label, p.lang_pred
+"""
+
+
+@REGISTRY.register("langid_confusion_matrix", _langid_confusion_oracle())
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the n-gram language identifier against the
+    corpus labels: (true, predicted) doc counts + per-label shares
+    (the diagonal is per-language recall) — the evaluation step that
+    turns text_langid from a transform into a measured model, like
+    classifier_auc_eval does for the quality classifier. Two bounded
+    aggregates over the one scoring scan."""
+    from movie_rankings_spark.functions.text import lang_predict
+
+    docs = _docs(spark, sf_dir)
+    pred = docs.select(
+        F.col("lang").alias("lang_label"),
+        lang_predict(F.col("text")).alias("lang_pred"),
+    )
+    totals = pred.groupBy("lang_label").agg(
+        F.count(F.lit(1)).alias("n_label")
+    )
+    return (
+        pred.groupBy("lang_label", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .join(F.broadcast(totals), "lang_label")
+        .select(
+            "lang_label",
+            "lang_pred",
+            "n_docs",
+            (
+                F.col("n_docs").cast("double")
+                / F.col("n_label").cast("double")
+            ).alias("label_share"),
+        )
+        .orderBy("lang_label", "lang_pred")
+    )
+
+
+# --- embedding norm audit (r3s4) --------------------------------------------
+
+_NORM_AUDIT_ORACLE = """
+WITH norms AS (
+  SELECT label,
+         CAST(sqrt(CAST(list_sum(list_transform(range(1, len(embedding) + 1),
+              i -> CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+                        AS DECIMAL(28,12)))) AS DOUBLE))
+              AS DECIMAL(18,9)) AS nrm
+  FROM embeddings
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(nrm) AS DOUBLE) / COUNT(*) AS mean_norm,
+       CAST(MIN(nrm) AS DOUBLE) AS min_norm,
+       CAST(MAX(nrm) AS DOUBLE) AS max_norm
+FROM norms GROUP BY label ORDER BY label
+"""
+
+
+@REGISTRY.register("embedding_norm_audit", _NORM_AUDIT_ORACLE)
+def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-store health check: per-label vector-norm profile
+    (collapsed or exploding norms flag encoder drift / bad batches
+    before they poison ANN recall). Per-row norms use the exact
+    decimal square sums (functions/vectors.py), each norm rounded to
+    DECIMAL(18,9) before the mean so the per-label aggregate is
+    order-independent — one scan, one bounded aggregate."""
+    from movie_rankings_spark.functions.vectors import norm_sq_exact
+
+    e = _emb(spark, sf_dir)
+    nrm = (
+        F.sqrt(norm_sq_exact(F.col("embedding")))
+        .cast("decimal(18,9)")
+        .alias("nrm")
+    )
+    return (
+        e.select("label", nrm)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            (F.sum("nrm").cast("double") / F.count(F.lit(1))).alias(
+                "mean_norm"
+            ),
+            F.min("nrm").cast("double").alias("min_norm"),
+            F.max("nrm").cast("double").alias("max_norm"),
+        )
+        .orderBy("label")
+    )

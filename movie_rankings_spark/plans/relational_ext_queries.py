@@ -2142,3 +2142,37 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_report("click->purchase", "stage2_ts", "stage3_ts"))
         .orderBy("transition")
     )
+
+
+# --- traffic heatmap: day-of-week x hour (r3s4) -----------------------------
+
+_DOW_HOUR_ORACLE = """
+SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+       CAST(hour(ts) AS INTEGER) AS hour_of_day,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@REGISTRY.register("traffic_dow_hour_heatmap", _DOW_HOUR_ORACLE)
+def traffic_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour traffic heatmap (the capacity-planning /
+    campaign-timing grid): one hash aggregate on a 7×24-bounded
+    derived key, shuffle ≤168 rows per partition at any fact size.
+    Engine quirk encoded in the oracle: Spark's dayofweek is 1=Sunday
+    while DuckDB's is 0=Sunday."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.dayofweek("ts").alias("dow"),
+            F.hour("ts").alias("hour_of_day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("dow", "hour_of_day")
+    )
