@@ -121,6 +121,7 @@ HEADLINE_QUERIES = (
     "classifier_auc_eval",
     "text_quality",
     "text_langid",
+    "langid_confusion_matrix",
     "text_pii_redaction",
     "decontaminate_report",
     "decontaminate_bloom_gate",
@@ -142,6 +143,7 @@ HEADLINE_QUERIES = (
     "histogram_totalprice",
     "histogram_equidepth_price",
     "histogram2d_qty_price",
+    "traffic_dow_hour_heatmap",
     "quantile_normalize_price",
     "corr_price_quantity",
     "gini_customer_revenue",
@@ -161,6 +163,7 @@ HEADLINE_QUERIES = (
     "bpe_train_merges",
     "logreg_train_quality",
     "embedding_jl_projection",
+    "embedding_norm_audit",
     "split_train_val_test",
     "split_time_embargo",
     "folds_grouped_by_user",
@@ -233,7 +236,6 @@ COMPACT_PRIORITY = (
     "bitmap_users_rollup",
     "active_users_rolling",
     "split_train_val_test",
-    "similarity_pq_topk",
     "similarity_tfidf_topk",
     "dedup_semantic_clusters",
     "pagerank_copurchase",
@@ -244,15 +246,15 @@ COMPACT_PRIORITY = (
     "similarity_cosine_topk",
     "text_quality",
     "text_langid",
+    "langid_confusion_matrix",
     "text_pii_redaction",
     "vocab_top_words",
     "bpe_pair_counts",
     "bpe_train_merges",
     "classifier_doc_scores",
     "classifier_auc_eval",
-    "dedup_jaccard_prefix",
     "similarity_mmr_topk",
-    "embedding_jl_projection",
+    "embedding_norm_audit",
     "decontaminate_report",
     "profile_columns_orders",
     "mix_temperature_sampling",

@@ -91,6 +91,9 @@ _UNSEEN_FIRST = (
     "seasonality_monthly_index",
     "gini_customer_revenue",
     "funnel_time_to_convert",
+    "langid_confusion_matrix",
+    "embedding_norm_audit",
+    "traffic_dow_hour_heatmap",
     "flagship_pandas_api",
     "stream_running_topk_users",
     "stream_session_dynamic_gap",
