@@ -148,6 +148,9 @@ def centroid_pairwise_cosine(centroids: DataFrame) -> DataFrame:
     functions/vectors.py so values hash-match the SQL oracle."""
     from movie_rankings_spark.functions.vectors import cosine_exact
 
+    # both self-join sides read the centroid table — uncached, the
+    # |labels|x dim explode-aggregate would run twice
+    centroids = centroids.persist()
     a = centroids.select(
         F.col("label").alias("label_a"),
         F.col("centroid").alias("ca"),

@@ -232,6 +232,9 @@ def grouped_theilsen(
     group: ~100 points → ~5k pairs per group), never the fact table;
     the medians are exact percentiles over those bounded pair sets.
     The fact-sized work happened upstream in the series aggregation."""
+    # three branches read the series (both pair sides + the residual
+    # pass) — uncached, the upstream fact joins would run three times
+    points = points.persist()
     a = points.select(
         *keys,
         F.col(x_col).alias("x1"),

@@ -2031,7 +2031,9 @@ def mix_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the rate table back onto the fact, one conditional aggregate
     — the corpus is scanned once and never sorted/salted."""
     docs = _docs(spark, sf_dir)
-    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    # counts feeds the min scalar AND the rate table — persist the
+    # |langs|-row frame so the corpus count pass runs once
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).persist()
     mn = counts.agg(F.min("n").alias("mn"))
     rates = counts.crossJoin(F.broadcast(mn)).select(
         "lang",

@@ -89,6 +89,10 @@ NESTED_LOOP_LEGIT = {
     "retrieval_eval_ivf",  # bounded query set
     "dedup_embedding_cosine",  # documented exact verifier tier (scale path: dedup_embedding_lsh)
     "similarity_cosine_topk",  # broadcast 8-query side (documented exact tier)
+    "search_bm25_topk",  # 1-row corpus stats onto the |terms|-row weight table
+    "dsir_importance_topk",  # 1-row totals onto the vocab table
+    "split_time_embargo",  # 1-row cut scalar broadcast onto the fact
+    "seasonality_monthly_index",  # 1-row grand mean onto 12 month cells
 }
 
 #: row-at-a-time Python allowed ONLY for the literal Spark-4 @udtf

@@ -69,6 +69,27 @@ KNOWN_LEGIT = {
     # train + encode + rescore are separate pipeline stages the demo
     # query runs end-to-end; production persists codes between them:
     "similarity_pq_topk",
+    # r3s4 reviewed shapes:
+    "profile_columns_orders",  # documented 2-pass (stats + NDV), both pruned
+    "classifier_calibration_bins",  # score pass + label projection (AUC pattern)
+    "classifier_auc_eval",  # same, partially cached
+    "funnel_time_bounded", "funnel_time_to_convert",  # per-stage pruned scans (funnel pattern)
+    "erasure_audit_events",  # forget list derived from the fact here; separate table in prod
+    "dsir_importance_topk",  # persisted tf feeds vocab + scoring (cache-text artifact)
+    "split_time_embargo",  # 1-row cut pass + tag pass
+    "folds_grouped_by_user",  # distinct-user fold map + fact pass
+    "seasonality_monthly_index",  # grand-mean pass + index pass over month cells
+    "langid_confusion_matrix",  # totals pass + matrix pass (bounded)
+    "winsorized_mean_price",  # documented 2-pass bounds + clip (MAD pattern)
+    "quality_filtered_per_lang",  # threshold pass + apply pass (documented)
+    "knn_label_propagation",  # holdout + corpus slices of one table
+    "retrieval_eval_ivf",  # exact + IVF pipelines both read embeddings (eval)
+    "vocab_top_words",  # partially cached tf reuse
+    "active_users_rolling",  # cached bitmap grid (text artifact)
+    "dedup_editdistance_verify",  # persisted pair pipeline (text artifact)
+    "mix_temperature_sampling",  # persisted rate table; min scalar branch
+    "centroid_similarity_labels",  # persisted centroids; self-join text artifact
+    "regression_theilsen_trend",  # persisted monthly series; 3 branch reads
     # postings slice + doc-length pass (re-scan beats caching the
     # corpus-sized exploded frame; same trade as text_top_terms):
     "search_bm25_topk",
