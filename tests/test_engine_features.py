@@ -306,3 +306,33 @@ def test_nested_struct_schema_pruning(spark):
         assert "payload" not in read_schema
         assert "width" in read_schema and "height" not in read_schema
         assert q.count() > 0
+
+
+def test_langid_confusion_shares_sum_to_one(spark):
+    out = all_queries.QUERIES["langid_confusion_matrix"](spark, SF_DIR).collect()
+    from collections import defaultdict
+
+    per_label = defaultdict(float)
+    for r in out:
+        assert r["n_docs"] > 0
+        per_label[r["lang_label"]] += r["label_share"]
+    for lab, total in per_label.items():
+        assert abs(total - 1.0) < 1e-9, lab
+
+
+def test_embedding_norm_audit_bounds(spark):
+    out = all_queries.QUERIES["embedding_norm_audit"](spark, SF_DIR).collect()
+    assert out
+    for r in out:
+        assert 0 <= r["min_norm"] <= r["mean_norm"] <= r["max_norm"]
+        assert r["n_vecs"] > 0
+
+
+def test_traffic_heatmap_covers_fact(spark):
+    from movie_rankings_spark.catalog import load_table
+
+    out = all_queries.QUERIES["traffic_dow_hour_heatmap"](spark, SF_DIR).collect()
+    total = load_table(spark, SF_DIR, "events").count()
+    assert sum(r["n_events"] for r in out) == total
+    for r in out:
+        assert 1 <= r["dow"] <= 7 and 0 <= r["hour_of_day"] <= 23
