@@ -28,8 +28,10 @@ import json
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 from movie_rankings_spark.sources.html import (
@@ -60,6 +62,85 @@ class RankingsDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> "RankingsStreamReader":
         return RankingsStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "RankingsJsonlWriter":
+        return RankingsJsonlWriter(self.options, schema, overwrite)
+
+
+class _JsonlCommit(WriterCommitMessage):
+    def __init__(self, tmp_file: str, n_rows: int):
+        self.tmp_file = tmp_file
+        self.n_rows = n_rows
+
+
+class RankingsJsonlWriter(DataSourceWriter):
+    """Write side of the custom format: JSON-lines part files with the
+    full TWO-PHASE commit contract — tasks write to temp names and
+    report them in commit messages; only the driver-side commit()
+    renames them into place and stamps _SUCCESS (+ a row-count
+    manifest), so a failed/speculated task leaves no visible output
+    and abort() removes every temp. This is the same visibility
+    protocol as Spark's file committers, expressed through the Python
+    DataSource writer API:
+
+        df.write.format("movie_rankings").mode(...).save(path)
+    """
+
+    def __init__(self, options, schema, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("movie_rankings writer requires a path")
+        self.columns = [f.name for f in schema.fields]
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> "_JsonlCommit":
+        import json as _json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"_tmp_{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(
+                    _json.dumps(dict(zip(self.columns, row)), sort_keys=True)
+                )
+                fh.write("\n")
+                n += 1
+        return _JsonlCommit(tmp, n)
+
+    def commit(self, messages) -> None:
+        import json as _json
+        import os
+
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.startswith("part-") and f.endswith(".jsonl"):
+                    os.remove(os.path.join(self.path, f))
+        start = sum(
+            1
+            for f in os.listdir(self.path)
+            if f.startswith("part-") and f.endswith(".jsonl")
+        )
+        total = 0
+        for i, m in enumerate(messages):
+            final = os.path.join(self.path, f"part-{start + i:05d}.jsonl")
+            os.replace(m.tmp_file, final)
+            total += m.n_rows
+        with open(
+            os.path.join(self.path, "_SUCCESS"), "w", encoding="utf-8"
+        ) as fh:
+            fh.write(_json.dumps({"n_rows_last_commit": total}))
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            try:
+                os.remove(m.tmp_file)
+            except OSError:
+                pass
 
 
 class RankingsReader(DataSourceReader):

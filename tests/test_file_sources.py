@@ -71,3 +71,31 @@ def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
     # ORC scan must receive the filter and prune to the two columns
     assert "PushedFilters: [IsNotNull(s_suppkey), LessThan(s_suppkey,10)]" in plan
     assert "s_acctbal" not in plan.split("ReadSchema")[1]
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """Schema drift across file generations: mergeSchema unifies old
+    and new footers; rows from the old generation surface NULL for the
+    added column (the additive-evolution contract a long-lived table
+    relies on)."""
+    from pyspark.sql import functions as F
+
+    v1 = spark.range(5).select(
+        F.col("id"), (F.col("id") * 2).alias("value")
+    )
+    v1.write.mode("overwrite").parquet(str(tmp_path / "t" / "g=1"))
+    v2 = spark.range(5, 8).select(
+        F.col("id"),
+        (F.col("id") * 2).alias("value"),
+        F.lit("new").alias("tag"),
+    )
+    v2.write.mode("overwrite").parquet(str(tmp_path / "t" / "g=2"))
+
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        str(tmp_path / "t")
+    )
+    assert set(merged.columns) >= {"id", "value", "tag"}
+    assert merged.count() == 8
+    old_rows = merged.filter(F.col("tag").isNull()).count()
+    assert old_rows == 5
+    assert merged.filter(F.col("tag") == "new").count() == 3
