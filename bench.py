@@ -126,6 +126,7 @@ HEADLINE_QUERIES = (
     "decontaminate_report",
     "decontaminate_bloom_gate",
     "audit_orders_quality",
+    "expectations_documents",
     "profile_columns_orders",
     "kanonymity_customers",
     "classifier_calibration_bins",
@@ -171,6 +172,7 @@ HEADLINE_QUERIES = (
     "sample_docs_deterministic",
     "sample_k_per_lang",
     "sample_stratified_by_lang",
+    "sample_neyman_allocation",
     "mix_corpus_token_budget",
     "dsir_importance_topk",
     "quality_repetition_bigram",

@@ -94,6 +94,8 @@ _UNSEEN_FIRST = (
     "langid_confusion_matrix",
     "embedding_norm_audit",
     "traffic_dow_hour_heatmap",
+    "expectations_documents",
+    "sample_neyman_allocation",
     "flagship_pandas_api",
     "stream_running_topk_users",
     "stream_session_dynamic_gap",

@@ -2701,3 +2701,201 @@ def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --- data-contract expectation suite over documents (r3s4) ------------------
+
+_EXPECTATIONS_ORACLE = """
+WITH checks AS (
+  SELECT
+    SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS f_id_null,
+    SUM(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END)
+      AS f_text_empty,
+    SUM(CASE WHEN lang NOT IN ('en', 'de', 'fr', 'es', 'und')
+             THEN 1 ELSE 0 END) AS f_lang_domain,
+    SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+      AS f_chars_consistent,
+    SUM(CASE WHEN length(text) < 10 OR length(text) > 100000
+             THEN 1 ELSE 0 END) AS f_len_range,
+    COUNT(*) AS n_rows,
+    COUNT(DISTINCT doc_id) AS n_ids
+  FROM documents
+)
+SELECT * FROM (
+  SELECT 'doc_id_not_null' AS expectation, CAST(f_id_null AS BIGINT)
+           AS n_failures, f_id_null = 0 AS passed FROM checks
+  UNION ALL
+  SELECT 'doc_id_unique', CAST(n_rows - n_ids AS BIGINT),
+         n_rows = n_ids FROM checks
+  UNION ALL
+  SELECT 'text_not_empty', CAST(f_text_empty AS BIGINT),
+         f_text_empty = 0 FROM checks
+  UNION ALL
+  SELECT 'lang_in_domain', CAST(f_lang_domain AS BIGINT),
+         f_lang_domain = 0 FROM checks
+  UNION ALL
+  SELECT 'n_chars_matches_text', CAST(f_chars_consistent AS BIGINT),
+         f_chars_consistent = 0 FROM checks
+  UNION ALL
+  SELECT 'length_in_range', CAST(f_len_range AS BIGINT),
+         f_len_range = 0 FROM checks
+) ORDER BY expectation
+"""
+
+
+@REGISTRY.register("expectations_documents", _EXPECTATIONS_ORACLE)
+def expectations_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract expectation suite over the documents table (the
+    Great-Expectations pattern, in-engine): null/uniqueness/domain/
+    consistency/range checks evaluated in ONE conditional-aggregate
+    scan, unpivoted to a (expectation, n_failures, passed) report —
+    the ingest gate a corpus refresh must pass before any downstream
+    pipeline sees it. Companion to audit_orders_quality (relational
+    facts); this one guards the text corpus."""
+    d = _docs(spark, sf_dir)
+    checks = d.agg(
+        F.sum(F.when(F.col("doc_id").isNull(), 1).otherwise(0)).alias(
+            "f_id_null"
+        ),
+        F.sum(
+            F.when(
+                F.col("text").isNull() | (F.length("text") == 0), 1
+            ).otherwise(0)
+        ).alias("f_text_empty"),
+        F.sum(
+            F.when(
+                ~F.col("lang").isin("en", "de", "fr", "es", "und"), 1
+            ).otherwise(0)
+        ).alias("f_lang_domain"),
+        F.sum(
+            F.when(F.col("n_chars") != F.length("text"), 1).otherwise(0)
+        ).alias("f_chars_consistent"),
+        F.sum(
+            F.when(
+                (F.length("text") < 10) | (F.length("text") > 100_000), 1
+            ).otherwise(0)
+        ).alias("f_len_range"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_ids"),
+    )
+    rows = F.array(
+        F.struct(
+            F.lit("doc_id_not_null").alias("expectation"),
+            F.col("f_id_null").cast("long").alias("n_failures"),
+            (F.col("f_id_null") == 0).alias("passed"),
+        ),
+        F.struct(
+            F.lit("doc_id_unique").alias("expectation"),
+            (F.col("n_rows") - F.col("n_ids")).cast("long").alias("n_failures"),
+            (F.col("n_rows") == F.col("n_ids")).alias("passed"),
+        ),
+        F.struct(
+            F.lit("text_not_empty").alias("expectation"),
+            F.col("f_text_empty").cast("long").alias("n_failures"),
+            (F.col("f_text_empty") == 0).alias("passed"),
+        ),
+        F.struct(
+            F.lit("lang_in_domain").alias("expectation"),
+            F.col("f_lang_domain").cast("long").alias("n_failures"),
+            (F.col("f_lang_domain") == 0).alias("passed"),
+        ),
+        F.struct(
+            F.lit("n_chars_matches_text").alias("expectation"),
+            F.col("f_chars_consistent").cast("long").alias("n_failures"),
+            (F.col("f_chars_consistent") == 0).alias("passed"),
+        ),
+        F.struct(
+            F.lit("length_in_range").alias("expectation"),
+            F.col("f_len_range").cast("long").alias("n_failures"),
+            (F.col("f_len_range") == 0).alias("passed"),
+        ),
+    )
+    return (
+        checks.select(F.explode(rows).alias("e"))
+        .select("e.*")
+        .orderBy("expectation")
+    )
+
+
+# --- Neyman sampling allocation (r3s4) --------------------------------------
+
+_NEYMAN_ORACLE = """
+WITH m AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(n_chars AS DECIMAL(18,0)) * n_chars) AS DOUBLE) AS s2
+  FROM documents GROUP BY 1
+),
+sd AS (
+  SELECT lang, n_docs,
+         sqrt(greatest(s2 / n_docs - (s1 / n_docs) * (s1 / n_docs), 0.0))
+           AS stddev_chars
+  FROM m
+),
+tot AS (
+  SELECT SUM(CAST(n_docs AS DOUBLE) * stddev_chars) AS w FROM sd
+)
+SELECT sd.lang, sd.n_docs, sd.stddev_chars,
+       CAST(floor(1000.0 * CAST(sd.n_docs AS DOUBLE) * sd.stddev_chars
+                  / t.w) AS BIGINT) AS alloc_n,
+       floor(1000.0 * CAST(sd.n_docs AS DOUBLE) * sd.stddev_chars / t.w)
+         / CAST(sd.n_docs AS DOUBLE) AS alloc_rate
+FROM sd CROSS JOIN tot t
+ORDER BY sd.lang
+"""
+
+
+@REGISTRY.register("sample_neyman_allocation", _NEYMAN_ORACLE)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman (variance-optimal) stratified-sampling allocation: a
+    1000-doc audit budget split across language strata proportional to
+    N_h·sigma_h — high-variance strata get more of the budget than
+    size-proportional allocation would give them (the survey-sampling
+    design behind efficient eval-set construction). Exact decimal
+    moments per stratum, a 1-row broadcast total, and double
+    arithmetic written identically in the oracle."""
+    d = _docs(spark, sf_dir)
+    m = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("decimal(18,0)"))
+        .cast("double")
+        .alias("s1"),
+        F.sum(F.col("n_chars").cast("decimal(18,0)") * F.col("n_chars"))
+        .cast("double")
+        .alias("s2"),
+    )
+    sd = m.select(
+        "lang",
+        "n_docs",
+        F.sqrt(
+            F.greatest(
+                F.col("s2") / F.col("n_docs")
+                - (F.col("s1") / F.col("n_docs"))
+                * (F.col("s1") / F.col("n_docs")),
+                F.lit(0.0),
+            )
+        ).alias("stddev_chars"),
+    )
+    tot = sd.agg(
+        F.sum(F.col("n_docs").cast("double") * F.col("stddev_chars")).alias(
+            "w"
+        )
+    )
+    alloc = F.floor(
+        F.lit(1000.0)
+        * F.col("n_docs").cast("double")
+        * F.col("stddev_chars")
+        / F.col("w")
+    )
+    return (
+        sd.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "stddev_chars",
+            alloc.cast("long").alias("alloc_n"),
+            (alloc / F.col("n_docs").cast("double")).alias("alloc_rate"),
+        )
+        .orderBy("lang")
+    )
