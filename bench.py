@@ -79,6 +79,7 @@ HEADLINE_QUERIES = (
     "timeseries_gapfill_daily",
     "diff_orders_snapshots",
     "incremental_monthly_revenue",
+    "ivm_join_segment_revenue",
     "sample_docs_weighted",
     "changelog_latest_snapshot",
     "scd2_user_event_history",

@@ -96,6 +96,7 @@ _UNSEEN_FIRST = (
     "traffic_dow_hour_heatmap",
     "expectations_documents",
     "sample_neyman_allocation",
+    "ivm_join_segment_revenue",
     "flagship_pandas_api",
     "stream_running_topk_users",
     "stream_session_dynamic_gap",

@@ -2176,3 +2176,66 @@ def traffic_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hour_of_day")
     )
+
+
+# --- incremental JOIN-view maintenance (r3s4) -------------------------------
+
+_IVM_JOIN_ORACLE = """
+SELECT c.c_mktsegment AS segment,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_price,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@REGISTRY.register("ivm_join_segment_revenue", _IVM_JOIN_ORACLE)
+def ivm_join_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view (the delta-join algebra,
+    completing the IVM story next to incremental_monthly_revenue's
+    aggregate case): for V = γ(A ⋈ B) with insert-only deltas on BOTH
+    sides,
+
+        V_new = merge(γ(A₀⋈B₀), γ(ΔA⋈B₀), γ(A₀⋈ΔB), γ(ΔA⋈ΔB))
+
+    — the three delta terms are the work a nightly refresh actually
+    runs (ΔA⋈B uses the small delta as the broadcast/probe side; the
+    full A₀⋈B₀ term is the already-materialized view, recomputed here
+    only so the oracle's from-scratch join can certify the algebra).
+    Decimal partial sums make the merge exact, not float-associative.
+    Deltas: orders with orderkey%7==0, customers with custkey%13==0."""
+    from movie_rankings_spark.operators.snapshots import merge_partial_aggs
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    a0 = orders.filter(F.col("o_orderkey") % 7 != 0)
+    da = orders.filter(F.col("o_orderkey") % 7 == 0)
+    b0 = cust.filter(F.col("c_custkey") % 13 != 0)
+    db = cust.filter(F.col("c_custkey") % 13 == 0)
+
+    def part(o: DataFrame, c: DataFrame) -> DataFrame:
+        return (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                    "total_price"
+                ),
+                F.count(F.lit(1)).alias("n_orders"),
+            )
+        )
+
+    merged = merge_partial_aggs(
+        [part(a0, b0), part(da, b0), part(a0, db), part(da, db)],
+        keys=["segment"],
+        sum_cols=["total_price"],
+        count_col="n_orders",
+    )
+    return merged.select(
+        "segment",
+        F.col("total_price").cast("double").alias("total_price"),
+        "n_orders",
+    ).orderBy("segment")

@@ -90,6 +90,7 @@ KNOWN_LEGIT = {
     "mix_temperature_sampling",  # persisted rate table; min scalar branch
     "centroid_similarity_labels",  # persisted centroids; self-join text artifact
     "regression_theilsen_trend",  # persisted monthly series; 3 branch reads
+    "ivm_join_segment_revenue",  # 4 delta-term joins BY DESIGN (delta-join algebra demo)
     # postings slice + doc-length pass (re-scan beats caching the
     # corpus-sized exploded frame; same trade as text_top_terms):
     "search_bm25_topk",
