@@ -279,6 +279,7 @@ _PYTHON_RESIDENT = {
     "similarity_mmr_topk",  # greedy MMR selection over pooled candidates
     "retrieval_eval_ivf",  # evaluates the IVF path (Arrow GEMM inside)
     "multimodal_audio_frames",  # windowed DSP over binary payloads (mapInPandas by design)
+    "flagship_pandas_api",  # pandas-API front-end demo; stages Python eval by design (DataFrame form is the production path)
 }
 
 _PY_NODE = re.compile(r"InPandas|EvalPython|PythonUDF|BatchEvalPython", re.I)
