@@ -64,6 +64,7 @@ HEADLINE_QUERIES = (
     "funnel_view_click_purchase",
     "funnel_time_to_convert",
     "cohort_retention_daily",
+    "cohort_ltv_curve",
     "json_props_stats",
     "orders_by_month",
     "rollup_orders",
@@ -102,6 +103,7 @@ HEADLINE_QUERIES = (
     "dedup_minhash_lsh",
     "dedup_incremental_batch",
     "dedup_cluster_reps_star",
+    "dedup_impact_report",
     "dedup_embedding_lsh",
     "similarity_cosine_topk",
     "similarity_cosine_topk_numpy",

@@ -97,6 +97,8 @@ _UNSEEN_FIRST = (
     "expectations_documents",
     "sample_neyman_allocation",
     "ivm_join_segment_revenue",
+    "cohort_ltv_curve",
+    "dedup_impact_report",
     "flagship_pandas_api",
     "stream_running_topk_users",
     "stream_session_dynamic_gap",

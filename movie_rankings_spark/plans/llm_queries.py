@@ -2899,3 +2899,115 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- dedup funnel impact report (r3s4) --------------------------------------
+
+_DEDUP_IMPACT_ORACLE = f"""
+WITH RECURSIVE fp AS (
+  SELECT doc_id, len({_WORDS}) AS n_words,
+         md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS f
+  FROM documents
+),
+exact_removed AS (
+  SELECT doc_id, n_words FROM (
+    SELECT doc_id, n_words,
+           MIN(doc_id) OVER (PARTITION BY f) AS keeper
+    FROM fp
+  ) WHERE doc_id <> keeper
+),
+s AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+sz AS (SELECT doc_id, len(sh) AS n FROM s),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+  WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5
+),
+und AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT u, u AS v FROM (SELECT DISTINCT u FROM und)
+  UNION
+  SELECT r.u, n2.v FROM reach r JOIN und n2 ON r.v = n2.u
+),
+labels AS (SELECT u, MIN(v) AS component FROM reach GROUP BY u),
+near_removed AS (
+  SELECT l.u AS doc_id, fp.n_words
+  FROM labels l JOIN fp ON l.u = fp.doc_id
+  WHERE l.u <> l.component
+)
+SELECT * FROM (
+  SELECT 'exact' AS tier,
+         CAST(COUNT(*) AS BIGINT) AS n_docs_removed,
+         CAST(COALESCE(SUM(n_words), 0) AS BIGINT) AS n_tokens_removed
+  FROM exact_removed
+  UNION ALL
+  SELECT 'neardup', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(n_words), 0) AS BIGINT)
+  FROM near_removed
+) ORDER BY tier
+"""
+
+
+@REGISTRY.register("dedup_impact_report", _DEDUP_IMPACT_ORACLE)
+def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup funnel summary a curation run reports: documents and
+    tokens removed at the exact tier (content-fingerprint groups,
+    min-id keeper) and at the near-dup tier (MinHash-LSH clusters,
+    min-id rep) — the cost/benefit line items before committing a
+    dedup policy. Both tiers reuse the proven building blocks
+    (content_fingerprint window; verified LSH pairs + star
+    components) and stay value-hash exact against the closure
+    oracle."""
+    from movie_rankings_spark.functions.text import (
+        content_fingerprint,
+        words,
+    )
+    from movie_rankings_spark.operators.components import (
+        connected_components_star,
+    )
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "text",
+        F.size(words(F.col("text"))).alias("n_words"),
+        content_fingerprint(F.col("text")).alias("f"),
+    ).persist()  # read by the exact tier AND the LSH pipeline
+
+    w = Window.partitionBy("f")
+    exact_removed = (
+        docs.withColumn("keeper", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .agg(
+            F.lit("exact").alias("tier"),
+            F.count(F.lit(1)).cast("long").alias("n_docs_removed"),
+            F.coalesce(F.sum("n_words"), F.lit(0))
+            .cast("long")
+            .alias("n_tokens_removed"),
+        )
+    )
+    pairs = dedup.minhash_neardup_pairs(
+        docs.select("doc_id", "text"), threshold=0.5, num_hashes=64, bands=16
+    )
+    labels = connected_components_star(pairs)
+    near_removed = (
+        labels.filter(F.col("node") != F.col("component"))
+        .join(docs.select(F.col("doc_id").alias("node"), "n_words"), "node")
+        .agg(
+            F.lit("neardup").alias("tier"),
+            F.count(F.lit(1)).cast("long").alias("n_docs_removed"),
+            F.coalesce(F.sum("n_words"), F.lit(0))
+            .cast("long")
+            .alias("n_tokens_removed"),
+        )
+    )
+    return exact_removed.unionByName(near_removed).orderBy("tier")

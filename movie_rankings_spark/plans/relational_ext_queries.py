@@ -2239,3 +2239,78 @@ def ivm_join_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_price").cast("double").alias("total_price"),
         "n_orders",
     ).orderBy("segment")
+
+
+# --- cohort LTV curve (r3s4) ------------------------------------------------
+
+_LTV_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, MIN(date_trunc('day', ts)) AS cohort_day
+  FROM events GROUP BY 1
+),
+rev AS (
+  SELECT f.cohort_day,
+         CAST(date_diff('day', f.cohort_day, date_trunc('day', e.ts))
+              AS INTEGER) AS age_days,
+         SUM(CAST(e.value AS DECIMAL(18,6))) AS v
+  FROM events e JOIN first_seen f USING (user_id)
+  WHERE e.event_type = 'purchase'
+  GROUP BY 1, 2
+),
+sized AS (SELECT cohort_day, COUNT(*) AS n_users FROM first_seen GROUP BY 1)
+SELECT strftime(r.cohort_day, '%Y-%m-%d') AS cohort,
+       r.age_days,
+       CAST(s.n_users AS BIGINT) AS cohort_size,
+       CAST(SUM(r.v) OVER (PARTITION BY r.cohort_day ORDER BY r.age_days
+                           ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+         / s.n_users AS cum_ltv_per_user
+FROM rev r JOIN sized s USING (cohort_day)
+ORDER BY cohort, age_days
+"""
+
+
+@REGISTRY.register("cohort_ltv_curve", _LTV_ORACLE)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative lifetime value per cohort-age day — the growth
+    curve behind payback-period decisions (cohort_retention_daily is
+    the activity half; this is the revenue half). Exact decimal
+    revenue cells cumulated by a window PARTITIONED BY COHORT (never
+    global), normalized by cohort size."""
+    e = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    rev = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort_day"))
+            .cast("int")
+            .alias("age_days"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("v"))
+    )
+    sized = first_seen.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("age_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rev.join(sized, "cohort_day")
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
+            "age_days",
+            F.col("n_users").cast("long").alias("cohort_size"),
+            (
+                F.sum("v").over(w).cast("double")
+                / F.col("n_users").cast("double")
+            ).alias("cum_ltv_per_user"),
+        )
+        .orderBy("cohort", "age_days")
+    )
