@@ -65,6 +65,7 @@ HEADLINE_QUERIES = (
     "funnel_time_to_convert",
     "cohort_retention_daily",
     "cohort_ltv_curve",
+    "rfm_customer_segments",
     "json_props_stats",
     "orders_by_month",
     "rollup_orders",

@@ -99,6 +99,7 @@ _UNSEEN_FIRST = (
     "ivm_join_segment_revenue",
     "cohort_ltv_curve",
     "dedup_impact_report",
+    "rfm_customer_segments",
     "flagship_pandas_api",
     "stream_running_topk_users",
     "stream_session_dynamic_gap",

@@ -2314,3 +2314,99 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "age_days")
     )
+
+
+# --- RFM customer segmentation (r3s4) ---------------------------------------
+
+_RFM_ORACLE = """
+WITH ref AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+rfm AS (
+  SELECT o.o_custkey,
+         date_diff('day', MAX(o.o_orderdate), r.mx) AS recency_days,
+         COUNT(*) AS frequency,
+         SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS monetary
+  FROM orders o CROSS JOIN ref r
+  GROUP BY o.o_custkey, r.mx
+),
+th AS (
+  SELECT quantile_cont(CAST(recency_days AS DOUBLE), 0.5) AS r_med,
+         quantile_cont(CAST(frequency AS DOUBLE), 0.5) AS f_med,
+         quantile_cont(CAST(monetary AS DOUBLE), 0.5) AS m_med
+  FROM rfm
+),
+seg AS (
+  SELECT CASE
+           WHEN CAST(recency_days AS DOUBLE) <= t.r_med
+                AND CAST(frequency AS DOUBLE) > t.f_med
+                AND CAST(monetary AS DOUBLE) > t.m_med THEN 'champion'
+           WHEN CAST(recency_days AS DOUBLE) <= t.r_med
+                AND CAST(monetary AS DOUBLE) > t.m_med THEN 'big_spender'
+           WHEN CAST(recency_days AS DOUBLE) <= t.r_med THEN 'active'
+           WHEN CAST(monetary AS DOUBLE) > t.m_med THEN 'at_risk_valuable'
+           ELSE 'hibernating' END AS segment,
+         monetary
+  FROM rfm CROSS JOIN th t
+)
+SELECT segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(monetary) AS DOUBLE) / COUNT(*) AS avg_monetary
+FROM seg GROUP BY segment ORDER BY segment
+"""
+
+
+@REGISTRY.register("rfm_customer_segments", _RFM_ORACLE)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation — the
+    warehouse-classic customer taxonomy: per-customer RFM facts in
+    one aggregate, median thresholds from ONE exact-percentile pass
+    broadcast back (never an ntile over a global window — the
+    SinglePartition trap), CASE taxonomy, segment rollup. Exact
+    decimal monetary sums keep the report engine-identical."""
+    o = _t(spark, sf_dir, "orders")
+    ref = o.agg(F.max("o_orderdate").alias("mx"))
+    rfm = (
+        o.crossJoin(F.broadcast(ref))
+        .groupBy("o_custkey", "mx")
+        .agg(
+            F.datediff(F.col("mx"), F.max("o_orderdate")).alias(
+                "recency_days"
+            ),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "monetary"
+            ),
+        )
+    )
+    th = rfm.agg(
+        F.percentile(F.col("recency_days").cast("double"), F.lit(0.5)).alias(
+            "r_med"
+        ),
+        F.percentile(F.col("frequency").cast("double"), F.lit(0.5)).alias(
+            "f_med"
+        ),
+        F.percentile(F.col("monetary").cast("double"), F.lit(0.5)).alias(
+            "m_med"
+        ),
+    )
+    r_ok = F.col("recency_days").cast("double") <= F.col("r_med")
+    f_hi = F.col("frequency").cast("double") > F.col("f_med")
+    m_hi = F.col("monetary").cast("double") > F.col("m_med")
+    seg = (
+        F.when(r_ok & f_hi & m_hi, "champion")
+        .when(r_ok & m_hi, "big_spender")
+        .when(r_ok, "active")
+        .when(m_hi, "at_risk_valuable")
+        .otherwise("hibernating")
+    )
+    return (
+        rfm.crossJoin(F.broadcast(th))
+        .select(seg.alias("segment"), "monetary")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            (F.sum("monetary").cast("double") / F.count(F.lit(1))).alias(
+                "avg_monetary"
+            ),
+        )
+        .orderBy("segment")
+    )

@@ -92,6 +92,7 @@ KNOWN_LEGIT = {
     "regression_theilsen_trend",  # persisted monthly series; 3 branch reads
     "ivm_join_segment_revenue",  # 4 delta-term joins BY DESIGN (delta-join algebra demo)
     "cohort_ltv_curve",  # first-seen + revenue slices of one fact
+    "rfm_customer_segments",  # threshold pass + taxonomy pass (documented 2-pass)
     "dedup_impact_report",  # persisted docs; exact tier + LSH pipeline branches
     # postings slice + doc-length pass (re-scan beats caching the
     # corpus-sized exploded frame; same trade as text_top_terms):
