@@ -204,6 +204,26 @@ HEADLINE_QUERIES = (
     "stream_running_topk_users",
     "stream_session_dynamic_gap",
     "stream_dedup_then_window",
+    # r4: the previously-unbenched remainder — every registered query
+    # now has a perf anchor so regressions can't hide in corners
+    "flagship_fixture",
+    "flagship_fixture_distinct",
+    "fuzzy_title_match",
+    "approx_distinct_parts",
+    "approx_percentiles_price",
+    "dedup_cluster_reps",
+    "dedup_embedding_cosine",
+    "embedding_covariance",
+    "embedding_pca_project",
+    "embedding_quantize_int8",
+    "multimodal_features",
+    "text_doc_stats",
+    "text_fingerprints",
+    "text_lm_score",
+    "profile_columns_orders_approx",
+    "stream_dedup_user_types",
+    "stream_dedup_watermark_bounded",
+    "stream_sliding_6h",
 )
 
 

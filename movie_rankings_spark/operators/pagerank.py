@@ -30,6 +30,7 @@ def pagerank(
     damping: float = 0.85,
     n_iterations: int = 10,
     shuffle_partitions: int | None = None,
+    decimal_mass: bool = False,
 ) -> DataFrame:
     """(node, rank) after ``n_iterations`` power steps; ranks sum to
     1.0 (within float tolerance). Edges are directed; pass both
@@ -40,19 +41,43 @@ def pagerank(
     often far smaller than the session default sized for fact scans —
     and an iterative loop pays per-task overhead × rounds, so
     right-sizing it matters more here than anywhere else. Leave None
-    to inherit the session setting (the 100 TB default)."""
+    to inherit the session setting (the 100 TB default).
+
+    ``decimal_mass=True`` quantizes each per-edge contribution to a
+    scaled 1e15 INTEGER — round(rank·w·1e15) as BIGINT — before the
+    per-destination sum: integer addition is exact and therefore
+    ORDER-INDEPENDENT, so the rank vector stops depending on shuffle
+    partitioning/merge order and an independent engine running the
+    same recurrence reproduces it bit-for-bit — which is what lets
+    pagerank_copurchase carry a value-hash DuckDB oracle (r4). Why
+    scaled integers and not a decimal cast: engines disagree on
+    double→DECIMAL conversion (DuckDB scales IN DOUBLE before
+    rounding, the JVM converts the exact binary value — measured
+    ~1e-12 relative drift over 10 rounds), whereas round(x·1e15) is
+    the SAME double multiply + ties-away rounding everywhere, and
+    with mass ≤ 1 every scaled value stays < 2^53 so the unscale
+    division is one deterministic rounding. The 5e-16 per-edge
+    quantization is immaterial at rank scale; everything else is
+    deterministic IEEE double arithmetic."""
     spark = edges.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
-        return _pagerank(edges, src, dst, damping, n_iterations)
+        return _pagerank(
+            edges, src, dst, damping, n_iterations, decimal_mass
+        )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def _pagerank(
-    edges: DataFrame, src: str, dst: str, damping: float, n_iterations: int
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    damping: float,
+    n_iterations: int,
+    decimal_mass: bool,
 ) -> DataFrame:
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     nodes = (
@@ -80,9 +105,12 @@ def _pagerank(
         # (current + initial plan per nesting level) blows the driver
         # heap. At 100 TB you would checkpoint to reliable storage
         # every few rounds instead; the per-round shape is unchanged.
+        c = F.col("rank") * F.col("w")
+        if decimal_mass:
+            c = F.round(c * F.lit(1e15)).cast("long")
         contribs = (
             weighted.join(ranks, weighted["src"] == ranks["node"])
-            .select("dst", (F.col("rank") * F.col("w")).alias("c"))
+            .select("dst", c.alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("mass"))
         )
@@ -90,7 +118,12 @@ def _pagerank(
             # contribs feeds BOTH the scalar and the update: checkpoint
             # first or the lineage doubles per round
             contribs = contribs.localCheckpoint()
-            flowed = contribs.agg(F.sum("mass")).collect()[0][0] or 0.0
+            total = contribs.agg(F.sum("mass")).collect()[0][0]
+            flowed = (
+                float(total or 0) / 1e15
+                if decimal_mass
+                else float(total or 0.0)
+            )
             dangling = 1.0 - flowed
         else:
             dangling = 0.0  # all mass flows along edges, exactly
@@ -101,7 +134,11 @@ def _pagerank(
             (
                 F.lit((1.0 - damping) / n)
                 + F.lit(damping)
-                * (F.coalesce(F.col("mass"), F.lit(0.0)) + F.lit(dangling / n))
+                * (
+                    F.coalesce(F.col("mass").cast("double"), F.lit(0.0))
+                    / (F.lit(1e15) if decimal_mass else F.lit(1.0))
+                    + F.lit(dangling / n)
+                )
             ).alias("rank"),
         )
         ranks = ranks.localCheckpoint()

@@ -62,7 +62,9 @@ def skew_profiles(profiles: list[DataFrame]) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), profiles)
 
 
-def column_profile(df: DataFrame, renders: dict[str, object]) -> DataFrame:
+def column_profile(
+    df: DataFrame, renders: dict[str, object], exact: bool = True
+) -> DataFrame:
     """ANALYZE-TABLE-style per-column statistics in ONE aggregate pass:
     one row per profiled column with n_rows, n_nulls, n_distinct, and
     min/max rendered to engine-portable strings.
@@ -90,7 +92,9 @@ def column_profile(df: DataFrame, renders: dict[str, object]) -> DataFrame:
     hash aggregation), i.e. two full sorts of N× the fact: measured
     5.1 s vs ~1 s for this form at sf0.1. At 100 TB swap step 2 for
     approx_count_distinct inside step 1 (HLL partials hash-aggregate
-    fine) — one scan, same schema, approximate NDV."""
+    fine) — one scan, same schema, approximate NDV. That 100 TB form
+    is `exact=False` (r4): HLL NDV folded into pass 1, exactly one
+    scan of the fact, identical output schema."""
     cols = list(renders)
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
@@ -100,6 +104,8 @@ def column_profile(df: DataFrame, renders: dict[str, object]) -> DataFrame:
             render(F.min(c)).cast("string").alias(f"{c}__min"),
             render(F.max(c)).cast("string").alias(f"{c}__max"),
         ]
+        if not exact:
+            aggs.append(F.approx_count_distinct(c).alias(f"{c}__ndv"))
     row = df.agg(*aggs)
     per_col = F.array(
         *[
@@ -109,11 +115,25 @@ def column_profile(df: DataFrame, renders: dict[str, object]) -> DataFrame:
                 (F.col("__n") - F.col(f"{c}__nn")).cast("long").alias("n_nulls"),
                 F.col(f"{c}__min").alias("min_value"),
                 F.col(f"{c}__max").alias("max_value"),
+                *(
+                    []
+                    if exact
+                    else [F.col(f"{c}__ndv").cast("long").alias("n_distinct")]
+                ),
             )
             for c in cols
         ]
     )
     base = row.select(F.explode(per_col).alias("p")).select("p.*")
+    if not exact:
+        return base.select(
+            "column",
+            "n_rows",
+            "n_nulls",
+            "n_distinct",
+            "min_value",
+            "max_value",
+        ).orderBy("column")
 
     stacked = df.select(
         F.explode(

@@ -297,16 +297,26 @@ def gini_exact(df: DataFrame, value_col: str) -> DataFrame:
     vc = df.groupBy(F.col(value_col).alias("v")).agg(
         F.count(F.lit(1)).alias("c")
     )
-    bounds = df.agg(
-        F.percentile_approx(
-            value_col, F.lit([i / n_b for i in range(1, n_b)]), F.lit(10_000)
-        ).alias("b")
-    ).collect()[0]["b"]
-    bounds = sorted(set(float(b) for b in (bounds or [])))
-    blit = F.lit(bounds) if bounds else F.lit([float("-inf")])
-    vb = vc.withColumn(
-        "_bucket", F.size(F.filter(blit, lambda b: F.col("v") > b))
-    )
+    if n_b > 1:
+        bounds = df.agg(
+            F.percentile_approx(
+                value_col,
+                F.lit([i / n_b for i in range(1, n_b)]),
+                F.lit(10_000),
+            ).alias("b")
+        ).collect()[0]["b"]
+        bounds = sorted(set(float(b) for b in (bounds or [])))
+    else:
+        bounds = []
+    if bounds:
+        vb = vc.withColumn(
+            "_bucket",
+            F.size(F.filter(F.lit(bounds), lambda b: F.col("v") > b)),
+        )
+    else:
+        # single-bucket degenerate case (shuffle.partitions=1 or empty
+        # input): bucket 0 so the offsets table below still covers it
+        vb = vc.withColumn("_bucket", F.lit(0))
     totals = {
         r["_bucket"]: r["t"]
         for r in vb.groupBy("_bucket").agg(F.sum("c").alias("t")).collect()
@@ -324,11 +334,17 @@ def gini_exact(df: DataFrame, value_col: str) -> DataFrame:
         .join(F.broadcast(off), "_bucket")
         .withColumn("_r", F.col("_offset") + F.col("_cum") - F.col("c"))
     )
-    # rank-weight per tie group: c*r + c(c+1)/2, kept in a narrow
-    # decimal so v * weight stays inside precision 38 (the DSIR trap)
-    wsum = (
-        F.col("c") * F.col("_r") + (F.col("c") * (F.col("c") + 1)) / 2
-    ).cast("decimal(16,0)")
+    # rank-weight per tie group: c*r + c(c+1)/2 in DECIMAL end to end
+    # (long products overflow at c·r > 9.2e18; a double intermediate
+    # loses exactness past 2^53). c·(c+1) is always even so the /2 at
+    # decimal scale is exact; the final cast keeps the weight in
+    # decimal(19,0) so v * weight stays inside precision 38 (the DSIR
+    # trap) — exact for n up to ~4.3e9 rows per statistic.
+    cd = F.col("c").cast("decimal(19,0)")
+    rd = F.col("_r").cast("decimal(19,0)")
+    wsum = (cd * rd + (cd * (cd + F.lit(1))) / F.lit(2)).cast(
+        "decimal(19,0)"
+    )
     agg = ranked.agg(
         F.sum("c").cast("long").alias("n_values"),
         F.sum(F.col("v") * F.col("c").cast("decimal(10,0)")).alias("_s1"),

@@ -634,6 +634,33 @@ def profile_columns_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@REGISTRY.register("profile_columns_orders_approx")  # HLL NDV: rows-only
+def profile_columns_orders_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of profile_columns_orders (r4, VERDICT item 7):
+    approx_count_distinct folded into the single grouping-free
+    aggregate — exactly ONE scan of the fact, no Expand, no stacked
+    explode, identical output schema. Rows-only registration (HLL
+    estimates are engine-specific); NDV accuracy vs the exact pass
+    and the one-scan plan shape are pinned in
+    tests/test_session4_ops.py."""
+    from movie_rankings_spark.operators.profiling import column_profile
+
+    ident = lambda c: c  # noqa: E731
+    dec4 = lambda c: c.cast("decimal(18,4)")  # noqa: E731
+    return column_profile(
+        _t(spark, sf_dir, "orders"),
+        {
+            "o_orderkey": ident,
+            "o_custkey": ident,
+            "o_orderstatus": ident,
+            "o_totalprice": dec4,
+            "o_orderdate": ident,
+            "o_orderpriority": ident,
+        },
+        exact=False,
+    )
+
+
 # --- k-anonymity risk report (customer quasi-identifiers) -------------------
 
 _KANON_ORACLE = """

@@ -168,7 +168,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Same oracle as the exact query: with 16×4 banding the probability of
 # LSH missing a pair at jaccard j is (1-j^4)^16 — for the planted
 # near-dups (j >= 0.95) that is < 1e-17, and verification guarantees
-# precision, so LSH output == exact output on this corpus.
+# precision. The oracle match is therefore DATA-DEPENDENT (an organic
+# pair in the 0.5–0.9 band could be band-missed); verified empirically
+# that LSH == exact on both fixtures (sf0.01: 25/25 pairs, sf0.1:
+# 256/256 — zero missed, r4 check). Downstream exact-claim queries
+# (cluster reps / keep-best / edit-verify / impact) feed the exact
+# PPJoin instead, so only this LSH demonstration carries the caveat.
 @REGISTRY.register("dedup_minhash_lsh", _NGRAM_ORACLE)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_neardup_pairs(
@@ -276,8 +281,11 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_a", "vec_b")
 
 
-# Exact oracle: same edge set as _NGRAM_ORACLE (LSH == exact on this
-# corpus, see dedup_minhash_lsh), then a recursive-CTE transitive
+# Exact oracle: same edge set as _NGRAM_ORACLE — the Spark side feeds
+# the exact prefix-filtered Jaccard join (PPJoin, no false negatives),
+# so the edge-set equality is deterministic, not data-dependent (r4:
+# previously MinHash candidates, whose 0.5-threshold recall is only
+# ~0.64 in theory) — then a recursive-CTE transitive
 # closure labels each node with its minimum reachable id — the same
 # fixpoint the iterative min-label loop converges to. Closure is
 # quadratic in component size, fine for the oracle tier's tiny
@@ -322,8 +330,8 @@ def dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_components.py."""
     from movie_rankings_spark.operators.components import dedup_components
 
-    pairs = dedup.minhash_neardup_pairs(
-        _docs(spark, sf_dir), threshold=0.5, num_hashes=64, bands=16
+    pairs = dedup.jaccard_prefix_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.5
     )
     return dedup_components(pairs).orderBy("rep_doc_id")
 
@@ -430,20 +438,86 @@ def collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.collocation_lift(_docs(spark, sf_dir), k=20, min_count=5)
 
 
-@REGISTRY.register("pagerank_copurchase")  # iterative float: no SQL twin
+def _pagerank_oracle(n_iter: int = 10) -> str:
+    """Unrolled DuckDB twin of the decimal-mass PageRank recurrence.
+
+    Exactness strategy (r4, VERDICT item 3): per-edge contributions
+    are quantized to scaled 1e15 BIGINTs — round((rank*w)*1e15) — so
+    the only order-sensitive operation (the sum) is exact integer
+    addition in both engines; every other step is deterministic IEEE
+    double arithmetic written with IDENTICAL expression shapes. (A
+    DECIMAL cast would NOT work: DuckDB converts double→decimal by
+    scaling in double, the JVM from the exact binary value — measured
+    ~1e-12 drift.) Literal hygiene matters: DuckDB
+    parses bare `1.0 - 0.85` as exact DECIMAL subtraction (0.15),
+    while Spark's F.lit((1.0-damping)/n) bakes the PYTHON double
+    0.15000000000000002 — so the base constant is embedded via repr()
+    and CAST(... AS DOUBLE). Fixed 10 iterations are unrolled as
+    chained CTEs (no recursive-CTE single-reference limits)."""
+    base = repr(1.0 - 0.85)
+    parts = [
+        """WITH baskets AS (
+  SELECT list_distinct(list(l_partkey)) AS parts
+  FROM lineitem GROUP BY l_orderkey
+), ok AS (SELECT parts FROM baskets WHERE len(parts) BETWEEN 2 AND 30),
+e AS (
+  SELECT DISTINCT a.p AS src, b.p AS dst
+  FROM ok, LATERAL unnest(parts) AS a(p), LATERAL unnest(parts) AS b(p)
+  WHERE a.p <> b.p
+),
+nodes AS (SELECT DISTINCT src AS node FROM e),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+w AS (SELECT e.src, e.dst, CAST(1.0 AS DOUBLE) / d.deg AS w
+      FROM e JOIN deg d USING (src)),
+r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank
+       FROM nodes)"""
+    ]
+    for k in range(1, n_iter + 1):
+        parts.append(
+            f""",
+c{k} AS (
+  SELECT w.dst,
+         SUM(CAST(round((r{k - 1}.rank * w.w) * 1e15) AS BIGINT)) AS mass
+  FROM w JOIN r{k - 1} ON w.src = r{k - 1}.node GROUP BY w.dst
+),
+r{k} AS (
+  SELECT nodes.node,
+         CAST('{base}' AS DOUBLE) / (SELECT n FROM nn)
+         + CAST(0.85 AS DOUBLE)
+           * (COALESCE(CAST(c{k}.mass AS DOUBLE), CAST(0.0 AS DOUBLE))
+                / 1e15
+              + CAST(0.0 AS DOUBLE)) AS rank
+  FROM nodes LEFT JOIN c{k} ON nodes.node = c{k}.dst
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node AS l_partkey, rank FROM r{n_iter}
+ORDER BY rank DESC, l_partkey ASC LIMIT 20"""
+    )
+    return "".join(parts)
+
+
+@REGISTRY.register("pagerank_copurchase", _pagerank_oracle())
 def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-based PageRank over the item co-purchase graph
     (operators/pagerank.py): parts sharing an order, both directions;
     10 power iterations, each one edge join + one partial-aggregated
-    groupBy, no driver-side graph. Rows-only (iterative float
-    accumulation); conservation (Σrank=1), hand-computed small-graph
-    values, and dangling-mass handling are pinned in
-    tests/test_pagerank.py. Top 20 by rank."""
+    groupBy, no driver-side graph. Oracle-backed since r4: the
+    decimal-mass variant makes each round's contribution sums exact
+    and order-independent, so the unrolled DuckDB twin
+    (_pagerank_oracle) value-hash matches the full rank vector;
+    conservation (Σrank=1), hand-computed small-graph values, and
+    dangling-mass handling remain pinned in tests/test_pagerank.py.
+    Top 20 by rank."""
     from movie_rankings_spark.catalog import load_table
     from movie_rankings_spark.operators.pagerank import copurchase_edges, pagerank
 
     edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"))
-    pr = pagerank(edges, n_iterations=10, shuffle_partitions=8)
+    pr = pagerank(
+        edges, n_iterations=10, shuffle_partitions=8, decimal_mass=True
+    )
     return (
         pr.select(F.col("node").alias("l_partkey"), "rank")
         .orderBy(F.desc("rank"), F.asc("l_partkey"))
@@ -824,10 +898,19 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The Spark side DECODES real PNG/JFIF binary headers (struct-parsed
+# IHDR / SOF0 — operators/multimodal.py::parse_image_header); the
+# oracle predicts every field from the id arithmetic the synthesizer
+# encoded INTO those headers, so a parser misread = hash mismatch.
 _RESIZE_ORACLE = """
 SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
        CAST(doc_id % 640 + 1 AS INTEGER) AS width,
        CAST(doc_id % 480 + 1 AS INTEGER) AS height,
+       CAST(CASE WHEN doc_id % 2 = 0
+                 THEN CASE WHEN doc_id % 4 = 0 THEN 4 ELSE 3 END
+                 ELSE CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 3 END
+            END AS INTEGER) AS channels,
        CAST(ceil((doc_id % 640 + 1)
             * least(224.0 / (doc_id % 640 + 1),
                     224.0 / (doc_id % 480 + 1), 1.0)) AS INTEGER) AS r_width,
@@ -840,23 +923,31 @@ FROM documents ORDER BY media_id
 
 @REGISTRY.register("multimodal_resize_meta", _RESIZE_ORACLE)
 def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aspect-preserving resize-to-224 as metadata arithmetic —
-    codegen'd per-row math on the meta struct, bit-identical across
-    engines."""
+    """Aspect-preserving resize-to-224 computed from REAL decoded
+    image headers: the synthesizer writes actual PNG / JFIF byte
+    streams (valid signatures, IHDR/SOF0 frame headers, CRCs), the
+    decoder struct-parses dimensions + channels back out of the
+    binary (pure stdlib — no PIL; r4, was a byte-histogram stand-in),
+    and the resize math runs codegen'd on the decoded columns. Only
+    PIXEL decode remains environment-gated (decode_image)."""
     from movie_rankings_spark.operators import multimodal
 
-    media = multimodal.synthesize_media(_docs(spark, sf_dir))
-    return (
-        multimodal.resize_meta(media, max_side=224)
-        .select(
-            "media_id",
-            F.col("meta.width").alias("width"),
-            F.col("meta.height").alias("height"),
-            F.col("resized_meta.width").alias("r_width"),
-            F.col("resized_meta.height").alias("r_height"),
-        )
-        .orderBy("media_id")
+    media = multimodal.synthesize_image_media(_docs(spark, sf_dir))
+    dec = multimodal.decode_image_meta(media)
+    scale = F.least(
+        F.lit(224.0) / F.col("width"),
+        F.lit(224.0) / F.col("height"),
+        F.lit(1.0),
     )
+    return dec.select(
+        "media_id",
+        "format",
+        "width",
+        "height",
+        "channels",
+        F.ceil(F.col("width") * scale).cast("int").alias("r_width"),
+        F.ceil(F.col("height") * scale).cast("int").alias("r_height"),
+    ).orderBy("media_id")
 
 
 # --- training-data chunking + percentile quality gate -----------------------
@@ -1759,8 +1850,8 @@ def dedup_cluster_reps_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components_star,
     )
 
-    pairs = dedup.minhash_neardup_pairs(
-        _docs(spark, sf_dir), threshold=0.5, num_hashes=64, bands=16
+    pairs = dedup.jaccard_prefix_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.5
     )
     cc = connected_components_star(pairs)
     return (
@@ -2128,9 +2219,11 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware near-dup collapse: the production dedup policy
     keeps each cluster's HIGHEST-QUALITY member, not its smallest id
     (the arbitrary-rep policy of dedup_cluster_reps throws away the
-    best copy whenever a cleaner near-duplicate exists). MinHash-LSH
-    candidate pairs → connected components → per-component argmax of
-    the heuristic quality score (tie: min doc_id).
+    best copy whenever a cleaner near-duplicate exists). Exact
+    prefix-filtered Jaccard pairs (PPJoin — no false negatives, so
+    the closure oracle is deterministically exact) → connected
+    components → per-component argmax of the heuristic quality score
+    (tie: min doc_id).
 
     Scale: components' label table is |clustered docs| rows — tiny
     next to the corpus; the quality join touches only those rows, and
@@ -2147,9 +2240,7 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir)
-    pairs = dedup.minhash_neardup_pairs(
-        docs, threshold=0.5, num_hashes=64, bands=16
-    )
+    pairs = dedup.jaccard_prefix_pairs(docs, n=3, threshold=0.5)
     labels = connected_components_star(pairs)
     q = docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
     member = labels.join(q, labels["node"] == q["doc_id"]).select(
@@ -2270,13 +2361,15 @@ def dedup_editdistance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     edit-gate flag (dist/maxlen <= 0.2) — the character-level check
     that catches shingle-level false friends (same vocabulary, heavy
     reordering). Levenshtein is O(len_a x len_b) per pair, which is
-    exactly why it only ever runs on the LSH-verified PAIR table
-    (|pairs| rows), never the corpus; both engines ship the same
-    classic DP levenshtein, so the report is value-hash exact."""
+    exactly why it only ever runs on the verified PAIR table
+    (|pairs| rows, from the exact PPJoin so the pair set matches the
+    oracle's closure deterministically), never the corpus; both
+    engines ship the same classic DP levenshtein, so the report is
+    value-hash exact."""
     docs = _docs(spark, sf_dir)
-    pairs = dedup.minhash_neardup_pairs(
-        docs, threshold=0.5, num_hashes=64, bands=16
-    ).select("doc_a", "doc_b")
+    pairs = dedup.jaccard_prefix_pairs(docs, n=3, threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
     a = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
     b = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
     dist = F.levenshtein(F.col("ta"), F.col("tb"))
@@ -2876,7 +2969,7 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0.0),
             )
         ).alias("stddev_chars"),
-    )
+    ).persist()  # read twice: feeds the 1-row total AND the final select
     tot = sd.agg(
         F.sum(F.col("n_docs").cast("double") * F.col("stddev_chars")).alias(
             "w"
@@ -2961,12 +3054,12 @@ SELECT * FROM (
 def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup funnel summary a curation run reports: documents and
     tokens removed at the exact tier (content-fingerprint groups,
-    min-id keeper) and at the near-dup tier (MinHash-LSH clusters,
+    min-id keeper) and at the near-dup tier (exact Jaccard clusters,
     min-id rep) — the cost/benefit line items before committing a
     dedup policy. Both tiers reuse the proven building blocks
-    (content_fingerprint window; verified LSH pairs + star
-    components) and stay value-hash exact against the closure
-    oracle."""
+    (content_fingerprint window; exact PPJoin pairs + star
+    components), so the value-hash match against the closure oracle
+    is deterministic, not recall-dependent."""
     from movie_rankings_spark.functions.text import (
         content_fingerprint,
         words,
@@ -2995,8 +3088,8 @@ def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_tokens_removed"),
         )
     )
-    pairs = dedup.minhash_neardup_pairs(
-        docs.select("doc_id", "text"), threshold=0.5, num_hashes=64, bands=16
+    pairs = dedup.jaccard_prefix_pairs(
+        docs.select("doc_id", "text"), n=3, threshold=0.5
     )
     labels = connected_components_star(pairs)
     near_removed = (

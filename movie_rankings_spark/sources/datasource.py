@@ -113,21 +113,35 @@ class RankingsJsonlWriter(DataSourceWriter):
     def commit(self, messages) -> None:
         import json as _json
         import os
+        import re
+        import uuid
 
         if self.overwrite:
             for f in os.listdir(self.path):
                 if f.startswith("part-") and f.endswith(".jsonl"):
                     os.remove(os.path.join(self.path, f))
-        start = sum(
-            1
+        # Next index = max(existing part numbers) + 1, NOT the file
+        # COUNT: gapped numbering (external cleanup, partial prior
+        # failure) would otherwise alias an existing part and
+        # os.replace would silently drop its rows in append mode. A
+        # per-commit uuid in the name additionally keeps two
+        # concurrent appenders from colliding on the same index.
+        existing = [
+            int(m.group(1))
             for f in os.listdir(self.path)
-            if f.startswith("part-") and f.endswith(".jsonl")
-        )
+            if (m := re.match(r"part-(\d+)-[0-9a-f]{8}\.jsonl$", f))
+            or (m := re.match(r"part-(\d+)\.jsonl$", f))
+        ]
+        start = max(existing, default=-1) + 1
+        cid = uuid.uuid4().hex[:8]
         total = 0
         for i, m in enumerate(messages):
-            final = os.path.join(self.path, f"part-{start + i:05d}.jsonl")
+            final = os.path.join(
+                self.path, f"part-{start + i:05d}-{cid}.jsonl"
+            )
             os.replace(m.tmp_file, final)
             total += m.n_rows
+        self._sweep_stray_temps(messages)
         with open(
             os.path.join(self.path, "_SUCCESS"), "w", encoding="utf-8"
         ) as fh:
@@ -141,6 +155,29 @@ class RankingsJsonlWriter(DataSourceWriter):
                 os.remove(m.tmp_file)
             except OSError:
                 pass
+        self._sweep_stray_temps(messages)
+
+    def _sweep_stray_temps(self, messages) -> None:
+        """Remove temp files from tasks that died before reporting a
+        commit message (speculation losers, executor crashes) — abort
+        only sees REPORTED temps, so both terminal paths sweep."""
+        import os
+
+        reported = {os.path.basename(m.tmp_file) for m in messages}
+        try:
+            names = os.listdir(self.path)
+        except OSError:
+            return
+        for f in names:
+            if (
+                f.startswith("_tmp_")
+                and f.endswith(".jsonl")
+                and f not in reported
+            ):
+                try:
+                    os.remove(os.path.join(self.path, f))
+                except OSError:
+                    pass
 
 
 class RankingsReader(DataSourceReader):

@@ -150,3 +150,38 @@ def test_python_datasource_writer_roundtrip(spark, tmp_path):
     assert spark.read.json(f"{out}/part-*.jsonl").count() == 2 * df.count()
     df.write.format("movie_rankings").mode("overwrite").save(out)
     assert spark.read.json(f"{out}/part-*.jsonl").count() == df.count()
+
+
+def test_python_datasource_writer_gap_safe_append(spark, tmp_path):
+    """r4 fix: append after external cleanup left GAPS in part
+    numbering must not overwrite a surviving part (the old count-based
+    start index aliased part-00000 when part-00001+ were deleted), and
+    stray _tmp_ files from dead tasks are swept at commit."""
+    import os
+
+    from movie_rankings_spark.sources.datasource import register
+    from movie_rankings_spark.sources.fixtures import scraped_fixture_df
+
+    register(spark)
+    df = scraped_fixture_df(spark)
+    n = df.count()
+    out = str(tmp_path / "rankings_gap")
+
+    df.write.format("movie_rankings").mode("overwrite").save(out)
+    parts = sorted(f for f in os.listdir(out) if f.startswith("part-"))
+    assert len(parts) >= 2, "need multiple parts for the gap scenario"
+    # external cleanup removes every part EXCEPT the first -> gap
+    for f in parts[1:]:
+        os.remove(os.path.join(out, f))
+    survivor_rows = spark.read.json(f"{out}/{parts[0]}").count()
+    # a stray temp from a task that never reported a commit message
+    stray = os.path.join(out, "_tmp_deadbeef.jsonl")
+    open(stray, "w").close()
+
+    df.write.format("movie_rankings").mode("append").save(out)
+    # survivor intact + full new append, nothing silently replaced
+    assert (
+        spark.read.json(f"{out}/part-*.jsonl").count() == survivor_rows + n
+    )
+    assert parts[0] in os.listdir(out)
+    assert not os.path.exists(stray)

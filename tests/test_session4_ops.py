@@ -57,6 +57,34 @@ def test_column_profile_plan_shape(spark):
     assert "HashAggregate" in plan
 
 
+def test_column_profile_approx_one_scan(spark):
+    """exact=False (r4): HLL NDV folded into pass 1 — exactly ONE
+    scan, no Expand, same schema, NDV within 5% of exact."""
+    from movie_rankings_spark.operators.profiling import column_profile
+    from movie_rankings_spark.catalog import load_table
+
+    df = load_table(spark, SF_DIR, "orders")
+    renders = {"o_orderkey": lambda c: c, "o_orderstatus": lambda c: c}
+    approx = column_profile(df, renders, exact=False)
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" not in plan
+
+    exact = {r["column"]: r for r in column_profile(df, renders).collect()}
+    got = {r["column"]: r for r in approx.collect()}
+    assert list(got) == list(exact)
+    for c, e in exact.items():
+        a = got[c]
+        assert a.asDict().keys() == e.asDict().keys()
+        assert (a["n_rows"], a["n_nulls"], a["min_value"], a["max_value"]) == (
+            e["n_rows"], e["n_nulls"], e["min_value"], e["max_value"],
+        )
+        # default HLL rsd is 0.05 (1 sd) — gate at 3 sd
+        assert abs(a["n_distinct"] - e["n_distinct"]) <= 0.15 * max(
+            e["n_distinct"], 1
+        )
+
+
 # --- k-anonymity ------------------------------------------------------------
 
 

@@ -289,3 +289,29 @@ def test_gini_known_distributions(spark):
         nn + 1
     ) / nn
     assert abs(gini_exact(df, "x").first()["gini"] - ref) < 1e-12
+
+
+def test_gini_single_partition_degenerate(spark):
+    """shuffle.partitions=1 makes the percentile bound list empty; the
+    single-bucket path must still produce the exact statistic (r4 fix
+    for the bucket-1-vs-offsets-0 join that silently dropped rows)."""
+    from movie_rankings_spark.operators.statistics import gini_exact
+    from pyspark.sql import functions as F
+
+    vals = [1.0, 1.0, 2.0, 3.5, 3.5, 3.5, 10.0, 0.0, 7.25, 2.0]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "k long, x double"
+    ).select("k", F.col("x").cast("decimal(18,4)").alias("x"))
+    s = sorted(vals)
+    nn = len(s)
+    ref = 2 * sum((i + 1) * v for i, v in enumerate(s)) / (nn * sum(s)) - (
+        nn + 1
+    ) / nn
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try:
+        r = gini_exact(df, "x").first()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert r["n_values"] == nn
+    assert abs(r["gini"] - ref) < 1e-12

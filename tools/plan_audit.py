@@ -58,7 +58,6 @@ NESTED_LOOP_LEGIT = {
     "mix_temperature_sampling",  # |langs|-row rate table (n_min scalar)
     "text_top_terms",  # 1-row doc-count
     "vocab_heavy_hitters",  # 1-row n/k threshold
-    "doc_top_terms",
     "centroid_similarity_labels",  # |labels| x |labels| prototype join
     "cube_lineitem_flags",  # grand-total row against 1-row
     "decay_user_activity",  # 1-row reference-time scalar
@@ -93,6 +92,8 @@ NESTED_LOOP_LEGIT = {
     "dsir_importance_topk",  # 1-row totals onto the vocab table
     "split_time_embargo",  # 1-row cut scalar broadcast onto the fact
     "seasonality_monthly_index",  # 1-row grand mean onto 12 month cells
+    "sample_neyman_allocation",  # 1-row N_h*sigma_h total onto |langs| strata
+    "rfm_customer_segments",  # 1-row median-threshold vector onto customers
 }
 
 #: row-at-a-time Python allowed ONLY for the literal Spark-4 @udtf

@@ -94,6 +94,7 @@ KNOWN_LEGIT = {
     "cohort_ltv_curve",  # first-seen + revenue slices of one fact
     "rfm_customer_segments",  # threshold pass + taxonomy pass (documented 2-pass)
     "dedup_impact_report",  # persisted docs; exact tier + LSH pipeline branches
+    "sample_neyman_allocation",  # persisted strata moments (r4 fix); cache-text artifact
     # postings slice + doc-length pass (re-scan beats caching the
     # corpus-sized exploded frame; same trade as text_top_terms):
     "search_bm25_topk",
