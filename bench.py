@@ -348,10 +348,8 @@ def _baseline_seconds() -> dict[str, float]:
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    try:
-        sf = float(sf_tag.replace("sf", ""))
-    except ValueError:
-        sf = None
+    m = __import__("re").search(r"sf([0-9.]+)$", sf_tag)
+    sf = float(m.group(1)) if m else None
 
     spark = get_spark("movie-rankings-bench")
     # Warm-up (steady-state methodology, recorded in BASELINE.md):
@@ -384,7 +382,8 @@ def main() -> int:
         # a real regression, so up to 3 extra repeats refine the min —
         # a genuine regression stays slow through all of them.
         runs, max_runs = 0, 2
-        anchor = baseline.get(name)
+        # anchors are sf0.1 measurements — meaningless at other scales
+        anchor = baseline.get(name) if sf == 0.1 else None
         while runs < max_runs:
             start = time.perf_counter()
             df = fn(spark, sf_dir)
@@ -409,8 +408,11 @@ def main() -> int:
         "queries": timings,
         "sf": sf,
     }
-    full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_local.json"
+    full_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_local.json"
+        ),
     )
     try:
         with open(full_path, "w", encoding="utf-8") as fh:

@@ -308,6 +308,7 @@ def mmr_topk(
     k: int = 5,
     pool: int = 20,
     lam: float = 0.7,
+    exact_pairs: bool = False,
 ) -> DataFrame:
     """Maximal-Marginal-Relevance diversified retrieval (Carbonell &
     Goldstein '98): per query, pool the exact top-`pool` neighbours,
@@ -323,10 +324,22 @@ def mmr_topk(
 
     Output: query_id, vec_id, mmr_rank (1-based selection order),
     cosine (relevance), mmr_score (the greedy objective at pick
-    time; rank 1 reports λ·cosine)."""
+    time; rank 1 reports λ·cosine).
+
+    ``exact_pairs=True`` (r4) computes the candidate-candidate
+    similarities JVM-side with the same exact-decimal cosine as the
+    relevance pool (pool² rows per query — 400 for the defaults)
+    instead of a numpy GEMM: BLAS summation order is engine-private,
+    but the exact-decimal dot is order-independent, so every input to
+    the greedy objective is a cross-engine-identical double and the
+    whole selection becomes value-hash oracleable (the unrolled
+    DuckDB twin in plans/llm_queries.py). The numpy form stays the
+    throughput default."""
     cands = cosine_topk_exact(embeddings, query_ids, k=pool).drop("rn")
     vecs = embeddings.select("vec_id", "embedding")
     pooled = cands.join(vecs, "vec_id")
+    if exact_pairs:
+        return _mmr_exact(pooled, k, lam)
 
     def select_mmr(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["cosine", "vec_id"], ascending=[False, True])
@@ -363,6 +376,81 @@ def mmr_topk(
         pooled.groupBy("query_id")
         .applyInPandas(
             select_mmr,
+            "query_id long, vec_id long, mmr_rank int, cosine double, "
+            "mmr_score double",
+        )
+        .orderBy("query_id", "mmr_rank")
+    )
+
+
+def _mmr_exact(pooled: DataFrame, k: int, lam: float) -> DataFrame:
+    """Greedy MMR over precomputed exact pair similarities. The pair
+    table is |pool|² per query (bounded, tiny); the greedy loop runs
+    in applyInPandas per query with pure-Python IEEE arithmetic that
+    the SQL twin mirrors expression-for-expression."""
+    from movie_rankings_spark.functions.vectors import cosine_exact
+
+    a = pooled.select(
+        "query_id",
+        F.col("vec_id").alias("a_vec"),
+        F.col("cosine").alias("a_cos"),
+        F.col("embedding").alias("a_emb"),
+    )
+    b = pooled.select(
+        F.col("query_id").alias("qb"),
+        F.col("vec_id").alias("b_vec"),
+        F.col("embedding").alias("b_emb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (a["query_id"] == b["qb"]) & (a["a_vec"] != b["b_vec"]),
+        )
+        .select(
+            "query_id",
+            "a_vec",
+            "a_cos",
+            "b_vec",
+            cosine_exact(F.col("a_emb"), F.col("b_emb")).alias("sim"),
+        )
+    )
+    one_minus = 1.0 - lam
+
+    def select_greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        rel: dict[int, float] = {}
+        sim: dict[tuple[int, int], float] = {}
+        for r in pdf.itertuples(index=False):
+            rel[r.a_vec] = r.a_cos
+            sim[(r.a_vec, r.b_vec)] = r.sim
+        # candidates in (cosine DESC, vec_id ASC) order; strict > in
+        # the scan means equal-objective ties resolve to that order —
+        # identical to the oracle's ORDER BY obj DESC, cosine DESC,
+        # vec_id ASC
+        order = sorted(rel, key=lambda v: (-rel[v], v))
+        rows = []
+        chosen: list[int] = []
+        while order and len(chosen) < k:
+            best, best_obj = None, None
+            for v in order:
+                red = (
+                    max(sim[(v, c)] for c in chosen) if chosen else 0.0
+                )
+                obj = lam * rel[v] - one_minus * red
+                if best is None or obj > best_obj:
+                    best, best_obj = v, obj
+            order.remove(best)
+            chosen.append(best)
+            rows.append((qid, best, len(chosen), rel[best], best_obj))
+        return pd.DataFrame(
+            rows,
+            columns=["query_id", "vec_id", "mmr_rank", "cosine", "mmr_score"],
+        )
+
+    return (
+        pairs.groupBy("query_id")
+        .applyInPandas(
+            select_greedy,
             "query_id long, vec_id long, mmr_rank int, cosine double, "
             "mmr_score double",
         )

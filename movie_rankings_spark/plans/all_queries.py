@@ -19,68 +19,15 @@ import movie_rankings_spark.plans.tpch_wide_queries  # noqa: F401
 import movie_rankings_spark.plans.warehouse_queries  # noqa: F401
 from movie_rankings_spark.plans.registry import REGISTRY
 
-#: The correctness harness walks queries() in dict order and records a
-#: row for the first ~50 only; the union of r01+r02 covered 61
-#: queries, leaving 77 with no driver row. This head is ordered for
-#: maximum driver value: never-checked ORACLE-BACKED batch queries
-#: first (the entire first 55 are oracle-backed; 53 never checked),
-#: then the streaming tail (oracle-backed but ~1-5 s each), then
-#: rows-only entries (their driver row is the weaker check). Rotate
-#: again next round: whatever the r3 run didn't reach becomes the
-#: new head.
+#: The correctness harness walks queries() in dict order and records
+#: a row for the first ~50 only; r1+r2+r3 together covered 109
+#: distinct queries, leaving 90 with no driver row (r4 count,
+#: including the queries registered this round). This head is the
+#: r4 rotation: never-checked ORACLE-BACKED batch queries first,
+#: then the never-checked streaming tail (oracle-backed, ~1-5 s
+#: each), then rows-only entries (their driver row is the weaker
+#: check). Regenerate next round from CORRECTNESS_r4.json.
 _UNSEEN_FIRST = (
-    "setops_repeat_customers",
-    "antijoin_inactive_customers",
-    "percentiles_lineitem_price",
-    "pivot_user_event_counts",
-    "udaf_price_median",
-    "asof_purchase_context",
-    "rangejoin_purchase_context",
-    "overlap_view_click_windows",
-    "topk_parts_per_brand_salted",
-    "from_json_props_map",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q22_global_sales_opportunity",
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q16_supplier_part_profile",
-    "q20_heavy_red_shippers",
-    "q21_waiting_suppliers",
-    "sessionize_events",
-    "funnel_view_click_purchase",
-    "cohort_retention_daily",
-    "changelog_latest_snapshot",
-    "window_rolling_revenue_7d",
-    "diff_orders_snapshots",
-    "incremental_monthly_revenue",
-    "timeseries_gapfill_daily",
-    "audit_orders_quality",
-    "anomaly_events_zscore",
-    "histogram_totalprice",
-    "corr_price_quantity",
-    # rows-only in r02, oracle-backed since r3 — re-record with hash
-    "dedup_simhash",
-    "similarity_cosine_topk_numpy",
-    # round-3 session-4 additions (oracle-backed, never checked)
-    "profile_columns_orders",
-    "kanonymity_customers",
-    "classifier_calibration_bins",
-    "mix_temperature_sampling",
-    "dedup_cluster_keep_best",
-    "funnel_time_bounded",
-    "attribution_position_based",
-    "centroid_similarity_labels",
-    "dedup_editdistance_verify",
-    "multimodal_audio_frames",
-    "erasure_audit_events",
-    "variant_props_analytics",
-    "unpivot_daily_metrics",
     "hierarchy_rollup_customers",
     "search_bm25_topk",
     "dedup_substring_spans",
@@ -101,10 +48,6 @@ _UNSEEN_FIRST = (
     "dedup_impact_report",
     "rfm_customer_segments",
     "flagship_pandas_api",
-    "stream_running_topk_users",
-    "stream_session_dynamic_gap",
-    "stream_dedup_then_window",
-    # round-3 additions (no driver row yet)
     "scd2_user_event_history",
     "attribution_last_touch",
     "layout_zorder_orders",
@@ -145,6 +88,11 @@ _UNSEEN_FIRST = (
     "session_transition_matrix",
     "winsorized_mean_price",
     "histogram2d_qty_price",
+    "pagerank_copurchase",
+    # streaming (oracle-backed, slower per query)
+    "stream_running_topk_users",
+    "stream_session_dynamic_gap",
+    "stream_dedup_then_window",
     "stream_sliding_6h",
     "stream_session_windows",
     "stream_dedup_user_types",
@@ -164,7 +112,6 @@ _UNSEEN_FIRST = (
     "similarity_pq_topk",
     "dedup_semantic_clusters",
     "embedding_jl_projection",
-    "pagerank_copurchase",
     "hll_users_mergeable_rollup",
     "embedding_pca_project",
     "bpe_train_merges",
@@ -172,6 +119,7 @@ _UNSEEN_FIRST = (
     "similarity_mmr_topk",
     "retrieval_eval_ivf",
     "tokenizer_encode_bpe",
+    "profile_columns_orders_approx",
 )
 
 #: most expensive entries at sf0.01, slowest-last; everything absent

@@ -1741,16 +1741,98 @@ def cms_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("word")
 
 
-@REGISTRY.register("similarity_mmr_topk")  # greedy argmax loop: no SQL twin
+def _mmr_oracle(k: int = 5, pool: int = 20, lam: float = 0.7) -> str:
+    """Unrolled greedy-MMR DuckDB twin (r4, VERDICT item 3): with the
+    exact-decimal pair cosines (order-independent sums), every input
+    to the greedy objective is a cross-engine-identical double, so k
+    fixed selection steps unroll into chained CTEs — each step scores
+    the remaining candidates (λ·rel − (1−λ)·max sim to chosen, the
+    same expression shape and the PYTHON-repr literals Spark bakes
+    in) and picks by (obj DESC, cosine DESC, vec_id ASC)."""
+    lam_lit = repr(lam)
+    om_lit = repr(1.0 - lam)
+    head = f"""WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb
+  FROM embeddings WHERE vec_id < 8
+),
+allp AS (
+  SELECT q.query_id, e.vec_id, e.embedding,
+         {_COSINE_SQL.format(a="q.q_emb", b="e.embedding")} AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+),
+pool AS (
+  SELECT query_id, vec_id, embedding, cosine FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+    ) AS rn FROM allp
+  ) WHERE rn <= {pool}
+),
+ps AS (
+  SELECT a.query_id, a.vec_id AS a_vec, b.vec_id AS b_vec,
+         {_COSINE_SQL.format(a="a.embedding", b="b.embedding")} AS sim
+  FROM pool a JOIN pool b
+    ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+),
+s1 AS (
+  SELECT query_id, vec_id, cosine,
+         CAST('{lam_lit}' AS DOUBLE) * cosine
+         - CAST('{om_lit}' AS DOUBLE) * CAST(0.0 AS DOUBLE) AS obj
+  FROM pool
+),
+ch1 AS (
+  SELECT query_id, vec_id, 1 AS mmr_rank, cosine, obj AS mmr_score
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY obj DESC, cosine DESC, vec_id ASC
+    ) AS rn FROM s1
+  ) WHERE rn = 1
+)"""
+    parts = [head]
+    for j in range(2, k + 1):
+        parts.append(f""",
+s{j} AS (
+  SELECT c.query_id, c.vec_id, c.cosine,
+         CAST('{lam_lit}' AS DOUBLE) * c.cosine
+         - CAST('{om_lit}' AS DOUBLE) * MAX(ps.sim) AS obj
+  FROM pool c
+  JOIN ps ON ps.query_id = c.query_id AND ps.a_vec = c.vec_id
+  JOIN ch{j - 1} ch ON ch.query_id = ps.query_id AND ch.vec_id = ps.b_vec
+  WHERE c.vec_id NOT IN (
+    SELECT x.vec_id FROM ch{j - 1} x WHERE x.query_id = c.query_id
+  )
+  GROUP BY c.query_id, c.vec_id, c.cosine
+),
+ch{j} AS (
+  SELECT * FROM ch{j - 1}
+  UNION ALL
+  SELECT query_id, vec_id, {j} AS mmr_rank, cosine, obj AS mmr_score
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY obj DESC, cosine DESC, vec_id ASC
+    ) AS rn FROM s{j}
+  ) WHERE rn = 1
+)""")
+    parts.append(f"""
+SELECT query_id, vec_id, mmr_rank, cosine, mmr_score FROM ch{k}
+ORDER BY query_id, mmr_rank""")
+    return "".join(parts)
+
+
+@REGISTRY.register("similarity_mmr_topk", _mmr_oracle())
 def similarity_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversity-aware retrieval: exact top-20 relevance pool per
     query, then per-group greedy MMR selection of 5 (λ=0.7) in a
     bounded applyInPandas (operators/similarity.py::mmr_topk).
-    Rows-only (sequential greedy objective is not SQL-expressible);
-    equality against a single-node numpy reference and the
-    diversity-beats-redundancy property live in tests/test_mmr.py."""
+    Oracle-backed since r4 via exact_pairs=True: pair similarities
+    use the same order-independent exact-decimal cosine as the pool,
+    so the unrolled DuckDB greedy (_mmr_oracle) value-hash matches
+    the full selection; equality against the numpy throughput form
+    and the diversity-beats-redundancy property live in
+    tests/test_mmr.py."""
     return similarity.mmr_topk(
-        _emb(spark, sf_dir), _QUERY_IDS, k=5, pool=20, lam=0.7
+        _emb(spark, sf_dir), _QUERY_IDS, k=5, pool=20, lam=0.7,
+        exact_pairs=True,
     )
 
 

@@ -76,3 +76,23 @@ def test_mmr_avoids_planted_redundancy(spark):
     picked = [r["vec_id"] for r in sorted(out, key=lambda r: r["mmr_rank"])]
     assert picked[0] in (1, 2)
     assert picked[1] == 3
+
+
+def test_mmr_exact_pairs_matches_numpy_selection(emb):
+    """r4: the oracle-exact form (JVM exact-decimal pair sims + pure-
+    Python greedy) must select the same documents in the same order
+    as the numpy GEMM throughput form, with scores equal to float
+    tolerance (BLAS vs exact-decimal summation differ in the last
+    ulps only)."""
+    fast = similarity.mmr_topk(emb, QUERY_IDS, k=5).collect()
+    exact = similarity.mmr_topk(
+        emb, QUERY_IDS, k=5, exact_pairs=True
+    ).collect()
+    key = lambda r: (r["query_id"], r["mmr_rank"])  # noqa: E731
+    fast, exact = sorted(fast, key=key), sorted(exact, key=key)
+    assert [(r["query_id"], r["mmr_rank"], r["vec_id"]) for r in fast] == [
+        (r["query_id"], r["mmr_rank"], r["vec_id"]) for r in exact
+    ]
+    for a, b in zip(fast, exact):
+        assert abs(a["mmr_score"] - b["mmr_score"]) < 1e-9
+        assert abs(a["cosine"] - b["cosine"]) < 1e-9

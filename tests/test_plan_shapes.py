@@ -279,6 +279,7 @@ _PYTHON_RESIDENT = {
     "similarity_mmr_topk",  # greedy MMR selection over pooled candidates
     "retrieval_eval_ivf",  # evaluates the IVF path (Arrow GEMM inside)
     "multimodal_audio_frames",  # windowed DSP over binary payloads (mapInPandas by design)
+    "multimodal_resize_meta",  # r4: real PNG/JFIF header decode over binary payloads (mapInPandas by design; resize math itself is codegen'd)
     "flagship_pandas_api",  # pandas-API front-end demo; stages Python eval by design (DataFrame form is the production path)
 }
 

@@ -81,6 +81,7 @@ def main() -> int:
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = 0
+    statuses: dict[str, str] = {}
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -88,24 +89,37 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
+            statuses[name] = "FAIL"
             failures += 1
             continue
         if name not in oracles:
             print(f"ok?   {name}: rows={len(sdf)} (no oracle — rows-only check)")
+            statuses[name] = "rows-only"
             continue
         try:
             ddf = con.execute(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
+            statuses[name] = "FAIL"
             failures += 1
             continue
         problems = compare(sdf, ddf)
         if problems:
             failures += 1
+            statuses[name] = "FAIL"
             print(f"FAIL  {name}: " + "; ".join(problems))
         else:
+            statuses[name] = "oracle-pass"
             print(f"PASS  {name}: rows={len(sdf)}")
     print(f"\n{failures} failures / {len(queries)} queries")
+    if not only:  # full runs refresh the local-status snapshot
+        import json
+
+        with open("/root/repo/ORACLE_LOCAL.json", "w") as fh:
+            json.dump(
+                {"sf_dir": sf_dir, "statuses": statuses}, fh, indent=1,
+                sort_keys=True,
+            )
     return 1 if failures else 0
 
 
