@@ -224,6 +224,11 @@ HEADLINE_QUERIES = (
     "stream_dedup_user_types",
     "stream_dedup_watermark_bounded",
     "stream_sliding_6h",
+    # r4 additions: deterministic HLL / PPS sampling / LPA / skyline
+    "hll_registers_rollup",
+    "pps_sample_orders",
+    "communities_copurchase",
+    "skyline_parts_frontier",
 )
 
 

@@ -176,16 +176,25 @@ def quantile_rank_map(
     vc = df.groupBy(F.col(value_col).alias("v")).agg(
         F.count(F.lit(1)).alias("c")
     )
-    bounds = df.agg(
-        F.percentile_approx(
-            value_col, F.lit([i / n for i in range(1, n)]), F.lit(10_000)
-        ).alias("b")
-    ).collect()[0]["b"]
+    if n > 1:
+        bounds = df.agg(
+            F.percentile_approx(
+                value_col, F.lit([i / n for i in range(1, n)]), F.lit(10_000)
+            ).alias("b")
+        ).collect()[0]["b"]
+    else:
+        bounds = []
     bounds = sorted(set(bounds or []))
-    blit = F.lit(bounds) if bounds else F.lit([float("-inf")])
-    vb = vc.withColumn(
-        "_bucket", F.size(F.filter(blit, lambda b: F.col("v") > b))
+    # empty bounds (single bucket / shuffle.partitions=1): bucket 0
+    # for every row, consistent with the offsets loop — the old [-inf]
+    # sentinel sent rows to bucket 1, which the offsets table lacks
+    # (the gini_exact r3 fix, applied here too)
+    bucket = (
+        F.size(F.filter(F.lit(bounds), lambda b: F.col("v") > b))
+        if bounds
+        else F.lit(0)
     )
+    vb = vc.withColumn("_bucket", bucket)
     totals = {
         r["_bucket"]: r["t"]
         for r in vb.groupBy("_bucket").agg(F.sum("c").alias("t")).collect()

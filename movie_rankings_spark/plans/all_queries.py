@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import movie_rankings_spark.plans.analytics_queries  # noqa: F401
 import movie_rankings_spark.plans.flagship_queries  # noqa: F401
+import movie_rankings_spark.plans.frontier_queries  # noqa: F401
 import movie_rankings_spark.plans.llm_queries  # noqa: F401
 import movie_rankings_spark.plans.relational_ext_queries  # noqa: F401
 import movie_rankings_spark.plans.relational_queries  # noqa: F401
@@ -28,6 +29,11 @@ from movie_rankings_spark.plans.registry import REGISTRY
 #: each), then rows-only entries (their driver row is the weaker
 #: check). Regenerate next round from CORRECTNESS_r4.json.
 _UNSEEN_FIRST = (
+    # round-4 additions (oracle-backed, never driver-checked)
+    "hll_registers_rollup",
+    "pps_sample_orders",
+    "communities_copurchase",
+    "skyline_parts_frontier",
     "hierarchy_rollup_customers",
     "search_bm25_topk",
     "dedup_substring_spans",

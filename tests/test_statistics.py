@@ -315,3 +315,19 @@ def test_gini_single_partition_degenerate(spark):
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert r["n_values"] == nn
     assert abs(r["gini"] - ref) < 1e-12
+
+
+def test_quantile_rank_map_single_bucket(spark):
+    """Regression (r4): buckets=1 yields an empty bounds list — rows
+    must land in bucket 0 and keep their exact ranks, not vanish via
+    the old [-inf] sentinel's join against an offsets table that only
+    knows bucket 0."""
+    from movie_rankings_spark.operators.statistics import quantile_rank_map
+
+    vals = [5.0, 1.0, 3.0, 3.0, 9.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {
+        r["value"]: r["pct"]
+        for r in quantile_rank_map(df, "x", buckets=1).collect()
+    }
+    assert got == {1.0: 0.0, 3.0: 0.25, 5.0: 0.75, 9.0: 1.0}

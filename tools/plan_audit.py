@@ -94,6 +94,7 @@ NESTED_LOOP_LEGIT = {
     "seasonality_monthly_index",  # 1-row grand mean onto 12 month cells
     "sample_neyman_allocation",  # 1-row N_h*sigma_h total onto |langs| strata
     "rfm_customer_segments",  # 1-row median-threshold vector onto customers
+    "pps_sample_orders",  # 1-row total-weight scalar onto the fact (r4)
 }
 
 #: row-at-a-time Python allowed ONLY for the literal Spark-4 @udtf

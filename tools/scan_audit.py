@@ -78,6 +78,9 @@ KNOWN_LEGIT = {
     "dsir_importance_topk",  # persisted tf feeds vocab + scoring (cache-text artifact)
     "split_time_embargo",  # 1-row cut pass + tag pass
     "folds_grouped_by_user",  # distinct-user fold map + fact pass
+    # r4 reviewed shapes:
+    "skyline_parts_frontier",  # documented 2-pass (per-x maxima + frontier semi-join), both pruned column scans
+    "pps_sample_orders",  # documented 2-pass (1-row weight total + selection pass) — at 100 TB a pruned re-scan beats caching the fact
     "seasonality_monthly_index",  # grand-mean pass + index pass over month cells
     "langid_confusion_matrix",  # totals pass + matrix pass (bounded)
     "winsorized_mean_price",  # documented 2-pass bounds + clip (MAD pattern)
