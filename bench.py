@@ -229,6 +229,13 @@ HEADLINE_QUERIES = (
     "pps_sample_orders",
     "communities_copurchase",
     "skyline_parts_frontier",
+    # r4b additions: k-core / link prediction / source overlap /
+    # sorted-neighborhood dedup / ROC curve
+    "kcore_copurchase",
+    "linkpred_adamic_adar",
+    "overlap_sources_shingles",
+    "dedup_sorted_neighborhood",
+    "classifier_roc_curve",
 )
 
 

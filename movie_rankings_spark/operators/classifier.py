@@ -135,3 +135,69 @@ def classifier_auc(docs: DataFrame, label_col) -> DataFrame:
             )
         ).alias("auc"),
     )
+
+
+def roc_curve(docs: DataFrame, label_col) -> DataFrame:
+    """Exact ROC operating points of the hashed-BoW classifier — one
+    row per DISTINCT logit threshold s: confusion counts and rates of
+    the rule "predict positive iff logit >= s". The curve AUC
+    summarizes into one number (classifier_auc); operations teams
+    read the CURVE to pick the production threshold.
+
+    Same scale contract as classifier_auc: the corpus reduces to the
+    distinct-logit count table (bounded by the integer logit range,
+    not the corpus), cumulative TP/FP come from a theta self-join of
+    that BOUNDED table (s2 >= s) with map-side-combined sums — never
+    a global-ordered window (Exchange SinglePartition) and never a
+    collect. Counts are exact integers; tpr/fpr/precision are single
+    IEEE divisions of exact integers — value-hash oracleable.
+
+    Output: threshold (logit_x100), tp, fp, fn, tn, tpr, fpr,
+    precision — ordered threshold desc (ROC from (0,0) toward (1,1)).
+    """
+    scored = hashed_bow_scores(docs).join(
+        docs.select("doc_id", label_col.cast("int").alias("_y")), "doc_id"
+    )
+    vc = (
+        scored.groupBy("logit_x100")
+        .agg(
+            F.sum("_y").alias("pos"),
+            (F.count(F.lit(1)) - F.sum("_y")).alias("neg"),
+        )
+        .persist()  # both sides of the theta join + the totals row
+    )
+    a = vc.select(F.col("logit_x100").alias("s"))
+    b = vc.select(
+        F.col("logit_x100").alias("s2"),
+        F.col("pos").alias("p2"),
+        F.col("neg").alias("n2"),
+    )
+    cum = (
+        a.join(F.broadcast(b), F.col("s2") >= F.col("s"))
+        .groupBy("s")
+        .agg(
+            F.sum("p2").cast("long").alias("tp"),
+            F.sum("n2").cast("long").alias("fp"),
+        )
+    )
+    totals = vc.agg(
+        F.sum("pos").cast("long").alias("_p"),
+        F.sum("neg").cast("long").alias("_n"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("s").alias("threshold"),
+            "tp",
+            "fp",
+            (F.col("_p") - F.col("tp")).alias("fn"),
+            (F.col("_n") - F.col("fp")).alias("tn"),
+            (F.col("tp").cast("double") / F.col("_p").cast("double")).alias("tpr"),
+            (F.col("fp").cast("double") / F.col("_n").cast("double")).alias("fpr"),
+            (
+                F.col("tp").cast("double")
+                / (F.col("tp") + F.col("fp")).cast("double")
+            ).alias("precision"),
+        )
+        .orderBy(F.desc("threshold"))
+    )

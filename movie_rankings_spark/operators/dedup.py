@@ -712,3 +712,143 @@ def duplicated_substring_spans(
         )
         .orderBy("doc_id", "span_start")
     )
+
+
+# --- 7. sorted-neighborhood blocking ----------------------------------------
+
+
+def sorted_neighborhood_pairs(
+    docs: DataFrame,
+    window: int = 10,
+    threshold: float = 0.5,
+    key_len: int = 24,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood dedup (Hernández & Stolfo 1995): sort the
+    corpus by a blocking key (normalized text prefix), compare each
+    document only against the ``window`` that follow it in key order,
+    keep pairs whose exact 3-gram Jaccard >= ``threshold``.
+
+    The record-linkage classic that complements the LSH tiers: where
+    MinHash buckets by CONTENT sketch, sorted-neighborhood exploits an
+    EXTERNALLY meaningful order (near-duplicate records sort together
+    under a well-chosen key), costs exactly |docs|·window comparisons
+    — no bucket-size variance at all — and misses only pairs whose
+    keys diverge (the known failure mode; production runs multi-pass
+    with several keys).
+
+    Plan shape — the global sort WITHOUT a global window:
+
+    1. ``repartitionByRange(key, doc_id)`` range-partitions the corpus
+       (sampled bounds, skew-resistant — the "explicit range partition
+       whose bounds we control" from shuffle_deterministic's note);
+    2. per-partition ``row_number`` + a |partitions|-row offset table
+       (bounded collect, the zipWithIndex two-pass) yields the exact
+       global rank in (key, doc_id) order — positions are the RANK, so
+       the output does not depend on where the sampled bounds landed;
+    3. neighbor candidates via a BAND JOIN on floor(pos/window): each
+       row joins only its own and the next band (2 bounded probes),
+       then the exact |Δpos| <= window filter — never a corpus²
+       comparison;
+    4. verify: exact Jaccard on pre-hashed shingle sets
+       (array_intersect on xxhash64 longs, the shingle_sets contract).
+
+    At 100 TB: one range shuffle + one band-key equi-join, both on
+    (key-prefix, position) — no skew (positions are unique), no
+    Python. Output: doc_lo < doc_hi, jaccard, ordered."""
+    spark = docs.sparkSession
+    n = n_buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    key = F.substring(
+        F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")), 1, key_len
+    )
+    keyed = docs.select("doc_id", key.alias("_key")).repartitionByRange(
+        n, F.col("_key"), F.col("doc_id")
+    )
+    # persisted: the counts pass and the numbering pass MUST see the
+    # same sampled range bounds (recomputing repartitionByRange twice
+    # is deterministic on identical input, but pinning it is free)
+    part = keyed.withColumn("_pid", F.spark_partition_id()).persist()
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in part.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, running = [], 0
+    for p in range(n):
+        offsets.append((p, running))
+        running += counts.get(p, 0)
+    off = spark.createDataFrame(offsets, "_pid int, _offset long")
+    w = Window.partitionBy("_pid").orderBy(F.asc("_key"), F.asc("doc_id"))
+    pos = (
+        part.withColumn("_local", F.row_number().over(w))
+        .join(F.broadcast(off), "_pid")
+        .select("doc_id", (F.col("_offset") + F.col("_local")).alias("pos"))
+    )
+    sets = shingle_sets(docs).join(pos, "doc_id")
+    a = sets.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("n_shingles").alias("n_a"),
+        F.col("pos").alias("pos_a"),
+        F.floor((F.col("pos") - 1) / window).alias("_band"),
+    )
+    cands = None
+    for shift in (0, 1):
+        b = sets.select(
+            F.col("doc_id").alias("id_b"),
+            F.col("shingles").alias("sh_b"),
+            F.col("n_shingles").alias("n_b"),
+            F.col("pos").alias("pos_b"),
+            (F.floor((F.col("pos") - 1) / window) - shift).alias("_band"),
+        )
+        c = a.join(b, "_band").filter(
+            (F.col("pos_b") - F.col("pos_a") >= 1)
+            & (F.col("pos_b") - F.col("pos_a") <= window)
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (
+        F.col("n_a") + F.col("n_b") - inter
+    ).cast("double")
+    return (
+        cands.select(
+            F.least("id_a", "id_b").alias("doc_lo"),
+            F.greatest("id_a", "id_b").alias("doc_hi"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_lo", "doc_hi")
+    )
+
+
+def sorted_neighborhood_oracle_sql(
+    shingles_sql: str,
+    window: int = 10,
+    threshold: float = 0.5,
+    key_len: int = 24,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin: the same (key, doc_id) rank via ROW_NUMBER (the
+    oracle may use the global window Spark avoids), same window-of-
+    ``window`` candidates, same exact Jaccard threshold."""
+    return rf"""
+WITH ordered AS (
+  SELECT doc_id, {shingles_sql} AS sh,
+         ROW_NUMBER() OVER (
+           ORDER BY substr(lower(regexp_replace(text, '\s+', ' ', 'g')),
+                           1, {key_len}) ASC, doc_id ASC
+         ) AS pos
+  FROM {table}
+),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.sh, b.sh)) AS i,
+         len(a.sh) AS n_a, len(b.sh) AS n_b
+  FROM ordered a JOIN ordered b
+    ON b.pos - a.pos BETWEEN 1 AND {window}
+)
+SELECT least(id_a, id_b) AS doc_lo, greatest(id_a, id_b) AS doc_hi,
+       CAST(i AS DOUBLE) / (n_a + n_b - i) AS jaccard
+FROM cand
+WHERE CAST(i AS DOUBLE) / (n_a + n_b - i) >= {threshold}
+ORDER BY doc_lo, doc_hi
+"""

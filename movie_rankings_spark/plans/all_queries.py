@@ -30,6 +30,11 @@ from movie_rankings_spark.plans.registry import REGISTRY
 #: check). Regenerate next round from CORRECTNESS_r4.json.
 _UNSEEN_FIRST = (
     # round-4 additions (oracle-backed, never driver-checked)
+    "kcore_copurchase",
+    "linkpred_adamic_adar",
+    "overlap_sources_shingles",
+    "dedup_sorted_neighborhood",
+    "classifier_roc_curve",
     "hll_registers_rollup",
     "pps_sample_orders",
     "communities_copurchase",

@@ -16,11 +16,26 @@ from movie_rankings_spark.operators.communities import (
     community_sizes,
     label_propagation,
 )
+from movie_rankings_spark.operators.kcore import (
+    core_size_histogram,
+    kcore,
+    kcore_oracle_sql,
+)
+from movie_rankings_spark.operators.linkpred import (
+    adamic_adar_oracle_sql,
+    adamic_adar_topk,
+)
+from movie_rankings_spark.operators.overlap import (
+    source_overlap_matrix,
+    source_overlap_oracle_sql,
+)
 from movie_rankings_spark.operators.pagerank import copurchase_edges
 from movie_rankings_spark.operators.skyline import (
     skyline_2d,
     skyline_oracle_sql,
 )
+from movie_rankings_spark.operators.dedup import sorted_neighborhood_oracle_sql
+from movie_rankings_spark.plans.llm_queries import _SHINGLES
 from movie_rankings_spark.plans.registry import REGISTRY
 
 
@@ -181,4 +196,158 @@ def skyline_parts_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(
             F.asc("p_retailprice"), F.desc("p_size"), F.asc("p_partkey")
         )
+    )
+
+
+# --- round-4b: k-core, link prediction, overlap, sorted-neighborhood, ROC ----
+
+#: the co-purchase edge list as a DuckDB WITH body (relation ``e``,
+#: symmetric) — the same construction _pagerank_oracle/_lpa_oracle use,
+#: shared by the k-core and Adamic–Adar twins
+_COPURCHASE_EDGES_CTE = """baskets AS (
+  SELECT list_distinct(list(l_partkey)) AS parts
+  FROM lineitem GROUP BY l_orderkey
+), ok AS (SELECT parts FROM baskets WHERE len(parts) BETWEEN 2 AND 30),
+e AS (
+  SELECT DISTINCT a.p AS src, b.p AS dst
+  FROM ok, LATERAL unnest(parts) AS a(p), LATERAL unnest(parts) AS b(p)
+  WHERE a.p <> b.p
+)"""
+
+_KCORE_K = 8
+_KCORE_ROUNDS = 6
+
+
+@REGISTRY.register(
+    "kcore_copurchase",
+    kcore_oracle_sql(_KCORE_K, _KCORE_ROUNDS, _COPURCHASE_EDGES_CTE),
+)
+def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the co-purchase graph (operators/kcore.py): 6 peel
+    rounds at k=8, reported as the (core_degree, n_nodes) histogram.
+    Pure integer peeling ⇒ the unrolled DuckDB twin hash-matches; the
+    fixed point at the shipped SFs is pinned in tests/test_kcore.py
+    (kcore.converged)."""
+    edges = copurchase_edges(_t(spark, sf_dir, "lineitem"))
+    core = kcore(edges, k=_KCORE_K, n_rounds=_KCORE_ROUNDS)
+    return core_size_histogram(core)
+
+
+_AA_K = 30
+_AA_MAXDEG = 64
+
+
+@REGISTRY.register(
+    "linkpred_adamic_adar",
+    adamic_adar_oracle_sql(_AA_K, _AA_MAXDEG, _COPURCHASE_EDGES_CTE),
+)
+def linkpred_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 predicted co-purchase links by Adamic–Adar score
+    (operators/linkpred.py): wedge-join common-neighbour enumeration
+    with quantized 1/ln(deg) integer weights, hub cap 64 applied
+    identically on both engines — the whole ranking value-hash
+    matches."""
+    edges = copurchase_edges(_t(spark, sf_dir, "lineitem"))
+    return adamic_adar_topk(edges, k=_AA_K, max_degree=_AA_MAXDEG)
+
+
+@REGISTRY.register(
+    "overlap_sources_shingles",
+    source_overlap_oracle_sql(_SHINGLES),
+)
+def overlap_sources_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise 3-gram shingle overlap between document sources
+    (operators/overlap.py): Jaccard + containment per source pair from
+    ONE corpus shuffle (distinct (source, shingle) → per-shingle
+    source sets → |sources|²-bounded pair explode). The corpus-mixing
+    pre-flight audit; exact integer counts ⇒ value-hash oracle."""
+    return source_overlap_matrix(_t(spark, sf_dir, "documents"))
+
+
+_SN_WINDOW = 10
+_SN_THRESHOLD = 0.5
+
+
+@REGISTRY.register(
+    "dedup_sorted_neighborhood",
+    sorted_neighborhood_oracle_sql(
+        _SHINGLES, window=_SN_WINDOW, threshold=_SN_THRESHOLD
+    ),
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood dedup blocking (operators/dedup.py):
+    range-partition by normalized-prefix key, exact global rank via
+    the zipWithIndex two-pass (no SinglePartition window), band-join
+    candidates within a 10-position window, exact 3-gram Jaccard
+    verify at 0.5. The deterministic-cost complement to MinHash-LSH;
+    position semantics are replicated exactly by the oracle's
+    ROW_NUMBER twin."""
+    from movie_rankings_spark.operators.dedup import sorted_neighborhood_pairs
+
+    return sorted_neighborhood_pairs(
+        _t(spark, sf_dir, "documents"),
+        window=_SN_WINDOW,
+        threshold=_SN_THRESHOLD,
+    )
+
+
+_ROC_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 4096 AS bucket
+  FROM toks
+),
+wt AS (
+  SELECT CAST(b AS BIGINT) AS bucket,
+         CAST('0x' || substr(md5(CAST(b AS VARCHAR)), 1, 8) AS BIGINT)
+           % 201 - 100 AS weight
+  FROM (SELECT unnest(range(0, 4096)) AS b)
+),
+scores AS (
+  SELECT f.doc_id, CAST(SUM(weight) AS BIGINT) AS logit
+  FROM feat f JOIN wt USING (bucket) GROUP BY 1
+),
+labeled AS (
+  SELECT s.logit, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM scores s JOIN documents d USING (doc_id)
+),
+vc AS (
+  SELECT logit, SUM(y) AS pos, COUNT(*) - SUM(y) AS neg
+  FROM labeled GROUP BY 1
+),
+cum AS (
+  SELECT a.logit AS s,
+         CAST(SUM(b.pos) AS BIGINT) AS tp,
+         CAST(SUM(b.neg) AS BIGINT) AS fp
+  FROM vc a JOIN vc b ON b.logit >= a.logit
+  GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(pos) AS BIGINT) AS p, CAST(SUM(neg) AS BIGINT) AS n
+  FROM vc
+)
+SELECT s AS threshold, tp, fp, p - tp AS fn, n - fp AS tn,
+       CAST(tp AS DOUBLE) / CAST(p AS DOUBLE) AS tpr,
+       CAST(fp AS DOUBLE) / CAST(n AS DOUBLE) AS fpr,
+       CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision
+FROM cum CROSS JOIN tot
+ORDER BY threshold DESC
+"""
+
+
+@REGISTRY.register("classifier_roc_curve", _ROC_ORACLE)
+def classifier_roc_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC operating points of the hashed-BoW classifier against
+    the lang label (operators/classifier.py::roc_curve): one row per
+    distinct integer logit with confusion counts and tpr/fpr/precision
+    — cumulative sums via a theta self-join of the BOUNDED logit
+    histogram (the classifier_auc shape), never a global window. The
+    threshold-picking companion to classifier_auc_eval."""
+    from movie_rankings_spark.operators.classifier import roc_curve
+
+    return roc_curve(
+        _t(spark, sf_dir, "documents"), F.col("lang") == "en"
     )

@@ -95,6 +95,7 @@ NESTED_LOOP_LEGIT = {
     "sample_neyman_allocation",  # 1-row N_h*sigma_h total onto |langs| strata
     "rfm_customer_segments",  # 1-row median-threshold vector onto customers
     "pps_sample_orders",  # 1-row total-weight scalar onto the fact (r4)
+    "classifier_roc_curve",  # theta join of the BOUNDED logit histogram (AUC shape, r4)
 }
 
 #: row-at-a-time Python allowed ONLY for the literal Spark-4 @udtf

@@ -101,6 +101,11 @@ KNOWN_LEGIT = {
     # postings slice + doc-length pass (re-scan beats caching the
     # corpus-sized exploded frame; same trade as text_top_terms):
     "search_bm25_topk",
+    # r4 reviewed shapes:
+    "classifier_roc_curve",  # score pass + label projection (AUC pattern)
+    "linkpred_adamic_adar",  # persisted+materialized edge list; cache-text artifact
+    "overlap_sources_shingles",  # persisted+materialized shingle set; cache-text artifact
+    "dedup_sorted_neighborhood",  # position pass + shingle pass, both pruned (documented 2-pass)
 }
 
 
