@@ -185,3 +185,132 @@ SELECT {merge_group},
 FROM stats
 ORDER BY {merge_group}
 """
+
+
+def hll_pairwise_overlap(
+    df: DataFrame, key: str, group_col: str, p: int = 10
+) -> DataFrame:
+    """Sketch-tier audience overlap: per group pair (a < b), the raw
+    HLL estimates of |A|, |B|, |A∪B| and the inclusion–exclusion
+    intersection estimate |A|+|B|−|A∪B| — the classic mergeable-
+    sketch answer to "which segments share members" when the exact
+    distinct pass (overlap.py::audience_overlap_matrix) is too
+    expensive to run ad-hoc.
+
+    Union sketches come FREE from the register algebra: max per
+    register over the two groups' registers — no fact rescan, the
+    same artifact-serving contract as hll_merge_estimate. Everything
+    downstream of the one register build is bounded by
+    |groups|²·m rows.
+
+    All outputs derive from exact integer register sums by IEEE
+    arithmetic only — value-hash oracleable like the rest of the
+    module. Output: src_a, src_b, est_a, est_b, est_union,
+    est_intersection, ordered."""
+    regs = hll_build(df, key=key, group_cols=[group_col], p=p).persist()
+    regs.count()
+    singles = hll_merge_estimate(regs, merge_to=[group_col], p=p).select(
+        F.col(group_col).alias("g"), F.col("raw_estimate").alias("est")
+    )
+    groups = regs.select(F.col(group_col).alias("g")).distinct()
+    pairs = (
+        groups.select(F.col("g").alias("src_a"))
+        .crossJoin(groups.select(F.col("g").alias("src_b")))
+        .filter(F.col("src_a") < F.col("src_b"))
+    )
+    # union registers per pair: both groups' registers labelled with
+    # the pair key, max per idx
+    ra = pairs.join(
+        regs.select(F.col(group_col).alias("src_a"), "idx", "max_rank"),
+        "src_a",
+    )
+    rb = pairs.join(
+        regs.select(F.col(group_col).alias("src_b"), "idx", "max_rank"),
+        "src_b",
+    )
+    u = hll_merge_estimate(
+        ra.unionByName(rb).select("src_a", "src_b", "idx", "max_rank"),
+        merge_to=["src_a", "src_b"],
+        p=p,
+    ).select("src_a", "src_b", F.col("raw_estimate").alias("est_union"))
+    return (
+        u.join(singles.select(F.col("g").alias("src_a"), F.col("est").alias("est_a")), "src_a")
+        .join(singles.select(F.col("g").alias("src_b"), F.col("est").alias("est_b")), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "est_a",
+            "est_b",
+            "est_union",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+                "est_intersection"
+            ),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+def hll_pairwise_oracle_sql(
+    p: int, key_sql: str, group_sql: str, table: str = "events"
+) -> str:
+    """DuckDB twin of hll_pairwise_overlap: identical register
+    derivation, identical union-register max, identical raw-estimate
+    arithmetic."""
+    m = 2**p
+    alpha_m2 = repr(_alpha(m) * m * m)
+    est = (
+        f"CAST({alpha_m2} AS DOUBLE) / (CAST(scaled_sum_set "
+        f"+ ({m} - n_set) * (CAST(1 AS BIGINT) << 33) AS DOUBLE) "
+        f"/ CAST({float(2**33)} AS DOUBLE))"
+    )
+    return f"""
+WITH fields AS (
+  SELECT {group_sql} AS g,
+         CAST('0x' || substr(md5(CAST({key_sql} AS VARCHAR)), 1, 8) AS BIGINT)
+           % {m} AS idx,
+         ltrim(substr(md5(CAST({key_sql} AS VARCHAR)), 9, 8), '0') AS stripped
+  FROM {table}
+),
+ranks AS (
+  SELECT g, idx,
+         CASE WHEN length(stripped) = 0 THEN 33
+              ELSE (8 - length(stripped)) * 4
+                   + CASE WHEN substr(stripped, 1, 1) = '1' THEN 3
+                          WHEN substr(stripped, 1, 1) IN ('2','3') THEN 2
+                          WHEN substr(stripped, 1, 1) IN ('4','5','6','7') THEN 1
+                          ELSE 0 END + 1
+         END AS rank
+  FROM fields
+),
+regs AS (SELECT g, idx, MAX(rank) AS max_rank FROM ranks GROUP BY g, idx),
+singles AS (
+  SELECT g, {est} AS est FROM (
+    SELECT g, COUNT(*) AS n_set,
+           SUM(CAST(1 AS BIGINT) << (33 - max_rank)) AS scaled_sum_set
+    FROM regs GROUP BY g
+  )
+),
+pairs AS (
+  SELECT a.g AS src_a, b.g AS src_b
+  FROM (SELECT DISTINCT g FROM regs) a
+  JOIN (SELECT DISTINCT g FROM regs) b ON a.g < b.g
+),
+u AS (
+  SELECT src_a, src_b, {est} AS est_union FROM (
+    SELECT src_a, src_b, COUNT(*) AS n_set,
+           SUM(CAST(1 AS BIGINT) << (33 - r)) AS scaled_sum_set
+    FROM (
+      SELECT p.src_a, p.src_b, r.idx, MAX(r.max_rank) AS r
+      FROM pairs p
+      JOIN regs r ON r.g = p.src_a OR r.g = p.src_b
+      GROUP BY p.src_a, p.src_b, r.idx
+    ) GROUP BY src_a, src_b
+  )
+)
+SELECT u.src_a, u.src_b, sa.est AS est_a, sb.est AS est_b, u.est_union,
+       sa.est + sb.est - u.est_union AS est_intersection
+FROM u
+JOIN singles sa ON u.src_a = sa.g
+JOIN singles sb ON u.src_b = sb.g
+ORDER BY u.src_a, u.src_b
+"""

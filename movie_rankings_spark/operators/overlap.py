@@ -38,22 +38,19 @@ from pyspark.sql import functions as F
 from movie_rankings_spark.functions.text import word_shingles
 
 
-def source_overlap_matrix(
-    docs: DataFrame,
-    group_col: str = "source",
-    text_col: str = "text",
-    n: int = 3,
-) -> DataFrame:
-    """Pairwise overlap of distinct n-gram shingle sets between groups.
+def set_overlap_matrix(items: DataFrame) -> DataFrame:
+    """Pairwise overlap of distinct item sets between groups — the
+    generic core: ``items`` has columns (src, g) = (group, member).
+    Works for any "which groups share members" audit: shingle sets
+    per corpus source (source_overlap_matrix), user audiences per
+    event type (overlap_event_audiences), SKUs per region, ...
+
     Output per (src_a < src_b): n_a, n_b, n_common, jaccard,
     containment (of the smaller set), ordered."""
     sh = (
-        docs.select(
-            F.col(group_col).alias("src"),
-            F.explode(word_shingles(F.col(text_col), n)).alias("g"),
-        )
+        items.select("src", "g")
         .distinct()
-        .persist()  # feeds both the per-source sizes and the pair count
+        .persist()  # feeds both the per-group sizes and the pair count
     )
     sh.count()  # materialize so every consumer reads the cached set
     sizes = sh.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
@@ -89,6 +86,65 @@ def source_overlap_matrix(
         .orderBy("src_a", "src_b")
     )
     return out
+
+
+def source_overlap_matrix(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Pairwise overlap of distinct n-gram shingle sets between
+    document groups — set_overlap_matrix over the shingle explode."""
+    return set_overlap_matrix(
+        docs.select(
+            F.col(group_col).alias("src"),
+            F.explode(word_shingles(F.col(text_col), n)).alias("g"),
+        )
+    )
+
+
+def audience_overlap_matrix(
+    events: DataFrame,
+    group_col: str = "event_type",
+    member_col: str = "user_id",
+) -> DataFrame:
+    """Audience overlap between event types: which behaviours share
+    USERS (exact |A∩B|, Jaccard, containment per type pair) — the
+    warehouse companion to the corpus-level source overlap, same
+    single-shuffle core. At 100 TB the distinct (type, user) reduce
+    is the only fact-sized shuffle; everything after is bounded by
+    |types| and |types|²."""
+    return set_overlap_matrix(
+        events.select(
+            F.col(group_col).alias("src"), F.col(member_col).alias("g")
+        )
+    )
+
+
+def audience_overlap_oracle_sql(
+    group_sql: str = "event_type",
+    member_sql: str = "user_id",
+    table: str = "events",
+) -> str:
+    """DuckDB twin of audience_overlap_matrix."""
+    return f"""
+WITH e AS (SELECT DISTINCT {group_sql} AS src, {member_sql} AS g FROM {table}),
+sizes AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY src),
+inter AS (
+  SELECT a.src AS src_a, b.src AS src_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM e a JOIN e b ON a.g = b.g AND a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, x.n AS n_a, y.n AS n_b, n_common,
+       CAST(n_common AS DOUBLE) / (x.n + y.n - n_common) AS jaccard,
+       CAST(n_common AS DOUBLE) / least(x.n, y.n) AS containment
+FROM inter
+JOIN sizes x ON src_a = x.src
+JOIN sizes y ON src_b = y.src
+ORDER BY src_a, src_b
+"""
 
 
 def source_overlap_oracle_sql(

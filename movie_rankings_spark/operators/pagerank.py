@@ -165,3 +165,121 @@ def copurchase_edges(lineitem: DataFrame, max_basket: int = 30) -> DataFrame:
         F.col("src") != F.col("dst")
     )
     return pairs.distinct()
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    damping: float = 0.85,
+    n_iterations: int = 10,
+    shuffle_partitions: int | None = None,
+    decimal_mass: bool = False,
+    seed_col: str = "node",
+) -> DataFrame:
+    """Personalized PageRank (the random-walk-with-restart variant,
+    Haveliwala 2002): the walker teleports to the SEED set instead of
+    uniformly, so rank measures proximity to the seeds — "parts
+    related to the promoted set", the recommendation/expansion query
+    the global rank can't answer.
+
+    Recurrence: rank' = (1−d)·1[v∈S]/|S| + d·Σ contributions.
+    Same per-round plan as :func:`pagerank` (one edge join + one
+    partial-aggregated groupBy, localCheckpoint lineage truncation);
+    the restart vector is a left-semi flag joined once up front.
+    ``decimal_mass=True`` gives the same engine-exact integer
+    contribution sums, so the DuckDB twin hash-matches the full
+    vector. Dangling mass is restarted onto the seeds (the standard
+    PPR treatment); a symmetric graph has none."""
+    spark = edges.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        return _ppr(
+            edges, seeds, damping, n_iterations, decimal_mass, seed_col
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def _ppr(
+    edges: DataFrame,
+    seeds: DataFrame,
+    damping: float,
+    n_iterations: int,
+    decimal_mass: bool,
+    seed_col: str,
+) -> DataFrame:
+    e = edges.select(F.col("src"), F.col("dst"))
+    sd = seeds.select(F.col(seed_col).alias("node")).distinct().persist()
+    n_seeds = sd.count()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        # is_seed flag materialized once — the restart vector
+        .join(sd.withColumn("_s", F.lit(1)), "node", "left")
+        .select("node", F.coalesce(F.col("_s"), F.lit(0)).alias("is_seed"))
+        .persist()
+    )
+    nodes.count()
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    weighted = e.join(out_deg, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("deg")).alias("w")
+    ).persist()
+    weighted.count()
+    has_dangling = (
+        nodes.count() > e.select("src").distinct().count()
+    )
+    base = (1.0 - damping) / n_seeds
+    restart = F.col("is_seed").cast("double") * F.lit(base)
+    ranks = nodes.select(
+        "node",
+        (F.col("is_seed").cast("double") / F.lit(float(n_seeds))).alias("rank"),
+    ).localCheckpoint()
+    for _ in range(n_iterations):
+        c = F.col("rank") * F.col("w")
+        if decimal_mass:
+            c = F.round(c * F.lit(1e15)).cast("long")
+        contribs = (
+            weighted.join(ranks, weighted["src"] == ranks["node"])
+            .select("dst", c.alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("mass"))
+        )
+        if has_dangling:
+            contribs = contribs.localCheckpoint()
+            total = contribs.agg(F.sum("mass")).collect()[0][0]
+            flowed = (
+                float(total or 0) / 1e15
+                if decimal_mass
+                else float(total or 0.0)
+            )
+            dangling = 1.0 - flowed
+        else:
+            dangling = 0.0
+        ranks = nodes.join(
+            contribs, nodes["node"] == contribs["dst"], "left"
+        ).select(
+            "node",
+            "is_seed",
+            (
+                restart
+                + F.lit(damping)
+                * (
+                    F.coalesce(F.col("mass").cast("double"), F.lit(0.0))
+                    / (F.lit(1e15) if decimal_mass else F.lit(1.0))
+                )
+                # dangling mass restarts onto the seeds
+                + F.col("is_seed").cast("double")
+                * F.lit(damping)
+                * F.lit(dangling)
+                / F.lit(float(n_seeds))
+            ).alias("rank"),
+        )
+        ranks = ranks.localCheckpoint()
+    out = ranks.select("node", "rank")
+    nodes.unpersist()
+    weighted.unpersist()
+    sd.unpersist()
+    return out

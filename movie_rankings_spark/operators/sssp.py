@@ -1,0 +1,127 @@
+"""Single-source (multi-seed) shortest paths / BFS hop distance — the
+Pregel hello-world, as DataFrame ops: the sixth graph operator next to
+CC, PageRank, LPA, k-core, triangles and Adamic–Adar.
+
+"How many co-purchase hops is every part from the promoted seed set?"
+is the product-surface query (recommendation radius, blast-radius /
+influence analysis); on an entity graph it is the classic
+related-records walk.
+
+Each relaxation round, as DataFrame ops:
+
+- candidates: the current FRONTIER (nodes whose distance improved last
+  round) equi-joined to the edge list ships dist+1 to each neighbour;
+- relax: union with the current state, one map-side-combined
+  groupBy-min per node.
+
+Joining only the frontier (not the full distance table) is the
+standard delta optimization: total join work across ALL rounds is
+O(Σ frontier sizes) = O(|edges|) for BFS, not rounds × |edges|. The
+frontier shrinks to empty at convergence; a fixed round bound is the
+query contract (the LPA/k-core convention) and ``n_rounds`` ≥ graph
+diameter reaches the fixed point — pinned via :func:`converged` in
+tests.
+
+Determinism: distances are pure integers (hop counts), min is
+order-independent — the unrolled DuckDB twin hash-matches. At 100 TB:
+state is O(|nodes|), per-round cost one frontier-sized equi-join +
+one aggregate; lineage truncated per round (localCheckpoint →
+reliable checkpoint at cluster scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_rounds: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+) -> DataFrame:
+    """(node, dist) for every node within ``n_rounds`` hops of any
+    seed; unreached nodes are absent. ``seeds`` is a 1-column frame of
+    seed node ids (dist 0). Edges directed; pass both directions for
+    an undirected graph (copurchase_edges already is)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    e.count()  # materialize: every round's frontier join reads it
+    dist = seeds.select(
+        F.col(seed_col).alias("node"), F.lit(0).cast("int").alias("dist")
+    ).localCheckpoint()
+    frontier = dist
+    for r in range(1, n_rounds + 1):
+        if frontier.limit(1).count() == 0:
+            break  # converged: nothing was discovered last round
+        # BFS invariant: a node's final distance IS the round it first
+        # appears, so the frontier is simply `dist == r` on the new
+        # state — the delta optimization WITHOUT a cand-vs-dist
+        # self-join (which Spark's checkpoint attribute mapping
+        # handles poorly on shared lineage)
+        cand = frontier.join(e, frontier["node"] == e["src"]).select(
+            F.col("dst").alias("node"),
+            (F.col("dist") + 1).alias("dist"),
+        )
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+        frontier = dist.filter(F.col("dist") == r)
+    e.unpersist()
+    return dist
+
+
+def converged(
+    edges: DataFrame, seeds: DataFrame, n_rounds: int = 6
+) -> bool:
+    """True iff one more round changes nothing (``n_rounds`` covered
+    the reachable diameter). Tests/validation helper."""
+    a = bfs_distances(edges, seeds, n_rounds)
+    b = bfs_distances(edges, seeds, n_rounds + 1)
+    return a.unionByName(b).subtract(a.intersect(b)).limit(1).count() == 0
+
+
+def hop_histogram(dist: DataFrame) -> DataFrame:
+    """(dist, n_nodes) ordered — the compact reach report; bounded by
+    the round count."""
+    return (
+        dist.groupBy("dist")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("dist")
+    )
+
+
+def bfs_oracle_sql(
+    n_rounds: int, edges_cte: str, seeds_sql: str
+) -> str:
+    """Unrolled DuckDB twin: ``n_rounds`` min-relaxations from the
+    seed set. ``edges_cte`` defines relation ``e`` (src, dst);
+    ``seeds_sql`` is a query producing 1 column ``node``. Output
+    matches hop_histogram: (dist, n_nodes)."""
+    parts = [
+        f"WITH {edges_cte},\n"
+        f"d0 AS (SELECT node, 0 AS dist FROM ({seeds_sql}))"
+    ]
+    for r in range(1, n_rounds + 1):
+        parts.append(
+            f""",
+d{r} AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d{r - 1}
+    UNION ALL
+    SELECT e.dst AS node, d.dist + 1 AS dist
+    FROM d{r - 1} d JOIN e ON d.node = e.src
+  ) GROUP BY node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT CAST(dist AS INTEGER) AS dist, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM d{n_rounds} GROUP BY dist ORDER BY dist"""
+    )
+    return "".join(parts)

@@ -31,6 +31,12 @@ from movie_rankings_spark.plans.registry import REGISTRY
 _UNSEEN_FIRST = (
     # round-4 additions (oracle-backed, never driver-checked)
     "kcore_copurchase",
+    "ppr_copurchase_seeded",
+    "hll_audience_overlap",
+    "sssp_copurchase_reach",
+    "overlap_event_audiences",
+    "corpus_zipf_slope",
+    "corpus_heaps_law",
     "linkpred_adamic_adar",
     "overlap_sources_shingles",
     "dedup_sorted_neighborhood",

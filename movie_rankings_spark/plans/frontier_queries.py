@@ -26,6 +26,8 @@ from movie_rankings_spark.operators.linkpred import (
     adamic_adar_topk,
 )
 from movie_rankings_spark.operators.overlap import (
+    audience_overlap_matrix,
+    audience_overlap_oracle_sql,
     source_overlap_matrix,
     source_overlap_oracle_sql,
 )
@@ -34,7 +36,18 @@ from movie_rankings_spark.operators.skyline import (
     skyline_2d,
     skyline_oracle_sql,
 )
+from movie_rankings_spark.operators.corpuslaws import (
+    heaps_fit,
+    heaps_oracle_sql,
+    zipf_oracle_sql,
+    zipf_slope,
+)
 from movie_rankings_spark.operators.dedup import sorted_neighborhood_oracle_sql
+from movie_rankings_spark.operators.sssp import (
+    bfs_distances,
+    bfs_oracle_sql,
+    hop_histogram,
+)
 from movie_rankings_spark.plans.llm_queries import _SHINGLES
 from movie_rankings_spark.plans.registry import REGISTRY
 
@@ -350,4 +363,168 @@ def classifier_roc_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return roc_curve(
         _t(spark, sf_dir, "documents"), F.col("lang") == "en"
+    )
+
+
+# --- round-4c: BFS reach, audience overlap, corpus laws ----------------------
+
+_BFS_ROUNDS = 4
+_BFS_SEEDS_SQL = (
+    "SELECT l_partkey AS node FROM lineitem "
+    "GROUP BY l_partkey ORDER BY COUNT(*) DESC, l_partkey ASC LIMIT 5"
+)
+
+
+@REGISTRY.register(
+    "sssp_copurchase_reach",
+    bfs_oracle_sql(_BFS_ROUNDS, _COPURCHASE_EDGES_CTE, _BFS_SEEDS_SQL),
+)
+def sssp_copurchase_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distances from the 5 best-selling parts over the
+    co-purchase graph (operators/sssp.py): frontier-delta min-
+    relaxation, 4 rounds, reported as the (dist, n_nodes) reach
+    histogram. Integer hop logic ⇒ the unrolled DuckDB twin
+    hash-matches; fixed point pinned via sssp.converged in tests."""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = copurchase_edges(li)
+    seeds = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("l_partkey"))
+        .limit(5)
+        .select(F.col("l_partkey").alias("node"))
+    )
+    return hop_histogram(bfs_distances(edges, seeds, n_rounds=_BFS_ROUNDS))
+
+
+@REGISTRY.register(
+    "overlap_event_audiences", audience_overlap_oracle_sql()
+)
+def overlap_event_audiences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact audience overlap between event types (operators/overlap.py
+    ::audience_overlap_matrix): which behaviours share users —
+    |A∩B|, Jaccard, containment per type pair from ONE distinct
+    (type, user) shuffle; the warehouse twin of the corpus source
+    overlap, same set_overlap_matrix core."""
+    return audience_overlap_matrix(_t(spark, sf_dir, "events"))
+
+
+@REGISTRY.register("corpus_zipf_slope", zipf_oracle_sql())
+def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit over the top-100 words
+    (operators/corpuslaws.py): quantized-log OLS with DECIMAL-exact
+    moments — slope ≈ −1 flags natural text, ≈ 0 flags machine soup.
+    The corpus reduces to a 100-row histogram before any fit math."""
+    return zipf_slope(_t(spark, sf_dir, "documents"))
+
+
+@REGISTRY.register("corpus_heaps_law", heaps_oracle_sql())
+def corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps vocabulary-growth fit across sources
+    (operators/corpuslaws.py): per-source (tokens, types) + the fitted
+    β / ln K broadcast onto every row. β near 1 flags unbounded
+    vocabularies (serial numbers, hashes) — the corpus-quality
+    fingerprint next to the Zipf slope."""
+    return heaps_fit(_t(spark, sf_dir, "documents"))
+
+
+# --- round-4d: personalized PageRank + HLL audience overlap ------------------
+
+
+def _ppr_oracle(n_iter: int = 10, n_seeds: int = 5) -> str:
+    """Unrolled DuckDB twin of decimal-mass personalized PageRank with
+    restart on the top-5-selling seed set (the _pagerank_oracle
+    exactness strategy: scaled-integer contribution sums, literal
+    hygiene via repr() for the Python-double restart constant; the
+    co-purchase graph is symmetric so there is no dangling term)."""
+    base = repr((1.0 - 0.85) / n_seeds)
+    parts = [
+        f"""WITH {_COPURCHASE_EDGES_CTE},
+seeds AS ({_BFS_SEEDS_SQL}),
+nodes AS (
+  SELECT n.node, CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS is_seed
+  FROM (SELECT DISTINCT src AS node FROM e) n
+  LEFT JOIN seeds s ON n.node = s.node
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+w AS (SELECT e.src, e.dst, CAST(1.0 AS DOUBLE) / d.deg AS w
+      FROM e JOIN deg d USING (src)),
+r0 AS (SELECT node, CAST(is_seed AS DOUBLE) / {float(n_seeds)} AS rank
+       FROM nodes)"""
+    ]
+    for k in range(1, n_iter + 1):
+        parts.append(
+            f""",
+c{k} AS (
+  SELECT w.dst,
+         SUM(CAST(round((r{k - 1}.rank * w.w) * 1e15) AS BIGINT)) AS mass
+  FROM w JOIN r{k - 1} ON w.src = r{k - 1}.node GROUP BY w.dst
+),
+r{k} AS (
+  SELECT nodes.node,
+         CAST(nodes.is_seed AS DOUBLE) * CAST('{base}' AS DOUBLE)
+         + CAST(0.85 AS DOUBLE)
+           * (COALESCE(CAST(c{k}.mass AS DOUBLE), CAST(0.0 AS DOUBLE))
+                / 1e15) AS rank
+  FROM nodes LEFT JOIN c{k} ON nodes.node = c{k}.dst
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node AS l_partkey, rank FROM r{n_iter}
+WHERE rank > 0
+ORDER BY rank DESC, l_partkey ASC LIMIT 20"""
+    )
+    return "".join(parts)
+
+
+@REGISTRY.register("ppr_copurchase_seeded", _ppr_oracle())
+def ppr_copurchase_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the 5 best-selling parts
+    (operators/pagerank.py::personalized_pagerank): random-walk-with-
+    restart proximity to the promoted set — "related parts", the
+    seeded-expansion query global PageRank can't answer. Decimal-mass
+    contributions ⇒ the unrolled DuckDB twin hash-matches the full
+    vector; top 20 positive-rank parts."""
+    from movie_rankings_spark.operators.pagerank import personalized_pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = copurchase_edges(li)
+    seeds = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("l_partkey"))
+        .limit(5)
+        .select(F.col("l_partkey").alias("node"))
+    )
+    pr = personalized_pagerank(
+        edges, seeds, n_iterations=10, shuffle_partitions=8,
+        decimal_mass=True,
+    )
+    return (
+        pr.filter(F.col("rank") > 0)
+        .select(F.col("node").alias("l_partkey"), "rank")
+        .orderBy(F.desc("rank"), F.asc("l_partkey"))
+        .limit(20)
+    )
+
+
+_HLL_OVERLAP_ORACLE = hllsketch.hll_pairwise_oracle_sql(
+    _HLL_P, key_sql="user_id", group_sql="event_type", table="events"
+)
+
+
+@REGISTRY.register("hll_audience_overlap", _HLL_OVERLAP_ORACLE)
+def hll_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-tier audience overlap (operators/hllsketch.py
+    ::hll_pairwise_overlap): per event-type pair, raw HLL estimates of
+    |A|, |B|, |A∪B| and the inclusion–exclusion intersection — union
+    sketches come free from register max-merge, no fact rescan. The
+    mergeable-artifact answer to the exact overlap_event_audiences;
+    estimate-vs-exact error is gated in tests/test_frontier4d.py."""
+    return hllsketch.hll_pairwise_overlap(
+        _t(spark, sf_dir, "events"),
+        key="user_id",
+        group_col="event_type",
+        p=_HLL_P,
     )

@@ -96,6 +96,8 @@ NESTED_LOOP_LEGIT = {
     "rfm_customer_segments",  # 1-row median-threshold vector onto customers
     "pps_sample_orders",  # 1-row total-weight scalar onto the fact (r4)
     "classifier_roc_curve",  # theta join of the BOUNDED logit histogram (AUC shape, r4)
+    "corpus_heaps_law",  # 1-row OLS fit broadcast onto |sources| rows (r4)
+    "hll_audience_overlap",  # |groups| x |groups| pair enumeration over the bounded group list (r4)
 }
 
 #: row-at-a-time Python allowed ONLY for the literal Spark-4 @udtf
@@ -118,6 +120,7 @@ GLOBAL_WINDOW_LEGIT = {
     "knn_label_propagation",  # holdout votes (bounded query set)
     "retrieval_eval_ivf",
     "similarity_mmr_topk",
+    "corpus_zipf_slope",  # rank window over the top-k (100-row) histogram (r4)
 }
 
 

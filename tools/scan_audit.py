@@ -106,6 +106,9 @@ KNOWN_LEGIT = {
     "linkpred_adamic_adar",  # persisted+materialized edge list; cache-text artifact
     "overlap_sources_shingles",  # persisted+materialized shingle set; cache-text artifact
     "dedup_sorted_neighborhood",  # position pass + shingle pass, both pruned (documented 2-pass)
+    "overlap_event_audiences",  # persisted+materialized (type,user) set; cache-text artifact
+    "corpus_heaps_law",  # persisted+materialized per-source moments; cache-text artifact
+    "hll_audience_overlap",  # persisted+materialized register table feeds singles/pairs/unions; cache-text artifact
 }
 
 
