@@ -236,6 +236,14 @@ HEADLINE_QUERIES = (
     "overlap_sources_shingles",
     "dedup_sorted_neighborhood",
     "classifier_roc_curve",
+    # r4c/r4d additions: BFS reach / audience overlap (exact + HLL) /
+    # corpus laws / personalized PageRank
+    "sssp_copurchase_reach",
+    "overlap_event_audiences",
+    "hll_audience_overlap",
+    "corpus_zipf_slope",
+    "corpus_heaps_law",
+    "ppr_copurchase_seeded",
 )
 
 
