@@ -9,6 +9,7 @@ session warm-up action.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -420,6 +421,17 @@ def main() -> int:
                 max_runs += 1
         timings[name] = round(best, 4)
         print(f"# {name}: {best:.3f}s rows={n} runs={runs}", file=sys.stderr)
+        # cache hygiene between queries: operators persist reused
+        # intermediates and never unpersist (the returned DataFrame
+        # still references them), so over a 200+-query suite leaked
+        # cache entries + checkpointed RDDs accumulate into executor
+        # memory pressure that inflates LATE queries' timings (r4
+        # finding: late-suite graph queries measured 4-6x their
+        # isolated cost). Clearing between queries measures each
+        # query's own cost — within-query reuse still benefits.
+        spark.catalog.clearCache()
+        gc.collect()  # release py-side refs so ContextCleaner reaps
+        # checkpointed RDDs from the iterative operators
 
     full = {
         "metric": "headline_suite_seconds",
