@@ -508,37 +508,114 @@ def simhash_neardup_pairs(
 
 
 def embedding_cosine_pairs(
-    embeddings: DataFrame, threshold: float = 0.45
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    n_blocks: int = 32,
+    prefilter_margin: float = 1e-9,
 ) -> DataFrame:
     """Exact all-pairs semantic near-dup: (vec_a, vec_b, cosine) for
-    every pair at cosine >= threshold. Norms are computed ONCE per
-    vector before the pair join (not per pair — halves the per-pair
-    work to a single dot product); products go through the exact
-    decimal sum so the result hash-matches the DuckDB oracle.
+    every pair at cosine >= threshold, with the exact-decimal cosine
+    so the result hash-matches the DuckDB oracle.
 
-    Scale: all-pairs is O(n²) by definition — this is the verifier and
-    small-partition path. At 100 TB you run embedding_lsh_pairs for
-    candidates and this expression only on the candidate set."""
-    n = embeddings.select(
-        "vec_id",
-        "embedding",
-        F.sqrt(norm_sq_exact(F.col("embedding"))).alias("nrm"),
+    Execution (r4 rewrite): the naive theta join evaluated the
+    interpreted higher-order dot product on ALL n²/2 pairs — measured
+    352 s at sf0.1 (20k vectors). The pair SPACE is still O(n²) by
+    definition, but the flops now run as a distributed BLOCK GEMM:
+
+    1. each vector lands in one of ``n_blocks`` hash blocks; the
+       bounded block-pair table (i ≤ j) keys a cogroup, so every
+       unordered vector pair is examined in exactly one task;
+    2. per block pair, one numpy float64 GEMM scores the rectangle
+       (triangle when i = j) and keeps candidates at
+       cosine ≥ threshold − margin — float64 dot error for short
+       vectors is ~1e-13 relative, so a 1e-9 margin provably loses no
+       qualifying pair;
+    3. the CANDIDATES ONLY (near-dups + borderline) go through the
+       exact decimal dot/norm rescore and the exact ≥ threshold
+       filter — identical output to the old plan, ~100× faster.
+
+    Scale: shuffle volume is n·√(pairs-per-task-budget)-ish — each
+    block is replicated n_blocks times (n·n_blocks rows); work per
+    task is (n/n_blocks)² GEMM flops. This is the classic distributed
+    all-pairs decomposition; at 100 TB you still run
+    embedding_lsh_pairs for candidates first and reserve this exact
+    tier for verification or bounded partitions."""
+    spark = embeddings.sparkSession
+    blocks = embeddings.select(
+        "vec_id", "embedding", F.pmod(F.col("vec_id"), F.lit(n_blocks)).alias("blk")
     )
-    a = n.select(
+    bp = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "ba int, bb int",
+    )
+    left = (
+        blocks.alias("bl")
+        .join(F.broadcast(bp.alias("pl")), F.col("bl.blk") == F.col("pl.ba"))
+        .select(
+            F.col("pl.ba").alias("ba"),
+            F.col("pl.bb").alias("bb"),
+            F.col("bl.vec_id").alias("vec_id"),
+            F.col("bl.embedding").alias("embedding"),
+        )
+    )
+    right = (
+        blocks.alias("br")
+        .join(F.broadcast(bp.alias("pr")), F.col("br.blk") == F.col("pr.bb"))
+        .select(
+            F.col("pr.ba").alias("ba"),
+            F.col("pr.bb").alias("bb"),
+            F.col("br.vec_id").alias("vec_id"),
+            F.col("br.embedding").alias("embedding"),
+        )
+    )
+    cut = threshold - prefilter_margin
+
+    def gemm_block_pair(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame({"vec_a": [], "vec_b": []}).astype("int64")
+        ma = np.array(lpdf["embedding"].tolist(), dtype=np.float64)
+        mb = np.array(rpdf["embedding"].tolist(), dtype=np.float64)
+        ids_a = lpdf["vec_id"].to_numpy(dtype=np.int64)
+        ids_b = rpdf["vec_id"].to_numpy(dtype=np.int64)
+        na = np.linalg.norm(ma, axis=1)
+        nb = np.linalg.norm(mb, axis=1)
+        cos = (ma @ mb.T) / np.outer(na, nb)
+        ii, jj = np.nonzero(cos >= cut)
+        a_ids, b_ids = ids_a[ii], ids_b[jj]
+        if key[0] == key[1]:
+            # diagonal block: both sides are the same set, every
+            # unordered pair shows up twice (plus self-pairs) — keep
+            # one orientation
+            keep = a_ids < b_ids
+            a_ids, b_ids = a_ids[keep], b_ids[keep]
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(a_ids, b_ids),
+                "vec_b": np.maximum(a_ids, b_ids),
+            }
+        )
+
+    cands = (
+        left.groupBy("ba", "bb")
+        .cogroup(right.groupBy("ba", "bb"))
+        .applyInPandas(gemm_block_pair, "vec_a long, vec_b long")
+    )
+    ea = embeddings.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"),
+        F.sqrt(norm_sq_exact(F.col("embedding"))).alias("nrm_a"),
     )
-    b = n.select(
+    eb = embeddings.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"),
+        F.sqrt(norm_sq_exact(F.col("embedding"))).alias("nrm_b"),
     )
     cosine = dot_exact(F.col("emb_a"), F.col("emb_b")) / (
         F.col("nrm_a") * F.col("nrm_b")
     )
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        cands.join(ea, "vec_a")
+        .join(eb, "vec_b")
         .select("vec_a", "vec_b", cosine.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
