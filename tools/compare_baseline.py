@@ -29,7 +29,11 @@ def main() -> int:
     flag = 1.5
     src = sys.argv[1] if len(sys.argv) > 1 else None
     raw = open(src).read() if src else sys.stdin.read()
-    bench = json.loads(raw.strip().splitlines()[-1])
+    try:
+        bench = json.loads(raw)  # a bench JSON file (pretty-printed)
+    except json.JSONDecodeError:
+        # piped bench stdout: the compact line is the last line
+        bench = json.loads(raw.strip().splitlines()[-1])
     base = load_baseline()
     ratios = []
     missing = []
