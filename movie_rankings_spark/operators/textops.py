@@ -367,6 +367,67 @@ def chunk_documents(
     )
 
 
+def strip_boilerplate(
+    docs: DataFrame, chunk_size: int = 16, min_docs: int = 2
+) -> DataFrame:
+    """CCNet-style boilerplate removal (the cleaning stage AFTER the
+    `dedup_chunks_exact` finder): delete every non-overlapping
+    ``chunk_size``-token span whose exact text occurs in ≥ ``min_docs``
+    distinct documents (headers, footers, license blocks, nav bars),
+    then reassemble each document from its surviving spans in order.
+    Document tails shorter than the window can never be a full
+    boilerplate span and are always kept.
+
+    Three bounded shuffles, no pairwise work: (1) the md5-fingerprint
+    groupBy (map-side partial agg — the shuffle carries one row per
+    distinct span per partition) builds the recurring-span set, which
+    is corpus-reduced and tiny relative to the corpus; (2) a left-anti
+    join of chunks against it (AQE broadcasts the small side at any
+    realistic selectivity); (3) one doc_id-keyed reassembly whose
+    payload is exactly the surviving text — each document crosses the
+    wire once. Documents that are 100 % boilerplate survive with
+    empty clean_text, so the output row count always equals the input
+    document count (auditable conservation).
+
+    Output: doc_id, clean_text, n_chunks_kept, n_chunks_removed.
+    """
+    # persisted: the chunk table feeds the recurring-span aggregate,
+    # the anti-join probe side, AND the per-doc totals — without the
+    # persist each branch re-splits the corpus (scan_audit tripwire)
+    chunks = (
+        chunk_documents(docs, chunk_size=chunk_size, stride=chunk_size)
+        .withColumn("fp", F.md5("chunk_text"))
+        .persist()
+    )
+    recurring = (
+        chunks.filter(F.col("chunk_len") == chunk_size)
+        .groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("fp")
+    )
+    kept = chunks.join(recurring, "fp", "left_anti")
+    totals = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n_chunks"))
+    reassembled = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk_text"))),
+                lambda s: s["chunk_text"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    return totals.join(reassembled, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("_n_kept", F.lit(0)).cast("int").alias("n_chunks_kept"),
+        (F.col("_n_chunks") - F.coalesce("_n_kept", F.lit(0)))
+        .cast("int")
+        .alias("n_chunks_removed"),
+    )
+
+
 def quality_filtered(docs: DataFrame, pct: float = 0.75) -> DataFrame:
     """Keep documents whose quality score exceeds the global ``pct``
     percentile — the aggressive-filtering stage of a data-curation

@@ -30,6 +30,7 @@ from movie_rankings_spark.plans.registry import REGISTRY
 #: check). Regenerate next round from CORRECTNESS_r4.json.
 _UNSEEN_FIRST = (
     # round-4 additions (oracle-backed, never driver-checked)
+    "dedup_boilerplate_strip",
     "kcore_copurchase",
     "ppr_copurchase_seeded",
     "hll_audience_overlap",

@@ -1018,6 +1018,55 @@ def dedup_chunks_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Boilerplate REMOVAL (the cleaning stage after the finder above):
+# strip every recurring 16-token span and reassemble each document
+# from the survivors. The oracle mirrors the three-stage shape
+# exactly — recurring-span set, anti-membership filter, ordered
+# string_agg reassembly — so clean_text is byte-identical.
+_BOILERPLATE_STRIP_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+chunks AS (
+  SELECT doc_id, CAST(s / 16 AS INTEGER) AS chunk_idx,
+         array_to_string(t[s + 1 : s + 16], ' ') AS chunk_text,
+         len(t[s + 1 : s + 16]) AS chunk_len
+  FROM toks, UNNEST(range(0, len(t), 16)) AS u(s)
+),
+recurring AS (
+  SELECT md5(chunk_text) AS fp FROM chunks WHERE chunk_len = 16
+  GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+),
+kept AS (
+  SELECT * FROM chunks
+  WHERE md5(chunk_text) NOT IN (SELECT fp FROM recurring)
+),
+totals AS (SELECT doc_id, COUNT(*) AS n_chunks FROM chunks GROUP BY doc_id),
+re AS (
+  SELECT doc_id,
+         string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(re.clean_text, '') AS clean_text,
+       CAST(COALESCE(re.n_kept, 0) AS INTEGER) AS n_chunks_kept,
+       CAST(t.n_chunks - COALESCE(re.n_kept, 0) AS INTEGER)
+         AS n_chunks_removed
+FROM totals t LEFT JOIN re ON t.doc_id = re.doc_id
+ORDER BY t.doc_id
+"""
+
+
+@REGISTRY.register("dedup_boilerplate_strip", _BOILERPLATE_STRIP_ORACLE)
+def dedup_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate removal: textops.strip_boilerplate —
+    recurring 16-token spans (≥2 distinct docs) deleted, documents
+    reassembled from surviving spans in order. Row count is conserved
+    (fully-boilerplate docs keep an empty clean_text row)."""
+    return textops.strip_boilerplate(
+        _docs(spark, sf_dir), chunk_size=16, min_docs=2
+    ).orderBy("doc_id")
+
+
 _QUALITY_EXPR = f"""least(CAST(len({_WORDS}) AS DOUBLE) / 50.0, 1.0) * 0.5
          + (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
                   / length(text)) * 0.3

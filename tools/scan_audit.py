@@ -109,6 +109,7 @@ KNOWN_LEGIT = {
     "overlap_event_audiences",  # persisted+materialized (type,user) set; cache-text artifact
     "corpus_heaps_law",  # persisted+materialized per-source moments; cache-text artifact
     "hll_audience_overlap",  # persisted+materialized register table feeds singles/pairs/unions; cache-text artifact
+    "dedup_boilerplate_strip",  # persisted chunk table feeds recurring-set + anti-join + totals (InMemoryTableScan=3); cache-text artifact
 }
 
 
