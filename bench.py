@@ -98,6 +98,7 @@ HEADLINE_QUERIES = (
     "active_users_rolling",
     "dedup_exact_groups",
     "dedup_chunks_exact",
+    "dedup_boilerplate_strip",
     "dedup_substring_spans",
     "dedup_simhash",
     "dedup_ngram_jaccard",
@@ -117,6 +118,7 @@ HEADLINE_QUERIES = (
     "similarity_mmr_topk",
     "search_bm25_topk",
     "knn_label_propagation",
+    "knn_label_propagation_ivf",
     "dedup_semantic_clusters",
     "pagerank_copurchase",
     "triangles_copurchase",

@@ -90,6 +90,23 @@ def _collect_queries(
     return ids, mat
 
 
+def _topk_tie_safe(col: np.ndarray, vec_ids: np.ndarray, take: int) -> np.ndarray:
+    """Indices of the ``take`` largest values of ``col``, breaking
+    float ties by vec_id ASC — so a tie-group straddling the cut line
+    keeps exactly the candidates the exact (cosine DESC, vec_id ASC)
+    rescore would keep. The oracle-exactness claim of the batched-GEMM
+    paths depends on this: np.argpartition orders equal floats
+    arbitrarily, so with >buffer duplicate embeddings the exact
+    tie-break winner could be dropped before the rescore."""
+    if take >= len(col):
+        return np.arange(len(col))
+    kth = -np.partition(-col, take - 1)[take - 1]
+    above = np.nonzero(col > kth)[0]
+    at = np.nonzero(col == kth)[0]
+    at = at[np.argsort(vec_ids[at], kind="stable")[: take - len(above)]]
+    return np.concatenate([above, at])
+
+
 def cosine_topk_numpy(
     embeddings: DataFrame, query_ids: Sequence[int], k: int = 5
 ) -> DataFrame:
@@ -121,7 +138,7 @@ def cosine_topk_numpy(
                 take = min(buffer, len(col_m))
                 if take == 0:
                     continue
-                idx = np.argpartition(-col_m, take - 1)[:take]
+                idx = _topk_tie_safe(col_m, ids_m, take)
                 yield pd.DataFrame(
                     {
                         "query_id": np.full(take, qid, dtype=np.int64),
@@ -505,10 +522,10 @@ def knn_label_propagation(
             sims = mat @ q_mat.T  # (batch, queries)
             take = min(buffer, len(vec_ids))
             for qi, qid in enumerate(q_ids):
-                idx = np.argpartition(-sims[:, qi], take - 1)[:take]
+                idx = _topk_tie_safe(sims[:, qi], vec_ids, take)
                 yield pd.DataFrame(
                     {
-                        "query_id": np.full(take, qid, dtype=np.int64),
+                        "query_id": np.full(len(idx), qid, dtype=np.int64),
                         "vec_id": vec_ids[idx],
                         "label": labels[idx],
                         "embedding": list(pdf["embedding"].iloc[idx]),
@@ -553,6 +570,130 @@ def knn_label_propagation(
     return (
         votes.withColumn("_r", F.row_number().over(wv))
         .filter(F.col("_r") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("label").alias("pred_label"),
+            "n_votes",
+        )
+    )
+
+
+def knn_label_propagation_ivf(
+    embeddings: DataFrame,
+    query_pred,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ANN-backed kNN label propagation — the 100 TB scale path for
+    ``knn_label_propagation``, whose exact tier is O(holdout × corpus)
+    flops by contract. Neighbor search runs through the IVF probe
+    (same bucket machinery as ``ivf_topk`` / retrieval_eval_ivf): the
+    labeled corpus is bucketed by nearest centroid once (one Arrow
+    assignment pass, label rides along — no re-join), each held-out
+    query probes only its ``nprobe`` nearest buckets, so scored pairs
+    are ~nprobe/n_centroids of the exact variant's holdout×corpus GEMM
+    and every stage is an equi-join on the bucket key — never
+    all-pairs. Approximate by construction (recall depends on bucket
+    quality), so registered rows-only, gated in tests by prediction
+    agreement vs the exact variant: 100 % on the planted-cluster
+    fixture (where real embeddings live — clustered), ≥ 50 % on the
+    synthetic sf0.001 table, whose embeddings are isotropic random, so
+    ANY bucket pruning costs recall there (the same reason the IVF
+    retrieval gate sits at 0.5). Same output schema/determinism contract as
+    the exact variant: pair cosines are per-row float dots (batch-
+    independent) and both top-k and vote tie-breaks are total orders.
+    Output: query_id, true_label, pred_label, n_votes."""
+    spark = embeddings.sparkSession
+    corpus = embeddings.filter(~query_pred).select(
+        "vec_id", "label", "embedding"
+    )
+    cent_rows = (
+        corpus.orderBy("vec_id")
+        .limit(n_centroids)
+        .select("embedding")
+        .collect()
+    )
+    q_rows = (
+        embeddings.filter(query_pred)
+        .select("vec_id", "embedding", "label")
+        .collect()
+    )
+    if not q_rows or not cent_rows:
+        return spark.createDataFrame(
+            [], "query_id long, true_label int, pred_label int, n_votes long"
+        )
+    centroids = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
+    cent_norm = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    p = min(nprobe, len(cent_norm))
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            pdf = pdf.assign(bucket=np.argmax(mat @ cent_norm.T, axis=1).astype(np.int32))
+            yield pdf[["vec_id", "label", "bucket", "embedding"]]
+
+    assigned = corpus.mapInPandas(
+        assign, "vec_id long, label int, bucket int, embedding array<float>"
+    )
+
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_by_id = {int(qid): q_mat[i] for i, qid in enumerate(q_ids)}
+    probes = []
+    for qid, qv in zip(q_ids, q_mat):
+        order = np.argsort(-(cent_norm @ qv))[:p]
+        probes.extend((int(qid), int(b)) for b in order)
+    probe_df = spark.createDataFrame(probes, "query_id long, bucket int")
+    truth_df = spark.createDataFrame(
+        [(int(r["vec_id"]), int(r["label"])) for r in q_rows],
+        "query_id long, true_label int",
+    )
+
+    candidates = assigned.join(F.broadcast(probe_df), "bucket")
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            qmat = np.array(
+                [q_by_id[int(q)] for q in pdf["query_id"]], dtype=np.float64
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(dtype=np.int64),
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "label": pdf["label"].to_numpy(dtype=np.int32),
+                    "cosine": np.einsum("ij,ij->i", mat, qmat),
+                }
+            )
+
+    scored = candidates.select(
+        "query_id", "vec_id", "label", "embedding"
+    ).mapInPandas(score, "query_id long, vec_id long, label int, cosine double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    nn = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    votes = nn.groupBy("query_id", "label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("label").asc()
+    )
+    return (
+        votes.withColumn("_r", F.row_number().over(wv))
+        .filter(F.col("_r") == 1)
+        .join(F.broadcast(truth_df), "query_id")
         .select(
             "query_id",
             "true_label",

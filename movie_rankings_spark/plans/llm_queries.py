@@ -2039,6 +2039,26 @@ def knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id")
 
 
+@REGISTRY.register("knn_label_propagation_ivf")  # ANN neighbors: rows-only
+def knn_label_propagation_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB scale path for knn_label_propagation: neighbor
+    search routed through the IVF probe (operators/similarity.py::
+    knn_label_propagation_ivf) instead of the exact holdout×corpus
+    GEMM — scored pairs shrink to ~nprobe/n_centroids of the corpus
+    and every stage is a bucket equi-join. Rows-only (ANN recall < 1
+    by construction); tests/test_classifier.py gates prediction
+    agreement vs the exact variant (100 % on planted clusters, ≥ 50 %
+    on the sf0.001 table, whose isotropic embeddings are the
+    worst case for bucket pruning)."""
+    return similarity.knn_label_propagation_ivf(
+        _emb(spark, sf_dir),
+        F.col("vec_id") % 97 == 0,
+        k=5,
+        n_centroids=16,
+        nprobe=8,
+    ).orderBy("query_id")
+
+
 _AUC_ORACLE = """
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents

@@ -99,3 +99,56 @@ def test_knn_label_propagation_planted_clusters(spark):
     for r in out:
         assert r["pred_label"] == r["true_label"]
         assert r["n_votes"] == 3  # unanimous within a clean cluster
+
+
+def test_knn_label_propagation_ivf_planted_clusters(spark):
+    """The ANN-backed scale path must agree 100% with the exact tier
+    on well-separated planted clusters (nprobe covers both buckets)."""
+    import numpy as np
+
+    from movie_rankings_spark.operators import similarity
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(4)
+    rows = []
+    for i in range(40):
+        c = i % 2
+        base = np.array([5.0, 0.0, 0.0]) if c == 0 else np.array([0.0, 5.0, 0.0])
+        v = base + rng.normal(scale=0.2, size=3)
+        rows.append((i, [float(x) for x in v], c))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    pred = F.col("vec_id") % 5 == 0
+    out = similarity.knn_label_propagation_ivf(
+        df, pred, k=3, n_centroids=4, nprobe=2
+    ).collect()
+    assert len(out) == 8
+    for r in out:
+        assert r["pred_label"] == r["true_label"]
+
+
+def test_knn_label_propagation_ivf_agreement_gate(spark, sf_dir):
+    """Prediction-agreement gate vs the exact variant on the sf0.001
+    embeddings table at the registered config (n_centroids=16,
+    nprobe=8). This table's embeddings are isotropic random — the
+    worst case for bucket pruning (same reason the IVF retrieval
+    recall gate sits at 0.5) — so the floor here is 50%; the semantic
+    100%-agreement gate runs on the planted-cluster fixture above,
+    which has the cluster structure real embeddings have."""
+    from movie_rankings_spark.operators import similarity
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pred = F.col("vec_id") % 97 == 0
+    exact = {
+        r["query_id"]: r["pred_label"]
+        for r in similarity.knn_label_propagation(emb, pred, k=5).collect()
+    }
+    ann = {
+        r["query_id"]: r["pred_label"]
+        for r in similarity.knn_label_propagation_ivf(
+            emb, pred, k=5, n_centroids=16, nprobe=8
+        ).collect()
+    }
+    assert set(ann) == set(exact)  # every holdout row gets a prediction
+    agree = sum(1 for q, p in ann.items() if exact[q] == p)
+    assert agree / len(exact) >= 0.5, f"agreement {agree}/{len(exact)}"

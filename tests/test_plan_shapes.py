@@ -281,6 +281,9 @@ _PYTHON_RESIDENT = {
     "multimodal_audio_frames",  # windowed DSP over binary payloads (mapInPandas by design)
     "multimodal_resize_meta",  # r4: real PNG/JFIF header decode over binary payloads (mapInPandas by design; resize math itself is codegen'd)
     "flagship_pandas_api",  # pandas-API front-end demo; stages Python eval by design (DataFrame form is the production path)
+    "dedup_embedding_cosine",  # r4 block-GEMM rewrite: applyInPandas vectorized GEMM over block pairs (352s->3.2s); reviewed fast plan
+    "knn_label_propagation",  # exact holdout-vs-corpus scoring via Arrow-batched GEMM cut (reviewed); IVF variant is the scale path
+    "knn_label_propagation_ivf",  # IVF bucket assign + probe scoring GEMMs (r5; the kNN scale path)
 }
 
 _PY_NODE = re.compile(r"InPandas|EvalPython|PythonUDF|BatchEvalPython", re.I)

@@ -86,6 +86,7 @@ KNOWN_LEGIT = {
     "winsorized_mean_price",  # documented 2-pass bounds + clip (MAD pattern)
     "quality_filtered_per_lang",  # threshold pass + apply pass (documented)
     "knn_label_propagation",  # holdout + corpus slices of one table
+    "knn_label_propagation_ivf",  # holdout + corpus + centroid slices of one table (r5)
     "retrieval_eval_ivf",  # exact + IVF pipelines both read embeddings (eval)
     "vocab_top_words",  # partially cached tf reuse
     "active_users_rolling",  # cached bitmap grid (text artifact)
