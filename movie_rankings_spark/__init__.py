@@ -19,3 +19,8 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+from movie_rankings_spark.caching import (  # noqa: E402,F401 — public hook
+    release_persisted,
+    tracked_count,
+)

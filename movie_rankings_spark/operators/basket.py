@@ -56,7 +56,7 @@ def association_rules(
             F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
         )
         .distinct()
-        .persist()
+        .persist_tracked()
     )
     n_baskets = bi.agg(
         F.countDistinct("basket").cast("long").alias("n_baskets")

@@ -101,7 +101,7 @@ def classifier_auc(docs: DataFrame, label_col) -> DataFrame:
             F.sum("_y").alias("pos"),
             (F.count(F.lit(1)) - F.sum("_y")).alias("neg"),
         )
-        .persist()  # read by both sides of the theta join + totals
+        .persist_tracked()  # read by both sides of the theta join + totals
     )
     a = vc.select(
         F.col("logit_x100").alias("s"), F.col("pos").alias("p"), F.col("neg").alias("n")
@@ -164,7 +164,7 @@ def roc_curve(docs: DataFrame, label_col) -> DataFrame:
             F.sum("_y").alias("pos"),
             (F.count(F.lit(1)) - F.sum("_y")).alias("neg"),
         )
-        .persist()  # both sides of the theta join + the totals row
+        .persist_tracked()  # both sides of the theta join + the totals row
     )
     a = vc.select(F.col("logit_x100").alias("s"))
     b = vc.select(

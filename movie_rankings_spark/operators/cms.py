@@ -109,7 +109,7 @@ def cms_word_frequency_report(
     # feeds the sketch build, the truth side, and the probe — without
     # the cache each branch would rescan the token stream.
     toks = docs.select(F.explode(words(F.col("text"))).alias("word"))
-    counted = toks.groupBy("word").agg(F.count(F.lit(1)).alias("true_n")).persist()
+    counted = toks.groupBy("word").agg(F.count(F.lit(1)).alias("true_n")).persist_tracked()
     sketch = cms_build_from_counts(counted, "word", "true_n", depth, width)
     truth = counted.filter(F.col("true_n") >= min_count)
     est = cms_estimate(sketch, truth.select("word"), "word", depth, width)

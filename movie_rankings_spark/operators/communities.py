@@ -51,13 +51,13 @@ def label_propagation(
     # the edge table feeds every round's gather join — persist it or
     # each round re-derives it from the base tables (the pagerank
     # `weighted` convention)
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist_tracked()
     e.count()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
+        .persist_tracked()
     )
     labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
     for _ in range(n_rounds):

@@ -43,11 +43,11 @@ def connected_components(
     # table uses a distinct key name ("id") so per-round joins against
     # adj (same lineage) are never ambiguous self-joins.
     nodes = both.select(F.col("u")).distinct()
-    adj = both.union(nodes.select("u", F.col("u").alias("v"))).persist()
+    adj = both.union(nodes.select("u", F.col("u").alias("v"))).persist_tracked()
 
     labels = nodes.select(
         F.col("u").alias("id"), F.col("u").alias("label")
-    ).persist()
+    ).persist_tracked()
     labels.count()
 
     changed = 0
@@ -58,7 +58,7 @@ def connected_components(
             .select(F.col("u").alias("id"), "label")
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .persist()
+            .persist_tracked()
         )
         changed = (
             new_labels.withColumnRenamed("label", "new")

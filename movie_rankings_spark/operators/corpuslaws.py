@@ -103,7 +103,7 @@ def heaps_fit(docs: DataFrame, group_col: str = "source") -> DataFrame:
             F.count(F.lit(1)).alias("n_tokens"),
             F.countDistinct("w").alias("n_types"),
         )
-        .persist()  # feeds the fit and the output rows
+        .persist_tracked()  # feeds the fit and the output rows
     )
     per.count()
     fit = _ols_fit(

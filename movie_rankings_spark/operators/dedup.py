@@ -97,7 +97,7 @@ def ngram_jaccard_pairs(
     sets = shingle_sets(docs, n)
     inv = sets.select(
         "doc_id", "n_shingles", F.explode("shingles").alias("shingle")
-    ).persist()  # both join sides read it; avoids double shingling
+    ).persist_tracked()  # both join sides read it; avoids double shingling
     a = inv.select(
         F.col("doc_id").alias("doc_a"),
         F.col("n_shingles").alias("n_a"),
@@ -159,10 +159,10 @@ def jaccard_prefix_pairs(
     # sets is persisted too: the prefix index derives from it AND both
     # verify sides re-read the full shingle arrays — uncached, docs
     # would be re-shingled three times (scan audit showed 6 base scans).
-    sets = shingle_sets(docs, n).filter(F.col("n_shingles") > 0).persist()
+    sets = shingle_sets(docs, n).filter(F.col("n_shingles") > 0).persist_tracked()
     inv = sets.select(
         "doc_id", "n_shingles", F.explode("shingles").alias("shingle")
-    ).persist()  # read by the df aggregate and the prefix ranking
+    ).persist_tracked()  # read by the df aggregate and the prefix ranking
     df = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "shingle")
     prefix_len = (
@@ -294,7 +294,7 @@ def lsh_candidate_pairs(
     projection is persisted: Spark does not reuse exchanges across the
     a/b sides of a self-join, so without the cache the (expensive)
     signature aggregation upstream would execute twice."""
-    banded = banded_buckets(signatures, bands, rows_per_band).persist()
+    banded = banded_buckets(signatures, bands, rows_per_band).persist_tracked()
     a = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     return (
@@ -318,7 +318,7 @@ def minhash_neardup_pairs(
     p = 1-(1-0.5^4)^16 ≈ 0.64, and the planted near-dups (j≥0.95)
     with p ≈ 1-1e-18; verification makes precision exact."""
     rows = num_hashes // bands
-    sets = shingle_sets(docs, shingle_n).persist()  # one shingling pass
+    sets = shingle_sets(docs, shingle_n).persist_tracked()  # one shingling pass
     # feeds signatures AND both verify sides (no exchange reuse there)
     sigs = minhash_signatures_from_sets(sets, num_hashes)
     cands = lsh_candidate_pairs(sigs, bands, rows)
@@ -362,7 +362,7 @@ def incremental_neardup_pairs(
     pairs. Cost scales with the batch, not the corpus — the property
     that makes continuous dedup affordable at all."""
     rows = num_hashes // bands
-    c_sets = shingle_sets(corpus, shingle_n).persist()
+    c_sets = shingle_sets(corpus, shingle_n).persist_tracked()
     c_idx = banded_buckets(
         minhash_signatures_from_sets(c_sets, num_hashes), bands, rows
     )
@@ -388,7 +388,7 @@ def incremental_pairs_against_index(
     through index lookups. This is the function the streaming ingest
     path calls per micro-batch."""
     rows = num_hashes // bands
-    b_sets_full = shingle_sets(batch, shingle_n).persist()
+    b_sets_full = shingle_sets(batch, shingle_n).persist_tracked()
     b_idx = banded_buckets(
         minhash_signatures_from_sets(b_sets_full, num_hashes), bands, rows
     )
@@ -487,7 +487,7 @@ def simhash_neardup_pairs(
                 ]
             )
         ).alias("cv"),
-    ).select("doc_id", "simhash", "cv.chunk", "cv.val").persist()
+    ).select("doc_id", "simhash", "cv.chunk", "cv.val").persist_tracked()
     a = chunks.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "chunk", "val"
     )
@@ -861,7 +861,7 @@ def sorted_neighborhood_pairs(
     # persisted: the counts pass and the numbering pass MUST see the
     # same sampled range bounds (recomputing repartitionByRange twice
     # is deterministic on identical input, but pinning it is free)
-    part = keyed.withColumn("_pid", F.spark_partition_id()).persist()
+    part = keyed.withColumn("_pid", F.spark_partition_id()).persist_tracked()
     counts = {
         r["_pid"]: r["cnt"]
         for r in part.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()

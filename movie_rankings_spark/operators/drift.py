@@ -54,7 +54,7 @@ def js_token_drift(docs: DataFrame) -> DataFrame:
     counts = toks.groupBy("word").agg(
         F.sum(F.when(F.col("side") == "train", 1).otherwise(0)).alias("ct"),
         F.sum(F.when(F.col("side") == "val", 1).otherwise(0)).alias("cv"),
-    ).persist()
+    ).persist_tracked()
     totals = counts.agg(
         F.sum("ct").alias("nt"),
         F.sum("cv").alias("nv"),

@@ -49,7 +49,7 @@ def dsir_importance_topk(
     tf = (
         base.groupBy("doc_id", "source", "_tgt", "word")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()
+        .persist_tracked()
     )
     vocab = tf.groupBy("word").agg(
         F.sum(F.when(F.col("_tgt"), F.col("tf")).otherwise(0)).alias("ct"),

@@ -150,7 +150,7 @@ def centroid_pairwise_cosine(centroids: DataFrame) -> DataFrame:
 
     # both self-join sides read the centroid table — uncached, the
     # |labels|x dim explode-aggregate would run twice
-    centroids = centroids.persist()
+    centroids = centroids.persist_tracked()
     a = centroids.select(
         F.col("label").alias("label_a"),
         F.col("centroid").alias("ca"),

@@ -59,7 +59,7 @@ def funnel_stage_times(
         # O(stages²) re-derivations. The cached frames are per-user
         # stage timestamps, tiny next to events.
         out = t if out is None else out.join(t, user_col, "left")
-        out = out.persist()
+        out = out.persist_tracked()
         prev = f"stage{i}_ts"
     return out
 

@@ -207,7 +207,7 @@ def hll_pairwise_overlap(
     arithmetic only — value-hash oracleable like the rest of the
     module. Output: src_a, src_b, est_a, est_b, est_union,
     est_intersection, ordered."""
-    regs = hll_build(df, key=key, group_cols=[group_col], p=p).persist()
+    regs = hll_build(df, key=key, group_cols=[group_col], p=p).persist_tracked()
     regs.count()
     singles = hll_merge_estimate(regs, merge_to=[group_col], p=p).select(
         F.col(group_col).alias("g"), F.col("raw_estimate").alias("est")

@@ -60,7 +60,7 @@ def adamic_adar_topk(
     # the edge list feeds the degree aggregate, the wedge join AND the
     # existing-link anti join — persist or each consumer re-derives it
     # from the base tables (the pagerank `weighted` convention)
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist_tracked()
     e.count()  # materialize: three consumers read the cached edge list
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     centers = deg.filter(

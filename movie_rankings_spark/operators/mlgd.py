@@ -41,7 +41,7 @@ def logreg_train(
     y = F.col(label_col).cast("double")
     cached = features.select(
         y.alias("_y"), *[c.alias(f"_x{j}") for j, c in enumerate(cols)]
-    ).persist()
+    ).persist_tracked()
     n = cached.count()  # materializes the cache; n is reused every step
 
     w = [0.0] * len(cols)

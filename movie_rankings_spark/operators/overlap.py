@@ -50,7 +50,7 @@ def set_overlap_matrix(items: DataFrame) -> DataFrame:
     sh = (
         items.select("src", "g")
         .distinct()
-        .persist()  # feeds both the per-group sizes and the pair count
+        .persist_tracked()  # feeds both the per-group sizes and the pair count
     )
     sh.count()  # materialize so every consumer reads the cached set
     sizes = sh.groupBy("src").agg(F.count(F.lit(1)).alias("n"))

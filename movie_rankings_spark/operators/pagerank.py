@@ -84,14 +84,14 @@ def _pagerank(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
+        .persist_tracked()
     )
     n = nodes.count()
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # edge table annotated with 1/deg once — static across rounds
     weighted = e.join(out_deg, "src").select(
         "src", "dst", (F.lit(1.0) / F.col("deg")).alias("w")
-    ).persist()
+    ).persist_tracked()
     weighted.count()
     # dangling nodes (no out-edges) need a per-round mass scalar; a
     # graph without them (any symmetric graph) skips that round-trip
@@ -211,7 +211,7 @@ def _ppr(
     seed_col: str,
 ) -> DataFrame:
     e = edges.select(F.col("src"), F.col("dst"))
-    sd = seeds.select(F.col(seed_col).alias("node")).distinct().persist()
+    sd = seeds.select(F.col(seed_col).alias("node")).distinct().persist_tracked()
     n_seeds = sd.count()
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -220,13 +220,13 @@ def _ppr(
         # is_seed flag materialized once — the restart vector
         .join(sd.withColumn("_s", F.lit(1)), "node", "left")
         .select("node", F.coalesce(F.col("_s"), F.lit(0)).alias("is_seed"))
-        .persist()
+        .persist_tracked()
     )
     nodes.count()
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     weighted = e.join(out_deg, "src").select(
         "src", "dst", (F.lit(1.0) / F.col("deg")).alias("w")
-    ).persist()
+    ).persist_tracked()
     weighted.count()
     has_dangling = (
         nodes.count() > e.select("src").distinct().count()

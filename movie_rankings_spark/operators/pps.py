@@ -21,7 +21,15 @@ value-hash oracleable (no rows-only carve-out):
   (never a float inequality, whose u/W division could round
   differently across engines), with u_i a 16-bit md5 field — the
   deterministic-uniform convention of split_train_val_test;
-- π_i and v_i/π_i are IEEE ·/÷ on exactly-representable integers —
+- the HT weights use the EXACT inclusion probability of that
+  quantized test: under a 16-bit uniform u there are exactly
+  k = min(2^16, ceil(n·w·2^16/W)) passing u values, so
+  π_i = k/2^16 — computed by integer ceil-division and one division
+  by a power of two (exact in IEEE), making Σ 1/π_i genuinely
+  unbiased for the design actually drawn. (Weighting by the
+  continuous min(1, n·w/W) instead would bias rows with tiny π by up
+  to ~2×: at π ≈ 2^-16 the quantization error dominates.)
+- π_i and v_i/π_i are IEEE ·/÷ on exactly-representable values —
   correctly-rounded operations both JVM and DuckDB reproduce
   bit-for-bit.
 
@@ -75,7 +83,7 @@ def pps_sample_report(
     base = df.select(
         *group_cols, w_cents.alias("w"), u.alias("u")
     )
-    tot = base.agg(F.sum("w").alias("w_total")).persist()
+    tot = base.agg(F.sum("w").alias("w_total")).persist_tracked()
     d38 = "decimal(38,0)"
     lhs = F.col("u").cast(d38) * F.col("w_total").cast(d38)
     rhs = (
@@ -88,21 +96,26 @@ def pps_sample_report(
         F.lit(n_target).cast(d38) * F.col("w").cast(d38)
         >= F.col("w_total").cast(d38)
     )
-    # π = min(1, n·w/W): exact integers through IEEE ·/÷ only
-    pi = F.least(
-        F.lit(1.0),
-        F.lit(float(n_target))
-        * F.col("w").cast("double")
-        / F.col("w_total").cast("double"),
+    # π = k/2^16 with k = min(2^16, ceil(n·w·2^16/W)) — the EXACT
+    # inclusion probability of the quantized 16-bit test above
+    # (integer ceil-division, then one division by a power of two,
+    # which IEEE doubles represent exactly). `div` is Spark's
+    # IntegralDivide: exact on DECIMAL(38,0), result LONG.
+    k = F.least(
+        F.lit(U_SCALE).cast("long"),
+        F.expr(
+            "CAST(_rhs + CAST(w_total AS DECIMAL(38,0)) - 1 AS DECIMAL(38,0))"
+            " div CAST(w_total AS DECIMAL(38,0))"
+        ),
     )
     rows = base.crossJoin(F.broadcast(tot)).select(
         *group_cols,
         "w",
+        "w_total",
         lhs.alias("_lhs"),
         rhs.alias("_rhs"),
         certainty.alias("_cert"),
-        pi.alias("_pi"),
-    )
+    ).withColumn("_pi", k.cast("double") / F.lit(float(U_SCALE)))
     out = (
         rows.groupBy(*group_cols)
         .agg(
@@ -158,10 +171,11 @@ def pps_oracle_sql(
     group_alias: str = "grp",
 ) -> str:
     """DuckDB twin: identical md5 16-bit uniform, identical
-    HUGEINT-exact cross-multiplied selection, identical IEEE HT
-    arithmetic; HT sums quantize per-row to round(x·1e6) BIGINT (the
-    pagerank decimal_mass convention) so the summation is exact and
-    order-independent on both engines."""
+    HUGEINT-exact cross-multiplied selection, identical exact
+    quantized π (HUGEINT ceil-division, then /2^16), identical IEEE
+    HT arithmetic; HT sums quantize per-row to round(x·1e6) BIGINT
+    (the pagerank decimal_mass convention) so the summation is exact
+    and order-independent on both engines."""
     return f"""
 WITH base AS (
   SELECT {group_sql} AS {group_alias},
@@ -178,8 +192,10 @@ rows_t AS (
            AS sampled,
          CAST({n_target} AS HUGEINT) * CAST(w AS HUGEINT)
            >= CAST(w_total AS HUGEINT) AS cert,
-         least(1.0, CAST({n_target} AS DOUBLE) * CAST(w AS DOUBLE)
-                    / CAST(w_total AS DOUBLE)) AS pi
+         CAST(least(CAST({U_SCALE} AS HUGEINT),
+              (CAST({n_target} AS HUGEINT) * CAST(w AS HUGEINT) * {U_SCALE}
+               + CAST(w_total AS HUGEINT) - 1) // CAST(w_total AS HUGEINT))
+              AS DOUBLE) / {float(U_SCALE)} AS pi
   FROM base CROSS JOIN tot
 )
 SELECT {group_alias},

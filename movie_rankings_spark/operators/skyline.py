@@ -45,8 +45,16 @@ def skyline_2d(
 ) -> DataFrame:
     """All rows of ``df`` on the (min x, max y) Pareto frontier —
     duplicates and x/y ties that are merely EQUAL (not dominated)
-    are kept, matching the NOT-EXISTS semantics."""
+    are kept, matching the NOT-EXISTS semantics.
+
+    NULL contract: rows with NULL x or y are excluded UP FRONT, here
+    and in the oracle (skyline_oracle_sql) alike. Dominance is not
+    defined against NULL — the plain NOT-EXISTS form would silently
+    KEEP a NULL row (every comparison evaluates to NULL ⇒ never
+    dominated) while the join plan silently DROPPED it; filtering
+    both sides makes the contract identical on both engines."""
     spark = df.sparkSession
+    df = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
     n = buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
     n = max(1, min(int(n), 4096))
 
@@ -70,7 +78,7 @@ def skyline_2d(
         if bounds
         else F.lit(0)
     )
-    gb = g.withColumn("_bucket", bucket).persist()
+    gb = g.withColumn("_bucket", bucket).persist_tracked()
     # per-bucket max gy, prefix-maxed on the driver (≤ n rows)
     bmax = {
         r["_bucket"]: r["m"]
@@ -110,11 +118,15 @@ def skyline_oracle_sql(
     x_sql: str, y_sql: str, table: str, select_sql: str, order_sql: str
 ) -> str:
     """The quadratic NOT-EXISTS reference form (the semantics the
-    linear plan must reproduce)."""
+    linear plan must reproduce). NULL x/y rows are excluded up front,
+    matching skyline_2d's NULL contract — without the explicit filter
+    the NOT-EXISTS form would keep NULL rows (never dominated, every
+    comparison NULL) that the join plan drops."""
     return f"""
 SELECT {select_sql}
 FROM {table} a
-WHERE NOT EXISTS (
+WHERE a.{x_sql} IS NOT NULL AND a.{y_sql} IS NOT NULL
+  AND NOT EXISTS (
   SELECT 1 FROM {table} b
   WHERE b.{x_sql} <= a.{x_sql} AND b.{y_sql} >= a.{y_sql}
     AND (b.{x_sql} < a.{x_sql} OR b.{y_sql} > a.{y_sql})

@@ -47,7 +47,7 @@ def bfs_distances(
     seed; unreached nodes are absent. ``seeds`` is a 1-column frame of
     seed node ids (dist 0). Edges directed; pass both directions for
     an undirected graph (copurchase_edges already is)."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist_tracked()
     e.count()  # materialize: every round's frontier join reads it
     dist = seeds.select(
         F.col(seed_col).alias("node"), F.lit(0).cast("int").alias("dist")

@@ -116,7 +116,7 @@ def chi2_contingency(
     cells = (
         rows.groupBy(row_var, col_var)
         .agg(F.count(F.lit(1)).alias("observed"))
-        .persist()
+        .persist_tracked()
     )
     w_row = Window.partitionBy(row_var)
     w_col = Window.partitionBy(col_var)
@@ -243,7 +243,7 @@ def grouped_theilsen(
     The fact-sized work happened upstream in the series aggregation."""
     # three branches read the series (both pair sides + the residual
     # pass) — uncached, the upstream fact joins would run three times
-    points = points.persist()
+    points = points.persist_tracked()
     a = points.select(
         *keys,
         F.col(x_col).alias("x1"),

@@ -397,7 +397,7 @@ def strip_boilerplate(
     chunks = (
         chunk_documents(docs, chunk_size=chunk_size, stride=chunk_size)
         .withColumn("fp", F.md5("chunk_text"))
-        .persist()
+        .persist_tracked()
     )
     recurring = (
         chunks.filter(F.col("chunk_len") == chunk_size)

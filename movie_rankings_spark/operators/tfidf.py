@@ -106,7 +106,7 @@ def tfidf_topk(
         weights.join(blocks, "doc_id")
         .join(norms, "doc_id")
         .select("doc_id", block_col, "term", "weight", "norm_sq")
-        .persist()
+        .persist_tracked()
     )
     qw = w_full.filter(query_pred).select(
         F.col("doc_id").alias("q_doc"),

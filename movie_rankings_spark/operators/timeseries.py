@@ -234,7 +234,7 @@ def rolling_active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
                 "bm"
             )
         )
-        .persist()
+        .persist_tracked()
     )
     dense = (
         daily.select("day").distinct()

@@ -59,7 +59,7 @@ def triangle_stats(und: DataFrame) -> DataFrame:
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("d_dst"),
-    ).persist()
+    ).persist_tracked()
     x, y = o.alias("x"), o.alias("y")
     wedge = x.join(
         y,

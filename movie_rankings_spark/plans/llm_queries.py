@@ -2275,7 +2275,7 @@ def mix_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     # counts feeds the min scalar AND the rate table — persist the
     # |langs|-row frame so the corpus count pass runs once
-    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).persist()
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).persist_tracked()
     mn = counts.agg(F.min("n").alias("mn"))
     rates = counts.crossJoin(F.broadcast(mn)).select(
         "lang",
@@ -3120,7 +3120,7 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0.0),
             )
         ).alias("stddev_chars"),
-    ).persist()  # read twice: feeds the 1-row total AND the final select
+    ).persist_tracked()  # read twice: feeds the 1-row total AND the final select
     tot = sd.agg(
         F.sum(F.col("n_docs").cast("double") * F.col("stddev_chars")).alias(
             "w"
@@ -3225,7 +3225,7 @@ def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         F.size(words(F.col("text"))).alias("n_words"),
         content_fingerprint(F.col("text")).alias("f"),
-    ).persist()  # read by the exact tier AND the LSH pipeline
+    ).persist_tracked()  # read by the exact tier AND the LSH pipeline
 
     w = Window.partitionBy("f")
     exact_removed = (

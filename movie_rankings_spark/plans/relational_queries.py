@@ -555,7 +555,7 @@ def bitmap_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "bm"
             )
         )
-        .persist()
+        .persist_tracked()
     )
     daily_counts = (
         daily.groupBy("event_type", "day")

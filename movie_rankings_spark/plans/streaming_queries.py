@@ -597,7 +597,7 @@ def stream_bitmap_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         table_dir=os.path.join(run_dir, "bm"),
         checkpoint_dir=os.path.join(run_dir, "ckpt"),
     )
-    daily = current_cells(spark, os.path.join(run_dir, "bm")).persist()
+    daily = current_cells(spark, os.path.join(run_dir, "bm")).persist_tracked()
     daily_counts = (
         daily.groupBy("event_type", "day")
         .agg(F.expr("CAST(sum(bitmap_count(bm)) AS BIGINT)").alias("d"))

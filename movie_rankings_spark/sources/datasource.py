@@ -92,6 +92,15 @@ class RankingsJsonlWriter(DataSourceWriter):
             raise ValueError("movie_rankings writer requires a path")
         self.columns = [f.name for f in schema.fields]
         self.overwrite = overwrite
+        # Writer id minted once on the driver; every task writes temps
+        # under it, and the sweep only ever touches THIS writer's
+        # temps — a concurrent appender's in-flight _tmp_<other-wid>_*
+        # files are invisible to us (the advice fix: sweeping every
+        # _tmp_* would delete the other writer's files and fail its
+        # commit at os.replace).
+        import uuid as _uuid
+
+        self.wid = _uuid.uuid4().hex[:12]
 
     def write(self, iterator) -> "_JsonlCommit":
         import json as _json
@@ -99,7 +108,9 @@ class RankingsJsonlWriter(DataSourceWriter):
         import uuid
 
         os.makedirs(self.path, exist_ok=True)
-        tmp = os.path.join(self.path, f"_tmp_{uuid.uuid4().hex}.jsonl")
+        tmp = os.path.join(
+            self.path, f"_tmp_{self.wid}_{uuid.uuid4().hex}.jsonl"
+        )
         n = 0
         with open(tmp, "w", encoding="utf-8") as fh:
             for row in iterator:
@@ -117,8 +128,15 @@ class RankingsJsonlWriter(DataSourceWriter):
         import uuid
 
         if self.overwrite:
+            # Overwrite claims the whole directory (it deletes every
+            # part), so it also sweeps ALL stray temps — including a
+            # long-dead writer's orphans append mode must leave alone.
             for f in os.listdir(self.path):
-                if f.startswith("part-") and f.endswith(".jsonl"):
+                if f.endswith(".jsonl") and (
+                    f.startswith("part-")
+                    or (f.startswith("_tmp_") and f not in
+                        {os.path.basename(m.tmp_file) for m in messages})
+                ):
                     os.remove(os.path.join(self.path, f))
         # Next index = max(existing part numbers) + 1, NOT the file
         # COUNT: gapped numbering (external cleanup, partial prior
@@ -158,9 +176,11 @@ class RankingsJsonlWriter(DataSourceWriter):
         self._sweep_stray_temps(messages)
 
     def _sweep_stray_temps(self, messages) -> None:
-        """Remove temp files from tasks that died before reporting a
-        commit message (speculation losers, executor crashes) — abort
-        only sees REPORTED temps, so both terminal paths sweep."""
+        """Remove temp files from THIS writer's tasks that died before
+        reporting a commit message (speculation losers, executor
+        crashes) — abort only sees REPORTED temps, so both terminal
+        paths sweep. Scoped to the writer id: a concurrent appender's
+        temps carry a different wid and are never touched."""
         import os
 
         reported = {os.path.basename(m.tmp_file) for m in messages}
@@ -170,7 +190,7 @@ class RankingsJsonlWriter(DataSourceWriter):
             return
         for f in names:
             if (
-                f.startswith("_tmp_")
+                f.startswith(f"_tmp_{self.wid}_")
                 and f.endswith(".jsonl")
                 and f not in reported
             ):

@@ -174,8 +174,12 @@ def test_python_datasource_writer_gap_safe_append(spark, tmp_path):
     for f in parts[1:]:
         os.remove(os.path.join(out, f))
     survivor_rows = spark.read.json(f"{out}/{parts[0]}").count()
-    # a stray temp from a task that never reported a commit message
-    stray = os.path.join(out, "_tmp_deadbeef.jsonl")
+    # a stray temp from a DIFFERENT writer (foreign wid): append-mode
+    # sweeps are scoped to the committing writer's own wid (r5 advice
+    # fix — sweeping every _tmp_* would delete a concurrent appender's
+    # in-flight files and fail its commit), so this must SURVIVE the
+    # append below...
+    stray = os.path.join(out, "_tmp_deadbeef_0000.jsonl")
     open(stray, "w").close()
 
     df.write.format("movie_rankings").mode("append").save(out)
@@ -184,4 +188,12 @@ def test_python_datasource_writer_gap_safe_append(spark, tmp_path):
         spark.read.json(f"{out}/part-*.jsonl").count() == survivor_rows + n
     )
     assert parts[0] in os.listdir(out)
+    assert os.path.exists(stray)
+    # ...and the committing writer's own temps are always gone
+    assert (
+        len([f for f in os.listdir(out) if f.startswith("_tmp_")]) == 1
+    )
+    # overwrite claims the whole directory: foreign orphans swept too
+    df.write.format("movie_rankings").mode("overwrite").save(out)
     assert not os.path.exists(stray)
+    assert spark.read.json(f"{out}/part-*.jsonl").count() == n

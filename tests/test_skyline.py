@@ -65,3 +65,31 @@ def test_single_point_and_monotone_chain(spark):
     chain = [(i, float(i), 100 - i) for i in range(10)]
     df2 = spark.createDataFrame(chain, "id long, x double, y int")
     assert [r["id"] for r in skyline_2d(df2, "x", "y").collect()] == [0]
+
+
+def test_null_rows_excluded_both_engines(spark):
+    """NULL contract (r5 advice fix): rows with NULL x or y are
+    excluded up front — the Spark plan and the NOT-EXISTS oracle must
+    agree on corpora with NULLs instead of diverging (oracle keeps
+    never-dominated NULL rows, join plan drops them)."""
+    import duckdb
+
+    from movie_rankings_spark.operators.skyline import skyline_oracle_sql
+
+    rows = [(0, 1.0, 10), (1, None, 99), (2, 5.0, None), (3, 2.0, 20)]
+    df = spark.createDataFrame(rows, "id long, x double, y int")
+    got = sorted(
+        (r["id"],) for r in skyline_2d(df, "x", "y", buckets=2).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t (id BIGINT, x DOUBLE, y INT)"
+    )
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = sorted(
+        (r[0],)
+        for r in con.execute(
+            skyline_oracle_sql("x", "y", "t", "a.id", "a.id")
+        ).fetchall()
+    )
+    assert got == want == [(0,), (3,)]
