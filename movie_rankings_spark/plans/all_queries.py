@@ -21,65 +21,15 @@ import movie_rankings_spark.plans.warehouse_queries  # noqa: F401
 from movie_rankings_spark.plans.registry import REGISTRY
 
 #: The correctness harness walks queries() in dict order and records
-#: a row for the first ~50 only; r1+r2+r3 together covered 109
-#: distinct queries, leaving 90 with no driver row (r4 count,
-#: including the queries registered this round). This head is the
-#: r4 rotation: never-checked ORACLE-BACKED batch queries first,
-#: then the never-checked streaming tail (oracle-backed, ~1-5 s
+#: a row for the first ~50 only; r1-r4 samples together covered 159
+#: of the 216 registered queries, leaving 57 with no driver row.
+#: This head is the r5 rotation (regenerated from CORRECTNESS_r01-r04
+#: at round start): never-driver-checked ORACLE-BACKED batch queries
+#: first, then the never-checked streaming tail (oracle-backed, ~1-5 s
 #: each), then rows-only entries (their driver row is the weaker
-#: check). Regenerate next round from CORRECTNESS_r4.json.
+#: check). Regenerate next round from CORRECTNESS_r05.json.
 _UNSEEN_FIRST = (
-    # round-4 additions (oracle-backed, never driver-checked)
-    "dedup_boilerplate_strip",
-    "kcore_copurchase",
-    "ppr_copurchase_seeded",
-    "hll_audience_overlap",
-    "sssp_copurchase_reach",
-    "overlap_event_audiences",
-    "corpus_zipf_slope",
-    "corpus_heaps_law",
-    "linkpred_adamic_adar",
-    "overlap_sources_shingles",
-    "dedup_sorted_neighborhood",
-    "classifier_roc_curve",
-    "hll_registers_rollup",
-    "pps_sample_orders",
-    "communities_copurchase",
-    "skyline_parts_frontier",
-    "hierarchy_rollup_customers",
-    "search_bm25_topk",
-    "dedup_substring_spans",
-    "dsir_importance_topk",
-    "split_time_embargo",
-    "folds_grouped_by_user",
-    "regression_theilsen_trend",
-    "seasonality_monthly_index",
-    "gini_customer_revenue",
-    "funnel_time_to_convert",
-    "langid_confusion_matrix",
-    "embedding_norm_audit",
-    "traffic_dow_hour_heatmap",
-    "expectations_documents",
-    "sample_neyman_allocation",
-    "ivm_join_segment_revenue",
-    "cohort_ltv_curve",
-    "dedup_impact_report",
-    "rfm_customer_segments",
-    "flagship_pandas_api",
-    "scd2_user_event_history",
-    "attribution_last_touch",
-    "layout_zorder_orders",
-    "bpe_pair_counts",
-    "split_train_val_test",
-    "collocations_lift",
-    "flagship_scraped_dsv2",
-    "flagship_scraped_udtf",
-    "dedup_incremental_batch",
-    "curriculum_order_docs",
-    "robust_outliers_mad",
-    "dedup_chunks_exact",
-    "regression_monthly_trend",
-    "chi2_lang_source",
+    # never driver-checked, oracle-backed batch
     "decay_user_activity",
     "similarity_tfidf_topk",
     "triangles_copurchase",
@@ -107,7 +57,8 @@ _UNSEEN_FIRST = (
     "winsorized_mean_price",
     "histogram2d_qty_price",
     "pagerank_copurchase",
-    # streaming (oracle-backed, slower per query)
+    "similarity_mmr_topk",
+    # never driver-checked streaming (oracle-backed)
     "stream_running_topk_users",
     "stream_session_dynamic_gap",
     "stream_dedup_then_window",
@@ -124,7 +75,7 @@ _UNSEEN_FIRST = (
     "stream_dedup_incremental",
     "stream_cms_maintained",
     "stream_bitmap_users_rollup",
-    # rows-only (weaker driver row) — after every oracle-backed unseen
+    # never driver-checked rows-only (weaker driver row)
     "approx_percentiles_price",
     "similarity_ivf_kmeans_topk",
     "similarity_pq_topk",
@@ -134,10 +85,10 @@ _UNSEEN_FIRST = (
     "embedding_pca_project",
     "bpe_train_merges",
     "logreg_train_quality",
-    "similarity_mmr_topk",
     "retrieval_eval_ivf",
     "tokenizer_encode_bpe",
     "profile_columns_orders_approx",
+    "knn_label_propagation_ivf",
 )
 
 #: most expensive entries at sf0.01, slowest-last; everything absent

@@ -133,6 +133,13 @@ def test_embedding_lsh_recall_against_exact(spark):
     # verification makes precision exact; recall < 1 by construction
     assert lsh <= exact
     assert len(lsh) >= 0.8 * len(exact), f"recall {len(lsh)}/{len(exact)}"
+    # r5 deterministic pin: hyperplanes are seed-derived and bucket
+    # grouping is set-valued, so the caught PAIR SET is a pure
+    # function of the fixture — on the sf0.001 seed the LSH tier
+    # catches every exact pair (7/7). If the driver ever regenerates
+    # the fixture, re-pin the sets; a drop here without a fixture
+    # change means the banding/verify pipeline regressed.
+    assert lsh == exact, f"seed-pinned recall changed: {len(lsh)}/{len(exact)}"
 
 
 def test_incremental_batch_finds_cross_split_dups(spark):

@@ -294,3 +294,34 @@ def test_plan_audit_flags_global_window_consumer():
         "BatchEvalPython(row-at-a-time UDF)"
     ]
     assert mod.audit_plan("flagship_scraped_udtf", "+- BatchEvalPython\n") == []
+
+
+def test_profile_columns_orders_approx_registered_gate(spark):
+    """r5 deterministic gate for the REGISTERED rows-only query, the
+    bound both engines share: every exact field of the approx profile
+    (n_rows / n_nulls / min / max) must equal DuckDB's independent
+    computation, and the HLL NDV must sit within 3 sd (rsd=0.05 -> 15%)
+    of DuckDB's exact COUNT(DISTINCT). HLL register merge is a max()
+    fold — order-independent — so the gate is deterministic."""
+    import duckdb
+
+    from movie_rankings_spark.plans import all_queries
+
+    got = {
+        r["column"]: r
+        for r in all_queries.QUERIES["profile_columns_orders_approx"](
+            spark, SF_DIR
+        ).collect()
+    }
+    con = duckdb.connect()
+    for col in got:
+        n_rows, n_nulls, ndv = con.execute(
+            f"""SELECT COUNT(*), COUNT(*) - COUNT({col}),
+                       COUNT(DISTINCT {col})
+                FROM '{SF_DIR}/orders.parquet'"""
+        ).fetchone()
+        a = got[col]
+        assert (a["n_rows"], a["n_nulls"]) == (n_rows, n_nulls), col
+        assert abs(a["n_distinct"] - ndv) <= 0.15 * max(ndv, 1), (
+            col, a["n_distinct"], ndv,
+        )
