@@ -34,7 +34,7 @@ import sys
 #: scale path is a different registered query) — reported separately,
 #: not as regressions. Reasons live in each operator's docstring.
 EXPECTED_SUPERLINEAR = {
-    "knn_label_propagation": "exact holdout×corpus kNN (O(sf²) by contract; scale path: LSH/IVF tiers)",
+    "knn_label_propagation": "exact holdout×corpus kNN (O(sf²) flops by contract; r5 re-measure: wall-clock amortized post-GEMM-rewrite; scale path: knn_label_propagation_ivf)",
     "dedup_embedding_cosine": "exact all-pairs verifier tier (scale path: dedup_embedding_lsh)",
     "similarity_cosine_topk": "exact 8-query × corpus scan — linear in corpus but decimal-exact constant",
     "triangles_copurchase": "O(m^1.5) wedge census by construction",
