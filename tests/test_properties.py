@@ -411,3 +411,28 @@ def test_transition_matrix_rows_sum_to_one(spark, sf_dir):
         assert 0.0 < r["prob"] <= 1.0
         rows[r["cur_type"]] += r["prob"]
     assert rows and all(abs(s - 1.0) < 1e-9 for s in rows.values())
+
+
+@given(
+    vals=st.lists(
+        st.sampled_from([0.0, 0.25, 0.5, 0.5, 0.75, 1.0]), min_size=1, max_size=40
+    ),
+    take=st.integers(min_value=1, max_value=45),
+)
+@settings(max_examples=200, deadline=None)
+def test_topk_tie_safe_matches_lexsort(vals, take):
+    """_topk_tie_safe must select exactly the indices a full
+    (-value, vec_id) lexsort would keep — ESPECIALLY through tie
+    groups straddling the cut line (the r5 advice fix: argpartition
+    orders equal floats arbitrarily)."""
+    import numpy as np
+
+    from movie_rankings_spark.operators.similarity import _topk_tie_safe
+
+    col = np.array(vals, dtype=np.float64)
+    vec_ids = np.arange(len(vals), dtype=np.int64) * 7 % (len(vals) * 7 + 1)
+    take = min(take, len(vals))
+    got = sorted(_topk_tie_safe(col, vec_ids, take).tolist())
+    order = np.lexsort((vec_ids, -col))
+    want = sorted(order[:take].tolist())
+    assert got == want
