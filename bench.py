@@ -124,6 +124,7 @@ HEADLINE_QUERIES = (
     "triangles_copurchase",
     "skew_profile_join_keys",
     "cms_word_frequency",
+    "join_size_cms_events",
     "classifier_doc_scores",
     "classifier_auc_eval",
     "text_quality",
@@ -151,6 +152,7 @@ HEADLINE_QUERIES = (
     "histogram_totalprice",
     "histogram_equidepth_price",
     "histogram2d_qty_price",
+    "histogram_rollup_events",
     "traffic_dow_hour_heatmap",
     "quantile_normalize_price",
     "corr_price_quantity",

@@ -98,6 +98,80 @@ def cms_estimate(
     )
 
 
+def cms_join_size_report(
+    left: DataFrame,
+    right: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Sketch-based equi-join CARDINALITY estimate — the planning
+    primitive that decides, before any shuffle is paid, whether
+    ``left ⋈ right ON col`` is safe to run at 100 TB (the classic
+    AMS/CMS inner-product application; for left = right it estimates
+    the self-join size Σ n_k², the skew number behind shuffle blow-up).
+
+    est = min over hash rows i of Σ_bucket L[i,b]·R[i,b]: each term is
+    the true join size plus non-negative collision mass, so est ≥
+    exact always, with E[overestimate] ≤ |L|·|R|/w per row — the join
+    never runs, only two O(d·w) sketches meet. Build shuffle is
+    key-distinct-sized with map-side combine; the product+min runs on
+    d·w-row tables.
+
+    md5-slice bucketing keeps every cell and the estimate itself
+    DuckDB-reproducible (the cms_word_frequency convention), so the
+    registered report — exact_join_size, cms_est, overestimate — is
+    value-hash checked end to end. The exact side is computed here
+    too (one count-aggregate per input + a key equi-join of the two
+    vocab-sized count tables); at 100 TB a consumer skips it and keeps
+    only the estimate. Output: one row."""
+    key = F.col(col).cast("string").alias("_k")
+    # per-key count tables are vocab-sized and feed the sketch build
+    # AND the exact side — persist so each input is scanned once; the
+    # self-join case (left is right) builds ONE table and one sketch
+    lc = (
+        left.select(key)
+        .groupBy("_k")
+        .agg(F.count(F.lit(1)).alias("_nl"))
+        .persist_tracked()
+    )
+    if right is left:
+        rc = lc.select("_k", F.col("_nl").alias("_nr"))
+    else:
+        rc = (
+            right.select(key)
+            .groupBy("_k")
+            .agg(F.count(F.lit(1)).alias("_nr"))
+            .persist_tracked()
+        )
+    sk_l = cms_build_from_counts(lc, "_k", "_nl", depth, width)
+    sk_r = (
+        sk_l
+        if right is left
+        else cms_build_from_counts(rc, "_k", "_nr", depth, width)
+    )
+    est = (
+        sk_l.withColumnRenamed("n", "_cl")
+        .join(sk_r.withColumnRenamed("n", "_cr"), ["row", "bucket"])
+        .groupBy("row")
+        .agg(F.sum(F.col("_cl") * F.col("_cr")).alias("_dot"))
+        .agg(F.min("_dot").cast("long").alias("cms_est"))
+    )
+    exact = (
+        lc.join(rc, "_k")
+        .agg(
+            F.sum(F.col("_nl") * F.col("_nr")).cast("long").alias(
+                "exact_join_size"
+            )
+        )
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_join_size",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_join_size")).alias("overestimate"),
+    )
+
+
 def cms_word_frequency_report(
     docs: DataFrame, depth: int = 4, width: int = 512, min_count: int = 200
 ) -> DataFrame:

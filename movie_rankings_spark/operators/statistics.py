@@ -370,3 +370,53 @@ def gini_exact(df: DataFrame, value_col: str) -> DataFrame:
             - (n + 1) / n
         ).alias("gini"),
     )
+
+
+def histogram_mergeable_rollup(
+    df: DataFrame,
+    group_col: str,
+    day_col,
+    value_col: str,
+    lo: float,
+    step: float,
+    n_bins: int,
+) -> DataFrame:
+    """Mergeable fixed-bin histogram rollup — the quantile sibling of
+    the HLL rollup (operators/hllsketch.py) and the streaming CMS: the
+    per-(group, day) equi-width histogram is the STORED artifact (at
+    most n_bins counters per cell, KBs per group regardless of data
+    volume), and every coarser level merges by summing bin counts
+    instead of rescanning the fact. At 100 TB the daily build is the
+    only pass over events; dashboards above it touch only
+    |groups|·|days|·n_bins rows. Unlike sketch quantiles, bin counts
+    are EXACT integers, so merge == rescan is an identity — the
+    registered query's DuckDB oracle computes the rollup directly
+    from the fact, making the merge path value-hash checkable.
+
+    Binning: bin = clamp(floor((value − lo)/step), 0, n_bins−1) in
+    IEEE doubles — identical arithmetic on both engines; NULL values
+    are excluded. Output: group, bin, n_events (merged count),
+    n_daily_cells (how many daily artifacts merged into the row).
+    """
+    v = F.col(value_col)
+    bin_ = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(F.lit(0), F.floor((v - F.lit(lo)) / F.lit(step)).cast("int")),
+    )
+    daily = (
+        df.filter(v.isNotNull())
+        .groupBy(
+            F.col(group_col).alias("grp"),
+            day_col.alias("day"),
+            bin_.alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        daily.groupBy("grp", "bin")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_daily_cells"),
+        )
+        .orderBy("grp", "bin")
+    )

@@ -893,3 +893,45 @@ def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev")
     )
     return gini_exact(rev, "rev")
+
+
+# --- mergeable histogram rollup (events.value) ------------------------------
+
+_HIST_ROLLUP_ORACLE = """
+WITH daily AS (
+  SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+         least(19, greatest(0, CAST(floor(value / 25.0) AS INT))) AS bin,
+         COUNT(*) AS n
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2, 3
+)
+SELECT grp, bin,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_daily_cells
+FROM daily GROUP BY grp, bin ORDER BY grp, bin
+"""
+
+
+@REGISTRY.register("histogram_rollup_events", _HIST_ROLLUP_ORACLE)
+def histogram_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable per-(event_type, day) fixed-bin histogram rolled up
+    to event_type by SUMMING bin counts (operators/statistics.py::
+    histogram_mergeable_rollup) — the stored-artifact pattern of the
+    HLL rollup applied to value distributions: at 100 TB the daily
+    histogram table is the only artifact, and every dashboard level
+    above it merges counters instead of rescanning events. Bin counts
+    are exact integers, so the merge path is value-hash checked
+    against a direct DuckDB rollup."""
+    from movie_rankings_spark.operators.statistics import (
+        histogram_mergeable_rollup,
+    )
+
+    return histogram_mergeable_rollup(
+        load_table(spark, sf_dir, "events"),
+        "event_type",
+        F.to_date("ts"),
+        "value",
+        lo=0.0,
+        step=25.0,
+        n_bins=20,
+    )

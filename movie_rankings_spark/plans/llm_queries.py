@@ -1790,6 +1790,45 @@ def cms_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("word")
 
 
+_CMS_JOINSIZE_ORACLE = """
+WITH keys AS (
+  SELECT CAST(user_id AS VARCHAR) AS k FROM events
+),
+counts AS (SELECT k, COUNT(*) AS n FROM keys GROUP BY 1),
+cells AS (
+  SELECT r, CAST('0x' || substr(md5(k || ':' || r), 1, 8) AS BIGINT)
+            % 512 AS bucket, SUM(n) AS n
+  FROM counts, LATERAL unnest(range(0, 4)) AS t(r)
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT CAST(MIN(dot) AS BIGINT) AS cms_est
+  FROM (SELECT r, SUM(n * n) AS dot FROM cells GROUP BY r)
+),
+exact AS (
+  SELECT CAST(SUM(n * n) AS BIGINT) AS exact_join_size FROM counts
+)
+SELECT exact_join_size, cms_est,
+       CAST(cms_est - exact_join_size AS BIGINT) AS overestimate
+FROM exact CROSS JOIN est
+"""
+
+
+@REGISTRY.register("join_size_cms_events", _CMS_JOINSIZE_ORACLE)
+def join_size_cms_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based self-join cardinality estimate for events⋈events
+    ON user_id (operators/cms.py::cms_join_size_report): the CMS
+    inner product bounds Σ n_u² — the shuffle-blow-up number a planner
+    wants BEFORE running a join at 100 TB — from two O(d·w) counter
+    grids. md5 bucketing makes the estimate itself engine-portable,
+    so exact size, estimate, and overestimate are all value-hash
+    checked."""
+    from movie_rankings_spark.operators.cms import cms_join_size_report
+
+    e = load_table(spark, sf_dir, "events")
+    return cms_join_size_report(e, e, "user_id", depth=4, width=512)
+
+
 def _mmr_oracle(k: int = 5, pool: int = 20, lam: float = 0.7) -> str:
     """Unrolled greedy-MMR DuckDB twin (r4, VERDICT item 3): with the
     exact-decimal pair cosines (order-independent sums), every input

@@ -66,3 +66,40 @@ def test_partial_sketches_merge_by_addition(spark):
         for r in s1.unionByName(s2).groupBy("row", "bucket").agg(F.sum("n").alias("n")).collect()
     }
     assert merged == full
+
+
+def test_join_size_exact_when_width_collision_free(spark):
+    """With width >> keys the sketch has no collisions, so the CMS
+    inner product equals the exact join size exactly; overestimate 0."""
+    from movie_rankings_spark.operators.cms import cms_join_size_report
+
+    left = spark.createDataFrame(
+        [(k,) for k in [1, 1, 1, 2, 2, 3]], "k long"
+    )
+    right = spark.createDataFrame(
+        [(k,) for k in [1, 2, 2, 2, 4]], "k long"
+    )
+    row = cms_join_size_report(left, right, "k", depth=4, width=4096).collect()[0]
+    # exact: 3*1 (k=1) + 2*3 (k=2) = 9; k=3/k=4 don't join
+    assert row["exact_join_size"] == 9
+    assert row["cms_est"] == 9
+    assert row["overestimate"] == 0
+
+
+def test_join_size_selfjoin_overestimates_never_under(spark):
+    """Self-join size Sum(n_k^2): CMS estimate >= exact always (cells
+    only add collision mass), and the same-object fast path builds one
+    sketch."""
+    from movie_rankings_spark.operators.cms import cms_join_size_report
+
+    df = spark.createDataFrame(
+        [(i % 7,) for i in range(200)], "k long"
+    )
+    row = cms_join_size_report(df, df, "k", depth=4, width=8).collect()[0]
+    exact = sum(
+        n * n
+        for n in (29, 29, 29, 29, 28, 28, 28)  # 200 keys over 7 buckets
+    )
+    assert row["exact_join_size"] == exact
+    assert row["cms_est"] >= exact
+    assert row["overestimate"] == row["cms_est"] - exact

@@ -331,3 +331,37 @@ def test_quantile_rank_map_single_bucket(spark):
         for r in quantile_rank_map(df, "x", buckets=1).collect()
     }
     assert got == {1.0: 0.0, 3.0: 0.25, 5.0: 0.75, 9.0: 1.0}
+
+
+def test_histogram_mergeable_rollup_merge_equals_rescan(spark):
+    """The daily-artifact merge must equal a direct histogram of the
+    fact (bin counts are exact integers), clamp out-of-range values
+    into edge bins, skip NULLs, and report how many daily cells merged."""
+    from pyspark.sql import functions as F
+
+    from movie_rankings_spark.operators.statistics import (
+        histogram_mergeable_rollup,
+    )
+
+    rows = [
+        ("a", "2024-01-01", 5.0),    # bin 0
+        ("a", "2024-01-02", 5.0),    # bin 0, second day
+        ("a", "2024-01-01", 30.0),   # bin 1
+        ("a", "2024-01-01", -10.0),  # clamps to bin 0
+        ("a", "2024-01-01", 1e9),    # clamps to bin 19
+        ("b", "2024-01-01", None),   # dropped
+        ("b", "2024-01-02", 499.0),  # bin 19
+    ]
+    df = spark.createDataFrame(rows, "g string, d string, value double")
+    out = {
+        (r["grp"], r["bin"]): (r["n_events"], r["n_daily_cells"])
+        for r in histogram_mergeable_rollup(
+            df, "g", F.to_date("d"), "value", lo=0.0, step=25.0, n_bins=20
+        ).collect()
+    }
+    assert out == {
+        ("a", 0): (3, 2),   # two days contributed bin-0 cells
+        ("a", 1): (1, 1),
+        ("a", 19): (1, 1),
+        ("b", 19): (1, 1),
+    }

@@ -36,6 +36,7 @@ EXECUTING = {"bpe_train_merges", "logreg_train_quality", "tokenizer_encode_bpe"}
 #: reviewed nested-loop / cartesian shapes — each joins a provably
 #: tiny side (collected scalar, |labels| rows, |groups| thresholds)
 NESTED_LOOP_LEGIT = {
+    "join_size_cms_events",  # 1-row exact size x 1-row sketch estimate (r5)
     "q11_important_parts",  # 1-row global threshold vs group sums
     "q22_global_sales_opportunity",  # 1-row avg-balance scalar
     "percentiles_lineitem_price",  # interpolation bounds vs 1-row

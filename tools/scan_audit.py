@@ -61,6 +61,7 @@ KNOWN_LEGIT = {
     "pipeline_curated_chunks", "mix_corpus_token_budget",
     "text_top_terms",  # tf pass + metadata-cheap count pass
     # persisted-intermediate plans whose cache text repeats the scan:
+    "join_size_cms_events",  # persisted per-key counts feed sketch + exact side (r5)
     "similarity_tfidf_topk", "triangles_copurchase",
     "dedup_jaccard_prefix", "cms_word_frequency",
     "basket_association_rules", "dedup_cluster_reps",
