@@ -205,6 +205,7 @@ HEADLINE_QUERIES = (
     "stream_upsert_snapshot",
     "stream_dedup_incremental",
     "stream_cms_maintained",
+    "stream_histogram_rollup",
     "stream_bitmap_users_rollup",
     "stream_running_topk_users",
     "stream_session_dynamic_gap",

@@ -58,6 +58,8 @@ _UNSEEN_FIRST = (
     "histogram2d_qty_price",
     "pagerank_copurchase",
     "similarity_mmr_topk",
+    "join_size_cms_events",
+    "histogram_rollup_events",
     # never driver-checked streaming (oracle-backed)
     "stream_running_topk_users",
     "stream_session_dynamic_gap",
@@ -75,6 +77,7 @@ _UNSEEN_FIRST = (
     "stream_dedup_incremental",
     "stream_cms_maintained",
     "stream_bitmap_users_rollup",
+    "stream_histogram_rollup",
     # never driver-checked rows-only (weaker driver row)
     "approx_percentiles_price",
     "similarity_ivf_kmeans_topk",
@@ -135,6 +138,7 @@ _COSTLY_LAST = (
     "stream_dedup_incremental",
     "stream_cms_maintained",
     "stream_bitmap_users_rollup",
+    "stream_histogram_rollup",
 )
 
 

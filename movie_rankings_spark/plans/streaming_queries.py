@@ -727,3 +727,61 @@ def stream_dedup_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = ev.run_to_batch(chained, output_mode="complete")
     return out.orderBy("day", "event_type")
+
+
+# --- streaming histogram maintenance (mergeable daily cells) ----------------
+
+_HIST_STREAM_ORACLE = """
+WITH daily AS (
+  SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+         least(19, greatest(0, CAST(floor(value / 25.0) AS INT))) AS bin,
+         COUNT(*) AS n
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2, 3
+)
+SELECT grp, bin,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_daily_cells
+FROM daily GROUP BY grp, bin ORDER BY grp, bin
+"""
+
+
+@REGISTRY.register("stream_histogram_rollup", _HIST_STREAM_ORACLE)
+def stream_histogram_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """histogram_rollup_events answered from daily cells MAINTAINED by
+    the event stream (streaming/sketch_stream.py::
+    stream_histogram_maintenance): 4 micro-batches fold their
+    per-(type, day, bin) count partials into a versioned table; cell
+    addition is commutative, so the maintained table is bit-identical
+    to the batch daily build and the exact batch rollup oracle
+    applies — events are never rescanned for the rollup."""
+    import os
+    import uuid
+
+    from movie_rankings_spark.streaming.sketch_stream import (
+        current_cells,
+        stream_histogram_maintenance,
+    )
+
+    src = _stage_split_events(spark, sf_dir, n=4)
+    run_dir = os.path.join(
+        os.path.dirname(ev._CHECKPOINT_ROOT), "hist_stream", uuid.uuid4().hex[:12]
+    )
+    stream = ev.read_events_stream(spark, src, maxFilesPerTrigger=1)
+    stream_histogram_maintenance(
+        stream,
+        table_dir=os.path.join(run_dir, "cells"),
+        checkpoint_dir=os.path.join(run_dir, "ckpt"),
+        lo=0.0,
+        step=25.0,
+        n_bins=20,
+    )
+    daily = current_cells(spark, os.path.join(run_dir, "cells"))
+    return (
+        daily.groupBy(F.col("event_type").alias("grp"), "bin")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_daily_cells"),
+        )
+        .orderBy("grp", "bin")
+    )

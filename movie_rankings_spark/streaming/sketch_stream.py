@@ -148,3 +148,68 @@ def stream_bitmap_maintenance(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_histogram_maintenance(
+    events_stream: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    lo: float = 0.0,
+    step: float = 25.0,
+    n_bins: int = 20,
+) -> None:
+    """Third member of the maintained-artifact family (CMS cells,
+    bitmaps): the per-(event_type, day, bin) fixed-bin HISTOGRAM kept
+    current by the event stream. Cell addition is a commutative
+    monoid, so after draining the maintained daily table is
+    bit-identical to the one-shot batch build
+    (operators/statistics.py::histogram_mergeable_rollup's daily
+    stage) and the exact batch rollup oracle applies to any level
+    merged from it. Same exactly-once scheme: per-batch versions + an
+    atomic pointer; a replayed batch overwrites its own version."""
+    spark = events_stream.sparkSession
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        v = F.col("value")
+        bin_ = F.least(
+            F.lit(n_bins - 1),
+            F.greatest(
+                F.lit(0), F.floor((v - F.lit(lo)) / F.lit(step)).cast("int")
+            ),
+        )
+        partial = (
+            batch_df.filter(v.isNotNull())
+            .groupBy(
+                "event_type",
+                F.to_date("ts").alias("day"),
+                bin_.alias("bin"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        bases = [b for b in _versions(table_dir) if b < batch_id]
+        base = max(bases) if bases else None
+        if base is not None:
+            cur = spark.read.parquet(_version_dir(table_dir, base))
+            partial = (
+                cur.unionByName(partial)
+                .groupBy("event_type", "day", "bin")
+                .agg(F.sum("n").alias("n"))
+            )
+        partial.write.mode("overwrite").parquet(_version_dir(table_dir, batch_id))
+        tmp = _pointer(table_dir) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(batch_id))
+        os.replace(tmp, _pointer(table_dir))
+        for b in _versions(table_dir):
+            if base is not None and b < base:
+                shutil.rmtree(_version_dir(table_dir, b), ignore_errors=True)
+
+    q = (
+        events_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -398,3 +398,61 @@ def test_stream_restart_resumes_aggregation_state(spark, sf_dir, tmp_path):
     assert second == full
     partial_total = sum(first.values())
     assert 0 < partial_total < sum(full.values())
+
+
+def test_stream_histogram_cells_equal_batch_daily(spark, sf_dir):
+    """After draining 4 micro-batches, the maintained per-(type, day,
+    bin) histogram cells are bit-identical to the one-shot batch daily
+    build (cell addition is a commutative monoid); re-draining the
+    checkpoint changes nothing."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from movie_rankings_spark.plans.streaming_queries import (
+        _stage_split_events,
+    )
+    from movie_rankings_spark.streaming import events as ev
+    from movie_rankings_spark.streaming.events import _CHECKPOINT_ROOT
+    from movie_rankings_spark.streaming.sketch_stream import (
+        current_cells,
+        stream_histogram_maintenance,
+    )
+
+    src = _stage_split_events(spark, sf_dir, n=4)
+    run = os.path.join(
+        os.path.dirname(_CHECKPOINT_ROOT), "hist_stream_t", uuid.uuid4().hex[:8]
+    )
+    cells_dir, ckpt = os.path.join(run, "cells"), os.path.join(run, "ckpt")
+
+    def drain():
+        stream = ev.read_events_stream(spark, src, maxFilesPerTrigger=1)
+        stream_histogram_maintenance(
+            stream, cells_dir, ckpt, lo=0.0, step=25.0, n_bins=20
+        )
+
+    drain()
+    maintained = {
+        (r["event_type"], str(r["day"]), r["bin"]): r["n"]
+        for r in current_cells(spark, cells_dir).collect()
+    }
+    e = spark.read.parquet(src)
+    v = F.col("value")
+    bin_ = F.least(
+        F.lit(19), F.greatest(F.lit(0), F.floor(v / F.lit(25.0)).cast("int"))
+    )
+    batch = {
+        (r["event_type"], str(r["day"]), r["bin"]): r["n"]
+        for r in e.filter(v.isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("day"), bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert maintained == batch and len(batch) > 0
+    drain()
+    again = {
+        (r["event_type"], str(r["day"]), r["bin"]): r["n"]
+        for r in current_cells(spark, cells_dir).collect()
+    }
+    assert again == batch
