@@ -150,19 +150,34 @@ def cms_join_size_report(
         if right is left
         else cms_build_from_counts(rc, "_k", "_nr", depth, width)
     )
-    est = (
+    # inner-join of the two cell tables drops hash rows with NO
+    # colliding buckets — for near-disjoint inputs that row's dot is
+    # 0 (the best estimate), so a depth-row spine restores it; min
+    # over an incomplete row set would overestimate
+    spine = left.sparkSession.createDataFrame(
+        [(i,) for i in range(depth)], "row int"
+    )
+    dots = (
         sk_l.withColumnRenamed("n", "_cl")
         .join(sk_r.withColumnRenamed("n", "_cr"), ["row", "bucket"])
         .groupBy("row")
         .agg(F.sum(F.col("_cl") * F.col("_cr")).alias("_dot"))
-        .agg(F.min("_dot").cast("long").alias("cms_est"))
+    )
+    est = (
+        spine.join(dots, "row", "left")
+        .agg(
+            F.min(F.coalesce(F.col("_dot"), F.lit(0)))
+            .cast("long")
+            .alias("cms_est")
+        )
     )
     exact = (
         lc.join(rc, "_k")
         .agg(
-            F.sum(F.col("_nl") * F.col("_nr")).cast("long").alias(
-                "exact_join_size"
-            )
+            # disjoint key sets: SUM over zero rows is NULL, size is 0
+            F.coalesce(F.sum(F.col("_nl") * F.col("_nr")), F.lit(0))
+            .cast("long")
+            .alias("exact_join_size")
         )
     )
     return exact.crossJoin(F.broadcast(est)).select(

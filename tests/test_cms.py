@@ -103,3 +103,18 @@ def test_join_size_selfjoin_overestimates_never_under(spark):
     assert row["exact_join_size"] == exact
     assert row["cms_est"] >= exact
     assert row["overestimate"] == row["cms_est"] - exact
+
+
+def test_join_size_disjoint_inputs_is_zero(spark):
+    """Disjoint key sets: exact size 0, and the estimate must also be
+    0 whenever ANY hash row has no colliding buckets (the row-spine
+    fix — an inner join would silently drop the zero-dot row and the
+    min would overestimate)."""
+    from movie_rankings_spark.operators.cms import cms_join_size_report
+
+    left = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    right = spark.createDataFrame([(100001,), (100002,)], "k long")
+    row = cms_join_size_report(left, right, "k", depth=4, width=4096).collect()[0]
+    assert row["exact_join_size"] == 0
+    assert row["cms_est"] == 0
+    assert row["overestimate"] == 0
