@@ -26,6 +26,7 @@ from movie_rankings_spark.session import get_spark  # noqa: E402
 HEADLINE_QUERIES = (
     "flagship_tpch",
     "flagship_scraped",
+    "flagship_fuzzy_resolved",
     "flagship_scraped_dsv2",
     "flagship_scraped_udtf",
     "flagship_pandas_api",

@@ -60,6 +60,7 @@ _UNSEEN_FIRST = (
     "similarity_mmr_topk",
     "join_size_cms_events",
     "histogram_rollup_events",
+    "flagship_fuzzy_resolved",
     # never driver-checked streaming (oracle-backed)
     "stream_running_topk_users",
     "stream_session_dynamic_gap",

@@ -10,6 +10,7 @@ Two variants:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from movie_rankings_spark.catalog import load_table
 from movie_rankings_spark.operators.flagship import flagship
@@ -297,3 +298,114 @@ def flagship_pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
         .reset_index()
     )
     return agg.sort_values(["rank_sum", "title_comp"]).head(10).to_spark()
+
+
+_FUZZY_RESOLVED_ORACLE = f"""
+WITH RECURSIVE scraped AS (SELECT * FROM {scraped_values_sql()}),
+norm AS (
+  SELECT url,
+         COALESCE(TRY_CAST(rank AS INTEGER), 0) AS rank,
+         {norm_title_sql('title')} AS tc
+  FROM scraped
+  WHERE {norm_title_sql('title')} <> ''
+),
+t2 AS (
+  SELECT tc, list_distinct(string_split(tc, ' ')) AS toks
+  FROM (SELECT DISTINCT tc FROM norm)
+),
+e AS (SELECT tc, len(toks) AS n, unnest(toks) AS tok FROM t2),
+inter AS (
+  SELECT a.tc AS ta, b.tc AS tb, COUNT(*) AS i,
+         ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+  FROM e a JOIN e b ON a.tok = b.tok AND a.tc < b.tc
+  WHERE a.n >= 0.55 * b.n AND b.n >= 0.55 * a.n
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT ta, tb FROM inter WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.55
+),
+und AS (
+  SELECT ta AS u, tb AS v FROM pairs UNION SELECT tb AS u, ta AS v FROM pairs
+),
+reach AS (
+  SELECT u, u AS v FROM (SELECT DISTINCT u FROM und)
+  UNION
+  SELECT r.u, n2.v FROM reach r JOIN und n2 ON r.v = n2.u
+),
+labels AS (SELECT u, MIN(v) AS entity FROM reach GROUP BY u),
+res AS (
+  SELECT n.url, n.rank, COALESCE(l.entity, n.tc) AS entity
+  FROM norm n LEFT JOIN labels l ON n.tc = l.u
+),
+gate AS (SELECT entity, COUNT(DISTINCT url) AS ns FROM res GROUP BY 1)
+SELECT r.entity,
+       CAST(SUM(r.rank) AS BIGINT) AS rank_sum,
+       AVG(r.rank)                 AS rank_avg,
+       COUNT(*)                    AS n_rows
+FROM res r JOIN gate g ON r.entity = g.entity
+WHERE g.ns = {N_SOURCES}
+GROUP BY r.entity
+ORDER BY rank_sum ASC, r.entity ASC
+LIMIT 10
+"""
+
+
+@REGISTRY.register("flagship_fuzzy_resolved", _FUZZY_RESOLVED_ORACLE)
+def flagship_fuzzy_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship composite ranking with the reference's
+    hand-maintained rename list REPLACED by discovered entity
+    resolution (the 'better way of matching titles' README.md:9 asks
+    for): fuzzy token-Jaccard alias pairs (operators/fuzzyjoin.py) →
+    connected components over the alias graph
+    (operators/components.py, min-title canonical rep) → the
+    distinct-source 'in all lists' gate and rank aggregation keyed by
+    the resolved entity. On the fixture the clustering automatically
+    recovers the 'raiders of the lost ark' alias (token Jaccard 5/9)
+    that the reference hard-codes at top_movies.py:91-94; pure-token
+    renames like Seven→Se7en still need the curated list — discovery
+    and overrides are complementary, not rivals. Oracled exactly:
+    fuzzy pairs + recursive-CTE transitive closure + the flagship
+    tail, value-hash checked. Scale shape: the alias graph is
+    |distinct titles|-sized (entity-dimension work), the fact-side
+    pipeline stays the one-shuffle flagship plan with a broadcastable
+    entity map."""
+    from movie_rankings_spark.operators.components import (
+        connected_components,
+    )
+    from movie_rankings_spark.operators.flagship import normalize_scraped
+    from movie_rankings_spark.operators.fuzzyjoin import fuzzy_title_pairs
+
+    scraped = scraped_fixture_df(spark)
+    norm = normalize_scraped(scraped, apply_aliases=False).filter(
+        F.col("title_comp") != ""
+    )
+    pairs = fuzzy_title_pairs(scraped, threshold=0.55)
+    cc = connected_components(pairs, "title_a", "title_b")
+    resolved = (
+        norm.join(
+            F.broadcast(cc), norm["title_comp"] == cc["node"], "left"
+        )
+        .select(
+            "url",
+            "rank",
+            F.coalesce(F.col("component"), F.col("title_comp")).alias(
+                "entity"
+            ),
+        )
+    )
+    gate = resolved.groupBy("entity").agg(
+        F.countDistinct("url").alias("_ns")
+    )
+    return (
+        resolved.join(
+            F.broadcast(gate.filter(F.col("_ns") == N_SOURCES)), "entity"
+        )
+        .groupBy("entity")
+        .agg(
+            F.sum("rank").cast("long").alias("rank_sum"),
+            F.avg("rank").alias("rank_avg"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy(F.col("rank_sum").asc(), F.col("entity").asc())
+        .limit(10)
+    )
