@@ -154,6 +154,7 @@ HEADLINE_QUERIES = (
     "histogram_equidepth_price",
     "histogram2d_qty_price",
     "histogram_rollup_events",
+    "bootstrap_mean_ci_orders",
     "traffic_dow_hour_heatmap",
     "quantile_normalize_price",
     "corr_price_quantity",

@@ -61,6 +61,7 @@ _UNSEEN_FIRST = (
     "join_size_cms_events",
     "histogram_rollup_events",
     "flagship_fuzzy_resolved",
+    "bootstrap_mean_ci_orders",
     # never driver-checked streaming (oracle-backed)
     "stream_running_topk_users",
     "stream_session_dynamic_gap",

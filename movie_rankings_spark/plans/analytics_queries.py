@@ -935,3 +935,84 @@ def histogram_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         step=25.0,
         n_bins=20,
     )
+
+
+# --- Poisson bootstrap CI (orders mean by priority) -------------------------
+
+_BOOTSTRAP_ORACLE = """
+WITH base AS (
+  SELECT o_orderpriority AS grp,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         o_orderkey AS k
+  FROM orders
+),
+rep AS (
+  SELECT grp, v, b,
+    CASE WHEN b = -1 THEN 1
+         WHEN u < '5e2d' THEN 0 WHEN u < 'bc5a' THEN 1 WHEN u < 'eb71' THEN 2
+         WHEN u < 'fb23' THEN 3 WHEN u < 'ff10' THEN 4 WHEN u < 'ffd9' THEN 5
+         WHEN u < 'fffa' THEN 6 ELSE 7 END AS w
+  FROM (
+    SELECT grp, v, b,
+           substr(  md5(CAST(k AS VARCHAR) || ':boot:0')
+                 || md5(CAST(k AS VARCHAR) || ':boot:1')
+                 || md5(CAST(k AS VARCHAR) || ':boot:2')
+                 || md5(CAST(k AS VARCHAR) || ':boot:3'),
+               CAST(b AS INT) * 4 + 1, 4) AS u
+    FROM base, LATERAL unnest(range(-1, 32)) AS t(b)
+  )
+),
+per_rep AS (
+  SELECT grp, b, SUM(CAST(w AS DECIMAL(28,0)) * v) AS ws, SUM(w) AS wn
+  FROM rep GROUP BY 1, 2
+),
+means AS (
+  SELECT grp, CAST(ws AS DOUBLE) / CAST(wn AS DOUBLE) AS m
+  FROM per_rep WHERE b >= 0 AND wn > 0
+),
+ranked AS (
+  SELECT grp, m,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY m ASC) AS ra,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY m DESC) AS rd
+  FROM means
+),
+ci AS (
+  SELECT grp, MAX(CASE WHEN ra = 2 THEN m END) AS ci_lo,
+         MAX(CASE WHEN rd = 2 THEN m END) AS ci_hi,
+         COUNT(*) AS n_replicas
+  FROM ranked GROUP BY 1
+),
+overall AS (
+  SELECT grp, wn AS n_rows,
+         CAST(ws AS DOUBLE) / CAST(wn AS DOUBLE) / 100.0 AS mean_value
+  FROM per_rep WHERE b = -1
+)
+SELECT o.grp AS o_orderpriority,
+       CAST(o.n_rows AS BIGINT) AS n_rows,
+       o.mean_value,
+       c.ci_lo / 100.0 AS ci_lo,
+       c.ci_hi / 100.0 AS ci_hi,
+       CAST(c.n_replicas AS BIGINT) AS n_replicas
+FROM overall o JOIN ci c USING (grp) ORDER BY o.grp
+"""
+
+
+@REGISTRY.register("bootstrap_mean_ci_orders", _BOOTSTRAP_ORACLE)
+def bootstrap_mean_ci_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority mean order value with a 32-replica Poisson
+    bootstrap confidence interval (operators/bootstrap.py) — the
+    one-pass uncertainty estimate for massive aggregates: each row
+    explodes into (replica, Poisson(1) weight) contributions, one
+    map-side-combinable groupBy reduces to |groups|*32 partials, and
+    the CI is order statistics of the replica means. Deterministic
+    md5 weights + integer sums + interpolation-free order-statistic
+    CI make the whole report value-hash exact across engines."""
+    from movie_rankings_spark.operators.bootstrap import bootstrap_mean_ci
+
+    return bootstrap_mean_ci(
+        load_table(spark, sf_dir, "orders"),
+        key_col="o_orderkey",
+        value_col="o_totalprice",
+        group_cols=["o_orderpriority"],
+        n_replicas=32,
+    )

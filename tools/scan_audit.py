@@ -62,6 +62,7 @@ KNOWN_LEGIT = {
     "text_top_terms",  # tf pass + metadata-cheap count pass
     # persisted-intermediate plans whose cache text repeats the scan:
     "join_size_cms_events",  # persisted per-key counts feed sketch + exact side (r5)
+    "bootstrap_mean_ci_orders",  # persisted per-replica sums feed CI + exact-mean branches (one real scan; cache-text artifact) (r5)
     "similarity_tfidf_topk", "triangles_copurchase",
     "dedup_jaccard_prefix", "cms_word_frequency",
     "basket_association_rules", "dedup_cluster_reps",
