@@ -252,6 +252,21 @@ HEADLINE_QUERIES = (
     "corpus_zipf_slope",
     "corpus_heaps_law",
     "ppr_copurchase_seeded",
+    # r5b additions: information-theory diagnostics / agreement /
+    # concentration curve / top movers
+    "mi_lang_source",
+    "kappa_quality_raters",
+    "coverage_topdoc_chars",
+    "topmovers_segment_monthly",
+    # r5c additions: distribution tests / first-digit audit / rank
+    # correlation / series diagnostics
+    "ks_price_priority",
+    "mannwhitney_price_priority",
+    "benford_totalprice",
+    "spearman_qty_price",
+    "acf_daily_revenue",
+    "changepoint_daily_revenue",
+    "search_hybrid_rrf",
 )
 
 

@@ -1,0 +1,136 @@
+"""Information-theoretic corpus diagnostics: mutual information
+between two categorical columns and Cohen's kappa between two
+raters — the association metrics a curation pipeline runs next to
+chi² (operators/statistics.py::chi2_contingency) when deciding
+whether a metadata column is informative and whether two cheap
+quality heuristics actually agree.
+
+Why a pipeline computes these:
+- MI(lang; source) answers "does knowing the source tell me the
+  language?" in nats — the feature-selection / leakage screen run
+  before conditioning sampling rates on a column. chi² tests
+  *whether* the columns are dependent; MI measures *how much*.
+- Cohen's kappa corrects raw rater agreement for chance: two
+  heuristic labelers that both say "keep" 90% of the time agree 81%
+  by luck alone. Kappa is the standard gate before trusting a cheap
+  heuristic as a proxy for an expensive one (label-QA for training
+  filters).
+
+Exactness contract (the chi2/corpuslaws conventions):
+- every reduction is integer COUNT/SUM (order-independent, exact);
+- PMI logs are quantized to round(ln(x)·1e9) BIGINT — the
+  corpuslaws L_SCALE fixed-point convention — so the per-cell MI
+  decomposition value-hashes across engines;
+- kappa needs no logs at all: p_o and p_e are single IEEE divisions
+  of exact integer sums, written identically in the oracle.
+
+Scale: both operators reduce the fact table to a contingency table
+whose cardinality is the product of the label domains (|langs|·
+|sources|, 2·2) — one map-side-combined shuffle reads the 100 TB
+side, everything downstream is kilobytes. Marginals come from
+re-aggregating the cached cell table, never a second fact scan.
+
+The reference's statistical surface is sum and mean
+(`top_movies.py:140,143`); this is the §2 A8 family extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from movie_rankings_spark.operators.corpuslaws import L_SCALE
+
+
+def mutual_information_cells(
+    df: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Per-cell MI decomposition of the a × b contingency table.
+
+    Output (one row per observed cell, ordered by a, b):
+    a, b, observed, row_total, col_total, grand_total,
+    pmi_q9  = round(ln(observed·N / (row_total·col_total)) · 1e9),
+    mi_contrib_q9 = observed · pmi_q9.
+
+    MI in nats = Σ mi_contrib_q9 / (N · 1e9); the per-cell rows keep
+    the decomposition auditable (which cells carry the association)
+    exactly as chi2_contingency exposes per-cell chi² terms.
+
+    One shuffle on (a, b); marginals re-aggregate the cached cell
+    table (|A|·|B| rows); grand total joins in as a broadcast 1-row
+    aggregate. The PMI ratio is evaluated in ONE double expression,
+    written identically in the DuckDB oracle, then quantized — the
+    corpuslaws fixed-point-log convention.
+    """
+    cells = (
+        df.groupBy(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("observed"))
+        .persist_tracked()  # 3 downstream branches over |A|x|B| rows
+    )
+    rt = cells.groupBy("a").agg(F.sum("observed").cast("long").alias("row_total"))
+    ct = cells.groupBy("b").agg(F.sum("observed").cast("long").alias("col_total"))
+    g = cells.agg(F.sum("observed").cast("long").alias("grand_total"))
+
+    ratio = (
+        F.col("observed").cast("double") * F.col("grand_total").cast("double")
+    ) / (F.col("row_total").cast("double") * F.col("col_total").cast("double"))
+    pmi_q9 = F.round(F.log(ratio) * F.lit(float(L_SCALE))).cast("long")
+
+    return (
+        cells.join(rt, "a")
+        .join(ct, "b")
+        .crossJoin(F.broadcast(g))
+        .withColumn("pmi_q9", pmi_q9)
+        .select(
+            "a",
+            "b",
+            "observed",
+            "row_total",
+            "col_total",
+            "grand_total",
+            "pmi_q9",
+            (F.col("observed") * F.col("pmi_q9")).alias("mi_contrib_q9"),
+        )
+        .orderBy("a", "b")
+    )
+
+
+def cohens_kappa(df: DataFrame, a: Column, b: Column) -> DataFrame:
+    """Chance-corrected agreement between two 0/1 raters.
+
+    Input: two integer label expressions over the same rows. Output:
+    ONE row — n_rows, n_agree, po (observed agreement), pe (chance
+    agreement from the marginals), kappa = (po − pe) / (1 − pe).
+
+    All moments (n, agree, per-rater positive counts) come from a
+    single map-side-combined aggregate over the fact — one scan, one
+    1-row result; po/pe/kappa are IEEE divisions of exact integers,
+    mirrored verbatim in the oracle. The 2×2 chance term expands to
+    pe = (pa·pb + (n−pa)·(n−pb)) / n² — integer products up to n²,
+    computed in DECIMAL(38,0) then divided once.
+    """
+    d38 = "decimal(38,0)"
+    m = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum((a == b).cast("long")).cast("long").alias("n_agree"),
+        F.sum(a.cast("long")).cast("long").alias("pa"),
+        F.sum(b.cast("long")).cast("long").alias("pb"),
+    )
+    po = F.col("n_agree").cast("double") / F.col("n_rows").cast("double")
+    pe_num = (
+        F.col("pa").cast(d38) * F.col("pb").cast(d38)
+        + (F.col("n_rows") - F.col("pa")).cast(d38)
+        * (F.col("n_rows") - F.col("pb")).cast(d38)
+    )
+    pe = pe_num.cast("double") / (
+        F.col("n_rows").cast(d38) * F.col("n_rows").cast(d38)
+    ).cast("double")
+    return m.select(
+        "n_rows",
+        "n_agree",
+        F.col("pa").alias("rater_a_pos"),
+        F.col("pb").alias("rater_b_pos"),
+        po.alias("po"),
+        pe.alias("pe"),
+        ((po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
+    )

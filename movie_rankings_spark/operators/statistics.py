@@ -420,3 +420,77 @@ def histogram_mergeable_rollup(
         )
         .orderBy("grp", "bin")
     )
+
+
+def coverage_topfrac(
+    df: DataFrame, value_col: str, pcts: list[int]
+) -> DataFrame:
+    """Concentration curve: for each requested top-percent p of rows
+    (ranked by value descending), exactly how much of the total value
+    do they hold?  The Lorenz-curve reading of gini_exact — "the top
+    1% of documents carry 9% of the corpus characters" — the number a
+    curation team checks before length-capping or re-mixing a corpus.
+
+    Same no-global-sort contract as roc_curve: the fact reduces to
+    the DISTINCT-VALUE table (bounded by the value DOMAIN — document
+    lengths, prices in cents — not the row count); cumulative
+    (rows ≥ v, value-sum ≥ v) comes from a theta self-join of that
+    bounded table with map-side-combined sums, never an Exchange
+    SinglePartition window.  Tie groups at the threshold value are
+    pro-rated EXACTLY in integers: with k = ceil(p·N/100) target rows
+    and t the k-th largest value, covered = sum≥t − (rows≥t − k)·t.
+
+    Output (one row per requested percent, ascending): pct_docs,
+    k_docs, threshold_value, covered_value, total_value,
+    share = covered/total (one IEEE division of exact integers).
+    Input contract: value_col is a non-negative integral column;
+    sums are documented exact for N·max(value) < 2^63.
+    """
+    spark = df.sparkSession
+    vc = (
+        df.groupBy(F.col(value_col).cast("long").alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .withColumn("s", F.col("v") * F.col("c"))
+        .persist_tracked()  # theta-join sides + totals over |V| rows
+    )
+    b = vc.select(
+        F.col("v").alias("v2"), F.col("c").alias("c2"), F.col("s").alias("s2")
+    )
+    cum = (
+        vc.join(F.broadcast(b), F.col("v2") >= F.col("v"))
+        .groupBy("v")
+        .agg(
+            F.sum("c2").cast("long").alias("rows_ge"),
+            F.sum("s2").cast("long").alias("sum_ge"),
+        )
+    )
+    totals = vc.agg(
+        F.sum("c").cast("long").alias("n_total"),
+        F.sum("s").cast("long").alias("s_total"),
+    )
+    fr = spark.createDataFrame([(int(p),) for p in pcts], "pct_docs int")
+    with_k = fr.crossJoin(F.broadcast(totals)).withColumn(
+        "k_docs",
+        F.floor(
+            (F.col("pct_docs").cast("long") * F.col("n_total") + F.lit(99))
+            / F.lit(100)
+        ).cast("long"),
+    )
+    picked = (
+        cum.join(F.broadcast(with_k), F.col("rows_ge") >= F.col("k_docs"))
+        .groupBy("pct_docs", "k_docs", "n_total", "s_total")
+        .agg(F.max(F.struct("v", "rows_ge", "sum_ge")).alias("_t"))
+    )
+    covered = F.col("_t.sum_ge") - (
+        F.col("_t.rows_ge") - F.col("k_docs")
+    ) * F.col("_t.v")
+    return picked.select(
+        "pct_docs",
+        "k_docs",
+        F.col("_t.v").alias("threshold_value"),
+        covered.alias("covered_value"),
+        "s_total",
+        (covered.cast("double") / F.col("s_total").cast("double")).alias(
+            "share"
+        ),
+    ).orderBy("pct_docs")

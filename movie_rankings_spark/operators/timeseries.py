@@ -271,3 +271,155 @@ def rolling_active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def acf_daily(
+    df: DataFrame,
+    day_col: str,
+    cents_col,
+    max_lag: int = 14,
+) -> DataFrame:
+    """Exact lag-k autocorrelation of a daily metric series — the
+    "is this series mean-reverting / weekly-periodic / trending?"
+    diagnostic read before picking a forecasting or anomaly window
+    (seasonality_monthly_index answers "WHAT is the weekly shape";
+    ACF answers "HOW persistent is the signal across k days").
+
+    Shape: the fact shuffles ONCE into the (day, Σcents) series —
+    bounded by the DATE DOMAIN, not row count; a ≤ max_lag-row lag
+    frame broadcast-crossJoins the series and equi-joins it back on
+    day+k (never a global-sort window, never a second fact pass —
+    the series is persisted and read by the scalar pass + pair pass).
+    Days missing from the series simply contribute no pair at lags
+    spanning them (documented semantics for gappy series).
+
+    Exactness: with S = Σx, n = |days|, the standard estimator
+    r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x−x̄)² is expanded so every
+    difference happens in EXACT integer space (the spearman_rho
+    cancellation argument — at cents scale the naive double expansion
+    loses the entire signal): A_k = n²·Σx_t·x_{t+k} −
+    n·S·(Σheads+Σtails) + cnt_k·S² and B = n·(n·Σx² − S²), both
+    DECIMAL(38,0); acf = A_k/B is one IEEE division of those exact
+    integers, mirrored verbatim in the oracle (HUGEINT there).
+    Documented bound: n²·Σx·x < 10^38 — holds to ~10^5 days of
+    ~10^12-cent daily volume.
+
+    Output: max_lag rows — lag, n_pairs, acf.
+    """
+    spark = df.sparkSession
+    daily = (
+        df.groupBy(F.to_date(F.col(day_col)).alias("d"))
+        .agg(F.sum(cents_col.cast("long")).cast("long").alias("x"))
+        .persist_tracked()  # scalar pass + both join sides read this
+    )
+    n, s, sxx = daily.agg(
+        F.count(F.lit(1)).cast("long"),
+        F.sum("x").cast("long"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)")),
+    ).collect()[0]
+    lags = spark.createDataFrame(
+        [(k,) for k in range(1, max_lag + 1)], "lag int"
+    )
+    head = daily.select(
+        F.col("d").alias("dh"), F.col("x").alias("xh")
+    ).crossJoin(F.broadcast(lags))
+    tail = daily.select(
+        F.col("d").alias("dt"), F.col("x").alias("xt")
+    )
+    pairs = head.join(
+        tail, F.date_add(head.dh, head.lag) == tail.dt
+    )
+
+    def d19(c) -> "F.Column":
+        return c.cast("decimal(19,0)")
+
+    agg = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(d19(F.col("xh")) * d19(F.col("xt"))).alias("sxy"),
+        F.sum("xh").cast("long").alias("sh"),
+        F.sum("xt").cast("long").alias("st"),
+    )
+    nd = F.lit(n).cast("decimal(19,0)")
+    sd = F.lit(s).cast("decimal(19,0)")
+    a_k = (
+        nd * nd * F.col("sxy")
+        - nd * sd * (F.col("sh") + F.col("st")).cast("decimal(19,0)")
+        + F.col("n_pairs").cast("decimal(19,0)") * sd * sd
+    )
+    b = F.lit(n).cast("decimal(19,0)") * (
+        nd * F.lit(str(sxx)).cast("decimal(38,0)") - sd * sd
+    )
+    return agg.select(
+        F.col("lag").cast("long").alias("lag"),
+        "n_pairs",
+        # try_divide: a constant series has zero variance (B = 0) —
+        # DuckDB's x/0.0 is NULL; ANSI `/` would raise instead
+        F.try_divide(a_k.cast("double"), b.cast("double")).alias("acf"),
+    ).orderBy("lag")
+
+
+def cusum_changepoint(
+    df: DataFrame, day_col: str, cents_col
+) -> DataFrame:
+    """Exact CUSUM change-point detection on a daily metric series:
+    the day t maximizing |Σ_{i≤t}(x_i − x̄)| — where the series most
+    decisively switched regimes (level shift), the alerting
+    complement to anomaly_rolling_zscore's pointwise outliers.
+
+    Shape: one fact-sized shuffle into the (day, Σcents) series —
+    bounded by the DATE DOMAIN (~thousands of rows), so the prefix
+    sum runs as ONE global window over that bounded aggregate (the
+    classifier_auc_eval / bounded-artifact exception to the
+    no-global-window rule, declared in the audit allowlist).
+
+    Exactness: cusum is scaled by n to stay integral — c_t =
+    n·prefix_t − t_idx·S is an exact BIGINT (bound: n·S < 2^63);
+    the argmax row is max(struct(|c_t|, −day)) — deterministic
+    earliest-day tie-break; frac = |c_t| / (n·S) is one IEEE
+    division of exact integers.
+
+    Output: ONE row — change_day (yyyy-MM-dd string), n_days,
+    total_cents, cusum_num, frac.
+    """
+    daily = (
+        df.groupBy(F.col(day_col).alias("d"))
+        .agg(F.sum(cents_col.cast("long")).cast("long").alias("x"))
+        .persist_tracked()  # prefix pass + totals pass read this
+    )
+    w = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pref = daily.select(
+        "d",
+        F.sum("x").over(w).cast("long").alias("prefix"),
+        F.count(F.lit(1)).over(w).cast("long").alias("t_idx"),
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("total_cents"),
+    )
+    joined = pref.crossJoin(F.broadcast(stats))
+    c_t = F.col("n_days") * F.col("prefix") - F.col("t_idx") * F.col(
+        "total_cents"
+    )
+    picked = joined.select(
+        F.struct(
+            F.abs(c_t).alias("cusum_num"),
+            (-F.datediff(F.col("d"), F.lit("1970-01-01"))).alias("_nd"),
+            F.date_format("d", "yyyy-MM-dd").alias("change_day"),
+            F.col("n_days"),
+            F.col("total_cents"),
+        ).alias("_s")
+    ).agg(F.max("_s").alias("_m"))
+    return picked.select(
+        F.col("_m.change_day").alias("change_day"),
+        F.col("_m.n_days").alias("n_days"),
+        F.col("_m.total_cents").alias("total_cents"),
+        F.col("_m.cusum_num").alias("cusum_num"),
+        # try_divide: an all-zero series makes n·S = 0 — DuckDB's
+        # x/0.0 is NULL; ANSI `/` would raise instead
+        F.try_divide(
+            F.col("_m.cusum_num").cast("double"),
+            (F.col("_m.n_days") * F.col("_m.total_cents")).cast("double"),
+        ).alias("frac"),
+    )

@@ -62,6 +62,17 @@ _UNSEEN_FIRST = (
     "histogram_rollup_events",
     "flagship_fuzzy_resolved",
     "bootstrap_mean_ci_orders",
+    "mi_lang_source",
+    "topmovers_segment_monthly",
+    "kappa_quality_raters",
+    "coverage_topdoc_chars",
+    "ks_price_priority",
+    "mannwhitney_price_priority",
+    "benford_totalprice",
+    "spearman_qty_price",
+    "acf_daily_revenue",
+    "changepoint_daily_revenue",
+    "search_hybrid_rrf",
     # never driver-checked streaming (oracle-backed)
     "stream_running_topk_users",
     "stream_session_dynamic_gap",

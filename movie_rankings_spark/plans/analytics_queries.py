@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from movie_rankings_spark.catalog import load_table
+from movie_rankings_spark.operators.infotheory import mutual_information_cells
 from movie_rankings_spark.operators.statistics import (
     chi2_contingency,
     grouped_ols,
@@ -1015,4 +1016,511 @@ def bootstrap_mean_ci_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_col="o_totalprice",
         group_cols=["o_orderpriority"],
         n_replicas=32,
+    )
+
+
+# --- mutual information: documents lang × source ----------------------------
+
+_MI_ORACLE = """
+WITH cells AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS observed
+  FROM documents GROUP BY 1, 2
+), rt AS (
+  SELECT lang, CAST(SUM(observed) AS BIGINT) AS row_total FROM cells GROUP BY 1
+), ct AS (
+  SELECT source, CAST(SUM(observed) AS BIGINT) AS col_total FROM cells GROUP BY 1
+), g AS (
+  SELECT CAST(SUM(observed) AS BIGINT) AS grand_total FROM cells
+), j AS (
+  SELECT c.lang, c.source, c.observed, rt.row_total, ct.col_total,
+         g.grand_total,
+         CAST(round(ln(
+             (CAST(c.observed AS DOUBLE) * CAST(g.grand_total AS DOUBLE))
+           / (CAST(rt.row_total AS DOUBLE) * CAST(ct.col_total AS DOUBLE))
+         ) * 1000000000.0) AS BIGINT) AS pmi_q9
+  FROM cells c JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN g
+)
+SELECT lang, source, observed, row_total, col_total, grand_total, pmi_q9,
+       observed * pmi_q9 AS mi_contrib_q9
+FROM j ORDER BY lang, source
+"""
+
+
+@REGISTRY.register("mi_lang_source", _MI_ORACLE)
+def mi_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How MUCH does source tell you about language? Per-cell mutual-
+    information decomposition of the lang × source table — the
+    effect-size companion to chi2_lang_source (which only tests
+    dependence). MI in nats = Σ mi_contrib_q9 / (N·1e9); a high value
+    means sampling rates conditioned on source implicitly recondition
+    the language mix.
+
+    One map-side-combined shuffle reduces the corpus to |langs|·
+    |sources| cells; marginals re-aggregate the cached cell table —
+    the 100 TB side is scanned once. PMI logs are quantized BIGINTs
+    (the corpuslaws ln·1e9 convention) so every row value-hashes
+    (operators/infotheory.py::mutual_information_cells).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        mutual_information_cells(docs, "lang", "source")
+        .withColumnRenamed("a", "lang")
+        .withColumnRenamed("b", "source")
+        .orderBy("lang", "source")
+    )
+
+
+# --- month-over-month top movers per market segment -------------------------
+
+_TOPMOVERS_ORACLE = """
+WITH monthly AS (
+  SELECT c.c_mktsegment AS segment,
+         (year(o.o_orderdate) - 1992) * 12 + month(o.o_orderdate) - 1
+           AS month_idx,
+         CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+), lagged AS (
+  SELECT segment, month_idx, rev_cents,
+         LAG(rev_cents) OVER (PARTITION BY segment ORDER BY month_idx)
+           AS prev_cents
+  FROM monthly
+), deltas AS (
+  SELECT segment, month_idx, rev_cents, prev_cents,
+         rev_cents - prev_cents AS delta_cents
+  FROM lagged WHERE prev_cents IS NOT NULL
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY segment
+    ORDER BY abs(delta_cents) DESC, month_idx DESC) AS rn
+  FROM deltas
+)
+SELECT segment, CAST(month_idx AS BIGINT) AS month_idx, rev_cents,
+       prev_cents, delta_cents
+FROM ranked WHERE rn = 1 ORDER BY segment
+"""
+
+
+@REGISTRY.register("topmovers_segment_monthly", _TOPMOVERS_ORACLE)
+def topmovers_segment_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest month-over-month revenue swing per market segment —
+    the "what changed?" alerting query over any metric tree: compute
+    the per-(segment, month) series once, diff consecutive months
+    with LAG, keep each segment's biggest absolute mover
+    (deterministic tie-break: later month wins).
+
+    Scale shape: the fact table shuffles ONCE into the (segment,
+    month) aggregate (map-side combined, cents in BIGINT); the lag
+    window and the per-segment argmax run over |segments|·|months|
+    rows — kilobytes, data-independent cardinality. The argmax is
+    max(struct(|Δ|, month, …)) — no second shuffle of anything
+    fact-sized.
+    """
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    monthly = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            (
+                (F.year("o_orderdate") - F.lit(1992)) * F.lit(12)
+                + F.month("o_orderdate")
+                - F.lit(1)
+            ).cast("long").alias("month_idx"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * F.lit(100)).cast("long"))
+            .cast("long")
+            .alias("rev_cents")
+        )
+    )
+    w = Window.partitionBy("segment").orderBy("month_idx")
+    deltas = (
+        monthly.withColumn("prev_cents", F.lag("rev_cents").over(w))
+        .filter(F.col("prev_cents").isNotNull())
+        .withColumn("delta_cents", F.col("rev_cents") - F.col("prev_cents"))
+    )
+    picked = deltas.groupBy("segment").agg(
+        F.max(
+            F.struct(
+                F.abs(F.col("delta_cents")).alias("_a"),
+                F.col("month_idx").alias("month_idx"),
+                F.col("rev_cents").alias("rev_cents"),
+                F.col("prev_cents").alias("prev_cents"),
+                F.col("delta_cents").alias("delta_cents"),
+            )
+        ).alias("_t")
+    )
+    return picked.select(
+        "segment",
+        F.col("_t.month_idx").alias("month_idx"),
+        F.col("_t.rev_cents").alias("rev_cents"),
+        F.col("_t.prev_cents").alias("prev_cents"),
+        F.col("_t.delta_cents").alias("delta_cents"),
+    ).orderBy("segment")
+
+
+# --- two-sample distribution tests + Benford audit --------------------------
+
+_KS_ORACLE = """
+WITH r AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS a,
+         CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS b
+  FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+), vc AS (
+  SELECT v, CAST(SUM(a) AS BIGINT) AS ca, CAST(SUM(b) AS BIGINT) AS cb
+  FROM r GROUP BY 1
+), cum AS (
+  SELECT v, CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+         CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS cum_b
+  FROM vc
+), tot AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b
+  FROM vc
+), d AS (
+  SELECT c.v, ABS(c.cum_a * t.n_b - c.cum_b * t.n_a) AS d_num,
+         t.n_a, t.n_b
+  FROM cum c CROSS JOIN tot t
+)
+SELECT n_a, n_b, CAST(d_num AS BIGINT) AS d_num,
+       CAST(v AS BIGINT) AS at_value,
+       CAST(d_num AS DOUBLE)
+         / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS ks_d
+FROM d ORDER BY d_num DESC, v ASC LIMIT 1
+"""
+
+
+@REGISTRY.register("ks_price_priority", _KS_ORACLE)
+def ks_price_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did urgent orders price differently from low-priority ones?
+    Exact two-sample Kolmogorov-Smirnov distance between the
+    o_totalprice (cents) distributions of 1-URGENT vs 5-LOW orders,
+    with the price where the ECDF gap peaks — the binning-free shape
+    test next to drift_train_val_js's binned JS divergence.
+
+    The fact reduces once to the distinct-cents count table (~N
+    distinct values — exactly the regime where roc_curve's theta join
+    would go quadratic); exact cumulative counts come from the
+    bucketed per-bucket-window + driver-offset two-pass, never a
+    global-sort window. d_num is an exact BIGINT cross-product;
+    ks_d is one IEEE division (operators/disttests.py::ks_two_sample).
+    """
+    from movie_rankings_spark.operators.disttests import ks_two_sample
+
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    cents = F.round(F.col("o_totalprice") * F.lit(100)).cast("long")
+    return ks_two_sample(
+        orders.withColumn("_cents", cents),
+        "_cents",
+        (F.col("o_orderpriority") == "1-URGENT").cast("int"),
+        (F.col("o_orderpriority") == "5-LOW").cast("int"),
+    )
+
+
+_MWU_ORACLE = """
+WITH r AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS a,
+         CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS b
+  FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+), vc AS (
+  SELECT v, CAST(SUM(a) AS BIGINT) AS ca, CAST(SUM(b) AS BIGINT) AS cb
+  FROM r GROUP BY 1
+), cum AS (
+  SELECT v, ca, cb,
+         CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS cum_b
+  FROM vc
+), m AS (
+  SELECT CAST(SUM(ca * (2 * (cum_b - cb) + cb)) AS BIGINT) AS u_a_x2,
+         CAST(SUM((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb))
+              AS BIGINT) AS tie_term
+  FROM cum
+), tot AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b
+  FROM vc
+)
+SELECT n_a, n_b, u_a_x2,
+       CAST(2 * n_a * n_b - u_a_x2 AS BIGINT) AS u_b_x2, tie_term,
+       (CAST(u_a_x2 AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+         / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS rank_biserial,
+       (CAST(u_a_x2 AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+         / (2.0 * sqrt(
+             CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+             * (CAST(n_a + n_b + 1 AS DOUBLE)
+                - CAST(tie_term AS DOUBLE)
+                  / (CAST(n_a + n_b AS DOUBLE)
+                     * CAST(n_a + n_b - 1 AS DOUBLE))))) AS z
+FROM m CROSS JOIN tot
+"""
+
+
+@REGISTRY.register("mannwhitney_price_priority", _MWU_ORACLE)
+def mannwhitney_price_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do urgent orders stochastically dominate low-priority ones on
+    price? Exact Mann-Whitney U (midrank ties, doubled to stay
+    integral) with rank-biserial effect size and tie-corrected z —
+    the rank-based alternative to a t-test, over the same 1-URGENT
+    vs 5-LOW split as ks_price_priority.
+
+    Same single-shuffle distinct-value reduction and bucketed
+    cumulative as the KS test; U and the tie term are exact BIGINTs,
+    rank_biserial/z are IEEE expressions of those integers mirrored
+    verbatim in the oracle
+    (operators/disttests.py::mannwhitney_u).
+    """
+    from movie_rankings_spark.operators.disttests import mannwhitney_u
+
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    cents = F.round(F.col("o_totalprice") * F.lit(100)).cast("long")
+    return mannwhitney_u(
+        orders.withColumn("_cents", cents),
+        "_cents",
+        (F.col("o_orderpriority") == "1-URGENT").cast("int"),
+        (F.col("o_orderpriority") == "5-LOW").cast("int"),
+    )
+
+
+def _benford_oracle() -> str:
+    from movie_rankings_spark.operators.disttests import BENFORD_EXPECTED
+
+    def _exact_double(v: float) -> str:
+        # DuckDB parses decimal literals as DECIMAL (even under a
+        # DOUBLE cast), rounding the 17th digit away from the IEEE
+        # value Spark holds; a mantissa/2^k integer ratio divides two
+        # exactly-representable doubles and reproduces v bit-for-bit
+        num, den = v.as_integer_ratio()
+        return f"(CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE))"
+
+    values = ", ".join(
+        f"({d}, {_exact_double(e)})"
+        for d, e in sorted(BENFORD_EXPECTED.items())
+    )
+    return f"""
+WITH c AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+), obs AS (
+  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+         CAST(COUNT(*) AS BIGINT) AS observed
+  FROM c WHERE cents > 0 GROUP BY 1
+), frame AS (
+  SELECT * FROM (VALUES {values}) AS t(digit, expected)
+), filled AS (
+  SELECT f.digit, f.expected,
+         CAST(COALESCE(o.observed, 0) AS BIGINT) AS observed
+  FROM frame f LEFT JOIN obs o USING (digit)
+), tot AS (
+  SELECT CAST(SUM(observed) AS BIGINT) AS total FROM filled
+)
+SELECT digit, observed, total,
+       CAST(observed AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+       expected,
+       CAST(observed AS DOUBLE) / CAST(total AS DOUBLE) - expected AS dev
+FROM filled CROSS JOIN tot ORDER BY digit
+"""
+
+
+@REGISTRY.register("benford_totalprice", _benford_oracle())
+def benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does o_totalprice look organically generated? First-
+    significant-digit distribution vs Benford's law (cents keep the
+    price's leading digit) — the fabricated-data screen run on a
+    numeric column before trusting it as a feature. TPC-H prices are
+    synthetic sums, so the DEVIATION ITSELF is the informative
+    output here; the operator contract is the audit table.
+
+    One map-side-combined shuffle to <= 9 cells; expected shares are
+    frozen literals injected identically into both engines, so
+    share/dev are IEEE expressions of exact integers — value-hash
+    exact (operators/disttests.py::benford_first_digit).
+    """
+    from movie_rankings_spark.operators.disttests import benford_first_digit
+
+    orders = _t(spark, sf_dir, "orders")
+    return benford_first_digit(
+        orders, F.round(F.col("o_totalprice") * F.lit(100))
+    )
+
+
+# --- Spearman rank correlation: quantity vs price ----------------------------
+
+_SPEARMAN_ORACLE = """
+WITH pc AS (
+  SELECT CAST(l_quantity AS BIGINT) AS va,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS vb,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2
+), ta AS (
+  SELECT va, CAST(SUM(c) AS BIGINT) AS ca FROM pc GROUP BY 1
+), ra AS (
+  SELECT va, 2 * SUM(ca) OVER (ORDER BY va) - ca + 1 AS r2a FROM ta
+), tb AS (
+  SELECT vb, CAST(SUM(c) AS BIGINT) AS cb FROM pc GROUP BY 1
+), rb AS (
+  SELECT vb, 2 * SUM(cb) OVER (ORDER BY vb) - cb + 1 AS r2b FROM tb
+), j AS (
+  SELECT pc.c, ra.r2a, rb.r2b
+  FROM pc JOIN ra USING (va) JOIN rb USING (vb)
+), m AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n,
+         SUM(CAST(c AS HUGEINT) * r2a * r2b) AS sab,
+         SUM(CAST(c AS HUGEINT) * r2a * r2a) AS saa,
+         SUM(CAST(c AS HUGEINT) * r2b * r2b) AS sbb
+  FROM j
+)
+SELECT n AS n_rows,
+       CAST(CAST(n AS HUGEINT) * sab
+            - (CAST(n AS HUGEINT) * (n + 1)) * (CAST(n AS HUGEINT) * (n + 1))
+            AS DOUBLE)
+       / (sqrt(CAST(CAST(n AS HUGEINT) * saa
+            - (CAST(n AS HUGEINT) * (n + 1)) * (CAST(n AS HUGEINT) * (n + 1))
+            AS DOUBLE))
+        * sqrt(CAST(CAST(n AS HUGEINT) * sbb
+            - (CAST(n AS HUGEINT) * (n + 1)) * (CAST(n AS HUGEINT) * (n + 1))
+            AS DOUBLE))) AS rho
+FROM m
+"""
+
+
+@REGISTRY.register("spearman_qty_price", _SPEARMAN_ORACLE)
+def spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the quantity→price relationship monotone? Exact Spearman
+    rank correlation between l_quantity and l_extendedprice (cents)
+    — the outlier-robust, nonlinearity-tolerant sibling of
+    corr_price_quantity's Pearson r, and the feature-screening
+    number reported when a scatter plot would mislead.
+
+    The fact reduces once to the distinct-(qty, cents) pair table;
+    midranks come from the bucketed-cumulative machinery over that
+    cached table; the centered moments are exact DECIMAL(38,0)
+    integers so the near-cancelling differences lose no precision
+    (operators/disttests.py::spearman_rho).
+    """
+    from movie_rankings_spark.operators.disttests import spearman_rho
+
+    li = _t(spark, sf_dir, "lineitem")
+    return spearman_rho(
+        li,
+        F.col("l_quantity"),
+        F.round(F.col("l_extendedprice") * F.lit(100)),
+    )
+
+
+# --- lag-k autocorrelation of daily revenue ---------------------------------
+
+_ACF_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+), scal AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx
+  FROM daily
+), lags AS (
+  SELECT CAST(unnest(generate_series(1, 14)) AS INT) AS lag
+), pairs AS (
+  SELECT l.lag, h.x AS xh, t.x AS xt
+  FROM lags l
+  JOIN daily h ON TRUE
+  JOIN daily t ON t.d = h.d + l.lag
+), agg AS (
+  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         SUM(CAST(xh AS HUGEINT) * xt) AS sxy,
+         CAST(SUM(xh) AS BIGINT) AS sh, CAST(SUM(xt) AS BIGINT) AS st
+  FROM pairs GROUP BY 1
+)
+SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+       CAST(CAST(n AS HUGEINT) * n * sxy
+            - CAST(n AS HUGEINT) * s * (sh + st)
+            + CAST(n_pairs AS HUGEINT) * s * s AS DOUBLE)
+       / CAST(CAST(n AS HUGEINT)
+              * (CAST(n AS HUGEINT) * sxx - CAST(s AS HUGEINT) * s)
+              AS DOUBLE) AS acf
+FROM agg CROSS JOIN scal ORDER BY lag
+"""
+
+
+@REGISTRY.register("acf_daily_revenue", _ACF_ORACLE)
+def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How persistent is daily revenue across k days? Exact lag-1..14
+    autocorrelation of the daily revenue series — the diagnostic
+    read before sizing a forecasting or anomaly window (a weekly
+    business shows the lag-7 spike; a trending one decays slowly).
+
+    One fact shuffle into the date-domain-bounded daily series
+    (persisted); a 14-row broadcast lag frame equi-joins it back on
+    day+k — no global window, no second fact pass; centered moments
+    are exact DECIMAL(38,0) differences mirrored in HUGEINT
+    (operators/timeseries.py::acf_daily).
+    """
+    from movie_rankings_spark.operators.timeseries import acf_daily
+
+    orders = _t(spark, sf_dir, "orders")
+    return acf_daily(
+        orders,
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * F.lit(100)),
+        max_lag=14,
+    )
+
+
+# --- CUSUM change-point on daily revenue ------------------------------------
+
+_CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+), pref AS (
+  SELECT d, CAST(SUM(x) OVER (ORDER BY d) AS BIGINT) AS prefix,
+         CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t_idx
+  FROM daily
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(x) AS BIGINT) AS total_cents
+  FROM daily
+), c AS (
+  SELECT strftime(d, '%Y-%m-%d') AS change_day, n_days, total_cents,
+         ABS(n_days * prefix - t_idx * total_cents) AS cusum_num, d
+  FROM pref CROSS JOIN tot
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY cusum_num DESC, d ASC) AS rn FROM c
+)
+SELECT change_day, n_days, total_cents,
+       CAST(cusum_num AS BIGINT) AS cusum_num,
+       CAST(cusum_num AS DOUBLE)
+         / CAST(n_days * total_cents AS DOUBLE) AS frac
+FROM r WHERE rn = 1
+"""
+
+
+@REGISTRY.register("changepoint_daily_revenue", _CUSUM_ORACLE)
+def changepoint_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE did daily revenue switch regimes? Exact CUSUM change-
+    point: the day maximizing |cumulative deviation from the global
+    mean| — the level-shift alert that complements
+    anomaly_rolling_zscore's pointwise outliers (a gradual 10% step
+    never trips a z-score but peaks the CUSUM at the step day).
+
+    One fact shuffle into the date-domain-bounded daily series
+    (persisted — prefix + totals passes share it); the prefix sum is
+    a global window over that bounded aggregate (declared in the
+    audit allowlist); the statistic is scaled by n to stay an exact
+    BIGINT (operators/timeseries.py::cusum_changepoint).
+    """
+    from movie_rankings_spark.operators.timeseries import cusum_changepoint
+
+    orders = _t(spark, sf_dir, "orders")
+    return cusum_changepoint(
+        orders, "o_orderdate", F.round(F.col("o_totalprice") * F.lit(100))
     )

@@ -3294,3 +3294,239 @@ def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return exact_removed.unionByName(near_removed).orderBy("tier")
+
+
+# --- Cohen's kappa between two heuristic quality raters ---------------------
+
+_KAPPA_ORACLE = """
+WITH r AS (
+  SELECT CASE WHEN n_chars >= 240 THEN 1 ELSE 0 END AS a,
+         CASE WHEN (length(text) - length(replace(text, ' ', ''))) * 1000
+                   >= n_chars * 178 THEN 1 ELSE 0 END AS b
+  FROM documents
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+         CAST(SUM(a) AS BIGINT) AS rater_a_pos,
+         CAST(SUM(b) AS BIGINT) AS rater_b_pos
+  FROM r
+)
+SELECT n_rows, n_agree, rater_a_pos, rater_b_pos,
+       CAST(n_agree AS DOUBLE) / CAST(n_rows AS DOUBLE) AS po,
+       CAST(CAST(rater_a_pos AS DECIMAL(38,0)) * CAST(rater_b_pos AS DECIMAL(38,0))
+          + CAST(n_rows - rater_a_pos AS DECIMAL(38,0))
+            * CAST(n_rows - rater_b_pos AS DECIMAL(38,0)) AS DOUBLE)
+         / CAST(CAST(n_rows AS DECIMAL(38,0)) * CAST(n_rows AS DECIMAL(38,0))
+                AS DOUBLE) AS pe,
+       (CAST(n_agree AS DOUBLE) / CAST(n_rows AS DOUBLE)
+        - CAST(CAST(rater_a_pos AS DECIMAL(38,0)) * CAST(rater_b_pos AS DECIMAL(38,0))
+             + CAST(n_rows - rater_a_pos AS DECIMAL(38,0))
+               * CAST(n_rows - rater_b_pos AS DECIMAL(38,0)) AS DOUBLE)
+            / CAST(CAST(n_rows AS DECIMAL(38,0)) * CAST(n_rows AS DECIMAL(38,0))
+                   AS DOUBLE))
+       / (1.0
+        - CAST(CAST(rater_a_pos AS DECIMAL(38,0)) * CAST(rater_b_pos AS DECIMAL(38,0))
+             + CAST(n_rows - rater_a_pos AS DECIMAL(38,0))
+               * CAST(n_rows - rater_b_pos AS DECIMAL(38,0)) AS DOUBLE)
+            / CAST(CAST(n_rows AS DECIMAL(38,0)) * CAST(n_rows AS DECIMAL(38,0))
+                   AS DOUBLE)) AS kappa
+FROM m
+"""
+
+
+@REGISTRY.register("kappa_quality_raters", _KAPPA_ORACLE)
+def kappa_quality_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do two cheap quality heuristics actually agree beyond chance?
+    Cohen's kappa between a length rater (n_chars ≥ 240) and a
+    space-density rater (spaces/chars ≥ 0.178, evaluated in exact
+    integer cross-multiplication) over documents — the label-QA gate
+    run before adopting a heuristic as a training-filter proxy.
+    Raw agreement double-counts luck; kappa subtracts the marginal-
+    product chance term.
+
+    One map-side-combined aggregate scans the corpus once into a
+    1-row moment set; po/pe/kappa are IEEE divisions of exact
+    integers mirrored verbatim in the oracle
+    (operators/infotheory.py::cohens_kappa).
+    """
+    from movie_rankings_spark.operators.infotheory import cohens_kappa
+
+    docs = _docs(spark, sf_dir)
+    rater_a = (F.col("n_chars") >= F.lit(240)).cast("int")
+    spaces = F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    rater_b = (spaces * F.lit(1000) >= F.col("n_chars") * F.lit(178)).cast("int")
+    return cohens_kappa(docs, rater_a, rater_b)
+
+
+# --- corpus concentration: char share of the longest docs -------------------
+
+_COVERAGE_ORACLE = """
+WITH vc AS (
+  SELECT CAST(n_chars AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(n_chars AS BIGINT) * CAST(COUNT(*) AS BIGINT) AS s
+  FROM documents GROUP BY 1
+), cum AS (
+  SELECT v, CAST(SUM(c) OVER (ORDER BY v DESC) AS BIGINT) AS rows_ge,
+         CAST(SUM(s) OVER (ORDER BY v DESC) AS BIGINT) AS sum_ge
+  FROM vc
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_total, CAST(SUM(s) AS BIGINT) AS s_total
+  FROM vc
+), fr AS (
+  SELECT unnest([1, 5, 10, 25, 50]) AS pct_docs
+), wk AS (
+  SELECT CAST(pct_docs AS INT) AS pct_docs, n_total, s_total,
+         CAST(FLOOR((pct_docs * n_total + 99) / 100) AS BIGINT) AS k_docs
+  FROM fr, tot
+), sel AS (
+  SELECT w.pct_docs, w.k_docs, w.n_total, w.s_total, MAX(c.v) AS tv
+  FROM wk w JOIN cum c ON c.rows_ge >= w.k_docs
+  GROUP BY 1, 2, 3, 4
+)
+SELECT s.pct_docs, s.k_docs, s.tv AS threshold_value,
+       CAST(c.sum_ge - (c.rows_ge - s.k_docs) * s.tv AS BIGINT)
+         AS covered_value,
+       s.s_total,
+       CAST(c.sum_ge - (c.rows_ge - s.k_docs) * s.tv AS DOUBLE)
+         / CAST(s.s_total AS DOUBLE) AS share
+FROM sel s JOIN cum c ON c.v = s.tv
+ORDER BY s.pct_docs
+"""
+
+
+@REGISTRY.register("coverage_topdoc_chars", _COVERAGE_ORACLE)
+def coverage_topdoc_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What share of the corpus do the longest documents hold? Exact
+    concentration curve at the top 1/5/10/25/50% of documents ranked
+    by n_chars — the Lorenz-curve reading a curation team checks
+    before length-capping or re-mixing (gini_customer_revenue's
+    corpus sibling, with tie groups at the threshold pro-rated
+    exactly in integers).
+
+    The corpus reduces to the distinct-length table (bounded by the
+    length DOMAIN, not the row count); cumulative rows/chars-≥ come
+    from a broadcast theta self-join of that bounded table — the
+    roc_curve pattern, never a global-sort window
+    (operators/statistics.py::coverage_topfrac).
+    """
+    from movie_rankings_spark.operators.statistics import coverage_topfrac
+
+    docs = _docs(spark, sf_dir)
+    return coverage_topfrac(docs, "n_chars", [1, 5, 10, 25, 50])
+
+
+# --- hybrid retrieval: reciprocal-rank fusion of BM25 + cosine ---------------
+
+_RRF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+  WHERE tok IN ('scan', 'table', 'filter') GROUP BY 1, 2
+),
+dl AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+),
+corpus AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(CAST(dl AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+),
+dft AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+w AS (
+  SELECT tok,
+         CAST(floor(CAST(n_docs * 1000 AS DOUBLE) / CAST(df AS DOUBLE))
+              AS BIGINT) AS idf_q,
+         avgdl
+  FROM dft CROSS JOIN corpus
+),
+s AS (
+  SELECT tf.doc_id,
+         CAST(CAST(w.idf_q AS DOUBLE)
+              * (CAST(tf.tf AS DOUBLE) * 2.2)
+              / (CAST(tf.tf AS DOUBLE)
+                 + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / w.avgdl))
+              AS DECIMAL(18,6)) AS term_score
+  FROM tf JOIN w USING (tok) JOIN dl USING (doc_id)
+),
+lex AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)
+              AS BIGINT) AS lex_rank
+  FROM (
+    SELECT doc_id, CAST(SUM(term_score) AS DOUBLE) AS score
+    FROM s GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20
+  )
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+  WHERE vec_id = 0
+),
+pairs AS (
+  SELECT e.vec_id,
+         {_COSINE_SQL.format(a='q.q_emb', b='e.embedding')} AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+),
+sem AS (
+  SELECT vec_id AS doc_id, CAST(rn AS BIGINT) AS sem_rank FROM (
+    SELECT vec_id, ROW_NUMBER() OVER (
+      ORDER BY cosine DESC, vec_id ASC) AS rn
+    FROM pairs
+  ) WHERE rn <= 20
+)
+SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, lex_rank, sem_rank,
+       COALESCE(1.0 / (60.0 + CAST(lex_rank AS DOUBLE)), 0.0)
+       + COALESCE(1.0 / (60.0 + CAST(sem_rank AS DOUBLE)), 0.0) AS rrf
+FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id
+ORDER BY rrf DESC, doc_id LIMIT 10
+"""
+
+
+@REGISTRY.register("search_hybrid_rrf", _RRF_ORACLE)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the lexical arm
+    (BM25 top-20 for {scan, table, filter}) and the semantic arm
+    (exact-cosine top-20 neighbours of vec 0) over the shared
+    doc_id/vec_id space — THE standard production pattern for
+    RAG-corpus search, where neither keyword match nor embedding
+    similarity alone recalls well. rrf = Σ_arms 1/(60 + rank)
+    (Cormack et al.'s k=60), so an id ranked by both arms beats one
+    ranked highly by a single arm.
+
+    Scale shape: each arm is its own bounded top-k (BM25's inverted
+    postings + TakeOrdered; the GEMM-pruned exact cosine) — the
+    fusion join and rank windows run over 2·k rows, kilobytes. Both
+    arms' scores are engine-portable (DECIMAL-rounded BM25 terms,
+    exact-decimal cosine), so ranks — and therefore the fused scores
+    — value-hash exactly.
+    """
+    from pyspark.sql import Window
+
+    from movie_rankings_spark.operators.search import bm25_topk
+
+    docs = _docs(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    lex20 = bm25_topk(docs, ["scan", "table", "filter"], k=20)
+    wl = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    lex = lex20.select(
+        "doc_id", F.row_number().over(wl).cast("long").alias("lex_rank")
+    )
+    sem = similarity.cosine_topk_exact(emb, (0,), k=20).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("rn").cast("long").alias("sem_rank"),
+    )
+    fused = lex.join(sem, "doc_id", "full")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(60.0) + F.col("lex_rank").cast("double")),
+        F.lit(0.0),
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(60.0) + F.col("sem_rank").cast("double")),
+        F.lit(0.0),
+    )
+    return (
+        fused.select("doc_id", "lex_rank", "sem_rank", rrf.alias("rrf"))
+        .orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )

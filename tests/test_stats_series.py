@@ -1,0 +1,141 @@
+"""Spearman rank correlation (operators/disttests.py), lag-k
+autocorrelation and CUSUM change-point (operators/timeseries.py):
+scipy-free closed forms and numpy brute-force cross-checks."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from movie_rankings_spark.operators.disttests import spearman_rho
+from movie_rankings_spark.operators.timeseries import (
+    acf_daily,
+    cusum_changepoint,
+)
+
+
+def _pairs_df(spark, xs, ys):
+    return spark.createDataFrame(
+        [(int(x), int(y)) for x, y in zip(xs, ys)], "x long, y long"
+    )
+
+
+def _spearman_numpy(xs, ys):
+    def midranks(v):
+        v = np.asarray(v)
+        order = np.argsort(v, kind="stable")
+        ranks = np.empty(len(v), dtype=float)
+        sv = v[order]
+        i = 0
+        while i < len(sv):
+            j = i
+            while j + 1 < len(sv) and sv[j + 1] == sv[i]:
+                j += 1
+            ranks[order[i : j + 1]] = (i + j) / 2 + 1
+            i = j + 1
+        return ranks
+
+    ra, rb = midranks(xs), midranks(ys)
+    ra -= ra.mean()
+    rb -= rb.mean()
+    return float((ra * rb).sum() / np.sqrt((ra**2).sum() * (rb**2).sum()))
+
+
+def test_spearman_perfect_monotone(spark):
+    df = _pairs_df(spark, [1, 2, 3, 4, 5], [10, 20, 30, 40, 50])
+    [r] = spearman_rho(df, F.col("x"), F.col("y")).collect()
+    assert r["n_rows"] == 5
+    assert abs(r["rho"] - 1.0) < 1e-12
+
+
+def test_spearman_perfect_inverse(spark):
+    df = _pairs_df(spark, [1, 2, 3, 4], [9, 7, 5, 3])
+    [r] = spearman_rho(df, F.col("x"), F.col("y")).collect()
+    assert abs(r["rho"] + 1.0) < 1e-12
+
+
+def test_spearman_matches_numpy_with_ties(spark):
+    rng = np.random.default_rng(7)
+    xs = rng.integers(0, 20, size=300)
+    ys = xs * 3 + rng.integers(0, 40, size=300)  # ties in both columns
+    df = _pairs_df(spark, xs, ys)
+    [r] = spearman_rho(df, F.col("x"), F.col("y")).collect()
+    assert abs(r["rho"] - _spearman_numpy(xs, ys)) < 1e-12
+
+
+def test_spearman_rank_sum_identity(spark):
+    # internal contract: sum of doubled midranks == n(n+1); a perfect
+    # tie column (all equal) makes every r2 == n+1 and rho undefined
+    # (zero variance) -> NULL (DuckDB's x/0.0 semantics), never a crash
+    df = _pairs_df(spark, [3, 3, 3], [1, 2, 3])
+    [r] = spearman_rho(df, F.col("x"), F.col("y")).collect()
+    assert r["n_rows"] == 3
+    assert r["rho"] is None
+
+
+def _daily_df(spark, values, start="1995-01-01"):
+    d0 = dt.date.fromisoformat(start)
+    rows = [
+        (d0 + dt.timedelta(days=i), int(v)) for i, v in enumerate(values)
+    ]
+    return spark.createDataFrame(rows, "day date, cents long")
+
+
+def _acf_numpy(xs, k):
+    x = np.asarray(xs, dtype=float)
+    xc = x - x.mean()
+    return float((xc[:-k] * xc[k:]).sum() / (xc**2).sum())
+
+
+def test_acf_matches_numpy(spark):
+    rng = np.random.default_rng(11)
+    xs = (rng.normal(1000, 100, size=120)).astype(int)
+    df = _daily_df(spark, xs)
+    rows = acf_daily(df, "day", F.col("cents"), max_lag=5).collect()
+    assert [r["lag"] for r in rows] == [1, 2, 3, 4, 5]
+    for r in rows:
+        assert r["n_pairs"] == 120 - r["lag"]
+        assert abs(r["acf"] - _acf_numpy(xs, r["lag"])) < 1e-12
+
+
+def test_acf_periodic_signal_peaks_at_period(spark):
+    xs = ([100, 500] * 40)  # period-2 alternation
+    df = _daily_df(spark, xs)
+    rows = {r["lag"]: r["acf"] for r in
+            acf_daily(df, "day", F.col("cents"), max_lag=4).collect()}
+    assert rows[2] > 0.9 and rows[4] > 0.9
+    assert rows[1] < -0.9 and rows[3] < -0.9
+
+
+def test_acf_gappy_series_pairs_only_existing_days(spark):
+    d0 = dt.date.fromisoformat("1995-01-01")
+    rows = [(d0, 10), (d0 + dt.timedelta(days=1), 20),
+            (d0 + dt.timedelta(days=3), 30)]  # day 2 missing
+    df = spark.createDataFrame(rows, "day date, cents long")
+    out = {r["lag"]: r["n_pairs"] for r in
+           acf_daily(df, "day", F.col("cents"), max_lag=3).collect()}
+    # lag1: (d0,d1) only; lag2: (d1,d3); lag3: (d0,d3)
+    assert out == {1: 1, 2: 1, 3: 1}
+
+
+def test_cusum_finds_planted_level_shift(spark):
+    xs = [100] * 30 + [200] * 30
+    df = _daily_df(spark, xs, start="1995-01-01")
+    [r] = cusum_changepoint(df, "day", F.col("cents")).collect()
+    # cumulative deviation |n*prefix - t*S| peaks at the last
+    # pre-shift day (t=30): |60*3000 - 30*9000| = 90000
+    assert r["change_day"] == "1995-01-30"
+    assert r["n_days"] == 60
+    assert r["total_cents"] == 9000
+    assert r["cusum_num"] == 60 * 3000 - 30 * 9000 or r["cusum_num"] == 90000
+    assert abs(r["frac"] - 90000 / (60 * 9000)) < 1e-15
+
+
+def test_cusum_constant_series_ties_break_earliest(spark):
+    xs = [50] * 10
+    df = _daily_df(spark, xs)
+    [r] = cusum_changepoint(df, "day", F.col("cents")).collect()
+    assert r["cusum_num"] == 0
+    assert r["change_day"] == "1995-01-01"  # earliest day on full tie

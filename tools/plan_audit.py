@@ -27,6 +27,7 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
+from movie_rankings_spark.caching import release_persisted  # noqa: E402
 from movie_rankings_spark.plans import all_queries  # noqa: E402
 from movie_rankings_spark.session import get_spark  # noqa: E402
 
@@ -99,6 +100,12 @@ NESTED_LOOP_LEGIT = {
     "classifier_roc_curve",  # theta join of the BOUNDED logit histogram (AUC shape, r4)
     "corpus_heaps_law",  # 1-row OLS fit broadcast onto |sources| rows (r4)
     "hll_audience_overlap",  # |groups| x |groups| pair enumeration over the bounded group list (r4)
+    "mi_lang_source",  # 1-row grand total onto |langs|*|sources| cells (chi2 shape, r5)
+    "coverage_topdoc_chars",  # theta join of the BOUNDED length histogram (ROC shape, r5)
+    "benford_totalprice",  # 1-row total onto the <=9-digit frame (r5)
+    "acf_daily_revenue",  # 14-row lag frame onto the bounded daily series (r5)
+    "changepoint_daily_revenue",  # 1-row totals onto the bounded daily series (r5)
+    "search_hybrid_rrf",  # 1-query broadcast in the cosine arm + 1-row corpus stats in the BM25 arm (r5)
 }
 
 #: row-at-a-time Python allowed ONLY for the literal Spark-4 @udtf
@@ -122,6 +129,7 @@ GLOBAL_WINDOW_LEGIT = {
     "retrieval_eval_ivf",
     "similarity_mmr_topk",
     "corpus_zipf_slope",  # rank window over the top-k (100-row) histogram (r4)
+    "changepoint_daily_revenue",  # prefix window over the date-domain-bounded daily series (r5)
 }
 
 
@@ -176,6 +184,12 @@ def main() -> int:
             print(f"ERR   {name}: {str(ex)[:80]}")
             findings += 1
             continue
+        finally:
+            # per-query isolation: a fragment persisted by an earlier
+            # query otherwise rewrites a LATER query's plan via the
+            # shared CacheManager (see scan_audit for the scan-count
+            # version of the same pollution)
+            release_persisted()
         flags = audit_plan(name, plan)
         if flags:
             findings += 1

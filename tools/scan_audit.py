@@ -25,6 +25,7 @@ from collections import Counter
 
 sys.path.insert(0, "/root/repo")
 
+from movie_rankings_spark.caching import release_persisted  # noqa: E402
 from movie_rankings_spark.plans import all_queries  # noqa: E402
 from movie_rankings_spark.session import get_spark  # noqa: E402
 
@@ -63,6 +64,14 @@ KNOWN_LEGIT = {
     # persisted-intermediate plans whose cache text repeats the scan:
     "join_size_cms_events",  # persisted per-key counts feed sketch + exact side (r5)
     "bootstrap_mean_ci_orders",  # persisted per-replica sums feed CI + exact-mean branches (one real scan; cache-text artifact) (r5)
+    "mi_lang_source",  # persisted cell table feeds marginals + totals (one real scan; cache-text artifact) (r5)
+    "coverage_topdoc_chars",  # persisted length histogram feeds theta sides + totals (one real scan; cache-text artifact) (r5)
+    "benford_totalprice",  # persisted <=9-row digit table feeds total + output branches (one real scan; cache-text artifact) (r5)
+    "ks_price_priority",  # persisted distinct-value table feeds bounds + windows (one real scan; cache-text artifact) (r5)
+    "mannwhitney_price_priority",  # same bucketed-cumulative shape as ks (r5)
+    "spearman_qty_price",  # persisted pair table + two rank caches feed the moment join (one real scan; cache-text artifact) (r5)
+    "acf_daily_revenue",  # persisted daily series feeds scalar + both lag-join sides (one real scan; cache-text artifact) (r5)
+    "changepoint_daily_revenue",  # persisted daily series feeds prefix + totals (one real scan; cache-text artifact) (r5)
     "similarity_tfidf_topk", "triangles_copurchase",
     "dedup_jaccard_prefix", "cms_word_frequency",
     "basket_association_rules", "dedup_cluster_reps",
@@ -104,6 +113,9 @@ KNOWN_LEGIT = {
     # postings slice + doc-length pass (re-scan beats caching the
     # corpus-sized exploded frame; same trade as text_top_terms):
     "search_bm25_topk",
+    # fusion of the BM25 arm (postings + doc-length passes, above) and
+    # the cosine arm (corpus + query slices of embeddings):
+    "search_hybrid_rrf",
     # r4 reviewed shapes:
     "classifier_roc_curve",  # score pass + label projection (AUC pattern)
     "linkpred_adamic_adar",  # persisted+materialized edge list; cache-text artifact
@@ -134,6 +146,11 @@ def main() -> int:
             print(f"ERR   {name}: {str(ex)[:80]}")
             findings += 1
             continue
+        finally:
+            # per-query isolation: a fragment persisted by an earlier
+            # query otherwise substitutes an InMemoryTableScan into a
+            # LATER query's plan text and corrupts its scan counts
+            release_persisted()
         counts = Counter(re.findall(r"/(\w+)\.parquet", plan))
         dups = {t: n for t, n in counts.items() if n > 1}
         cached = plan.count("InMemoryTableScan")
