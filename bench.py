@@ -267,6 +267,8 @@ HEADLINE_QUERIES = (
     "acf_daily_revenue",
     "changepoint_daily_revenue",
     "search_hybrid_rrf",
+    "abtest_conversion_events",
+    "drift_train_val_psi",
 )
 
 

@@ -73,3 +73,87 @@ def js_token_drift(docs: DataFrame) -> DataFrame:
         F.first("v").cast("long").alias("vocab_size"),
         F.sum("c").cast("double").alias("js_divergence"),
     )
+
+
+def psi_feature_drift(
+    docs: DataFrame, value_col: str, width: int = 64, n_bins: int = 10
+) -> DataFrame:
+    """Population Stability Index of a numeric feature between the
+    train and val splits — the industry-standard drift score read at
+    model-monitoring gates (PSI < 0.1 stable, 0.1–0.25 watch, > 0.25
+    act), complementing js_token_drift's vocabulary-level view with a
+    per-FEATURE one: PSI = Σ_bins (p_i − q_i)·ln(p_i / q_i).
+
+    Bins are FIXED width (floor(value/width), clamped to n_bins−1) so
+    the binning is engine-portable; a static n_bins-row frame left-
+    joins the observed counts so empty bins participate (add-one
+    smoothing keeps their log finite). Split rule = the md5-byte
+    bucket shared with js_token_drift (test held out).
+
+    Scale: one conditional-aggregate fact scan produces both sides'
+    counts per bin (≤ n_bins rows); totals re-aggregate the bounded
+    frame. ln quantized to DECIMAL(18,9), contribution to
+    DECIMAL(28,15) (the module convention) ⇒ per-bin value-hash
+    exact.
+
+    Output: n_bins rows — bin, train_n, val_n, p_train, p_val,
+    psi_contrib (sum over rows = the PSI).
+    """
+    spark = docs.sparkSession
+    b = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 31, 2), 16, 10
+    ).cast("int")
+    side = (
+        F.when(b < 13, F.lit(None).cast("string"))
+        .when(b < 26, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    binc = F.least(
+        F.lit(n_bins - 1),
+        F.floor(F.col(value_col).cast("long") / F.lit(width)).cast("int"),
+    )
+    obs = (
+        docs.select(side.alias("side"), binc.alias("bin"))
+        .filter(F.col("side").isNotNull())
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("side") == "train", 1).otherwise(0))
+            .cast("long")
+            .alias("ct"),
+            F.sum(F.when(F.col("side") == "val", 1).otherwise(0))
+            .cast("long")
+            .alias("cv"),
+        )
+    )
+    frame = spark.createDataFrame([(i,) for i in range(n_bins)], "bin int")
+    filled = (
+        frame.join(obs, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("ct", F.lit(0)).cast("long").alias("train_n"),
+            F.coalesce("cv", F.lit(0)).cast("long").alias("val_n"),
+        )
+        .persist_tracked()  # totals branch + output branch, n_bins rows
+    )
+    totals = filled.agg(
+        F.sum("train_n").cast("long").alias("nt"),
+        F.sum("val_n").cast("long").alias("nv"),
+    )
+    j = filled.crossJoin(F.broadcast(totals))
+    p = (F.col("train_n") + 1).cast("double") / (
+        F.col("nt") + F.lit(n_bins)
+    ).cast("double")
+    q = (F.col("val_n") + 1).cast("double") / (
+        F.col("nv") + F.lit(n_bins)
+    ).cast("double")
+    lg = F.log(p / q).cast("decimal(18,9)").cast("double")
+    return j.select(
+        "bin",
+        "train_n",
+        "val_n",
+        p.alias("p_train"),
+        q.alias("p_val"),
+        ((p - q) * lg).cast("decimal(28,15)").cast("double").alias(
+            "psi_contrib"
+        ),
+    ).orderBy("bin")

@@ -73,6 +73,8 @@ _UNSEEN_FIRST = (
     "acf_daily_revenue",
     "changepoint_daily_revenue",
     "search_hybrid_rrf",
+    "abtest_conversion_events",
+    "drift_train_val_psi",
     # never driver-checked streaming (oracle-backed)
     "stream_running_topk_users",
     "stream_session_dynamic_gap",

@@ -1524,3 +1524,158 @@ def changepoint_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_changepoint(
         orders, "o_orderdate", F.round(F.col("o_totalprice") * F.lit(100))
     )
+
+
+# --- A/B test readout: two-proportion z + Wilson intervals -------------------
+
+_ABTEST_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 31, 2)
+              AS BIGINT) % 2 AS arm,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   >= 14 THEN 1 ELSE 0 END AS conv
+  FROM events GROUP BY user_id
+), m AS (
+  SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+  FROM per_user
+)
+SELECT n_a, conv_a, n_b, conv_b,
+       CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+       CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+       (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+       / sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+              * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                       / CAST(n_a + n_b AS DOUBLE))
+              * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+         AS z,
+       ((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+        + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+          / (2.0 * CAST(n_a AS DOUBLE))
+        - CAST(1.96 AS DOUBLE)
+          * sqrt((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                 * (1.0 - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                 / CAST(n_a AS DOUBLE)
+                 + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+                   / (4.0 * CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE))))
+       / (1.0 + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+                / CAST(n_a AS DOUBLE)) AS wilson_lo_a,
+       ((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+        + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+          / (2.0 * CAST(n_a AS DOUBLE))
+        + CAST(1.96 AS DOUBLE)
+          * sqrt((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                 * (1.0 - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                 / CAST(n_a AS DOUBLE)
+                 + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+                   / (4.0 * CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE))))
+       / (1.0 + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+                / CAST(n_a AS DOUBLE)) AS wilson_hi_a,
+       ((CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+          / (2.0 * CAST(n_b AS DOUBLE))
+        - CAST(1.96 AS DOUBLE)
+          * sqrt((CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                 * (1.0 - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                 / CAST(n_b AS DOUBLE)
+                 + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+                   / (4.0 * CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE))))
+       / (1.0 + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+                / CAST(n_b AS DOUBLE)) AS wilson_lo_b,
+       ((CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+          / (2.0 * CAST(n_b AS DOUBLE))
+        + CAST(1.96 AS DOUBLE)
+          * sqrt((CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                 * (1.0 - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                 / CAST(n_b AS DOUBLE)
+                 + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+                   / (4.0 * CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE))))
+       / (1.0 + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+                / CAST(n_b AS DOUBLE)) AS wilson_hi_b
+FROM m
+"""
+
+
+@REGISTRY.register("abtest_conversion_events", _ABTEST_ORACLE)
+def abtest_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users hash-split into two arms
+    (md5 low byte, the hash_split convention), outcome = "heavy
+    purchaser" (≥ 14 purchase events — the scale-invariant ~50%
+    split on this corpus; "any purchase" saturates to 100% and
+    degenerates the pooled z); report per-arm conversion with Wilson 95%
+    intervals and the pooled two-proportion z — the product-analytics
+    staple that completes the inference toolkit (KS/MWU test shapes,
+    chi²/MI test dependence; this tests a designed binary contrast).
+
+    Scale shape: one fact shuffle to per-user rows, one map-side-
+    combined reduction to a 1-ROW moment set (n, conversions per
+    arm); every reported number is an IEEE expression of those four
+    exact BIGINTs, mirrored verbatim in the oracle. Wilson (not Wald)
+    so tiny arms and 0%/100% rates stay inside [0, 1].
+    """
+    events = _t(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 31, 2),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    per_user = events.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            >= F.lit(14)
+        )
+        .cast("int")
+        .alias("conv")
+    ).select(arm.alias("arm"), "conv")
+    m = per_user.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("conv_b"),
+    )
+    z0 = F.lit(1.96)
+    na, ca = F.col("n_a").cast("double"), F.col("conv_a").cast("double")
+    nb, cb = F.col("n_b").cast("double"), F.col("conv_b").cast("double")
+    ra, rb = ca / na, cb / nb
+    pool = (ca + cb) / (na + nb)
+    z = (ra - rb) / F.sqrt(
+        pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    )
+
+    def wilson(p, n, sign):
+        half = z0 * z0 / (F.lit(2.0) * n)
+        rad = z0 * F.sqrt(
+            p * (F.lit(1.0) - p) / n + z0 * z0 / (F.lit(4.0) * n * n)
+        )
+        core = p + half + sign * rad
+        return core / (F.lit(1.0) + z0 * z0 / n)
+
+    return m.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        ra.alias("rate_a"),
+        rb.alias("rate_b"),
+        z.alias("z"),
+        wilson(ra, na, F.lit(-1.0)).alias("wilson_lo_a"),
+        wilson(ra, na, F.lit(1.0)).alias("wilson_hi_a"),
+        wilson(rb, nb, F.lit(-1.0)).alias("wilson_lo_b"),
+        wilson(rb, nb, F.lit(1.0)).alias("wilson_hi_b"),
+    )

@@ -3530,3 +3530,65 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
         .limit(10)
     )
+
+
+# --- population stability index: doc-length drift train vs val --------------
+
+_PSI_ORACLE = """
+WITH r AS (
+  SELECT least(9, CAST(floor(CAST(n_chars AS BIGINT) / 64) AS INT)) AS bin,
+         CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 31, 2)
+                        AS BIGINT) < 13 THEN NULL
+              WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 31, 2)
+                        AS BIGINT) < 26 THEN 'val'
+              ELSE 'train' END AS side
+  FROM documents
+), obs AS (
+  SELECT bin,
+         CAST(SUM(CASE WHEN side = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+           AS ct,
+         CAST(SUM(CASE WHEN side = 'val' THEN 1 ELSE 0 END) AS BIGINT)
+           AS cv
+  FROM r WHERE side IS NOT NULL GROUP BY bin
+), frame AS (
+  SELECT CAST(unnest(generate_series(0, 9)) AS INT) AS bin
+), filled AS (
+  SELECT f.bin,
+         CAST(COALESCE(o.ct, 0) AS BIGINT) AS train_n,
+         CAST(COALESCE(o.cv, 0) AS BIGINT) AS val_n
+  FROM frame f LEFT JOIN obs o USING (bin)
+), tot AS (
+  SELECT CAST(SUM(train_n) AS BIGINT) AS nt,
+         CAST(SUM(val_n) AS BIGINT) AS nv
+  FROM filled
+)
+SELECT bin, train_n, val_n,
+       CAST(train_n + 1 AS DOUBLE) / CAST(nt + 10 AS DOUBLE) AS p_train,
+       CAST(val_n + 1 AS DOUBLE) / CAST(nv + 10 AS DOUBLE) AS p_val,
+       CAST(CAST(
+         (CAST(train_n + 1 AS DOUBLE) / CAST(nt + 10 AS DOUBLE)
+          - CAST(val_n + 1 AS DOUBLE) / CAST(nv + 10 AS DOUBLE))
+         * CAST(CAST(ln(
+             (CAST(train_n + 1 AS DOUBLE) / CAST(nt + 10 AS DOUBLE))
+             / (CAST(val_n + 1 AS DOUBLE) / CAST(nv + 10 AS DOUBLE))
+           ) AS DECIMAL(18,9)) AS DOUBLE)
+         AS DECIMAL(28,15)) AS DOUBLE) AS psi_contrib
+FROM filled CROSS JOIN tot ORDER BY bin
+"""
+
+
+@REGISTRY.register("drift_train_val_psi", _PSI_ORACLE)
+def drift_train_val_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of document length between the
+    train and val splits — the industry model-monitoring drift gate
+    (PSI < 0.1 stable / > 0.25 act), the per-FEATURE companion to
+    drift_train_val_js's vocabulary-level divergence. Fixed 64-char
+    bins clamped to 10; add-one smoothing keeps empty bins finite;
+    Σ psi_contrib over the 10 rows is the PSI
+    (operators/drift.py::psi_feature_drift).
+    """
+    from movie_rankings_spark.operators.drift import psi_feature_drift
+
+    return psi_feature_drift(
+        _docs(spark, sf_dir), "n_chars", width=64, n_bins=10
+    )

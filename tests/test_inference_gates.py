@@ -1,0 +1,101 @@
+"""A/B two-proportion readout (abtest_conversion_events) and PSI
+feature drift (operators/drift.py::psi_feature_drift): closed-form
+cross-checks against hand/numpy computations."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from movie_rankings_spark.operators.drift import psi_feature_drift
+from movie_rankings_spark.plans.all_queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _wilson(p, n, z=1.96):
+    half = z * z / (2 * n)
+    rad = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+    return (p + half - rad) / (1 + z * z / n), (p + half + rad) / (
+        1 + z * z / n
+    )
+
+
+def test_abtest_readout_matches_closed_form(spark):
+    [r] = QUERIES["abtest_conversion_events"](spark, SF).collect()
+    n_a, c_a, n_b, c_b = r["n_a"], r["conv_a"], r["n_b"], r["conv_b"]
+    assert n_a > 0 and n_b > 0
+    assert 0 <= c_a <= n_a and 0 <= c_b <= n_b
+    ra, rb = c_a / n_a, c_b / n_b
+    assert abs(r["rate_a"] - ra) < 1e-15
+    assert abs(r["rate_b"] - rb) < 1e-15
+    pool = (c_a + c_b) / (n_a + n_b)
+    z = (ra - rb) / math.sqrt(pool * (1 - pool) * (1 / n_a + 1 / n_b))
+    assert abs(r["z"] - z) < 1e-12
+    lo_a, hi_a = _wilson(ra, n_a)
+    lo_b, hi_b = _wilson(rb, n_b)
+    for got, want in [
+        (r["wilson_lo_a"], lo_a),
+        (r["wilson_hi_a"], hi_a),
+        (r["wilson_lo_b"], lo_b),
+        (r["wilson_hi_b"], hi_b),
+    ]:
+        assert abs(got - want) < 1e-12
+    # interval sanity: bounds inside [0,1] and bracket the rate
+    assert 0 <= r["wilson_lo_a"] <= ra <= r["wilson_hi_a"] <= 1
+    assert 0 <= r["wilson_lo_b"] <= rb <= r["wilson_hi_b"] <= 1
+
+
+def _psi_numpy(train, val, width=64, n_bins=10):
+    tb = np.minimum(np.asarray(train) // width, n_bins - 1)
+    vb = np.minimum(np.asarray(val) // width, n_bins - 1)
+    ct = np.bincount(tb, minlength=n_bins)
+    cv = np.bincount(vb, minlength=n_bins)
+    p = (ct + 1) / (ct.sum() + n_bins)
+    q = (cv + 1) / (cv.sum() + n_bins)
+    return float(((p - q) * np.log(p / q)).sum())
+
+
+def test_psi_identical_splits_near_zero(spark):
+    rows = psi_feature_drift(
+        QUERIES["drift_train_val_psi"].__globals__["_docs"](spark, SF),
+        "n_chars",
+    ).collect()
+    assert len(rows) == 10
+    psi = sum(r["psi_contrib"] for r in rows)
+    # every (p-q)·ln(p/q) term is non-negative; magnitude at sf0.001
+    # is smoothing-dominated (~50 docs), so only sanity-bound it —
+    # the numpy-equality test below is the exactness check
+    assert 0 <= psi < 2.0
+    assert all(r["psi_contrib"] >= 0 for r in rows)
+    # counts conserve: every doc in exactly one bin
+    assert sum(r["train_n"] for r in rows) > 0
+    assert sum(r["val_n"] for r in rows) > 0
+
+
+def test_psi_matches_numpy_reference(spark):
+    docs = QUERIES["drift_train_val_psi"].__globals__["_docs"](spark, SF)
+    rows = psi_feature_drift(docs, "n_chars").collect()
+    # rebuild the two splits exactly as the operator does
+    import pyspark.sql.functions as F
+
+    b = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 31, 2), 16, 10
+    ).cast("int")
+    side = (
+        F.when(b < 13, F.lit(None).cast("string"))
+        .when(b < 26, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    pdf = (
+        docs.select(side.alias("side"), F.col("n_chars"))
+        .filter(F.col("side").isNotNull())
+        .toPandas()
+    )
+    want = _psi_numpy(
+        pdf[pdf.side == "train"].n_chars.to_numpy(),
+        pdf[pdf.side == "val"].n_chars.to_numpy(),
+    )
+    got = sum(r["psi_contrib"] for r in rows)
+    assert abs(got - want) < 1e-9  # quantized-log rounding headroom
