@@ -269,6 +269,7 @@ HEADLINE_QUERIES = (
     "search_hybrid_rrf",
     "abtest_conversion_events",
     "drift_train_val_psi",
+    "stream_psi_monitor",
 )
 
 

@@ -157,3 +157,36 @@ def psi_feature_drift(
             "psi_contrib"
         ),
     ).orderBy("bin")
+
+
+def psi_bins(filled: DataFrame, n_bins: int) -> DataFrame:
+    """PSI arithmetic over a prepared (bin, ref_n, live_n) count table
+    (all n_bins rows present, counts exact longs): add-one smoothing,
+    quantized-log DECIMAL convention — shared by the batch
+    psi_feature_drift and the streaming monitor so both report the
+    identical engine-portable numbers.
+
+    Output: bin, ref_n, live_n, p_ref, p_live, psi_contrib."""
+    filled = filled.persist_tracked()  # totals + output branches
+    totals = filled.agg(
+        F.sum("ref_n").cast("long").alias("nr"),
+        F.sum("live_n").cast("long").alias("nl"),
+    )
+    j = filled.crossJoin(F.broadcast(totals))
+    p = (F.col("ref_n") + 1).cast("double") / (
+        F.col("nr") + F.lit(n_bins)
+    ).cast("double")
+    q = (F.col("live_n") + 1).cast("double") / (
+        F.col("nl") + F.lit(n_bins)
+    ).cast("double")
+    lg = F.log(p / q).cast("decimal(18,9)").cast("double")
+    return j.select(
+        "bin",
+        "ref_n",
+        "live_n",
+        p.alias("p_ref"),
+        q.alias("p_live"),
+        ((p - q) * lg).cast("decimal(28,15)").cast("double").alias(
+            "psi_contrib"
+        ),
+    ).orderBy("bin")

@@ -75,6 +75,7 @@ _UNSEEN_FIRST = (
     "search_hybrid_rrf",
     "abtest_conversion_events",
     "drift_train_val_psi",
+    "stream_psi_monitor",
     # never driver-checked streaming (oracle-backed)
     "stream_running_topk_users",
     "stream_session_dynamic_gap",

@@ -785,3 +785,115 @@ def stream_histogram_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp", "bin")
     )
+
+
+# --- streaming PSI drift monitor --------------------------------------------
+
+_PSI_STREAM_ORACLE = """
+WITH r AS (
+  SELECT least(19, greatest(0, CAST(floor(value / 25.0) AS INT))) AS bin,
+         CASE WHEN event_id % 2 = 0 THEN 'ref' ELSE 'live' END AS side
+  FROM events WHERE value IS NOT NULL
+), obs AS (
+  SELECT bin,
+         CAST(SUM(CASE WHEN side = 'ref' THEN 1 ELSE 0 END) AS BIGINT)
+           AS cr,
+         CAST(SUM(CASE WHEN side = 'live' THEN 1 ELSE 0 END) AS BIGINT)
+           AS cl
+  FROM r GROUP BY bin
+), frame AS (
+  SELECT CAST(unnest(generate_series(0, 19)) AS INT) AS bin
+), filled AS (
+  SELECT f.bin,
+         CAST(COALESCE(o.cr, 0) AS BIGINT) AS ref_n,
+         CAST(COALESCE(o.cl, 0) AS BIGINT) AS live_n
+  FROM frame f LEFT JOIN obs o USING (bin)
+), tot AS (
+  SELECT CAST(SUM(ref_n) AS BIGINT) AS nr,
+         CAST(SUM(live_n) AS BIGINT) AS nl
+  FROM filled
+)
+SELECT bin, ref_n, live_n,
+       CAST(ref_n + 1 AS DOUBLE) / CAST(nr + 20 AS DOUBLE) AS p_ref,
+       CAST(live_n + 1 AS DOUBLE) / CAST(nl + 20 AS DOUBLE) AS p_live,
+       CAST(CAST(
+         (CAST(ref_n + 1 AS DOUBLE) / CAST(nr + 20 AS DOUBLE)
+          - CAST(live_n + 1 AS DOUBLE) / CAST(nl + 20 AS DOUBLE))
+         * CAST(CAST(ln(
+             (CAST(ref_n + 1 AS DOUBLE) / CAST(nr + 20 AS DOUBLE))
+             / (CAST(live_n + 1 AS DOUBLE) / CAST(nl + 20 AS DOUBLE))
+           ) AS DECIMAL(18,9)) AS DOUBLE)
+         AS DECIMAL(28,15)) AS DOUBLE) AS psi_contrib
+FROM filled CROSS JOIN tot ORDER BY bin
+"""
+
+
+@REGISTRY.register("stream_psi_monitor", _PSI_STREAM_ORACLE)
+def stream_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The model-monitoring drift gate ON A STREAM: the live split of
+    events (odd event_id) flows through 4 micro-batches into the
+    maintained per-(type, day, bin) histogram cells
+    (streaming/sketch_stream.py::stream_histogram_maintenance); their
+    bin totals are compared against the static reference split (even
+    event_id, read as a batch) with the shared PSI arithmetic
+    (operators/drift.py::psi_bins) — drift_train_val_psi's streaming
+    sibling and the fourth consumer of the maintained-artifact family.
+
+    Oracle-exact end to end: cell addition is a commutative monoid so
+    the maintained table is bit-identical to the batch build of the
+    same split, and the PSI formula is the shared quantized-log
+    expression — the whole report value-hashes against a pure batch
+    DuckDB twin. The live corpus is never rescanned for the report.
+    """
+    import os
+    import uuid
+
+    from movie_rankings_spark.catalog import table_path
+    from movie_rankings_spark.operators.drift import psi_bins
+    from movie_rankings_spark.streaming.sketch_stream import (
+        current_cells,
+        stream_histogram_maintenance,
+    )
+
+    src = _stage_split_events(spark, sf_dir, n=4)
+    run_dir = os.path.join(
+        os.path.dirname(ev._CHECKPOINT_ROOT), "psi_stream", uuid.uuid4().hex[:12]
+    )
+    stream = ev.read_events_stream(spark, src, maxFilesPerTrigger=1).filter(
+        F.col("event_id") % 2 == 1
+    )
+    stream_histogram_maintenance(
+        stream,
+        table_dir=os.path.join(run_dir, "cells"),
+        checkpoint_dir=os.path.join(run_dir, "ckpt"),
+        lo=0.0,
+        step=25.0,
+        n_bins=20,
+    )
+    live = (
+        current_cells(spark, os.path.join(run_dir, "cells"))
+        .groupBy("bin")
+        .agg(F.sum("n").cast("long").alias("cl"))
+    )
+    events = spark.read.parquet(table_path(sf_dir, "events"))
+    v = F.col("value")
+    bin_ = F.least(
+        F.lit(19),
+        F.greatest(F.lit(0), F.floor((v - F.lit(0.0)) / F.lit(25.0)).cast("int")),
+    )
+    ref = (
+        events.filter(v.isNotNull() & (F.col("event_id") % 2 == 0))
+        .groupBy(bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cr"))
+    )
+    frame = spark.createDataFrame([(i,) for i in range(20)], "bin int")
+    filled = (
+        frame.join(ref, "bin", "left")
+        .join(live, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("cr", F.lit(0)).cast("long").alias("ref_n"),
+            F.coalesce("cl", F.lit(0)).cast("long").alias("live_n"),
+        )
+    )
+    return psi_bins(filled, n_bins=20)
