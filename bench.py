@@ -270,6 +270,7 @@ HEADLINE_QUERIES = (
     "abtest_conversion_events",
     "drift_train_val_psi",
     "stream_psi_monitor",
+    "embedding_jl_rademacher",
 )
 
 

@@ -172,3 +172,93 @@ def centroid_pairwise_cosine(centroids: DataFrame) -> DataFrame:
         )
         .orderBy("label_a", "label_b")
     )
+
+
+def rademacher_signs(
+    seed: int, out_dim: int, in_dim: int
+) -> list[list[int]]:
+    """Deterministic Rademacher JL signs ±1 derived from md5(seed:k:i)
+    parity — shared verbatim by the Spark plan and the SQL oracle, so
+    the projection is reproducible across engines, sessions, and
+    languages (Achlioptas 2003: ±1 entries satisfy the JL
+    distance-preservation lemma with the same ε bound as Gaussians).
+    The 1/√out_dim scale is applied once after the exact integer sum;
+    out_dim a power of 4 keeps it exactly representable (1/√16 =
+    0.25)."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(
+                hashlib.md5(f"{seed}:{k}:{i}".encode()).hexdigest()[-1], 16
+            )
+            % 2
+            == 0
+            else -1
+            for i in range(in_dim)
+        ]
+        for k in range(out_dim)
+    ]
+
+
+def jl_rademacher_project(
+    embeddings: DataFrame,
+    out_dim: int = 16,
+    seed: int = 13,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Oracle-exact JL projection: the Rademacher (±1) variant of
+    jl_project over the q9-QUANTIZED embedding (each element →
+    round(x·1e9) BIGINT — the corpuslaws fixed-point convention): the
+    weighted sum is then EXACT INTEGER arithmetic with no decimal
+    rounding anywhere, so every projected coordinate value-hashes
+    against the SQL oracle. (A DECIMAL(28,12) product convention
+    fails here: ±2^-k scaling lands dyadic float32 values exactly on
+    decimal ties, where Spark's HALF_UP and DuckDB's half-even
+    disagree — integers have no ties.) The numpy Gaussian path stays
+    the 100 TB hot path; this variant pins semantics for audits.
+
+    Map-only: no shuffle, no Python — a codegen'd higher-order
+    expression per output coordinate, exploded to (vec_id, k, proj)
+    rows; proj = (Σ q_i·s_i)/1e9 · (1/√out_dim) in one shared IEEE
+    expression.
+    """
+    import math
+
+    w = rademacher_signs(seed, out_dim, in_dim=64)
+    scale = 1.0 / math.sqrt(out_dim)
+    spark = embeddings.sparkSession
+
+    # one (k, signs) row per output coordinate, broadcast onto the
+    # quantized vectors: each result row evaluates ONE 64-element fold
+    # — a single giant projection with out_dim folds blows past the
+    # whole-stage-codegen JIT method limit and drops to interpreted
+    # eval (the Poisson-bootstrap lesson; measured 4.1s -> see module
+    # bench note), while this shape keeps every expression JIT-able.
+    sign_rows = spark.createDataFrame(
+        [(k, w[k]) for k in range(out_dim)], "k int, signs array<int>"
+    )
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * F.lit(1e9)).cast("long"),
+    )
+    quant = embeddings.select("vec_id", q.alias("_q"))
+    total = F.aggregate(
+        F.zip_with(
+            F.col("_q"), F.col("signs"), lambda qi, s: qi * s.cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    return (
+        quant.crossJoin(F.broadcast(sign_rows))
+        .select(
+            "vec_id",
+            "k",
+            ((total.cast("double") / F.lit(1e9)) * F.lit(scale)).alias(
+                "proj"
+            ),
+        )
+        .orderBy("vec_id", "k")
+    )

@@ -76,6 +76,7 @@ _UNSEEN_FIRST = (
     "abtest_conversion_events",
     "drift_train_val_psi",
     "stream_psi_monitor",
+    "embedding_jl_rademacher",
     # never driver-checked streaming (oracle-backed)
     "stream_running_topk_users",
     "stream_session_dynamic_gap",

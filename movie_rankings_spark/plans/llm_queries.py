@@ -3592,3 +3592,50 @@ def drift_train_val_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_feature_drift(
         _docs(spark, sf_dir), "n_chars", width=64, n_bins=10
     )
+
+
+# --- oracle-exact Rademacher JL projection -----------------------------------
+
+
+def _jl_rademacher_oracle() -> str:
+    from movie_rankings_spark.operators.embeddings import rademacher_signs
+
+    w = rademacher_signs(13, 16, 64)
+    m = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(f"{v!r}" for v in row) + "]" for row in w
+        )
+        + "]"
+    )
+    return f"""
+WITH ks AS (
+  SELECT CAST(unnest(generate_series(1, 16)) AS INT) AS kk
+), w AS (SELECT {m} AS m)
+SELECT e.vec_id, CAST(ks.kk - 1 AS INT) AS k,
+       (CAST(list_sum(list_transform(range(1, len(e.embedding) + 1),
+          i -> CAST(round(CAST(e.embedding[i] AS DOUBLE) * 1000000000.0)
+                    AS BIGINT)
+               * CAST(w.m[ks.kk][i] AS BIGINT))) AS DOUBLE)
+        / 1000000000.0) * 0.25 AS proj
+FROM embeddings e CROSS JOIN ks CROSS JOIN w
+ORDER BY e.vec_id, k
+"""
+
+
+@REGISTRY.register("embedding_jl_rademacher", _jl_rademacher_oracle())
+def embedding_jl_rademacher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss projection with REPRODUCIBLE semantics:
+    ±1 Rademacher signs from md5(seed:k:i) parity (Achlioptas 2003 —
+    same ε-distortion lemma as Gaussians) over the q9-quantized
+    embedding, so the weighted sum is exact integer arithmetic and
+    every one of the N·16 projected coordinates value-hashes against
+    DuckDB. Converts the JL capability from rows-only (the numpy
+    Gaussian hot path, embedding_jl_projection) to oracle-backed;
+    production uses the GEMM, audits use this
+    (operators/embeddings.py::jl_rademacher_project)."""
+    from movie_rankings_spark.operators.embeddings import (
+        jl_rademacher_project,
+    )
+
+    return jl_rademacher_project(_emb(spark, sf_dir), out_dim=16, seed=13)

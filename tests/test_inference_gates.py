@@ -99,3 +99,51 @@ def test_psi_matches_numpy_reference(spark):
     )
     got = sum(r["psi_contrib"] for r in rows)
     assert abs(got - want) < 1e-9  # quantized-log rounding headroom
+
+
+def test_jl_rademacher_matches_integer_reference(spark):
+    import hashlib
+
+    from movie_rankings_spark.operators.embeddings import (
+        jl_rademacher_project,
+        rademacher_signs,
+    )
+    from movie_rankings_spark.catalog import load_table
+
+    emb = load_table(spark, SF, "embeddings").limit(20)
+    rows = jl_rademacher_project(emb, out_dim=16, seed=13).collect()
+    assert len(rows) == 20 * 16
+    pdf = emb.toPandas()
+    w = rademacher_signs(13, 16, 64)
+    # integer reference: quantize to q9, signed sum, shared scale
+    by_vec = {int(r.vec_id): list(r.embedding) for r in pdf.itertuples()}
+    for r in rows[:64]:
+        q = [round(float(x) * 1e9) for x in by_vec[r["vec_id"]]]
+        total = sum(qi * si for qi, si in zip(q, w[r["k"]]))
+        assert r["proj"] == (total / 1e9) * 0.25
+
+
+def test_jl_rademacher_distortion_bounded(spark):
+    # JL sanity on real vectors: projected norms concentrate around
+    # original norms (loose 3x band at out_dim=16 — the Gaussian
+    # variant's tight bound is pinned in tests/test_warehouse_ops.py)
+    import numpy as np
+
+    from movie_rankings_spark.operators.embeddings import (
+        jl_rademacher_project,
+    )
+    from movie_rankings_spark.catalog import load_table
+
+    emb = load_table(spark, SF, "embeddings").limit(50)
+    pdf = jl_rademacher_project(emb, out_dim=16, seed=13).toPandas()
+    orig = {
+        int(r.vec_id): np.array(r.embedding, dtype=np.float64)
+        for r in emb.toPandas().itertuples()
+    }
+    ratios = []
+    for vid, grp in pdf.groupby("vec_id"):
+        pn = float((grp.proj.to_numpy() ** 2).sum())
+        on = float((orig[vid] ** 2).sum())
+        ratios.append(pn / on)
+    med = float(np.median(ratios))
+    assert 1 / 3 < med < 3
