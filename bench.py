@@ -271,6 +271,7 @@ HEADLINE_QUERIES = (
     "drift_train_val_psi",
     "stream_psi_monitor",
     "embedding_jl_rademacher",
+    "centrality_harmonic_hubs",
 )
 
 

@@ -125,3 +125,108 @@ SELECT CAST(dist AS INTEGER) AS dist, CAST(COUNT(*) AS BIGINT) AS n_nodes
 FROM d{n_rounds} GROUP BY dist ORDER BY dist"""
     )
     return "".join(parts)
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+) -> DataFrame:
+    """Bounded-radius harmonic centrality of a seed set: HC(s) =
+    Σ_{v: 1 ≤ d(s,v) ≤ n_rounds} 1/d(s,v) — "how close is this hub to
+    EVERYTHING?", the closeness-family score that handles disconnected
+    graphs gracefully (unreached nodes contribute 0, not ∞). Exact
+    all-nodes harmonic centrality needs an all-pairs BFS; the
+    productionized form is centrality OF a bounded pivot set (here the
+    seeds), which is one multi-source BFS with the seed id carried in
+    the state — per-round work is one frontier equi-join + one
+    (seed, node) min aggregate, state O(|seeds|·|nodes|).
+
+    Exactness: hop distances are integers; the reciprocal sum is made
+    order-independent by summing 60/d (exact BIGINT for every d ≤ 6 —
+    60 = lcm(1..6); the n_rounds ≤ 6 contract is asserted) and
+    dividing once: hc = hc_num / 60. The unrolled DuckDB twin
+    hash-matches.
+
+    Output: (seed, n_reached, hc_num, hc) ordered by seed.
+    """
+    if n_rounds > 6:
+        raise ValueError("n_rounds > 6 breaks the exact 60/d sum")
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).persist_tracked()
+    e.count()  # materialize: every round's frontier join reads it
+    dist = seeds.select(
+        F.col(seed_col).alias("seed"),
+        F.col(seed_col).alias("node"),
+        F.lit(0).cast("int").alias("dist"),
+    ).localCheckpoint()
+    frontier = dist
+    for r in range(1, n_rounds + 1):
+        if frontier.limit(1).count() == 0:
+            break
+        cand = frontier.join(e, frontier["node"] == e["src"]).select(
+            "seed",
+            F.col("dst").alias("node"),
+            (F.col("dist") + 1).alias("dist"),
+        )
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("seed", "node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+        frontier = dist.filter(F.col("dist") == r)
+    e.unpersist()
+    reached = dist.filter(F.col("dist") >= 1)
+    hc_num = F.sum(
+        (F.lit(60) / F.col("dist")).cast("long")
+    ).cast("long")
+    return (
+        reached.groupBy("seed")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_reached"),
+            hc_num.alias("hc_num"),
+        )
+        .select(
+            "seed",
+            "n_reached",
+            "hc_num",
+            (F.col("hc_num").cast("double") / F.lit(60.0)).alias("hc"),
+        )
+        .orderBy("seed")
+    )
+
+
+def harmonic_oracle_sql(
+    n_rounds: int, edges_cte: str, seeds_sql: str
+) -> str:
+    """Unrolled DuckDB twin of harmonic_centrality: the bfs_oracle_sql
+    relaxation carried per seed, then the exact 60/d reciprocal sum."""
+    parts = [
+        f"WITH {edges_cte},\n"
+        f"d0 AS (SELECT node AS seed, node, 0 AS dist FROM ({seeds_sql}))"
+    ]
+    for r in range(1, n_rounds + 1):
+        parts.append(
+            f""",
+d{r} AS (
+  SELECT seed, node, MIN(dist) AS dist FROM (
+    SELECT seed, node, dist FROM d{r - 1}
+    UNION ALL
+    SELECT d.seed, e.dst AS node, d.dist + 1 AS dist
+    FROM d{r - 1} d JOIN e ON d.node = e.src
+  ) GROUP BY seed, node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT seed, CAST(COUNT(*) AS BIGINT) AS n_reached,
+       CAST(SUM(CAST(60 / dist AS BIGINT)) AS BIGINT) AS hc_num,
+       CAST(SUM(CAST(60 / dist AS BIGINT)) AS DOUBLE) / 60.0 AS hc
+FROM d{n_rounds} WHERE dist >= 1 GROUP BY seed ORDER BY seed"""
+    )
+    return "".join(parts)

@@ -77,6 +77,7 @@ _UNSEEN_FIRST = (
     "drift_train_val_psi",
     "stream_psi_monitor",
     "embedding_jl_rademacher",
+    "centrality_harmonic_hubs",
     # never driver-checked streaming (oracle-backed)
     "stream_running_topk_users",
     "stream_session_dynamic_gap",

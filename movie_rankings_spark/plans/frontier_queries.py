@@ -46,6 +46,7 @@ from movie_rankings_spark.operators.dedup import sorted_neighborhood_oracle_sql
 from movie_rankings_spark.operators.sssp import (
     bfs_distances,
     bfs_oracle_sql,
+    harmonic_oracle_sql,
     hop_histogram,
 )
 from movie_rankings_spark.plans.llm_queries import _SHINGLES
@@ -528,3 +529,34 @@ def hll_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_col="event_type",
         p=_HLL_P,
     )
+
+
+# --- harmonic centrality of the top hubs (r5) --------------------------------
+
+
+@REGISTRY.register(
+    "centrality_harmonic_hubs",
+    harmonic_oracle_sql(_BFS_ROUNDS, _COPURCHASE_EDGES_CTE, _BFS_SEEDS_SQL),
+)
+def centrality_harmonic_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How central is each best-selling part in the co-purchase
+    graph? Bounded-radius harmonic centrality HC(s) = Σ 1/d(s,v)
+    of the same 5 hub seeds as sssp_copurchase_reach — the
+    closeness-family ranking that tolerates disconnected components
+    (unreached nodes contribute 0, not ∞). One multi-source BFS with
+    the seed id carried in the state (per-round frontier equi-join +
+    (seed, node) min aggregate); reciprocal sums are exact integers
+    (Σ 60/d, 60 = lcm(1..6)) so the unrolled DuckDB twin hash-matches
+    (operators/sssp.py::harmonic_centrality)."""
+    from movie_rankings_spark.operators.sssp import harmonic_centrality
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = copurchase_edges(li)
+    seeds = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("l_partkey"))
+        .limit(5)
+        .select(F.col("l_partkey").alias("node"))
+    )
+    return harmonic_centrality(edges, seeds, n_rounds=_BFS_ROUNDS)

@@ -147,3 +147,34 @@ def test_jl_rademacher_distortion_bounded(spark):
         ratios.append(pn / on)
     med = float(np.median(ratios))
     assert 1 / 3 < med < 3
+
+
+def test_harmonic_centrality_path_graph(spark):
+    # path 1-2-3-4-5, undirected; HC(1) within 4 hops =
+    # 1/1 + 1/2 + 1/3 + 1/4 = 25/12; integer form 60+30+20+15 = 125
+    from movie_rankings_spark.operators.sssp import harmonic_centrality
+
+    und = [(a, b) for a, b in [(1, 2), (2, 3), (3, 4), (4, 5)]]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,), (3,)], "node long")
+    rows = {r["seed"]: r for r in
+            harmonic_centrality(edges, seeds, n_rounds=4).collect()}
+    assert rows[1]["n_reached"] == 4
+    assert rows[1]["hc_num"] == 125
+    assert rows[1]["hc"] == 125 / 60.0
+    # node 3 sees 2 at dist 1 and 2 at dist 2: 2*60 + 2*30 = 180
+    assert rows[3]["n_reached"] == 4
+    assert rows[3]["hc_num"] == 180
+
+
+def test_harmonic_centrality_rejects_unexact_radius(spark):
+    import pytest
+
+    from movie_rankings_spark.operators.sssp import harmonic_centrality
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    with pytest.raises(ValueError):
+        harmonic_centrality(edges, seeds, n_rounds=7)
