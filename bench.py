@@ -272,6 +272,7 @@ HEADLINE_QUERIES = (
     "stream_psi_monitor",
     "embedding_jl_rademacher",
     "centrality_harmonic_hubs",
+    "ks_source_length_profiles",
 )
 
 

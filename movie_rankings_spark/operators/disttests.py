@@ -364,3 +364,86 @@ def spearman_rho(df: DataFrame, col_a: Column, col_b: Column) -> DataFrame:
     return m.select(
         F.lit(n).cast("long").alias("n_rows"), rho.alias("rho")
     )
+
+
+def ks_group_vs_rest(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Per-group two-sample KS against the REST of the corpus, for
+    every group at once — "which source's length profile deviates?",
+    the curation sweep run before re-weighting a multi-source mix
+    (ks_two_sample answers one designed contrast; this screens all
+    |groups| of them in one pass).
+
+    Contract: value_col is integral and DOMAIN-bounded (document
+    lengths, ages, star ratings — not price-like ~N-distinct columns;
+    those belong to ks_two_sample's bucketed machinery). The fact
+    reduces ONCE to the (group, value) cell table (~|groups|·|domain|
+    rows, persisted); cumulatives come from a broadcast theta join of
+    the bounded distinct-value grid (the roc_curve pattern — never a
+    global window), and the rest-side ECDF is derived as
+    (global − group), so no second pass exists anywhere.
+
+    Exactness: D numerator per group is the exact BIGINT
+    max |cum_g·n_rest − cum_rest·n_g| with the smallest attaining
+    value as the deterministic tie-break (bound n_g·n_rest < 2^62);
+    ks_d is one IEEE division.
+
+    Output: (group, n_group, n_rest, d_num, at_value, ks_d), ordered
+    by group.
+    """
+    cells = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.col(value_col).cast("long").alias("v"),
+        )
+        .filter(F.col("g").isNotNull() & F.col("v").isNotNull())
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist_tracked()  # grid + totals + both cum sides read this
+    )
+    grid = cells.select("v").distinct().select(F.col("v").alias("v_at"))
+    # inclusive cumulative per group at EVERY grid value (a group's
+    # ECDF must be evaluated at other groups' jump points too)
+    cum_g = (
+        cells.join(F.broadcast(grid), F.col("v") <= F.col("v_at"))
+        .groupBy("g", "v_at")
+        .agg(F.sum("c").cast("long").alias("cum_g"))
+    )
+    cum_all = (
+        cells.groupBy("v")
+        .agg(F.sum("c").cast("long").alias("cv"))
+        .join(F.broadcast(grid), F.col("v") <= F.col("v_at"))
+        .groupBy("v_at")
+        .agg(F.sum("cv").cast("long").alias("cum_all"))
+    )
+    n_g = cells.groupBy("g").agg(F.sum("c").cast("long").alias("n_group"))
+    n_all = cells.agg(F.sum("c").cast("long").alias("n_total"))
+    j = (
+        cum_g.join(F.broadcast(cum_all), "v_at")
+        .join(F.broadcast(n_g), "g")
+        .crossJoin(F.broadcast(n_all))
+    )
+    n_rest = F.col("n_total") - F.col("n_group")
+    d = F.abs(
+        F.col("cum_g") * n_rest
+        - (F.col("cum_all") - F.col("cum_g")) * F.col("n_group")
+    ).cast("long")
+    picked = j.groupBy("g", "n_group", "n_total").agg(
+        F.max(
+            F.struct(d.alias("d_num"), (-F.col("v_at")).alias("_nv"))
+        ).alias("_m")
+    )
+    return picked.select(
+        F.col("g").alias("group"),
+        "n_group",
+        (F.col("n_total") - F.col("n_group")).alias("n_rest"),
+        F.col("_m.d_num").alias("d_num"),
+        (-F.col("_m._nv")).cast("long").alias("at_value"),
+        F.try_divide(
+            F.col("_m.d_num").cast("double"),
+            (
+                F.col("n_group") * (F.col("n_total") - F.col("n_group"))
+            ).cast("double"),
+        ).alias("ks_d"),
+    ).orderBy("group")

@@ -78,6 +78,7 @@ _UNSEEN_FIRST = (
     "stream_psi_monitor",
     "embedding_jl_rademacher",
     "centrality_harmonic_hubs",
+    "ks_source_length_profiles",
     # never driver-checked streaming (oracle-backed)
     "stream_running_topk_users",
     "stream_session_dynamic_gap",

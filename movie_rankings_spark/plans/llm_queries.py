@@ -3639,3 +3639,62 @@ def embedding_jl_rademacher(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return jl_rademacher_project(_emb(spark, sf_dir), out_dim=16, seed=13)
+
+
+# --- per-source KS sweep: which source's length profile deviates? ------------
+
+_KS_SOURCES_ORACLE = """
+WITH cells AS (
+  SELECT source AS g, CAST(n_chars AS BIGINT) AS v,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+), grid AS (SELECT DISTINCT v AS v_at FROM cells),
+cum_g AS (
+  SELECT c.g, gr.v_at, CAST(SUM(c.c) AS BIGINT) AS cum_g
+  FROM cells c JOIN grid gr ON c.v <= gr.v_at GROUP BY 1, 2
+),
+cum_all AS (
+  SELECT gr.v_at, CAST(SUM(c.c) AS BIGINT) AS cum_all
+  FROM cells c JOIN grid gr ON c.v <= gr.v_at GROUP BY 1
+),
+ng AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n_group FROM cells GROUP BY 1),
+nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM cells),
+d AS (
+  SELECT cg.g, cg.v_at,
+         ABS(cg.cum_g * (nt.n_total - ng.n_group)
+             - (ca.cum_all - cg.cum_g) * ng.n_group) AS d_num,
+         ng.n_group, nt.n_total
+  FROM cum_g cg JOIN cum_all ca USING (v_at) JOIN ng USING (g)
+  CROSS JOIN nt
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY g ORDER BY d_num DESC, v_at ASC) AS rn
+  FROM d
+)
+SELECT g AS "group", n_group,
+       CAST(n_total - n_group AS BIGINT) AS n_rest,
+       CAST(d_num AS BIGINT) AS d_num,
+       CAST(v_at AS BIGINT) AS at_value,
+       CAST(d_num AS DOUBLE)
+         / CAST(n_group * (n_total - n_group) AS DOUBLE) AS ks_d
+FROM r WHERE rn = 1 ORDER BY "group"
+"""
+
+
+@REGISTRY.register("ks_source_length_profiles", _KS_SOURCES_ORACLE)
+def ks_source_length_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which source's document-length profile deviates from the rest
+    of the corpus? Exact group-vs-rest KS for every source in ONE
+    pass — the curation sweep run before re-weighting a multi-source
+    mix (ks_price_priority tests one designed contrast; this screens
+    all |sources| of them, with the length where each gap peaks).
+
+    n_chars is DOMAIN-bounded, so cumulatives come from a broadcast
+    theta join of the distinct-length grid over the persisted
+    (source, length) cell table — the roc_curve pattern, one fact
+    scan, never a global window; the rest-side ECDF is derived as
+    (global − group) (operators/disttests.py::ks_group_vs_rest).
+    """
+    from movie_rankings_spark.operators.disttests import ks_group_vs_rest
+
+    return ks_group_vs_rest(_docs(spark, sf_dir), "source", "n_chars")

@@ -178,3 +178,40 @@ def test_harmonic_centrality_rejects_unexact_radius(spark):
     seeds = spark.createDataFrame([(1,)], "node long")
     with pytest.raises(ValueError):
         harmonic_centrality(edges, seeds, n_rounds=7)
+
+
+def test_ks_group_vs_rest_two_group_reduces_to_pairwise(spark):
+    # with exactly two groups, group-vs-rest IS the two-sample test:
+    # cross-check against ks_two_sample on the same data
+    import pyspark.sql.functions as F
+
+    from movie_rankings_spark.operators.disttests import (
+        ks_group_vs_rest,
+        ks_two_sample,
+    )
+
+    rows = [("a", v) for v in [1, 2, 2, 3, 5]] + [
+        ("b", v) for v in [2, 4, 4, 6]
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    sweep = {r["group"]: r for r in
+             ks_group_vs_rest(df, "g", "v").collect()}
+    [pair] = ks_two_sample(
+        df, "v", (F.col("g") == "a").cast("int"),
+        (F.col("g") == "b").cast("int"),
+    ).collect()
+    assert sweep["a"]["d_num"] == pair["d_num"]
+    assert sweep["a"]["ks_d"] == pair["ks_d"]
+    assert sweep["a"]["at_value"] == pair["at_value"]
+    # symmetric: b-vs-rest is the same distance
+    assert sweep["b"]["d_num"] == pair["d_num"]
+
+
+def test_ks_group_vs_rest_identical_groups_zero(spark):
+    rows = [(g, v) for g in ("x", "y") for v in [1, 2, 3, 3, 7]]
+    df = spark.createDataFrame(rows, "g string, v long")
+    for r in __import__(
+        "movie_rankings_spark.operators.disttests",
+        fromlist=["ks_group_vs_rest"],
+    ).ks_group_vs_rest(df, "g", "v").collect():
+        assert r["d_num"] == 0 and r["ks_d"] == 0.0

@@ -108,6 +108,7 @@ NESTED_LOOP_LEGIT = {
     "search_hybrid_rrf",  # 1-query broadcast in the cosine arm + 1-row corpus stats in the BM25 arm (r5)
     "drift_train_val_psi",  # 1-row totals onto the 10-bin frame (r5)
     "embedding_jl_rademacher",  # 16-row sign table broadcast onto the vectors (JIT-able per-row fold) (r5)
+    "ks_source_length_profiles",  # theta join of the BOUNDED length grid (ROC shape) + 1-row total (r5)
 }
 
 #: row-at-a-time Python allowed ONLY for the literal Spark-4 @udtf

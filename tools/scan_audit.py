@@ -73,6 +73,7 @@ KNOWN_LEGIT = {
     "acf_daily_revenue",  # persisted daily series feeds scalar + both lag-join sides (one real scan; cache-text artifact) (r5)
     "changepoint_daily_revenue",  # persisted daily series feeds prefix + totals (one real scan; cache-text artifact) (r5)
     "drift_train_val_psi",  # persisted 10-bin table feeds totals + output branches (one real scan; cache-text artifact) (r5)
+    "ks_source_length_profiles",  # persisted (source, length) cells feed grid + totals + both cum sides (one real scan; cache-text artifact) (r5)
     "similarity_tfidf_topk", "triangles_copurchase",
     "dedup_jaccard_prefix", "cms_word_frequency",
     "basket_association_rules", "dedup_cluster_reps",
