@@ -62,6 +62,11 @@ def _bucketed_cum2(
     prefix-sums the per-bucket/per-group offsets on the driver —
     quantile_rank_map's two-pass, carried for two groups at once.
 
+    NULL values of value_col are EXCLUDED (they have no place on the
+    real line, and NULLS FIRST in the per-bucket window would
+    otherwise count them as a distinct smallest value) — the same
+    contract spearman_rho and ks_group_vs_rest already enforce.
+
     Returns (cum_df, n_a, n_b); the totals are driver-known (they
     fall out of the offsets collect) so callers embed them as
     literals instead of re-aggregating.
@@ -76,7 +81,7 @@ def _bucketed_cum2(
         F.col(value_col).cast("long").alias("v"),
         a_ind.cast("long").alias("_a"),
         b_ind.cast("long").alias("_b"),
-    ).filter((F.col("_a") + F.col("_b")) > 0)
+    ).filter(((F.col("_a") + F.col("_b")) > 0) & F.col("v").isNotNull())
     # the ONLY fact-sized pass: materialized into the persisted
     # distinct-value table; bounds/totals/final all read the cache
     vc = (

@@ -84,8 +84,10 @@ def psi_feature_drift(
     act), complementing js_token_drift's vocabulary-level view with a
     per-FEATURE one: PSI = Σ_bins (p_i − q_i)·ln(p_i / q_i).
 
-    Bins are FIXED width (floor(value/width), clamped to n_bins−1) so
-    the binning is engine-portable; a static n_bins-row frame left-
+    Bins are FIXED width (floor(value/width), clamped to [0,
+    n_bins−1] on BOTH ends so negative feature values land in bin 0
+    instead of silently vanishing from p/q) so the binning is
+    engine-portable; a static n_bins-row frame left-
     joins the observed counts so empty bins participate (add-one
     smoothing keeps their log finite). Split rule = the md5-byte
     bucket shared with js_token_drift (test held out).
@@ -108,9 +110,14 @@ def psi_feature_drift(
         .when(b < 26, F.lit("val"))
         .otherwise(F.lit("train"))
     )
-    binc = F.least(
-        F.lit(n_bins - 1),
-        F.floor(F.col(value_col).cast("long") / F.lit(width)).cast("int"),
+    binc = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(n_bins - 1),
+            F.floor(F.col(value_col).cast("long") / F.lit(width)).cast(
+                "int"
+            ),
+        ),
     )
     obs = (
         docs.select(side.alias("side"), binc.alias("bin"))

@@ -108,8 +108,15 @@ def cohens_kappa(df: DataFrame, a: Column, b: Column) -> DataFrame:
     mirrored verbatim in the oracle. The 2×2 chance term expands to
     pe = (pa·pb + (n−pa)·(n−pb)) / n² — integer products up to n²,
     computed in DECIMAL(38,0) then divided once.
+
+    NULL contract: rows where EITHER rater expression is NULL are
+    excluded before aggregation, so n_rows and every moment sum cover
+    the same population (SUM's NULL-skipping would otherwise count
+    such rows in n_rows but silently drop them from n_agree/pa/pb,
+    deflating po and skewing pe).
     """
     d38 = "decimal(38,0)"
+    df = df.filter(a.isNotNull() & b.isNotNull())
     m = df.agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum((a == b).cast("long")).cast("long").alias("n_agree"),

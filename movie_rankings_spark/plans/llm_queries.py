@@ -3536,7 +3536,8 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PSI_ORACLE = """
 WITH r AS (
-  SELECT least(9, CAST(floor(CAST(n_chars AS BIGINT) / 64) AS INT)) AS bin,
+  SELECT greatest(0, least(9, CAST(floor(CAST(n_chars AS BIGINT) / 64)
+                               AS INT))) AS bin,
          CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 31, 2)
                         AS BIGINT) < 13 THEN NULL
               WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 31, 2)

@@ -350,22 +350,7 @@ _ROCKSDB_PROVIDER = (
 )
 
 
-def _has_protobuf() -> bool:
-    """transformWithStateInPandas talks to the JVM state server over
-    a protobuf protocol; this container ships no google.protobuf (and
-    installs are off-limits), so the query registers only where the
-    dependency exists. The processor's LOGIC is still always tested —
-    tests/test_stateful.py drives handleInputRows against an
-    in-memory fake handle; the end-to-end engine test is skipif-gated
-    on this same probe."""
-    try:
-        import google.protobuf  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
-
-
+@REGISTRY.register("stream_transform_with_state", _TWS_LIFETIME_ORACLE)
 def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user lifetime stats through transformWithStateInPandas —
     the Spark 4 typed-state API (ValueState + MapState, RocksDB
@@ -374,7 +359,13 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     and every accumulator is an integer, so the final snapshot (max
     n_events per user) equals the batch groupBy — the full-oracle
     check the old applyInPandasWithState twin
-    (stream_user_lifetime_stats) also gets."""
+    (stream_user_lifetime_stats) also gets.
+
+    Registration is unconditional (r6): the state-server wire
+    protocol's google.protobuf dependency is satisfied either by a
+    real installation or by the vendored pure-Python runtime
+    (vendor/README.md) that movie_rankings_spark.__init__ activates
+    on import."""
     from pyspark.sql import Window
 
     from movie_rankings_spark.streaming.stateful import user_lifetime_tws
@@ -402,12 +393,6 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_rn")
         .orderBy("user_id")
     )
-
-
-if _has_protobuf():  # pragma: no cover — env-dependent registration
-    stream_transform_with_state = REGISTRY.register(
-        "stream_transform_with_state", _TWS_LIFETIME_ORACLE
-    )(stream_transform_with_state)
 
 
 # --- streaming incremental dedup against the stored LSH index ---------------
