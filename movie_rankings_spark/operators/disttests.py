@@ -452,3 +452,371 @@ def ks_group_vs_rest(
             ).cast("double"),
         ).alias("ks_d"),
     ).orderBy("group")
+
+
+def welch_t_test(
+    df: DataFrame, cents_col: Column, a_ind: Column, b_ind: Column
+) -> DataFrame:
+    """Welch's unequal-variance t-test between two groups over an
+    integral (cents-quantized) value — the parametric companion to
+    mannwhitney_u on the same contrast: MWU asks about stochastic
+    dominance of ranks, Welch about the difference of means without
+    assuming equal variances (the textbook two-sample t's equal-
+    variance assumption rarely survives real revenue data).
+
+    Exactness (the grouped_ols/spearman convention): the ONLY fact
+    pass is one map-side-combined conditional aggregate producing six
+    exact DECIMAL moments (n, Σv, Σv² per side; Σv² through
+    DECIMAL(38,0) so partial-agg order cannot round). The centered
+    sums n·Σv² − (Σv)² are exact DECIMAL DIFFERENCES (no float
+    cancellation) cast to double once; mean/variance/t/df are shared
+    closed-form IEEE expressions of those exact integers, written
+    identically in the oracle. NULL cents and rows in neither group
+    are excluded (the _bucketed_cum2 contract).
+
+    Output: ONE row — n_a, n_b, mean_a, mean_b, var_a, var_b
+    (sample variances), t_stat, df (Welch–Satterthwaite).
+    """
+    d38 = "decimal(38,0)"
+    v = cents_col.cast("long")
+    rows = df.select(
+        v.alias("v"), a_ind.cast("int").alias("_a"), b_ind.cast("int").alias("_b")
+    ).filter(((F.col("_a") + F.col("_b")) > 0) & F.col("v").isNotNull())
+    vd = F.col("v").cast("decimal(19,0)")
+    m = rows.agg(
+        F.sum(F.when(F.col("_a") == 1, 1).otherwise(0)).cast("long").alias("na"),
+        F.sum(F.when(F.col("_b") == 1, 1).otherwise(0)).cast("long").alias("nb"),
+        F.sum(F.when(F.col("_a") == 1, vd).otherwise(F.lit(0).cast("decimal(19,0)")))
+        .cast(d38)
+        .alias("sa"),
+        F.sum(F.when(F.col("_b") == 1, vd).otherwise(F.lit(0).cast("decimal(19,0)")))
+        .cast(d38)
+        .alias("sb"),
+        F.sum(
+            F.when(F.col("_a") == 1, (vd * vd).cast(d38)).otherwise(
+                F.lit(0).cast(d38)
+            )
+        )
+        .cast(d38)
+        .alias("saa"),
+        F.sum(
+            F.when(F.col("_b") == 1, (vd * vd).cast(d38)).otherwise(
+                F.lit(0).cast(d38)
+            )
+        )
+        .cast(d38)
+        .alias("sbb"),
+    )
+    na, nb = F.col("na").cast(d38), F.col("nb").cast(d38)
+    num_a = (na * F.col("saa") - F.col("sa") * F.col("sa")).cast("double")
+    num_b = (nb * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double")
+    nad, nbd = F.col("na").cast("double"), F.col("nb").cast("double")
+    # try_divide throughout: a degenerate group (n < 2, or both
+    # variances 0) yields NULL statistics instead of an ANSI
+    # divide-by-zero — matching DuckDB, where x/0.0 is NULL
+    mean_a = F.try_divide(F.col("sa").cast("double"), nad)
+    mean_b = F.try_divide(F.col("sb").cast("double"), nbd)
+    var_a = F.try_divide(num_a, nad * (nad - F.lit(1.0)))
+    var_b = F.try_divide(num_b, nbd * (nbd - F.lit(1.0)))
+    se2_a = F.try_divide(var_a, nad)
+    se2_b = F.try_divide(var_b, nbd)
+    t = F.try_divide(mean_a - mean_b, F.sqrt(se2_a + se2_b))
+    dof = F.try_divide(
+        (se2_a + se2_b) * (se2_a + se2_b),
+        se2_a * se2_a / (nad - F.lit(1.0))
+        + se2_b * se2_b / (nbd - F.lit(1.0)),
+    )
+    return m.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        mean_a.alias("mean_a"),
+        mean_b.alias("mean_b"),
+        var_a.alias("var_a"),
+        var_b.alias("var_b"),
+        t.alias("t_stat"),
+        dof.alias("df"),
+    )
+
+
+def anova_oneway(
+    df: DataFrame, group_col: str, cents_col: Column
+) -> DataFrame:
+    """One-way ANOVA decomposition across ALL groups of a categorical
+    key — the k-group generalization of welch_t_test's contrast
+    (classic equal-variance F): does the group explain any of the
+    value's variance?
+
+    Per-group rows keep every emitted number a closed-form function
+    of exact integer aggregates (the chi2_contingency convention —
+    and the per-group means/SS are the actionable readout anyway);
+    the global F rides along, assembled from DECIMAL(28,0)-quantized
+    per-group terms so the cross-group summation is exact and
+    order-independent (the psi_feature_drift convention: a raw
+    double SUM over groups would depend on partial-agg order).
+
+    One map-side-combined fact aggregate to |groups| rows; the grand
+    totals re-aggregate that bounded table (persisted).
+
+    Output: |groups| rows — group, n_group, sum_cents, mean,
+    ss_within_g, plus the global ss_between / ss_within / f_stat
+    repeated per row (closed-form over the quantized terms).
+    """
+    d38 = "decimal(38,0)"
+    rows = df.select(
+        F.col(group_col).alias("g"), cents_col.cast("long").alias("v")
+    ).filter(F.col("g").isNotNull() & F.col("v").isNotNull())
+    vd = F.col("v").cast("decimal(19,0)")
+    per_g = (
+        rows.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+            F.sum(vd).cast(d38).alias("s_g"),
+            F.sum((vd * vd).cast(d38)).cast(d38).alias("ss_g"),
+        )
+        .persist_tracked()  # totals branch + output branch, |groups| rows
+    )
+    # per-group S_g²/n_g, quantized so the cross-group sum is exact.
+    # SCALE 0 on purpose: these doubles exceed 2^52, so they are
+    # integral already (the scale-0 cast is exact, no rounding-mode
+    # ambiguity between engines) and a scale-0 decimal→double cast is
+    # ONE correctly-rounded conversion in both engines — a fractional
+    # scale would double-round through double(int128)/10^s (the
+    # grouped_ols finding, re-observed here at 4 ulps of ss_between).
+    term = (
+        (
+            F.col("s_g").cast("double")
+            * F.col("s_g").cast("double")
+            / F.col("n_g").cast("double")
+        )
+        .cast("decimal(28,0)")
+    )
+    gq = per_g.withColumn("_term", term)
+    totals = gq.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n_total"),
+        F.sum("s_g").cast(d38).alias("s_all"),
+        F.sum("ss_g").cast(d38).alias("ss_all"),
+        F.sum("_term").cast("decimal(38,0)").alias("term_sum"),
+    )
+    j = gq.crossJoin(F.broadcast(totals))
+    nt = F.col("n_total").cast("double")
+    grand_term = (
+        F.col("s_all").cast("double") * F.col("s_all").cast("double") / nt
+    )
+    ssb = F.col("term_sum").cast("double") - grand_term
+    ssw = F.col("ss_all").cast("double") - F.col("term_sum").cast("double")
+    kd = F.col("k").cast("double")
+    f_stat = (ssb / (kd - F.lit(1.0))) / (ssw / (nt - kd))
+    ss_within_g = (
+        F.col("ss_g").cast("double") - F.col("_term").cast("double")
+    )
+    return j.select(
+        F.col("g").alias("group"),
+        F.col("n_g").alias("n_group"),
+        F.col("s_g").cast("long").alias("sum_cents"),
+        (F.col("s_g").cast("double") / F.col("n_g").cast("double")).alias(
+            "mean_cents"
+        ),
+        ss_within_g.alias("ss_within_g"),
+        ssb.alias("ss_between"),
+        ssw.alias("ss_within"),
+        f_stat.alias("f_stat"),
+    ).orderBy("group")
+
+
+def kruskal_wallis(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Kruskal–Wallis H — the k-group rank ANOVA (nonparametric
+    sibling of anova_oneway, k-group generalization of
+    mannwhitney_u), with midrank tie handling and the tie-corrected
+    statistic.
+
+    Contract: value_col is integral and DOMAIN-bounded (the
+    ks_group_vs_rest contract — lengths/ratings/ages, not price-like
+    ~N-distinct columns). The fact reduces ONCE to the (group, value)
+    cell table (persisted); global inclusive cumulatives come from a
+    broadcast theta join of the bounded distinct-value grid (never a
+    global-sort window); doubled midranks r2(v) = 2·cumlt(v) + c(v)
+    + 1 keep every rank integral, so each group's doubled rank sum
+    Σ c_g(v)·r2(v) is an exact BIGINT.
+
+    Per-group rows (chi2 convention): group, n_group, rank_sum_x2,
+    mean_rank, h_term = 3·S2_g²/(n_g·N·(N+1)) — so H = Σ h_term −
+    3·(N+1), divided by the tie factor 1 − Σ(t³−t)/(N³−N) for the
+    corrected statistic; both ride along per row as closed-form IEEE
+    expressions of exact integers (documented bound: S2_g < 2^53 —
+    exact doubles below ~4·10^15, far past any per-group rank mass
+    this bench reaches).
+
+    Output: |groups| rows — group, n_group, rank_sum_x2, mean_rank,
+    h_term, h, h_corrected.
+    """
+    cells = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.col(value_col).cast("long").alias("v"),
+        )
+        .filter(F.col("g").isNotNull() & F.col("v").isNotNull())
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist_tracked()  # value totals + per-group joins read this
+    )
+    vt = (
+        cells.groupBy("v")
+        .agg(F.sum("c").cast("long").alias("cv"))
+        .persist_tracked()  # grid theta join + tie sum read this
+    )
+    grid = vt.select(F.col("v").alias("v_at"), F.col("cv").alias("c_at"))
+    cumlt = (
+        vt.join(F.broadcast(grid), F.col("v") < F.col("v_at"))
+        .groupBy("v_at")
+        .agg(F.sum("cv").cast("long").alias("cumlt"))
+    )
+    r2 = (
+        grid.join(F.broadcast(cumlt), "v_at", "left")
+        .select(
+            F.col("v_at").alias("v"),
+            (
+                F.lit(2) * F.coalesce(F.col("cumlt"), F.lit(0))
+                + F.col("c_at")
+                + F.lit(1)
+            )
+            .cast("long")
+            .alias("r2"),
+        )
+    )
+    per_g = (
+        cells.join(F.broadcast(r2), "v")
+        .groupBy("g")
+        .agg(
+            F.sum("c").cast("long").alias("n_g"),
+            F.sum(F.col("c") * F.col("r2")).cast("long").alias("s2_g"),
+        )
+        .persist_tracked()  # totals + output branches, |groups| rows
+    )
+    ties = vt.agg(
+        F.sum("cv").cast("long").alias("n_total"),
+        F.sum(F.col("cv") * F.col("cv") * F.col("cv") - F.col("cv"))
+        .cast("long")
+        .alias("tie_term"),
+    )
+    h_term = (
+        F.lit(3.0)
+        * F.col("s2_g").cast("double")
+        * F.col("s2_g").cast("double")
+        / (
+            F.col("n_g").cast("double")
+            * F.col("n_total").cast("double")
+            * (F.col("n_total").cast("double") + F.lit(1.0))
+        )
+    )
+    gq = per_g.crossJoin(F.broadcast(ties)).withColumn(
+        "_h_term", h_term.cast("decimal(28,9)")
+    )
+    tot = gq.agg(
+        F.sum("_h_term").cast("decimal(38,9)").alias("h_sum")
+    )
+    j = gq.crossJoin(F.broadcast(tot))
+    nt = F.col("n_total").cast("double")
+    h = F.col("h_sum").cast("double") - F.lit(3.0) * (nt + F.lit(1.0))
+    tie_factor = F.lit(1.0) - F.col("tie_term").cast("double") / (
+        nt * nt * nt - nt
+    )
+    return j.select(
+        F.col("g").alias("group"),
+        F.col("n_g").alias("n_group"),
+        F.col("s2_g").alias("rank_sum_x2"),
+        (
+            F.col("s2_g").cast("double")
+            / (F.lit(2.0) * F.col("n_g").cast("double"))
+        ).alias("mean_rank"),
+        F.col("_h_term").cast("double").alias("h_term"),
+        h.alias("h"),
+        (h / tie_factor).alias("h_corrected"),
+    ).orderBy("group")
+
+
+def kendall_tau_b(
+    df: DataFrame, x_col: Column, y_col: Column
+) -> DataFrame:
+    """Exact Kendall τ-b between two DOMAIN-bounded integral columns
+    — the concordant-vs-discordant-pairs rank association, with the
+    tie-corrected denominator (the third rank-correlation view next
+    to spearman_rho: τ weights each discordance equally, making it
+    the robust choice for heavy-tie ordinal pairs).
+
+    Contract: both columns are domain-bounded (quantities, day
+    deltas, ratings — |X|·|Y| cells, data-independent), because the
+    pair counting is a theta self-join of the CELL table: C = Σ over
+    cell pairs (x₁<x₂, y₁<y₂) of n₁·n₂ and D likewise with y₁>y₂ —
+    |cells|² work on a broadcast-size table, never a fact self-join.
+    The fact is scanned exactly once (groupBy into cells, persisted).
+    All pair counts are exact BIGINTs (bound n² < 2^62); τ-b is one
+    IEEE expression of them, identical in the oracle.
+
+    Output: ONE row — n_rows, concordant, discordant, ties_x_pairs,
+    ties_y_pairs, tau_b.
+    """
+    d38 = "decimal(38,0)"
+    cells = (
+        df.select(x_col.cast("long").alias("x"), y_col.cast("long").alias("y"))
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist_tracked()  # self-join sides + marginals read this
+    )
+    b = cells.select(
+        F.col("x").alias("x2"), F.col("y").alias("y2"), F.col("c").alias("c2")
+    )
+    pairs = cells.join(F.broadcast(b), F.col("x") < F.col("x2"))
+    cd = pairs.agg(
+        F.sum(
+            F.when(F.col("y") < F.col("y2"), F.col("c") * F.col("c2")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("concordant"),
+        F.sum(
+            F.when(F.col("y") > F.col("y2"), F.col("c") * F.col("c2")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("discordant"),
+    )
+    tx = (
+        cells.groupBy("x")
+        .agg(F.sum("c").cast("long").alias("t"))
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1)).cast("long").alias("tie2_x"),
+            F.sum("t").cast("long").alias("n_rows"),
+        )
+    )
+    ty = (
+        cells.groupBy("y")
+        .agg(F.sum("c").cast("long").alias("t"))
+        .agg(F.sum(F.col("t") * (F.col("t") - 1)).cast("long").alias("tie2_y"))
+    )
+    j = cd.crossJoin(F.broadcast(tx)).crossJoin(F.broadcast(ty))
+    n = F.col("n_rows").cast(d38)
+    n0x2 = n * (n - 1)  # 2·n0, keeps everything integral
+    den = F.sqrt(
+        (n0x2 - F.col("tie2_x").cast(d38)).cast("double")
+    ) * F.sqrt((n0x2 - F.col("tie2_y").cast(d38)).cast("double"))
+    return j.select(
+        "n_rows",
+        "concordant",
+        "discordant",
+        (F.col("tie2_x") / F.lit(2)).cast("long").alias("ties_x_pairs"),
+        (F.col("tie2_y") / F.lit(2)).cast("long").alias("ties_y_pairs"),
+        (
+            F.lit(2.0)
+            * (
+                F.col("concordant").cast("double")
+                - F.col("discordant").cast("double")
+            )
+            / den
+        ).alias("tau_b"),
+    )

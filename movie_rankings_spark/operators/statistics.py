@@ -494,3 +494,107 @@ def coverage_topfrac(
             "share"
         ),
     ).orderBy("pct_docs")
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    value_col,
+    weight_col,
+    quantiles: tuple = ((25, 100), (50, 100), (75, 100)),
+    buckets: int | None = None,
+) -> DataFrame:
+    """Exact WEIGHTED quantiles without a global sort — "the price
+    below which half the shipped QUANTITY sits", the inventory /
+    revenue-mass view that unweighted percentiles misstate whenever
+    weight correlates with value.
+
+    Definition (integer-exact, no float thresholds): quantile
+    q = num/den is the smallest value v whose inclusive cumulative
+    weight satisfies den·cumw(v) ≥ num·W — the left-continuous
+    weighted quantile, compared by integer cross-multiplication in
+    both engines.
+
+    Shape: the quantile_rank_map two-pass, cumulating WEIGHT instead
+    of row count — distinct-value weight table (one map-side-combined
+    shuffle), approx_percentile bounds place buckets (placement
+    heuristic, every weight below exact), per-bucket windows +
+    driver-prefix-summed offsets give exact global cumw in parallel;
+    all requested quantiles then reduce the |V|-row cum table in one
+    aggregate. Never an Exchange SinglePartition window.
+
+    Output: one row per quantile — q_num, q_den, value, cum_weight,
+    total_weight, ordered by q_num/q_den ascending.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    n = buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n = max(1, min(int(n), 4096))
+
+    rows = df.select(
+        value_col.cast("long").alias("v"), weight_col.cast("long").alias("w")
+    ).filter(F.col("v").isNotNull() & F.col("w").isNotNull())
+    vc = (
+        rows.groupBy("v")
+        .agg(F.sum("w").cast("long").alias("ws"))
+        .persist_tracked()  # bounds + bucket totals + windows read this
+    )
+    if n > 1:
+        bounds = vc.agg(
+            F.percentile_approx(
+                "v", F.lit([i / n for i in range(1, n)]), F.lit(10_000)
+            ).alias("b")
+        ).collect()[0]["b"]
+    else:
+        bounds = []
+    bounds = sorted(set(bounds or []))
+    bucket = (
+        F.size(F.filter(F.lit(bounds), lambda b: F.col("v") > b))
+        if bounds
+        else F.lit(0)
+    )
+    vb = vc.withColumn("_bucket", bucket)
+    totals = {
+        r["_bucket"]: r["t"]
+        for r in vb.groupBy("_bucket")
+        .agg(F.sum("ws").cast("long").alias("t"))
+        .collect()
+    }
+    offsets, running = [], 0
+    for b in range(len(bounds) + 1):
+        offsets.append((b, running))
+        running += totals.get(b, 0)
+    total_w = running
+    off = spark.createDataFrame(offsets, "_bucket int, _offset long")
+    w = Window.partitionBy("_bucket").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        vb.withColumn("_cw", F.sum("ws").over(w))
+        .join(F.broadcast(off), "_bucket")
+        .select(
+            "v",
+            (F.col("_offset") + F.col("_cw")).cast("long").alias("cumw"),
+        )
+    )
+    picks = [
+        F.min(
+            F.when(
+                F.col("cumw") * F.lit(int(den)) >= F.lit(int(num) * total_w),
+                F.struct(F.col("v"), F.col("cumw")),
+            )
+        ).alias(f"_q{i}")
+        for i, (num, den) in enumerate(quantiles)
+    ]
+    m = cum.agg(*picks)
+    out = None
+    for i, (num, den) in enumerate(quantiles):
+        row = m.select(
+            F.lit(int(num)).cast("int").alias("q_num"),
+            F.lit(int(den)).cast("int").alias("q_den"),
+            F.col(f"_q{i}.v").alias("value"),
+            F.col(f"_q{i}.cumw").alias("cum_weight"),
+            F.lit(int(total_w)).cast("long").alias("total_weight"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy(F.col("q_num").cast("double") / F.col("q_den"))

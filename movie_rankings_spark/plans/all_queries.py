@@ -21,66 +21,16 @@ import movie_rankings_spark.plans.warehouse_queries  # noqa: F401
 from movie_rankings_spark.plans.registry import REGISTRY
 
 #: The correctness harness walks queries() in dict order and records
-#: a row for the first ~50 only; r1-r4 samples together covered 159
-#: of the 216 registered queries, leaving 57 with no driver row.
-#: This head is the r5 rotation (regenerated from CORRECTNESS_r01-r04
-#: at round start): never-driver-checked ORACLE-BACKED batch queries
-#: first, then the never-checked streaming tail (oracle-backed, ~1-5 s
-#: each), then rows-only entries (their driver row is the weaker
-#: check). Regenerate next round from CORRECTNESS_r05.json.
+#: a row for the first ~50 only; the r1-r5 samples together covered
+#: 209 of the 238 queries registered through r5. This head is the r6
+#: rotation (regenerated from CORRECTNESS_r05.json at round start):
+#: the 16 never-driver-checked stream_* queries first (oracle-backed,
+#: ~1-5 s each), then the r6 additions (never sampled by definition),
+#: then the never-checked rows-only tail (their driver row is the
+#: weaker check). After r6's sample lands, cumulative driver coverage
+#: is 239/239. Regenerate next round from CORRECTNESS_r06.json.
 _UNSEEN_FIRST = (
-    # never driver-checked, oracle-backed batch
-    "decay_user_activity",
-    "similarity_tfidf_topk",
-    "triangles_copurchase",
-    "cogroup_asof_purchase",
-    "embedding_covariance",
-    "skew_profile_join_keys",
-    "dedup_jaccard_prefix",
-    "classifier_doc_scores",
-    "decontaminate_bloom_gate",
-    "cms_word_frequency",
-    "basket_association_rules",
-    "drift_train_val_js",
-    "histogram_equidepth_price",
-    "sample_k_per_lang",
-    "dedup_cluster_reps_star",
-    "bitmap_users_rollup",
-    "session_paths_top",
-    "quantile_normalize_price",
-    "knn_label_propagation",
-    "classifier_auc_eval",
-    "anomaly_rolling_zscore",
-    "quality_filtered_per_lang",
-    "active_users_rolling",
-    "session_transition_matrix",
-    "winsorized_mean_price",
-    "histogram2d_qty_price",
-    "pagerank_copurchase",
-    "similarity_mmr_topk",
-    "join_size_cms_events",
-    "histogram_rollup_events",
-    "flagship_fuzzy_resolved",
-    "bootstrap_mean_ci_orders",
-    "mi_lang_source",
-    "topmovers_segment_monthly",
-    "kappa_quality_raters",
-    "coverage_topdoc_chars",
-    "ks_price_priority",
-    "mannwhitney_price_priority",
-    "benford_totalprice",
-    "spearman_qty_price",
-    "acf_daily_revenue",
-    "changepoint_daily_revenue",
-    "search_hybrid_rrf",
-    "abtest_conversion_events",
-    "drift_train_val_psi",
-    "stream_psi_monitor",
-    "embedding_jl_rademacher",
-    "centrality_harmonic_hubs",
-    "ks_source_length_profiles",
     # never driver-checked streaming (oracle-backed)
-    "stream_running_topk_users",
     "stream_session_dynamic_gap",
     "stream_dedup_then_window",
     "stream_sliding_6h",
@@ -97,6 +47,15 @@ _UNSEEN_FIRST = (
     "stream_cms_maintained",
     "stream_bitmap_users_rollup",
     "stream_histogram_rollup",
+    # r6 additions / semantics changed in r6 (re-sample)
+    "stream_transform_with_state",
+    "dedup_embedding_lsh",
+    "approx_distinct_parts",
+    "welch_price_priority",
+    "anova_price_returnflag",
+    "kruskal_doclen_source",
+    "kendall_qty_shipdelay",
+    "weighted_price_quantiles",
     # never driver-checked rows-only (weaker driver row)
     "approx_percentiles_price",
     "similarity_ivf_kmeans_topk",

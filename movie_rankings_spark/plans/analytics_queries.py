@@ -635,30 +635,70 @@ def profile_columns_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@REGISTRY.register("profile_columns_orders_approx")  # HLL NDV: rows-only
+# Bounded-error oracle (r6, VERDICT r5 item 4): HLL estimates are
+# engine-specific, but approx_count_distinct's published error is not
+# (default rsd 0.05; 3σ ⇒ 15 %). The query joins the one-scan approx
+# profile to the exact-NDV pass and asserts |approx − exact| ≤
+# 0.15·exact per column; DuckDB asserts the contract as literal TRUE
+# over the exact profile, so a hash match proves the bound held. The
+# exact columns (counts/min/max) hash-compare as before.
+_PROFILE_APPROX_ORACLE = _PROFILE_ORACLE.replace(
+    'CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,',
+    "TRUE AS ndv_in_bound,",
+).replace("CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),", "TRUE,").replace(
+    "CAST(COUNT(DISTINCT o_orderkey) AS BIGINT),", "TRUE,"
+).replace(
+    "CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),", "TRUE,"
+).replace(
+    "CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),", "TRUE,"
+).replace(
+    "CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),", "TRUE,"
+)
+
+
+@REGISTRY.register("profile_columns_orders_approx", _PROFILE_APPROX_ORACLE)
 def profile_columns_orders_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB form of profile_columns_orders (r4, VERDICT item 7):
     approx_count_distinct folded into the single grouping-free
     aggregate — exactly ONE scan of the fact, no Expand, no stacked
-    explode, identical output schema. Rows-only registration (HLL
-    estimates are engine-specific); NDV accuracy vs the exact pass
-    and the one-scan plan shape are pinned in
-    tests/test_session4_ops.py."""
+    explode. r6: the HLL estimate column is audited in-query against
+    the exact NDV pass (see _PROFILE_APPROX_ORACLE) — the audit join
+    is 6 rows. The one-scan approx plan shape and NDV accuracy are
+    additionally pinned in tests/test_session4_ops.py."""
     from movie_rankings_spark.operators.profiling import column_profile
 
     ident = lambda c: c  # noqa: E731
     dec4 = lambda c: c.cast("decimal(18,4)")  # noqa: E731
-    return column_profile(
-        _t(spark, sf_dir, "orders"),
-        {
-            "o_orderkey": ident,
-            "o_custkey": ident,
-            "o_orderstatus": ident,
-            "o_totalprice": dec4,
-            "o_orderdate": ident,
-            "o_orderpriority": ident,
-        },
-        exact=False,
+    renders = {
+        "o_orderkey": ident,
+        "o_custkey": ident,
+        "o_orderstatus": ident,
+        "o_totalprice": dec4,
+        "o_orderdate": ident,
+        "o_orderpriority": ident,
+    }
+    orders = _t(spark, sf_dir, "orders")
+    approx = column_profile(orders, renders, exact=False)
+    exact_ndv = column_profile(orders, renders, exact=True).select(
+        "column", F.col("n_distinct").alias("_ndv_exact")
+    )
+    return (
+        approx.join(exact_ndv, "column")
+        .select(
+            "column",
+            "n_rows",
+            "n_nulls",
+            (
+                F.abs(
+                    F.col("n_distinct").cast("double")
+                    - F.col("_ndv_exact").cast("double")
+                )
+                <= 0.15 * F.col("_ndv_exact").cast("double")
+            ).alias("ndv_in_bound"),
+            "min_value",
+            "max_value",
+        )
+        .orderBy("column")
     )
 
 
@@ -1678,4 +1718,277 @@ def abtest_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         wilson(ra, na, F.lit(1.0)).alias("wilson_hi_a"),
         wilson(rb, nb, F.lit(-1.0)).alias("wilson_lo_b"),
         wilson(rb, nb, F.lit(1.0)).alias("wilson_hi_b"),
+    )
+
+
+# --- r6 inference tier: Welch t / ANOVA / Kruskal-Wallis / Kendall ----------
+
+_WELCH_ORACLE = """
+WITH r AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS a,
+         CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS b
+  FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+), m AS (
+  SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb,
+         CAST(SUM(CASE WHEN a = 1 THEN CAST(v AS HUGEINT) ELSE 0 END)
+              AS HUGEINT) AS sa,
+         CAST(SUM(CASE WHEN b = 1 THEN CAST(v AS HUGEINT) ELSE 0 END)
+              AS HUGEINT) AS sb,
+         CAST(SUM(CASE WHEN a = 1 THEN CAST(v AS HUGEINT) * v ELSE 0 END)
+              AS HUGEINT) AS saa,
+         CAST(SUM(CASE WHEN b = 1 THEN CAST(v AS HUGEINT) * v ELSE 0 END)
+              AS HUGEINT) AS sbb
+  FROM r
+), d AS (
+  SELECT na, nb,
+         CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS mean_a,
+         CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mean_b,
+         CAST(na * saa - sa * sa AS DOUBLE)
+           / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0)) AS var_a,
+         CAST(nb * sbb - sb * sb AS DOUBLE)
+           / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0)) AS var_b
+  FROM m
+), s AS (
+  SELECT *, var_a / CAST(na AS DOUBLE) AS se2a,
+         var_b / CAST(nb AS DOUBLE) AS se2b
+  FROM d
+)
+SELECT na AS n_a, nb AS n_b, mean_a, mean_b, var_a, var_b,
+       (mean_a - mean_b) / sqrt(se2a + se2b) AS t_stat,
+       ((se2a + se2b) * (se2a + se2b))
+         / (se2a * se2a / (CAST(na AS DOUBLE) - 1.0)
+            + se2b * se2b / (CAST(nb AS DOUBLE) - 1.0)) AS df
+FROM s
+"""
+
+
+@REGISTRY.register("welch_price_priority", _WELCH_ORACLE)
+def welch_price_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on mean o_totalprice (cents),
+    1-URGENT vs 5-LOW — the parametric companion to the
+    mannwhitney_price_priority rank test on the identical contrast
+    (rank dominance and mean difference can disagree; pipelines
+    report both). One conditional aggregate, exact DECIMAL moments,
+    shared IEEE closed form (operators/disttests.py::welch_t_test).
+    """
+    from movie_rankings_spark.operators.disttests import welch_t_test
+
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    cents = F.round(F.col("o_totalprice") * F.lit(100)).cast("long")
+    return welch_t_test(
+        orders,
+        cents,
+        (F.col("o_orderpriority") == "1-URGENT").cast("int"),
+        (F.col("o_orderpriority") == "5-LOW").cast("int"),
+    )
+
+
+_ANOVA_ORACLE = """
+WITH r AS (
+  SELECT l_returnflag AS g,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL
+), pg AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(CAST(v AS HUGEINT)) AS HUGEINT) AS s_g,
+         CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT) AS ss_g
+  FROM r GROUP BY g
+), gq AS (
+  SELECT *, CAST(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+                 / CAST(n_g AS DOUBLE) AS DECIMAL(28,0)) AS term
+  FROM pg
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n_g) AS BIGINT) AS n_total,
+         CAST(SUM(s_g) AS HUGEINT) AS s_all,
+         CAST(SUM(ss_g) AS HUGEINT) AS ss_all,
+         CAST(SUM(term) AS DECIMAL(38,0)) AS term_sum
+  FROM gq
+), fin AS (
+  SELECT CAST(term_sum AS DOUBLE)
+           - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE)
+             / CAST(n_total AS DOUBLE) AS ssb,
+         CAST(ss_all AS DOUBLE) - CAST(term_sum AS DOUBLE) AS ssw,
+         CAST(k AS DOUBLE) AS kd, CAST(n_total AS DOUBLE) AS ntd
+  FROM tot
+)
+SELECT g AS "group", n_g AS n_group,
+       CAST(s_g AS BIGINT) AS sum_cents,
+       CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE) AS mean_cents,
+       CAST(ss_g AS DOUBLE) - CAST(term AS DOUBLE) AS ss_within_g,
+       ssb AS ss_between, ssw AS ss_within,
+       (ssb / (kd - 1.0)) / (ssw / (ntd - kd)) AS f_stat
+FROM gq CROSS JOIN fin ORDER BY "group"
+"""
+
+
+@REGISTRY.register("anova_price_returnflag", _ANOVA_ORACLE)
+def anova_price_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of l_extendedprice (cents) across the three
+    l_returnflag groups — the k-group generalization of the Welch
+    contrast: per-group means/SS plus the global F, every number a
+    closed form over exact DECIMAL moments with the cross-group
+    summation quantized (order-independent)
+    (operators/disttests.py::anova_oneway)."""
+    from movie_rankings_spark.operators.disttests import anova_oneway
+
+    return anova_oneway(
+        _t(spark, sf_dir, "lineitem"),
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * F.lit(100)).cast("long"),
+    )
+
+
+_KRUSKAL_ORACLE = """
+WITH cells AS (
+  SELECT source AS g, CAST(n_chars AS BIGINT) AS v,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents
+  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+  GROUP BY 1, 2
+), vt AS (
+  SELECT v, CAST(SUM(c) AS BIGINT) AS cv FROM cells GROUP BY v
+), r2 AS (
+  SELECT v, CAST(2 * (SUM(cv) OVER (ORDER BY v) - cv) + cv + 1
+              AS BIGINT) AS r2
+  FROM vt
+), pg AS (
+  SELECT g, CAST(SUM(c) AS BIGINT) AS n_g,
+         CAST(SUM(c * r2.r2) AS BIGINT) AS s2
+  FROM cells JOIN r2 USING (v) GROUP BY g
+), t AS (
+  SELECT CAST(SUM(cv) AS BIGINT) AS nt,
+         CAST(SUM(cv * cv * cv - cv) AS BIGINT) AS tie
+  FROM vt
+), hterm AS (
+  SELECT g, n_g, s2, nt, tie,
+         CAST(3.0 * CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+              / (CAST(n_g AS DOUBLE) * CAST(nt AS DOUBLE)
+                 * (CAST(nt AS DOUBLE) + 1.0)) AS DECIMAL(28,9)) AS ht
+  FROM pg CROSS JOIN t
+), hs AS (
+  SELECT CAST(SUM(ht) AS DECIMAL(38,9)) AS hsum FROM hterm
+)
+SELECT g AS "group", n_g AS n_group, s2 AS rank_sum_x2,
+       CAST(s2 AS DOUBLE) / (2.0 * CAST(n_g AS DOUBLE)) AS mean_rank,
+       CAST(ht AS DOUBLE) AS h_term,
+       CAST(hsum AS DOUBLE) - 3.0 * (CAST(nt AS DOUBLE) + 1.0) AS h,
+       (CAST(hsum AS DOUBLE) - 3.0 * (CAST(nt AS DOUBLE) + 1.0))
+         / (1.0 - CAST(tie AS DOUBLE)
+                  / (CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE)
+                     * CAST(nt AS DOUBLE) - CAST(nt AS DOUBLE)))
+         AS h_corrected
+FROM hterm CROSS JOIN hs ORDER BY "group"
+"""
+
+
+@REGISTRY.register("kruskal_doclen_source", _KRUSKAL_ORACLE)
+def kruskal_doclen_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across ALL sources' document-length
+    distributions at once — the k-group rank ANOVA closing the
+    inference matrix (KS screens shape pairwise, MWU ranks two
+    groups, this ranks k): does ANY source's length profile sit
+    systematically higher? Domain-bounded lengths, broadcast grid
+    cumulatives, exact doubled midranks
+    (operators/disttests.py::kruskal_wallis)."""
+    from movie_rankings_spark.operators.disttests import kruskal_wallis
+
+    return kruskal_wallis(_t(spark, sf_dir, "documents"), "source", "n_chars")
+
+
+_KENDALL_ORACLE = """
+WITH cells AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         CAST(round(l_discount * 100) AS BIGINT) AS y,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2
+), cd AS (
+  SELECT CAST(SUM(CASE WHEN a.y < b.y THEN a.c * b.c ELSE 0 END)
+              AS BIGINT) AS conc,
+         CAST(SUM(CASE WHEN a.y > b.y THEN a.c * b.c ELSE 0 END)
+              AS BIGINT) AS disc
+  FROM cells a JOIN cells b ON a.x < b.x
+), tx AS (
+  SELECT CAST(SUM(t * (t - 1)) AS BIGINT) AS tie2x,
+         CAST(SUM(t) AS BIGINT) AS n
+  FROM (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cells GROUP BY x)
+), ty AS (
+  SELECT CAST(SUM(t * (t - 1)) AS BIGINT) AS tie2y
+  FROM (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cells GROUP BY y)
+)
+SELECT n AS n_rows, conc AS concordant, disc AS discordant,
+       CAST(tie2x // 2 AS BIGINT) AS ties_x_pairs,
+       CAST(tie2y // 2 AS BIGINT) AS ties_y_pairs,
+       2.0 * (CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE))
+         / (sqrt(CAST(CAST(n AS HUGEINT) * (n - 1) - tie2x AS DOUBLE))
+            * sqrt(CAST(CAST(n AS HUGEINT) * (n - 1) - tie2y AS DOUBLE)))
+         AS tau_b
+FROM cd CROSS JOIN tx CROSS JOIN ty
+"""
+
+
+@REGISTRY.register("kendall_qty_shipdelay", _KENDALL_ORACLE)
+def kendall_qty_shipdelay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Kendall tau-b between order-line quantity and discount
+    percent — do bigger lines get deeper discounts? Both columns are
+    domain-bounded (1-50 × 0-10), so concordant/discordant pairs come
+    from a broadcast theta self-join of the tiny cell table, never a
+    fact self-join (operators/disttests.py::kendall_tau_b)."""
+    from movie_rankings_spark.operators.disttests import kendall_tau_b
+
+    li = _t(spark, sf_dir, "lineitem")
+    return kendall_tau_b(
+        li,
+        F.col("l_quantity"),
+        F.round(F.col("l_discount") * F.lit(100)),
+    )
+
+
+# --- r6: exact weighted quantiles (quantity-weighted price mass) ------------
+
+_WQUANT_ORACLE = """
+WITH vc AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS ws
+  FROM lineitem GROUP BY 1
+), c AS (
+  SELECT v, CAST(SUM(ws) OVER (ORDER BY v) AS BIGINT) AS cumw FROM vc
+), t AS (
+  SELECT CAST(SUM(ws) AS BIGINT) AS W FROM vc
+), q AS (
+  SELECT * FROM (VALUES (25, 100), (50, 100), (75, 100)) AS z(qn, qd)
+), hit AS (
+  SELECT q.qn, q.qd, c.v, c.cumw, t.W,
+         ROW_NUMBER() OVER (PARTITION BY q.qn, q.qd ORDER BY c.v) AS rn
+  FROM q CROSS JOIN c CROSS JOIN t
+  WHERE c.cumw * q.qd >= q.qn * t.W
+)
+SELECT CAST(qn AS INT) AS q_num, CAST(qd AS INT) AS q_den,
+       v AS value, cumw AS cum_weight, W AS total_weight
+FROM hit WHERE rn = 1
+ORDER BY CAST(qn AS DOUBLE) / qd
+"""
+
+
+@REGISTRY.register("weighted_price_quantiles", _WQUANT_ORACLE)
+def weighted_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted quartiles of l_extendedprice (cents): the
+    price below which 25/50/75 % of shipped UNITS sit — the
+    inventory-mass view that the unweighted percentiles_lineitem_price
+    misstates wherever quantity correlates with price. Exact
+    left-continuous weighted quantiles by integer cross-
+    multiplication, bucketed two-pass cumulative — never a global
+    sort (operators/statistics.py::weighted_quantiles)."""
+    from movie_rankings_spark.operators.statistics import weighted_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    return weighted_quantiles(
+        li,
+        F.round(F.col("l_extendedprice") * F.lit(100)),
+        F.col("l_quantity"),
     )

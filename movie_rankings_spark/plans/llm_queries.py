@@ -271,14 +271,52 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@REGISTRY.register("dedup_embedding_lsh")  # ANN candidates: recall<1 by design
+# Recall-gate oracle (r6, VERDICT r5 item 4): the LSH candidate SET
+# depends on the hyperplane seed and is engine-specific, but its
+# recall against the exact pair set is a checkable contract. The
+# exact pairs come from the same all-pairs SQL dedup_embedding_cosine
+# already hash-matches; the query emits |exact| (hash-compared) and a
+# boolean asserting LSH recall ≥ 0.8 — the same floor
+# tests/test_dedup.py pins — which DuckDB asserts as literal TRUE.
+# (embedding_lsh_pairs exact-verifies its candidates, so its output
+# is a subset of the exact pairs: recall = |lsh| / |exact|.)
+_EMB_LSH_GATE_ORACLE = f"""
+WITH n AS (
+  SELECT vec_id, embedding, {_EMB_NORM_SQL} AS nrm FROM embeddings
+), exact_pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+  WHERE CAST(list_sum(list_transform(range(1, len(a.embedding) + 1),
+             i -> CAST(CAST(a.embedding[i] AS DOUBLE)
+                       * CAST(b.embedding[i] AS DOUBLE)
+                  AS DECIMAL(28,12)))) AS DOUBLE) / (a.nrm * b.nrm) >= 0.45
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs, TRUE AS recall_ok
+FROM exact_pairs
+"""
+
+
+@REGISTRY.register("dedup_embedding_lsh", _EMB_LSH_GATE_ORACLE)
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH near-dup (rows-only: candidate recall < 1
-    by construction; recall vs the exact variant is asserted in
-    tests/test_dedup.py)."""
-    return dedup.embedding_lsh_pairs(
-        _emb(spark, sf_dir), threshold=0.45, n_bits=64, bands=16
-    ).orderBy("vec_a", "vec_b")
+    """Random-hyperplane LSH near-dup, audited against the exact
+    variant: candidate recall < 1 by construction, so the registered
+    row is the recall GATE (see _EMB_LSH_GATE_ORACLE), not the
+    seed-dependent pair list. The pair-level behavior stays pinned in
+    tests/test_dedup.py (planted boundary pairs + seed stability)."""
+    emb = _emb(spark, sf_dir)
+    lsh_n = dedup.embedding_lsh_pairs(
+        emb, threshold=0.45, n_bits=64, bands=16
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_lsh"))
+    exact_n = dedup.embedding_cosine_pairs(emb, threshold=0.45).agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact_pairs")
+    )
+    return exact_n.crossJoin(F.broadcast(lsh_n)).select(
+        "n_exact_pairs",
+        (
+            F.col("n_lsh").cast("double")
+            >= 0.8 * F.col("n_exact_pairs").cast("double")
+        ).alias("recall_ok"),
+    )
 
 
 # Exact oracle: same edge set as _NGRAM_ORACLE — the Spark side feeds

@@ -664,29 +664,59 @@ def from_json_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- A: approx percentile (sketch path) ------------------------------------
 
+# Bounded-error oracle (r6, VERDICT r5 item 4): the sketch VALUES are
+# engine-specific, but the sketch's published guarantee is not —
+# percentile_approx(accuracy=A) bounds rank error by n/A. The query
+# therefore emits, per group, the exact n plus one boolean per
+# percentile asserting the approx value lies between the exact
+# quantiles at p ± 4/A (4× slack over the published 1/A absorbs the
+# rank-convention off-by-ones between the sketch's element ranks and
+# interpolated quantiles). DuckDB asserts the same contract as
+# literal TRUE — a hash match PROVES the bound held, turning the
+# former rows-only row into a real correctness gate.
+_APPROX_PCT_ORACLE = """
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       TRUE AS p25_in_bound, TRUE AS p50_in_bound, TRUE AS p75_in_bound
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
 
-@REGISTRY.register("approx_percentiles_price")  # sketch: engine-specific
+
+@REGISTRY.register("approx_percentiles_price", _APPROX_PCT_ORACLE)
 def approx_percentiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile: the one-pass mergeable-sketch path that
-    replaces exact sort-based percentiles at 100 TB (rows-only check —
-    sketch estimates are engine-specific; accuracy vs the exact
-    variant is bounded in tests)."""
+    replaces exact sort-based percentiles at 100 TB, audited against
+    its own published rank-error bound (see _APPROX_PCT_ORACLE). The
+    exact bounding quantiles are computed in the same aggregate — at
+    audit scale that cost is the point; the production path is the
+    sketch alone."""
     li = _t(spark, sf_dir, "lineitem")
-    pct = F.percentile_approx(
-        "l_extendedprice", F.lit([0.25, 0.5, 0.75]), F.lit(10_000)
+    acc = 10_000
+    slack = 4.0 / acc
+    ps = [0.25, 0.5, 0.75]
+    pct = F.percentile_approx("l_extendedprice", F.lit(ps), F.lit(acc))
+    lo = F.percentile(
+        "l_extendedprice", F.lit([max(0.0, p - slack) for p in ps])
     )
-    return (
-        li.groupBy("l_returnflag")
-        .agg(pct.alias("_p"), F.count(F.lit(1)).alias("n_lines"))
-        .select(
-            "l_returnflag",
-            F.col("_p")[0].alias("p25"),
-            F.col("_p")[1].alias("p50"),
-            F.col("_p")[2].alias("p75"),
-            "n_lines",
-        )
-        .orderBy("l_returnflag")
+    hi = F.percentile(
+        "l_extendedprice", F.lit([min(1.0, p + slack) for p in ps])
     )
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        pct.alias("_a"),
+        lo.alias("_lo"),
+        hi.alias("_hi"),
+    )
+    in_bound = lambda i: (  # noqa: E731
+        (F.col("_a")[i].cast("double") >= F.col("_lo")[i].cast("double"))
+        & (F.col("_a")[i].cast("double") <= F.col("_hi")[i].cast("double"))
+    )
+    return g.select(
+        "l_returnflag",
+        "n_lines",
+        in_bound(0).alias("p25_in_bound"),
+        in_bound(1).alias("p50_in_bound"),
+        in_bound(2).alias("p75_in_bound"),
+    ).orderBy("l_returnflag")
 
 
 # --- J2/scalar subquery: top supplier (TPC-H Q15 shape) --------------------

@@ -132,3 +132,167 @@ def test_benford_expected_constants_are_log10():
     for d, e in BENFORD_EXPECTED.items():
         assert abs(e - math.log10(1 + 1 / d)) < 1e-15
     assert abs(sum(BENFORD_EXPECTED.values()) - 1.0) < 1e-12
+
+
+def test_welch_matches_numpy_reference(spark):
+    rng = np.random.RandomState(11)
+    a = rng.randint(100, 10_000, 80)
+    b = rng.randint(200, 12_000, 65)
+    rows = [(int(v), 1, 0) for v in a] + [(int(v), 0, 1) for v in b]
+    df = spark.createDataFrame(rows, "v long, a int, b int")
+    from movie_rankings_spark.operators.disttests import welch_t_test
+
+    [r] = welch_t_test(df, F.col("v"), F.col("a"), F.col("b")).collect()
+    ma, mb = a.mean(), b.mean()
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    se2a, se2b = va / len(a), vb / len(b)
+    t = (ma - mb) / math.sqrt(se2a + se2b)
+    df_ref = (se2a + se2b) ** 2 / (
+        se2a**2 / (len(a) - 1) + se2b**2 / (len(b) - 1)
+    )
+    assert (r["n_a"], r["n_b"]) == (80, 65)
+    assert abs(r["mean_a"] - ma) < 1e-9
+    assert abs(r["var_a"] - va) < 1e-6
+    assert abs(r["t_stat"] - t) < 1e-10
+    assert abs(r["df"] - df_ref) < 1e-8
+
+
+def test_welch_excludes_null_values(spark):
+    rows = [(5, 1, 0), (None, 1, 0), (7, 0, 1), (9, 0, 1)]
+    df = spark.createDataFrame(rows, "v long, a int, b int")
+    from movie_rankings_spark.operators.disttests import welch_t_test
+
+    [r] = welch_t_test(df, F.col("v"), F.col("a"), F.col("b")).collect()
+    assert (r["n_a"], r["n_b"]) == (1, 2)
+    # degenerate group (n_a = 1): statistics are NULL, never an error
+    assert r["var_a"] is None and r["t_stat"] is None
+
+
+def test_anova_matches_numpy_reference(spark):
+    rng = np.random.RandomState(7)
+    groups = {
+        "a": rng.randint(10, 500, 40),
+        "b": rng.randint(50, 700, 55),
+        "c": rng.randint(5, 300, 30),
+    }
+    rows = [(g, int(v)) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    from movie_rankings_spark.operators.disttests import anova_oneway
+
+    out = {r["group"]: r for r in anova_oneway(df, "g", F.col("v")).collect()}
+    allv = np.concatenate(list(groups.values())).astype(float)
+    grand = allv.mean()
+    ssb = sum(len(v) * (v.mean() - grand) ** 2 for v in groups.values())
+    ssw = sum(((v - v.mean()) ** 2).sum() for v in groups.values())
+    k, n = len(groups), len(allv)
+    f_ref = (ssb / (k - 1)) / (ssw / (n - k))
+    for g, vs in groups.items():
+        r = out[g]
+        assert r["n_group"] == len(vs)
+        assert r["sum_cents"] == int(vs.sum())
+        assert abs(r["mean_cents"] - vs.mean()) < 1e-9
+        # scale-0 term quantization: within 1 count² per group
+        assert abs(r["ss_within_g"] - ((vs - vs.mean()) ** 2).sum()) < 1.0
+        assert abs(r["ss_between"] - ssb) < 2.0
+        assert abs(r["ss_within"] - ssw) < 2.0
+        assert abs(r["f_stat"] - f_ref) < 1e-3
+
+
+def test_kruskal_matches_rank_reference(spark):
+    rng = np.random.RandomState(3)
+    groups = {
+        "x": rng.randint(0, 30, 25),
+        "y": rng.randint(5, 35, 40),
+        "z": rng.randint(0, 20, 15),
+    }
+    rows = [(g, int(v)) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    from movie_rankings_spark.operators.disttests import kruskal_wallis
+
+    out = {
+        r["group"]: r for r in kruskal_wallis(df, "g", "v").collect()
+    }
+    import pandas as pd
+
+    allv = pd.Series(np.concatenate(list(groups.values())))
+    ranks = allv.rank(method="average")
+    n = len(allv)
+    idx = 0
+    h = 0.0
+    for g, vs in groups.items():
+        rsum = float(ranks.iloc[idx : idx + len(vs)].sum())
+        idx += len(vs)
+        assert out[g]["rank_sum_x2"] == int(round(2 * rsum))
+        assert abs(out[g]["mean_rank"] - rsum / len(vs)) < 1e-9
+        h += rsum**2 / len(vs)
+    h = 12.0 / (n * (n + 1)) * h - 3 * (n + 1)
+    _, counts = np.unique(allv.to_numpy(), return_counts=True)
+    tie = float((counts**3 - counts).sum())
+    h_corr = h / (1 - tie / (n**3 - n))
+    any_row = next(iter(out.values()))
+    assert abs(any_row["h"] - h) < 1e-6
+    assert abs(any_row["h_corrected"] - h_corr) < 1e-6
+
+
+def test_kendall_matches_bruteforce(spark):
+    rng = np.random.RandomState(5)
+    x = rng.randint(0, 8, 120)
+    y = rng.randint(0, 6, 120)
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(x, y)], "x long, y long"
+    )
+    from movie_rankings_spark.operators.disttests import kendall_tau_b
+
+    [r] = kendall_tau_b(df, F.col("x"), F.col("y")).collect()
+    conc = disc = tx = ty = 0
+    n = len(x)
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx, dy = x[i] - x[j], y[i] - y[j]
+            if dx == 0 and dy == 0:
+                tx += 1
+                ty += 1
+            elif dx == 0:
+                tx += 1
+            elif dy == 0:
+                ty += 1
+            elif (dx > 0) == (dy > 0):
+                conc += 1
+            else:
+                disc += 1
+    n0 = n * (n - 1) // 2
+    tau = (conc - disc) / math.sqrt((n0 - tx) * (n0 - ty))
+    assert (r["concordant"], r["discordant"]) == (conc, disc)
+    assert (r["ties_x_pairs"], r["ties_y_pairs"]) == (tx, ty)
+    assert abs(r["tau_b"] - tau) < 1e-12
+
+
+def test_weighted_quantiles_bruteforce(spark):
+    rng = np.random.RandomState(9)
+    vals = rng.randint(1, 200, 300)
+    wts = rng.randint(1, 9, 300)
+    df = spark.createDataFrame(
+        [(int(v), int(w)) for v, w in zip(vals, wts)], "v long, w long"
+    )
+    from movie_rankings_spark.operators.statistics import weighted_quantiles
+
+    out = {
+        (r["q_num"], r["q_den"]): r
+        for r in weighted_quantiles(df, F.col("v"), F.col("w")).collect()
+    }
+    order = np.argsort(vals, kind="stable")
+    sv, sw = vals[order], wts[order]
+    W = int(sw.sum())
+    for num, den in [(25, 100), (50, 100), (75, 100)]:
+        cum = 0
+        for v, w in zip(sv, sw):
+            cum += int(w)
+            if cum * den >= num * W:
+                # inclusive cum weight AT the chosen distinct value
+                want_v = int(v)
+                want_cum = int(sw[sv <= v].sum())
+                break
+        r = out[(num, den)]
+        assert r["value"] == want_v, (num, r)
+        assert r["cum_weight"] == want_cum
+        assert r["total_weight"] == W

@@ -174,18 +174,36 @@ def test_approx_percentiles_within_tolerance_of_exact(spark, sf_dir):
             """
         ).fetchall()
     }
+    # raw sketch values (the registered query now emits the gate
+    # booleans instead — its in-query rank-error bound is the r6
+    # oracle; this test keeps the independent 5% cross-engine anchor
+    # on the sketch VALUES)
+    from pyspark.sql import functions as F
+
+    pct = F.percentile_approx(
+        "l_extendedprice", F.lit([0.25, 0.5, 0.75]), F.lit(10_000)
+    )
     approx = {
-        r["l_returnflag"]: (r["p25"], r["p50"], r["p75"])
-        for r in all_queries.QUERIES["approx_percentiles_price"](
-            spark, sf_dir
-        ).collect()
+        r["l_returnflag"]: tuple(r["_p"])
+        for r in spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(pct.alias("_p"))
+        .collect()
     }
     for flag, ex in exact.items():
         for e, d, a in zip(ex, duck[flag], approx[flag]):
+            a = float(a)
             assert abs(e - a) / max(abs(e), 1e-9) < 0.05, (flag, ex, approx[flag])
             assert abs(float(d) - a) / max(abs(float(d)), 1e-9) < 0.05, (
                 flag, duck[flag], approx[flag],
             )
+    gates = all_queries.QUERIES["approx_percentiles_price"](
+        spark, sf_dir
+    ).collect()
+    assert gates and all(
+        r["p25_in_bound"] and r["p50_in_bound"] and r["p75_in_bound"]
+        for r in gates
+    )
 
 
 def test_q13_preserves_left_outer(spark, sf_dir):

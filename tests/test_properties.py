@@ -144,6 +144,67 @@ def test_topk_is_prefix_of_full_sort(spark):
     assert top5 == full[:5]
 
 
+# Tight rank range + small title alphabet ⇒ rank_sum ties are the
+# NORM in these examples, which is the point: the reference's pandas
+# sort is unstable under ties, ours pins (rank_sum ASC, title_comp
+# ASC), and this property proves the pinned total order can never
+# flip the top-k for either group-predicate semantics (SURVEY.md §7
+# risk register, r5 verdict item 6).
+_tied_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["src_a", "src_b", "src_c"]),
+        st.integers(0, 3).map(str),
+        st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"]),
+    ),
+    min_size=3,
+    max_size=40,
+)
+
+
+@_SETTINGS
+@given(_tied_rows)
+@pytest.mark.parametrize("distinct_sources", [False, True])
+def test_flagship_topk_tiebreak_total_order(spark, distinct_sources, rows):
+    """Spark top-k == Python reference sorted by the pinned
+    (rank_sum ASC, title_comp ASC) total order, through heavy
+    rank_sum ties, for BOTH the row-count (reference-parity) and
+    distinct-source group predicates."""
+    from movie_rankings_spark.operators.flagship import flagship
+
+    df = spark.createDataFrame(rows, "url string, rank string, title string")
+    got = [
+        (r["title_comp"], r["rank_sum"])
+        for r in flagship(
+            df,
+            n_sources=3,
+            k=3,
+            apply_aliases=False,
+            distinct_sources=distinct_sources,
+        ).collect()
+    ]
+    pdf = pd.DataFrame(rows, columns=["url", "rank", "title"])
+    pdf["rank"] = (
+        pd.to_numeric(pdf["rank"], errors="coerce").fillna(0).astype(int)
+    )
+    pdf["title_comp"] = (
+        pdf["title"]
+        .str.replace(r"[^a-zA-Z0-9 ]", "", regex=True)
+        .str.replace(r"\s{2,}", " ", regex=True)
+        .str.lower()
+    )
+    if distinct_sources:
+        kept = pdf.groupby("title_comp").filter(
+            lambda g: g["url"].nunique() == 3
+        )
+    else:
+        kept = pdf.groupby("title_comp").filter(lambda g: len(g) == 3)
+    agg = kept.groupby("title_comp")["rank"].sum()
+    want = sorted(
+        ((t, int(s)) for t, s in agg.items()), key=lambda x: (x[1], x[0])
+    )[:3]
+    assert got == want
+
+
 _events = st.lists(
     st.tuples(
         st.integers(0, 3),          # user_id (few keys -> collisions)

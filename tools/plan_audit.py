@@ -38,6 +38,11 @@ EXECUTING = {"bpe_train_merges", "logreg_train_quality", "tokenizer_encode_bpe"}
 #: tiny side (collected scalar, |labels| rows, |groups| thresholds)
 NESTED_LOOP_LEGIT = {
     "join_size_cms_events",  # 1-row exact size x 1-row sketch estimate (r5)
+    "anova_price_returnflag",  # |groups|-row table x 1-row totals (r6)
+    "kruskal_doclen_source",  # bounded distinct-value grid theta join + 1-row totals (r6)
+    "kendall_qty_shipdelay",  # |X|x|Y| cell-table theta self-join, domain-bounded (r6)
+    "dedup_embedding_lsh",  # 1-row exact-pair count x 1-row LSH count (r6 recall gate)
+    "welch_price_priority",  # 1-row moment vector (r6)
     "q11_important_parts",  # 1-row global threshold vs group sums
     "q22_global_sales_opportunity",  # 1-row avg-balance scalar
     "percentiles_lineitem_price",  # interpolation bounds vs 1-row
