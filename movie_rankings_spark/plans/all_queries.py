@@ -49,6 +49,7 @@ _UNSEEN_FIRST = (
     "stream_histogram_rollup",
     # r6 additions / semantics changed in r6 (re-sample)
     "stream_transform_with_state",
+    "stream_tws_lastk_events",
     "dedup_embedding_lsh",
     "approx_distinct_parts",
     "welch_price_priority",

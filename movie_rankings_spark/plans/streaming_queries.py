@@ -395,6 +395,65 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TWS_LASTK_ORACLE = """
+WITH r AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_seen,
+       CAST(MAX(CASE WHEN rn = 1 THEN ts_us END) AS BIGINT) AS ts1,
+       CAST(MAX(CASE WHEN rn = 1 THEN event_id END) AS BIGINT) AS id1,
+       CAST(MAX(CASE WHEN rn = 2 THEN ts_us END) AS BIGINT) AS ts2,
+       CAST(MAX(CASE WHEN rn = 2 THEN event_id END) AS BIGINT) AS id2,
+       CAST(MAX(CASE WHEN rn = 3 THEN ts_us END) AS BIGINT) AS ts3,
+       CAST(MAX(CASE WHEN rn = 3 THEN event_id END) AS BIGINT) AS id3
+FROM r GROUP BY user_id ORDER BY user_id
+"""
+
+
+@REGISTRY.register("stream_tws_lastk_events", _TWS_LASTK_ORACLE)
+def stream_tws_lastk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user top-3 most-recent events through
+    transformWithStateInPandas with a LISTSTATE (r6 — the typed-state
+    feature the lifetime query doesn't touch: a bounded per-key list
+    maintained across micro-batches, only k survivors ever stored).
+    4 micro-batches, RocksDB provider; the kept set is a total order
+    by (ts DESC, event_id DESC), so the final snapshot equals the
+    batch window — full oracle (streaming/stateful.py::
+    LastKEventsProcessor)."""
+    from pyspark.sql import Window
+
+    from movie_rankings_spark.streaming.stateful import user_lastk_tws
+
+    src = _stage_split_events(spark, sf_dir, n=4)
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(prov_key, None)
+    spark.conf.set(prov_key, _ROCKSDB_PROVIDER)
+    try:
+        stream = ev.read_events_stream(spark, src, maxFilesPerTrigger=1)
+        out = ev.run_to_batch(
+            user_lastk_tws(stream),
+            output_mode="update",
+            state_partitions=None,  # Python-state op: keep parallelism
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, prev)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_seen").desc())
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .orderBy("user_id")
+    )
+
+
 # --- streaming incremental dedup against the stored LSH index ---------------
 
 # same oracle as the batch incremental dedup: the stream's appended

@@ -118,3 +118,83 @@ def user_lifetime_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+LASTK_SCHEMA = (
+    "user_id long, n_seen long, ts1 long, id1 long, ts2 long, id2 long, "
+    "ts3 long, id3 long"
+)
+
+
+class LastKEventsProcessor(StatefulProcessor):
+    """Per-user top-3 most-recent events through a ListState — the
+    typed-state feature UserLifetimeProcessor doesn't exercise: a
+    BOUNDED per-key list maintained across micro-batches (the
+    "recent activity" panel / feature-store shape), where only the
+    k survivors are ever stored, not the event history.
+
+    Determinism: the kept set is the global top-3 by (ts_us DESC,
+    event_id DESC) — a total order, so the final state is independent
+    of how micro-batches slice the input; n_seen is strictly
+    monotone, so 'row with max n_seen' is the final snapshot. State
+    size: O(active users × k) regardless of stream length.
+    """
+
+    K = 3
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._top = handle.getListState("topk", "ts_us long, event_id long")
+        self._n = handle.getValueState("n_seen", "n long")
+
+    def handleInputRows(
+        self, key: Any, rows: Iterator[pd.DataFrame], timerValues: "TimerValues"
+    ) -> Iterator[pd.DataFrame]:
+        entries = [(int(t), int(e)) for t, e in self._top.get()]
+        n = self._n.get()[0] if self._n.exists() else 0
+        for pdf in rows:
+            n += len(pdf)
+            entries.extend(
+                zip(
+                    pdf["ts_us"].to_numpy(dtype=np.int64).tolist(),
+                    pdf["event_id"].to_numpy(dtype=np.int64).tolist(),
+                )
+            )
+            entries = sorted(entries, key=lambda p: (-p[0], -p[1]))[: self.K]
+        self._top.put([(int(t), int(e)) for t, e in entries])
+        self._n.update((n,))
+        padded = entries + [(None, None)] * (self.K - len(entries))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_seen": [n],
+                "ts1": [padded[0][0]],
+                "id1": [padded[0][1]],
+                "ts2": [padded[1][0]],
+                "id2": [padded[1][1]],
+                "ts3": [padded[2][0]],
+                "id3": [padded[2][1]],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_lastk_tws(events: DataFrame) -> DataFrame:
+    """events (streaming) -> per-user top-3-recent snapshots via
+    transformWithStateInPandas with a ListState. Caller materializes
+    with run_to_batch(output_mode='update') and keeps each user's
+    max-n_seen row. RocksDB provider, like user_lifetime_tws."""
+    from pyspark.sql import functions as F
+
+    slim = events.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+    )
+    return slim.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=LastKEventsProcessor(),
+        outputStructType=LASTK_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -57,6 +57,26 @@ class FakeMapState:
         self._m.clear()
 
 
+class FakeListState:
+    def __init__(self):
+        self._l = []
+
+    def get(self):
+        return iter(self._l)
+
+    def put(self, newState):
+        self._l = [tuple(t) for t in newState]
+
+    def appendValue(self, v):
+        self._l.append(tuple(v))
+
+    def appendList(self, vs):
+        self._l.extend(tuple(t) for t in vs)
+
+    def clear(self):
+        self._l.clear()
+
+
 class FakeHandle:
     def __init__(self):
         self.states = {}
@@ -66,6 +86,9 @@ class FakeHandle:
 
     def getMapState(self, name, kschema, vschema, ttlDurationMs=None):
         return self.states.setdefault(name, FakeMapState())
+
+    def getListState(self, name, schema, ttlDurationMs=None):
+        return self.states.setdefault(name, FakeListState())
 
 
 def _batch(ts_us, types, values):
@@ -165,3 +188,36 @@ def test_engine_end_to_end_matches_batch_aggregate(spark, sf_dir):
         )
     }
     assert out == batch
+
+
+def test_lastk_processor_slicing_invariance():
+    """LastKEventsProcessor: final top-3 equals the global top-3 by
+    (ts DESC, event_id DESC) regardless of micro-batch slicing."""
+    import numpy as np
+
+    from movie_rankings_spark.streaming.stateful import LastKEventsProcessor
+
+    rng = np.random.RandomState(6)
+    n = 120
+    ts = rng.randint(0, 50, n)  # heavy ties -> event_id tie-break matters
+    ids = rng.permutation(n)
+    p = LastKEventsProcessor()
+    p.init(FakeHandle())
+    cuts = sorted(rng.choice(range(1, n), 4, replace=False))
+    last = None
+    for lo, hi in zip([0] + cuts, cuts + [n]):
+        last = list(
+            p.handleInputRows(
+                (9,),
+                iter([pd.DataFrame({"ts_us": ts[lo:hi], "event_id": ids[lo:hi]})]),
+                None,
+            )
+        )[0]
+    want = sorted(zip(ts.tolist(), ids.tolist()), key=lambda x: (-x[0], -x[1]))[:3]
+    got = [
+        (last.iloc[0]["ts1"], last.iloc[0]["id1"]),
+        (last.iloc[0]["ts2"], last.iloc[0]["id2"]),
+        (last.iloc[0]["ts3"], last.iloc[0]["id3"]),
+    ]
+    assert last.iloc[0]["n_seen"] == n
+    assert [(int(a), int(b)) for a, b in got] == want
