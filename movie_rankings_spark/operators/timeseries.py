@@ -423,3 +423,95 @@ def cusum_changepoint(
             (F.col("_m.n_days") * F.col("_m.total_cents")).cast("double"),
         ).alias("frac"),
     )
+
+
+def exp_smooth_daily(
+    df: DataFrame,
+    day_col: str,
+    cents_col,
+    alpha: float = 0.3,
+    beta: float = 0.2,
+) -> DataFrame:
+    """EWMA + Holt linear-trend smoothing of a daily metric series —
+    the forecasting layer the diagnostics feed (acf_daily sizes the
+    persistence, cusum_changepoint finds regime breaks; this produces
+    the smoothed level, trend, and one-step-ahead forecast a
+    monitoring dashboard plots):
+
+        ewma_t  = α·x_t + (1−α)·ewma_{t−1}          (ewma_1 = x_1)
+        l_t     = α·x_t + (1−α)·(l_{t−1} + b_{t−1}) (l_1 = x_1)
+        b_t     = β·(l_t − l_{t−1}) + (1−β)·b_{t−1} (b_1 = 0)
+        forecast_next_t = l_t + b_t
+
+    Shape: the fact shuffles ONCE into the (day, Σcents) series —
+    bounded by the DATE DOMAIN — then the recurrence runs as ONE
+    codegen'd `aggregate` (left fold) over the day-sorted struct
+    array: a sequential recurrence is inherently order-dependent, and
+    the fold makes that order explicit and engine-portable WITHOUT a
+    global-sort window (the plan-audit SinglePartition tripwire; the
+    array is |days|-bounded, the same justification as acf_daily's
+    series). O(|days|²) array-append inside the fold — ~10⁶ element
+    copies at 10³ days, negligible.
+
+    Exactness: daily sums are exact BIGINTs; the recurrence is the
+    IDENTICAL IEEE double sequence in both engines (same literals,
+    same operation order, same left-fold order), so every smoothed
+    value hashes bit-for-bit — the oracle runs it as a recursive CTE.
+
+    Output: |days| rows — day (yyyy-MM-dd string, engine-portable),
+    revenue_cents, ewma, holt_level, holt_trend, forecast_next.
+    """
+    daily = (
+        df.select(F.col(day_col).alias("day"), cents_col.alias("_c"))
+        .groupBy("day")
+        .agg(F.sum("_c").cast("long").alias("rev"))
+    )
+    arr = daily.agg(
+        F.sort_array(F.collect_list(F.struct("day", "rev"))).alias("a")
+    )
+    out_t = (
+        "array<struct<day:date,rev:bigint,ewma:double,"
+        "lvl:double,trend:double>>"
+    )
+    a, b = F.lit(float(alpha)), F.lit(float(beta))
+    one_a, one_b = F.lit(1.0 - alpha), F.lit(1.0 - beta)
+
+    def step(acc, x):
+        xd = x["rev"].cast("double")
+        prev = F.element_at(acc, -1)
+        first = F.size(acc) == 0
+        ewma = F.when(first, xd).otherwise(a * xd + one_a * prev["ewma"])
+        lvl = F.when(first, xd).otherwise(
+            a * xd + one_a * (prev["lvl"] + prev["trend"])
+        )
+        trend = F.when(first, F.lit(0.0)).otherwise(
+            b * (lvl - prev["lvl"]) + one_b * prev["trend"]
+        )
+        return F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    x["day"].alias("day"),
+                    x["rev"].alias("rev"),
+                    ewma.alias("ewma"),
+                    lvl.alias("lvl"),
+                    trend.alias("trend"),
+                )
+            ),
+        )
+
+    folded = arr.select(
+        F.aggregate("a", F.array().cast(out_t), step).alias("s")
+    )
+    return (
+        folded.select(F.explode("s").alias("r"))
+        .select(
+            F.date_format("r.day", "yyyy-MM-dd").alias("day"),
+            F.col("r.rev").alias("revenue_cents"),
+            F.col("r.ewma").alias("ewma"),
+            F.col("r.lvl").alias("holt_level"),
+            F.col("r.trend").alias("holt_trend"),
+            (F.col("r.lvl") + F.col("r.trend")).alias("forecast_next"),
+        )
+        .orderBy("day")
+    )

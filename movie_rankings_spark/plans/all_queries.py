@@ -27,8 +27,10 @@ from movie_rankings_spark.plans.registry import REGISTRY
 #: the 16 never-driver-checked stream_* queries first (oracle-backed,
 #: ~1-5 s each), then the r6 additions (never sampled by definition),
 #: then the never-checked rows-only tail (their driver row is the
-#: weaker check). After r6's sample lands, cumulative driver coverage
-#: is 239/239. Regenerate next round from CORRECTNESS_r06.json.
+#: weaker check). The head is 40 entries, so a 50-row r6 sample
+#: covers every never-sampled / changed query and brings cumulative
+#: driver coverage to 247/247. Regenerate next round from
+#: CORRECTNESS_r06.json.
 _UNSEEN_FIRST = (
     # never driver-checked streaming (oracle-backed)
     "stream_session_dynamic_gap",
@@ -57,6 +59,8 @@ _UNSEEN_FIRST = (
     "kruskal_doclen_source",
     "kendall_qty_shipdelay",
     "weighted_price_quantiles",
+    "pivot_orders_status",
+    "smooth_daily_revenue",
     # never driver-checked rows-only (weaker driver row)
     "approx_percentiles_price",
     "similarity_ivf_kmeans_topk",

@@ -1992,3 +1992,58 @@ def weighted_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice") * F.lit(100)),
         F.col("l_quantity"),
     )
+
+
+# --- r6: EWMA + Holt exponential smoothing of daily revenue -----------------
+
+_SMOOTH_ORACLE = """
+WITH RECURSIVE d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders GROUP BY 1
+), i AS (
+  SELECT day, rev, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM d
+), s AS (
+  SELECT rn, day, rev, CAST(rev AS DOUBLE) AS ewma,
+         CAST(rev AS DOUBLE) AS lvl, CAST(0.0 AS DOUBLE) AS trend
+  FROM i WHERE rn = 1
+  UNION ALL
+  SELECT i.rn, i.day, i.rev,
+         0.3 * CAST(i.rev AS DOUBLE) + 0.7 * s.ewma,
+         0.3 * CAST(i.rev AS DOUBLE) + 0.7 * (s.lvl + s.trend),
+         0.2 * ((0.3 * CAST(i.rev AS DOUBLE) + 0.7 * (s.lvl + s.trend))
+                - s.lvl)
+           + 0.8 * s.trend
+  FROM i JOIN s ON i.rn = s.rn + 1
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, rev AS revenue_cents, ewma,
+       lvl AS holt_level, trend AS holt_trend,
+       lvl + trend AS forecast_next
+FROM s ORDER BY 1
+"""
+
+
+@REGISTRY.register("smooth_daily_revenue", _SMOOTH_ORACLE)
+def smooth_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA + Holt linear-trend smoothing of daily order revenue
+    (alpha=0.3, beta=0.2) — the forecasting layer over the series the
+    ACF/CUSUM diagnostics analyze: smoothed level, trend, and the
+    one-step-ahead forecast per day. The sequential recurrence runs
+    as one codegen'd left fold over the date-domain-bounded daily
+    array (never a global-sort window); the oracle replays the
+    IDENTICAL IEEE recurrence as a recursive CTE, so every smoothed
+    value hashes bit-for-bit
+    (operators/timeseries.py::exp_smooth_daily)."""
+    from movie_rankings_spark.operators.timeseries import exp_smooth_daily
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "_day", F.col("o_orderdate").cast("date")
+    )
+    return exp_smooth_daily(
+        orders,
+        "_day",
+        F.round(F.col("o_totalprice") * F.lit(100)).cast("long"),
+        alpha=0.3,
+        beta=0.2,
+    )

@@ -2440,3 +2440,51 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# --- r6: PIVOT front-end (cross-tab with explicit value list) ---------------
+
+_PIVOT_ORACLE = """
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_f,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_o,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_p,
+       CAST(COUNT(*) AS BIGINT) AS n_total
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@REGISTRY.register("pivot_orders_status", _PIVOT_ORACLE)
+def pivot_orders_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tab through the DataFrame PIVOT front-end: order counts
+    by priority × status. The explicit value list matters at scale —
+    `pivot(col)` without values runs an EXTRA distinct-collect job
+    over the fact to discover the columns, while
+    `pivot(col, [...])` compiles straight to one conditional
+    aggregate (the same plan the oracle writes by hand), keeping the
+    fact scanned exactly once with map-side combine."""
+    o = _t(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return (
+        p.join(
+            o.groupBy("o_orderpriority").agg(
+                F.count(F.lit(1)).alias("n_total")
+            ),
+            "o_orderpriority",
+        )
+        .select(
+            "o_orderpriority",
+            F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("n_f"),
+            F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("n_o"),
+            F.coalesce(F.col("P"), F.lit(0)).cast("long").alias("n_p"),
+            "n_total",
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -139,3 +139,30 @@ def test_cusum_constant_series_ties_break_earliest(spark):
     [r] = cusum_changepoint(df, "day", F.col("cents")).collect()
     assert r["cusum_num"] == 0
     assert r["change_day"] == "1995-01-01"  # earliest day on full tie
+
+
+def test_exp_smooth_matches_python_recurrence(spark):
+    from pyspark.sql import functions as F
+
+    from movie_rankings_spark.operators.timeseries import exp_smooth_daily
+
+    vals = [120, 80, 200, 150, 150, 90, 310, 5]
+    rows = [(f"2024-02-{d+1:02d}", v) for d, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "d string, v long").select(
+        F.col("d").cast("date").alias("d"), "v"
+    )
+    out = exp_smooth_daily(df, "d", F.col("v"), alpha=0.3, beta=0.2).collect()
+    ewma = lvl = float(vals[0])
+    trend = 0.0
+    for i, r in enumerate(out):
+        x = float(vals[i])
+        if i > 0:
+            ewma = 0.3 * x + 0.7 * ewma
+            new_lvl = 0.3 * x + 0.7 * (lvl + trend)
+            trend = 0.2 * (new_lvl - lvl) + 0.8 * trend
+            lvl = new_lvl
+        assert r["revenue_cents"] == vals[i]
+        assert r["ewma"] == ewma, (i, r["ewma"], ewma)
+        assert r["holt_level"] == lvl
+        assert r["holt_trend"] == trend
+        assert r["forecast_next"] == lvl + trend
