@@ -61,6 +61,7 @@ _UNSEEN_FIRST = (
     "weighted_price_quantiles",
     "pivot_orders_status",
     "smooth_daily_revenue",
+    "textrank_keywords",
     # never driver-checked rows-only (weaker driver row)
     "approx_percentiles_price",
     "similarity_ivf_kmeans_topk",

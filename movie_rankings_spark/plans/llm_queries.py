@@ -563,6 +563,102 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# TextRank keywords: the same unrolled decimal-mass PageRank chain as
+# _pagerank_oracle, over the word co-occurrence graph (adjacent-token
+# pairs, length >= 4 both sides, symmetric). The graph prefix differs;
+# the iteration CTEs are generated identically so the recurrence is
+# the same IEEE sequence the operator runs.
+def _textrank_oracle(n_iter: int = 10) -> str:
+    base = repr(1.0 - 0.85)
+    parts = [
+        """WITH toks AS (
+  SELECT string_split(text, ' ') AS ts FROM documents
+), adj AS (
+  SELECT ts[i] AS a, ts[i + 1] AS b
+  FROM toks, LATERAL unnest(range(1, len(ts))) AS r(i)
+), e0 AS (
+  SELECT DISTINCT a AS src, b AS dst FROM adj
+  WHERE len(a) >= 4 AND len(b) >= 4 AND a <> b
+), e AS (
+  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+),
+nodes AS (SELECT DISTINCT src AS node FROM e),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+w AS (SELECT e.src, e.dst, CAST(1.0 AS DOUBLE) / d.deg AS w
+      FROM e JOIN deg d USING (src)),
+r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank
+       FROM nodes)"""
+    ]
+    for k in range(1, n_iter + 1):
+        parts.append(
+            f""",
+c{k} AS (
+  SELECT w.dst,
+         SUM(CAST(round((r{k - 1}.rank * w.w) * 1e15) AS BIGINT)) AS mass
+  FROM w JOIN r{k - 1} ON w.src = r{k - 1}.node GROUP BY w.dst
+),
+r{k} AS (
+  SELECT nodes.node,
+         CAST('{base}' AS DOUBLE) / (SELECT n FROM nn)
+         + CAST(0.85 AS DOUBLE)
+           * (COALESCE(CAST(c{k}.mass AS DOUBLE), CAST(0.0 AS DOUBLE))
+                / 1e15
+              + CAST(0.0 AS DOUBLE)) AS rank
+  FROM nodes LEFT JOIN c{k} ON nodes.node = c{k}.dst
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node AS word, rank FROM r{n_iter}
+ORDER BY rank DESC, word ASC LIMIT 20"""
+    )
+    return "".join(parts)
+
+
+@REGISTRY.register("textrank_keywords", _textrank_oracle())
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the corpus word co-occurrence graph — adjacent-token pairs
+    (length >= 4 both sides, the engine-portable stopword proxy),
+    symmetric, distinct. Reuses the decimal-mass PageRank operator
+    verbatim, so the whole rank vector is order-independent and the
+    unrolled DuckDB twin value-hash matches (the J9 machinery applied
+    to the text tier). Edge building is a map-only arrays_zip of each
+    document's token array against its own shift — pairs never pass
+    through a join. Top 20 keywords by rank."""
+    from movie_rankings_spark.operators.pagerank import pagerank
+
+    docs = _docs(spark, sf_dir)
+    ts = F.split(F.col("text"), " ")
+    zipped = F.arrays_zip(
+        F.slice(ts, 1, F.greatest(F.size(ts) - 1, F.lit(0))),
+        F.slice(ts, 2, F.greatest(F.size(ts) - 1, F.lit(0))),
+    )
+    pairs = (
+        docs.select(F.explode(zipped).alias("p"))
+        .select(F.col("p.0").alias("a"), F.col("p.1").alias("b"))
+        .filter(
+            (F.length("a") >= 4) & (F.length("b") >= 4)
+            & (F.col("a") != F.col("b"))
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).distinct()
+    pr = pagerank(
+        edges, n_iterations=10, shuffle_partitions=8, decimal_mass=True
+    )
+    return (
+        pr.select(F.col("node").alias("word"), "rank")
+        .orderBy(F.desc("rank"), F.asc("word"))
+        .limit(20)
+    )
+
+
 _SIMHASH_ORACLE = """
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
