@@ -431,6 +431,7 @@ def exp_smooth_daily(
     cents_col,
     alpha: float = 0.3,
     beta: float = 0.2,
+    group_col: str | None = None,
 ) -> DataFrame:
     """EWMA + Holt linear-trend smoothing of a daily metric series —
     the forecasting layer the diagnostics feed (acf_daily sizes the
@@ -458,17 +459,33 @@ def exp_smooth_daily(
     same operation order, same left-fold order), so every smoothed
     value hashes bit-for-bit — the oracle runs it as a recursive CTE.
 
-    Output: |days| rows — day (yyyy-MM-dd string, engine-portable),
-    revenue_cents, ewma, holt_level, holt_trend, forecast_next.
+    ``group_col`` runs the identical recurrence PER GROUP (one array
+    per group, folds run in parallel across groups — the segment-wise
+    dashboard form); the grouped shuffle is |groups|·|days| rows, and
+    each group's fold sees only its own date-bounded series.
+
+    Output: |days| rows (× |groups| when grouped) — [group,] day
+    (yyyy-MM-dd string, engine-portable), revenue_cents, ewma,
+    holt_level, holt_trend, forecast_next.
     """
+    gcols = [group_col] if group_col else []
     daily = (
-        df.select(F.col(day_col).alias("day"), cents_col.alias("_c"))
-        .groupBy("day")
+        df.select(
+            *([F.col(group_col).alias("grp")] if group_col else []),
+            F.col(day_col).alias("day"),
+            cents_col.alias("_c"),
+        )
+        .groupBy(*(["grp"] if group_col else []), "day")
         .agg(F.sum("_c").cast("long").alias("rev"))
     )
-    arr = daily.agg(
-        F.sort_array(F.collect_list(F.struct("day", "rev"))).alias("a")
-    )
+    if group_col:
+        arr = daily.groupBy("grp").agg(
+            F.sort_array(F.collect_list(F.struct("day", "rev"))).alias("a")
+        )
+    else:
+        arr = daily.agg(
+            F.sort_array(F.collect_list(F.struct("day", "rev"))).alias("a")
+        )
     out_t = (
         "array<struct<day:date,rev:bigint,ewma:double,"
         "lvl:double,trend:double>>"
@@ -501,17 +518,18 @@ def exp_smooth_daily(
         )
 
     folded = arr.select(
-        F.aggregate("a", F.array().cast(out_t), step).alias("s")
+        *(["grp"] if group_col else []),
+        F.aggregate("a", F.array().cast(out_t), step).alias("s"),
     )
-    return (
-        folded.select(F.explode("s").alias("r"))
-        .select(
-            F.date_format("r.day", "yyyy-MM-dd").alias("day"),
-            F.col("r.rev").alias("revenue_cents"),
-            F.col("r.ewma").alias("ewma"),
-            F.col("r.lvl").alias("holt_level"),
-            F.col("r.trend").alias("holt_trend"),
-            (F.col("r.lvl") + F.col("r.trend")).alias("forecast_next"),
-        )
-        .orderBy("day")
+    out = folded.select(
+        *(["grp"] if group_col else []), F.explode("s").alias("r")
+    ).select(
+        *([F.col("grp").alias(group_col)] if group_col else []),
+        F.date_format("r.day", "yyyy-MM-dd").alias("day"),
+        F.col("r.rev").alias("revenue_cents"),
+        F.col("r.ewma").alias("ewma"),
+        F.col("r.lvl").alias("holt_level"),
+        F.col("r.trend").alias("holt_trend"),
+        (F.col("r.lvl") + F.col("r.trend")).alias("forecast_next"),
     )
+    return out.orderBy(*gcols, "day")

@@ -62,6 +62,8 @@ _UNSEEN_FIRST = (
     "pivot_orders_status",
     "smooth_daily_revenue",
     "textrank_keywords",
+    "smooth_priority_revenue",
+    "forecast_backtest_daily",
     # never driver-checked rows-only (weaker driver row)
     "approx_percentiles_price",
     "similarity_ivf_kmeans_topk",

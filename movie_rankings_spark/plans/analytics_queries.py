@@ -2047,3 +2047,150 @@ def smooth_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         alpha=0.3,
         beta=0.2,
     )
+
+
+_SMOOTH_GRP_ORACLE = """
+WITH RECURSIVE d AS (
+  SELECT o_orderpriority AS grp, CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders GROUP BY 1, 2
+), i AS (
+  SELECT grp, day, rev,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY day) AS rn
+  FROM d
+), s AS (
+  SELECT grp, rn, day, rev, CAST(rev AS DOUBLE) AS ewma,
+         CAST(rev AS DOUBLE) AS lvl, CAST(0.0 AS DOUBLE) AS trend
+  FROM i WHERE rn = 1
+  UNION ALL
+  SELECT i.grp, i.rn, i.day, i.rev,
+         0.3 * CAST(i.rev AS DOUBLE) + 0.7 * s.ewma,
+         0.3 * CAST(i.rev AS DOUBLE) + 0.7 * (s.lvl + s.trend),
+         0.2 * ((0.3 * CAST(i.rev AS DOUBLE) + 0.7 * (s.lvl + s.trend))
+                - s.lvl)
+           + 0.8 * s.trend
+  FROM i JOIN s ON i.grp = s.grp AND i.rn = s.rn + 1
+)
+SELECT grp AS o_orderpriority, strftime(day, '%Y-%m-%d') AS day,
+       rev AS revenue_cents, ewma, lvl AS holt_level,
+       trend AS holt_trend, lvl + trend AS forecast_next
+FROM s ORDER BY 1, 2
+"""
+
+
+@REGISTRY.register("smooth_priority_revenue", _SMOOTH_GRP_ORACLE)
+def smooth_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority EWMA + Holt smoothing of daily revenue — the
+    segment-wise dashboard form of smooth_daily_revenue: one
+    identical recurrence per group, folds running in parallel across
+    the 5 priority segments (each fold sees only its own
+    date-bounded array). Same bit-exact recursive-CTE oracle, now
+    partitioned by group."""
+    from movie_rankings_spark.operators.timeseries import exp_smooth_daily
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "_day", F.col("o_orderdate").cast("date")
+    )
+    return exp_smooth_daily(
+        orders,
+        "_day",
+        F.round(F.col("o_totalprice") * F.lit(100)).cast("long"),
+        alpha=0.3,
+        beta=0.2,
+        group_col="o_orderpriority",
+    )
+
+
+_BACKTEST_ORACLE = """
+WITH RECURSIVE d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders GROUP BY 1
+), i AS (
+  SELECT day, rev, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM d
+), s AS (
+  SELECT rn, day, rev, CAST(rev AS DOUBLE) AS lvl,
+         CAST(0.0 AS DOUBLE) AS trend
+  FROM i WHERE rn = 1
+  UNION ALL
+  SELECT i.rn, i.day, i.rev,
+         0.3 * CAST(i.rev AS DOUBLE) + 0.7 * (s.lvl + s.trend),
+         0.2 * ((0.3 * CAST(i.rev AS DOUBLE) + 0.7 * (s.lvl + s.trend))
+                - s.lvl)
+           + 0.8 * s.trend
+  FROM i JOIN s ON i.rn = s.rn + 1
+), f AS (
+  SELECT rn, day, rev, lvl + trend AS forecast_next FROM s
+), e AS (
+  SELECT a.rev,
+         CAST(ABS(CAST(a.rev AS DOUBLE) - b.forecast_next)
+              AS DECIMAL(28,6)) AS err,
+         CAST(ABS(a.rev - b.rev) AS BIGINT) AS naive_err
+  FROM f a JOIN f b ON a.rn = b.rn + 1
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(err) AS DECIMAL(38,6)) AS sum_err,
+         CAST(SUM(naive_err) AS BIGINT) AS sum_naive
+  FROM e
+)
+SELECT n_days,
+       CAST(sum_err AS DOUBLE) / CAST(n_days AS DOUBLE) AS mae,
+       CAST(sum_naive AS DOUBLE) / CAST(n_days AS DOUBLE) AS mae_naive,
+       (CAST(sum_err AS DOUBLE) / CAST(n_days AS DOUBLE))
+         / (CAST(sum_naive AS DOUBLE) / CAST(n_days AS DOUBLE)) AS mase
+FROM m
+"""
+
+
+@REGISTRY.register("forecast_backtest_daily", _BACKTEST_ORACLE)
+def forecast_backtest_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step-ahead backtest of the Holt forecast on daily revenue:
+    MAE of yesterday's forecast vs today's actual, the naive
+    (persistence) MAE, and MASE = mae/mae_naive — the scale-free
+    forecast-accuracy readout (MASE < 1 beats the naive forecast).
+    Errors are quantized to DECIMAL(28,6) before the cross-day sum so
+    the aggregate is exact and order-independent (the psi convention);
+    the LAG window runs over the date-domain-bounded daily series
+    (the changepoint_daily_revenue audit exception)."""
+    from pyspark.sql import Window
+
+    from movie_rankings_spark.operators.timeseries import exp_smooth_daily
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "_day", F.col("o_orderdate").cast("date")
+    )
+    sm = exp_smooth_daily(
+        orders,
+        "_day",
+        F.round(F.col("o_totalprice") * F.lit(100)).cast("long"),
+        alpha=0.3,
+        beta=0.2,
+    )
+    w = Window.orderBy("day")
+    lagged = sm.select(
+        "day",
+        "revenue_cents",
+        F.lag("forecast_next").over(w).alias("_pf"),
+        F.lag("revenue_cents").over(w).alias("_pr"),
+    ).filter(F.col("_pf").isNotNull())
+    err = F.abs(
+        F.col("revenue_cents").cast("double") - F.col("_pf")
+    ).cast("decimal(28,6)")
+    naive = F.abs(F.col("revenue_cents") - F.col("_pr")).cast("long")
+    m = lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(err).cast("decimal(38,6)").alias("sum_err"),
+        F.sum(naive).cast("long").alias("sum_naive"),
+    )
+    mae = F.col("sum_err").cast("double") / F.col("n_days").cast("double")
+    mae_naive = (
+        F.col("sum_naive").cast("double") / F.col("n_days").cast("double")
+    )
+    return m.select(
+        "n_days",
+        mae.alias("mae"),
+        mae_naive.alias("mae_naive"),
+        (mae / mae_naive).alias("mase"),
+    )

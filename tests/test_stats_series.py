@@ -166,3 +166,34 @@ def test_exp_smooth_matches_python_recurrence(spark):
         assert r["holt_level"] == lvl
         assert r["holt_trend"] == trend
         assert r["forecast_next"] == lvl + trend
+
+
+def test_exp_smooth_grouped_independent_series(spark):
+    """Grouped smoothing: each group's recurrence must equal the
+    single-series operator run on that group alone."""
+    from pyspark.sql import functions as F
+
+    from movie_rankings_spark.operators.timeseries import exp_smooth_daily
+
+    rows = [
+        ("a", "2024-03-01", 10), ("a", "2024-03-02", 30),
+        ("a", "2024-03-03", 20), ("b", "2024-03-01", 500),
+        ("b", "2024-03-02", 100),
+    ]
+    df = spark.createDataFrame(rows, "g string, d string, v long").select(
+        "g", F.col("d").cast("date").alias("d"), "v"
+    )
+    grouped = {
+        (r["g"], r["day"]): (r["ewma"], r["holt_level"], r["holt_trend"])
+        for r in exp_smooth_daily(
+            df, "d", F.col("v"), group_col="g"
+        ).collect()
+    }
+    for g in ("a", "b"):
+        solo = exp_smooth_daily(
+            df.filter(F.col("g") == g), "d", F.col("v")
+        ).collect()
+        for r in solo:
+            assert grouped[(g, r["day"])] == (
+                r["ewma"], r["holt_level"], r["holt_trend"],
+            )

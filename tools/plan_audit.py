@@ -138,6 +138,7 @@ GLOBAL_WINDOW_LEGIT = {
     "similarity_mmr_topk",
     "corpus_zipf_slope",  # rank window over the top-k (100-row) histogram (r4)
     "changepoint_daily_revenue",  # prefix window over the date-domain-bounded daily series (r5)
+    "forecast_backtest_daily",  # LAG window over the date-domain-bounded daily series (r6)
 }
 
 
