@@ -62,6 +62,35 @@ def skew_profiles(profiles: list[DataFrame]) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), profiles)
 
 
+def column_ndv_exact(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Exact per-column NDV in ONE scan: stack (column, value-string)
+    pairs with a single explode, distinct, then count per column —
+    every phase a HashAggregate with map-side combine; the shuffle is
+    NDV-sized, never fact-sized. Exposed separately so audit queries
+    that already have the counts/min-max (e.g. the approx profile's
+    in-query HLL-error gate) can buy exact NDV for one scan instead
+    of re-running the full two-scan exact profile."""
+    stacked = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+    return (
+        stacked.filter(F.col("v").isNotNull())
+        .distinct()
+        .groupBy("column")
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+    )
+
+
 def column_profile(
     df: DataFrame, renders: dict[str, object], exact: bool = True
 ) -> DataFrame:
@@ -135,25 +164,7 @@ def column_profile(
             "max_value",
         ).orderBy("column")
 
-    stacked = df.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("column"),
-                        F.col(c).cast("string").alias("v"),
-                    )
-                    for c in cols
-                ]
-            )
-        ).alias("s")
-    ).select("s.*")
-    ndv = (
-        stacked.filter(F.col("v").isNotNull())
-        .distinct()
-        .groupBy("column")
-        .agg(F.count(F.lit(1)).alias("n_distinct"))
-    )
+    ndv = column_ndv_exact(df, cols)
     return (
         base.join(F.broadcast(ndv), "column", "left")
         .select(

@@ -664,8 +664,14 @@ def profile_columns_orders_approx(spark: SparkSession, sf_dir: str) -> DataFrame
     explode. r6: the HLL estimate column is audited in-query against
     the exact NDV pass (see _PROFILE_APPROX_ORACLE) — the audit join
     is 6 rows. The one-scan approx plan shape and NDV accuracy are
-    additionally pinned in tests/test_session4_ops.py."""
-    from movie_rankings_spark.operators.profiling import column_profile
+    additionally pinned in tests/test_session4_ops.py. The exact-NDV
+    audit branch buys its NDV via column_ndv_exact (one stacked scan),
+    so the whole audited query reads the fact exactly twice — once
+    approx (the production branch), once for the gate."""
+    from movie_rankings_spark.operators.profiling import (
+        column_ndv_exact,
+        column_profile,
+    )
 
     ident = lambda c: c  # noqa: E731
     dec4 = lambda c: c.cast("decimal(18,4)")  # noqa: E731
@@ -679,7 +685,7 @@ def profile_columns_orders_approx(spark: SparkSession, sf_dir: str) -> DataFrame
     }
     orders = _t(spark, sf_dir, "orders")
     approx = column_profile(orders, renders, exact=False)
-    exact_ndv = column_profile(orders, renders, exact=True).select(
+    exact_ndv = column_ndv_exact(orders, list(renders)).select(
         "column", F.col("n_distinct").alias("_ndv_exact")
     )
     return (

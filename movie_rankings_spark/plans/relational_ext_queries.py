@@ -2465,26 +2465,25 @@ def pivot_orders_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the fact to discover the columns, while
     `pivot(col, [...])` compiles straight to one conditional
     aggregate (the same plan the oracle writes by hand), keeping the
-    fact scanned exactly once with map-side combine."""
+    fact scanned exactly once with map-side combine. The row total
+    folds from the pivoted counts rather than a second agg branch —
+    valid because the value list is EXHAUSTIVE (TPC-H o_orderstatus
+    is exactly {F,O,P}), and the oracle's independent COUNT(*) makes
+    that contract hash-checked: a status outside the list would
+    undercount n_total and fail the value hash."""
     o = _t(spark, sf_dir, "orders")
     p = (
         o.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
         .count()
     )
-    return (
-        p.join(
-            o.groupBy("o_orderpriority").agg(
-                F.count(F.lit(1)).alias("n_total")
-            ),
-            "o_orderpriority",
-        )
-        .select(
-            "o_orderpriority",
-            F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("n_f"),
-            F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("n_o"),
-            F.coalesce(F.col("P"), F.lit(0)).cast("long").alias("n_p"),
-            "n_total",
-        )
-        .orderBy("o_orderpriority")
-    )
+    n_f = F.coalesce(F.col("F"), F.lit(0)).cast("long")
+    n_o = F.coalesce(F.col("O"), F.lit(0)).cast("long")
+    n_p = F.coalesce(F.col("P"), F.lit(0)).cast("long")
+    return p.select(
+        "o_orderpriority",
+        n_f.alias("n_f"),
+        n_o.alias("n_o"),
+        n_p.alias("n_p"),
+        (n_f + n_o + n_p).alias("n_total"),
+    ).orderBy("o_orderpriority")

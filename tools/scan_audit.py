@@ -74,6 +74,11 @@ KNOWN_LEGIT = {
     "changepoint_daily_revenue",  # persisted daily series feeds prefix + totals (one real scan; cache-text artifact) (r5)
     "drift_train_val_psi",  # persisted 10-bin table feeds totals + output branches (one real scan; cache-text artifact) (r5)
     "ks_source_length_profiles",  # persisted (source, length) cells feed grid + totals + both cum sides (one real scan; cache-text artifact) (r5)
+    "anova_price_returnflag",  # persisted |groups|-row moment table feeds totals + output branches (one real scan; cache-text artifact) (r6)
+    "kruskal_doclen_source",  # persisted cell/value tables feed grid + ranks + ties + totals (one real scan; cache-text artifact) (r6)
+    "kendall_qty_shipdelay",  # persisted cell table feeds both theta sides + both marginals (one real scan; cache-text artifact) (r6)
+    "weighted_price_quantiles",  # persisted weight table feeds bounds + bucket totals + windows (one real scan; cache-text artifact) (r6)
+    "profile_columns_orders_approx",  # 2 scans BY CONTRACT: approx production branch + exact-NDV audit gate (r6 bounded-error oracle); production form is the approx branch alone (r6)
     "similarity_tfidf_topk", "triangles_copurchase",
     "dedup_jaccard_prefix", "cms_word_frequency",
     "basket_association_rules", "dedup_cluster_reps",
