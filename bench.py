@@ -275,6 +275,14 @@ HEADLINE_QUERIES = (
     "ks_source_length_profiles",
 )
 
+#: The hand-ordered tiers above come first (stable cross-round
+#: comparison order); every registered query missing from the hand
+#: list is appended alphabetically so the bench can never silently
+#: go stale when a round adds queries.
+HEADLINE_QUERIES = HEADLINE_QUERIES + tuple(
+    sorted(q for q in all_queries.QUERIES if q not in HEADLINE_QUERIES)
+)
+
 
 #: Tier representatives that MUST appear in the printed compact JSON
 #: (the harness that records bench output keeps only the final ~2000

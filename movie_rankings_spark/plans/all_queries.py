@@ -64,6 +64,10 @@ _UNSEEN_FIRST = (
     "textrank_keywords",
     "smooth_priority_revenue",
     "forecast_backtest_daily",
+    "survival_customer_km",
+    "randtest_price_priority",
+    "nb_train_lang_model",
+    "target_encode_segment_loo",
     # never driver-checked rows-only (weaker driver row)
     "approx_percentiles_price",
     "similarity_ivf_kmeans_topk",

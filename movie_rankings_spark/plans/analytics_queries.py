@@ -2200,3 +2200,198 @@ def forecast_backtest_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         mae_naive.alias("mae_naive"),
         (mae / mae_naive).alias("mase"),
     )
+
+
+# --- r6: Kaplan-Meier customer churn survival curve -------------------------
+
+_KM_ORACLE = """
+WITH RECURSIVE per AS (
+  SELECT o_custkey, CAST(MIN(o_orderdate) AS DATE) AS f,
+         CAST(MAX(o_orderdate) AS DATE) AS l
+  FROM orders GROUP BY 1
+), mx AS (
+  SELECT MAX(l) AS m FROM per
+), subj AS (
+  SELECT CAST(datediff('day', f, l) AS BIGINT) AS t,
+         CASE WHEN datediff('day', l, mx.m) > 90 THEN 1 ELSE 0 END AS e
+  FROM per CROSS JOIN mx
+), steps AS (
+  SELECT t, CAST(SUM(e) AS BIGINT) AS d,
+         CAST(SUM(1 - e) AS BIGINT) AS c
+  FROM subj GROUP BY 1
+), i AS (
+  SELECT t, d, c, ROW_NUMBER() OVER (ORDER BY t) AS rn FROM steps
+), tot AS (
+  SELECT CAST(SUM(d + c) AS BIGINT) AS n FROM steps
+), s AS (
+  SELECT 0 AS rn, CAST(NULL AS BIGINT) AS t, CAST(0 AS BIGINT) AS d,
+         CAST(0 AS BIGINT) AS c, tot.n AS rem,
+         CAST(1.0 AS DOUBLE) AS surv, CAST(NULL AS BIGINT) AS at_risk
+  FROM tot
+  UNION ALL
+  SELECT i.rn, i.t, i.d, i.c, s.rem - i.d - i.c,
+         CASE WHEN i.d > 0
+              THEN s.surv * (CAST(s.rem - i.d AS DOUBLE)
+                             / CAST(s.rem AS DOUBLE))
+              ELSE s.surv END,
+         s.rem
+  FROM i JOIN s ON i.rn = s.rn + 1
+)
+SELECT t AS duration, at_risk AS n_at_risk, d AS n_events,
+       c AS n_censored, surv AS survival
+FROM s WHERE rn >= 1 AND d > 0 ORDER BY duration
+"""
+
+
+@REGISTRY.register("survival_customer_km", _KM_ORACLE)
+def survival_customer_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier churn curve over customer order histories:
+    duration = days from a customer's first to last order, an event
+    (churn) when the last order predates the dataset horizon by more
+    than 90 days, right-censored otherwise (still active at the
+    horizon) - the survival view of retention that cohort_retention
+    _daily's fixed grid cannot express under censoring. The fact
+    aggregates ONCE into the persisted per-customer (first, last)
+    table; the horizon scalar and the risk table both read that
+    |customers|-row cache (scan_audit-allowlisted cache-text shape),
+    and the product-limit recurrence folds over the duration-domain-
+    bounded risk array (operators/survival.py::kaplan_meier) -
+    bit-exact vs the oracle's recursive-CTE replay."""
+    from movie_rankings_spark.operators.survival import kaplan_meier
+
+    per = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.col("o_orderdate").cast("date")).alias("f"),
+            F.max(F.col("o_orderdate").cast("date")).alias("l"),
+        )
+        .persist_tracked()
+    )
+    horizon = per.agg(F.max("l").alias("m"))
+    subj = per.crossJoin(F.broadcast(horizon)).select(
+        F.datediff("l", "f").cast("long").alias("duration"),
+        (F.datediff("m", "l") > 90).cast("int").alias("event"),
+    )
+    return kaplan_meier(subj)
+
+
+# --- r6: approximate randomization test (urgent-vs-low mean price) ----------
+
+_RANDTEST_ORACLE = """
+WITH r AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+), e AS (
+  SELECT s.s AS seed, r.v,
+         CASE WHEN s.s = 0 THEN r.g
+              ELSE ascii(substr(
+                     CASE WHEN s.s <= 32 THEN md5(r.k || ':1')
+                          ELSE md5(r.k || ':2') END,
+                     ((s.s - 1) % 32) + 1, 1)) % 2
+         END AS g2
+  FROM r CROSS JOIN (SELECT unnest(range(0, 65)) AS s) s
+), agg AS (
+  SELECT seed,
+         CAST(SUM(CASE WHEN g2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         SUM(CASE WHEN g2 = 1 THEN CAST(v AS HUGEINT) ELSE 0 END) AS sa,
+         CAST(SUM(CASE WHEN g2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+         SUM(CASE WHEN g2 = 0 THEN CAST(v AS HUGEINT) ELSE 0 END) AS sb
+  FROM e GROUP BY 1
+), t AS (
+  SELECT seed, na, nb,
+         CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+         CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+         CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+           - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS tstat
+  FROM agg
+), o AS (SELECT * FROM t WHERE seed = 0)
+SELECT o.na AS n_a, o.nb AS n_b, o.ma AS mean_a, o.mb AS mean_b,
+       o.tstat AS t_obs, CAST(64 AS BIGINT) AS n_perm,
+       CAST(SUM(CASE WHEN abs(t.tstat) >= abs(o.tstat) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_extreme,
+       (1.0 + CAST(SUM(CASE WHEN abs(t.tstat) >= abs(o.tstat)
+                            THEN 1 ELSE 0 END) AS DOUBLE)) / 65.0
+         AS p_value
+FROM t CROSS JOIN o WHERE t.seed > 0
+GROUP BY 1, 2, 3, 4, 5, 6
+"""
+
+
+@REGISTRY.register("randtest_price_priority", _RANDTEST_ORACLE)
+def randtest_price_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate randomization test on mean o_totalprice (cents),
+    1-URGENT vs 5-LOW — the simulation-based third leg of the
+    inference tier's identical contrast (welch_price_priority's
+    parametric t, mannwhitney_price_priority's rank test): 64
+    hash-seeded relabelings of the same rows, p-value = share of
+    relabelings at least as extreme as the observed mean gap
+    (operators/disttests.py::randomization_test — one exploded fact
+    scan, bounded-replicate shuffle, bit-exact replicates)."""
+    from movie_rankings_spark.operators.disttests import randomization_test
+
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    return randomization_test(
+        orders,
+        F.col("o_orderkey"),
+        F.round(F.col("o_totalprice") * F.lit(100)).cast("long"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("int"),
+        (F.col("o_orderpriority") == "5-LOW").cast("int"),
+        n_perm=64,
+    )
+
+
+# --- r6: leave-one-out target encoding of customer segment ------------------
+
+_TENC_ORACLE = """
+WITH b AS (
+  SELECT c_custkey AS key, c_mktsegment AS cat,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS y
+  FROM customer WHERE c_mktsegment IS NOT NULL AND c_acctbal IS NOT NULL
+), pc AS (
+  SELECT cat, CAST(COUNT(*) AS BIGINT) AS n_cat,
+         CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS s_cat
+  FROM b GROUP BY 1
+), g AS (
+  SELECT CAST(SUM(n_cat) AS BIGINT) AS n_all,
+         CAST(SUM(s_cat) AS HUGEINT) AS s_all
+  FROM pc
+)
+SELECT b.key, b.cat AS category, b.y AS target_cents,
+       pc.n_cat AS n_category,
+       CASE WHEN pc.n_cat > 1
+            THEN CAST(pc.s_cat - b.y AS DOUBLE)
+                 / CAST(pc.n_cat - 1 AS DOUBLE)
+       END AS loo_mean_cents,
+       (CAST(pc.s_cat - b.y AS DOUBLE)
+          + 10.0 * (CAST(g.s_all AS DOUBLE) / CAST(g.n_all AS DOUBLE)))
+         / (CAST(pc.n_cat - 1 AS DOUBLE) + 10.0) AS loo_smoothed_cents
+FROM b JOIN pc USING (cat) CROSS JOIN g
+ORDER BY b.key
+"""
+
+
+@REGISTRY.register("target_encode_segment_loo", _TENC_ORACLE)
+def target_encode_segment_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of c_mktsegment against account
+    balance (cents): every customer's segment encoded as the mean
+    balance of the OTHER customers in the segment, plus the
+    m=10-smoothed shrinkage toward the global mean — the leakage-safe
+    categorical feature a model trains on where a naive
+    category-mean would memorize each row's own label
+    (operators/encoding.py::target_encode_loo — per-category exact
+    DECIMAL sums broadcast back over one column-pruned re-scan)."""
+    from movie_rankings_spark.operators.encoding import target_encode_loo
+
+    c = _t(spark, sf_dir, "customer")
+    return target_encode_loo(
+        c,
+        F.col("c_custkey"),
+        F.col("c_mktsegment"),
+        F.round(F.col("c_acctbal") * F.lit(100)).cast("long"),
+        smoothing=10.0,
+    )

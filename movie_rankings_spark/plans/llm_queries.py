@@ -3833,3 +3833,75 @@ def ks_source_length_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from movie_rankings_spark.operators.disttests import ks_group_vs_rest
 
     return ks_group_vs_rest(_docs(spark, sf_dir), "source", "n_chars")
+
+
+# --- r6: multinomial naive-Bayes language model (full model oracle-hashed) --
+
+_NB_ORACLE = """
+WITH b AS (
+  SELECT lang AS cls, string_split(text, ' ') AS toks
+  FROM documents WHERE lang IS NOT NULL
+), ex AS (
+  SELECT cls, unnest(toks) AS token FROM b
+), cnt AS (
+  SELECT cls, token, CAST(COUNT(*) AS BIGINT) AS n_wc FROM ex GROUP BY 1, 2
+), docs AS (
+  SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_docs_class FROM b GROUP BY 1
+), dt AS (
+  SELECT CAST(SUM(n_docs_class) AS BIGINT) AS n_docs_total FROM docs
+), tc AS (
+  SELECT cls, CAST(SUM(n_wc) AS BIGINT) AS total_c FROM cnt GROUP BY 1
+), tw AS (
+  SELECT token, CAST(SUM(n_wc) AS BIGINT) AS n_w_all FROM cnt GROUP BY 1
+), v AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+         CAST(SUM(n_w_all) AS BIGINT) AS total_all
+  FROM tw
+), grid AS (
+  SELECT tc.cls, tw.token, tc.total_c, tw.n_w_all, d.n_docs_class,
+         dt.n_docs_total, v.vocab_size, v.total_all,
+         COALESCE(c.n_wc, 0) AS n_wc
+  FROM tc JOIN docs d ON tc.cls = d.cls
+  CROSS JOIN tw
+  LEFT JOIN cnt c ON c.cls = tc.cls AND c.token = tw.token
+  CROSS JOIN v CROSS JOIN dt
+)
+SELECT cls AS "class", token, n_wc,
+       CAST(n_w_all - n_wc AS BIGINT) AS n_rest, total_c, vocab_size,
+       n_docs_class, n_docs_total,
+       (CAST(n_wc AS DOUBLE) + 1.0)
+         / (CAST(total_c AS DOUBLE) + 1.0 * CAST(vocab_size AS DOUBLE))
+         AS p_w_class,
+       (CAST(n_w_all - n_wc AS DOUBLE) + 1.0)
+         / (CAST(total_all - total_c AS DOUBLE)
+            + 1.0 * CAST(vocab_size AS DOUBLE)) AS p_w_rest,
+       ((CAST(n_wc AS DOUBLE) + 1.0)
+         / (CAST(total_c AS DOUBLE) + 1.0 * CAST(vocab_size AS DOUBLE)))
+       / ((CAST(n_w_all - n_wc AS DOUBLE) + 1.0)
+         / (CAST(total_all - total_c AS DOUBLE)
+            + 1.0 * CAST(vocab_size AS DOUBLE))) AS likelihood_ratio,
+       CAST(n_docs_class AS DOUBLE) / CAST(n_docs_total AS DOUBLE)
+         AS prior_class
+FROM grid ORDER BY 1, 2
+"""
+
+
+@REGISTRY.register("nb_train_lang_model", _NB_ORACLE)
+def nb_train_lang_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive-Bayes model trained on documents with lang
+    as the class: the full class x vocabulary grid of Laplace-
+    smoothed conditionals, class priors, and one-vs-rest likelihood
+    ratios (each class's discriminative vocabulary) — the count-based
+    generative baseline beside the discriminative classifier tier
+    (hashed-BoW scorer, logistic GD), and unlike those, EXACTLY
+    SQL-expressible: the entire trained model hashes against the
+    oracle (operators/nbayes.py::nb_train — two column-pruned fact
+    scans by design, |classes|x|vocab|-bounded persisted counts)."""
+    from movie_rankings_spark.operators.nbayes import nb_train
+
+    d = _docs(spark, sf_dir)
+    return nb_train(
+        d,
+        F.col("lang"),
+        F.split(F.col("text"), " "),
+    )

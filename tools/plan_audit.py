@@ -42,6 +42,9 @@ NESTED_LOOP_LEGIT = {
     "kruskal_doclen_source",  # bounded distinct-value grid theta join + 1-row totals (r6)
     "kendall_qty_shipdelay",  # |X|x|Y| cell-table theta self-join, domain-bounded (r6)
     "dedup_embedding_lsh",  # 1-row exact-pair count x 1-row LSH count (r6 recall gate)
+    "survival_customer_km",  # 1-row horizon-date scalar vs per-customer table (r6)
+    "target_encode_segment_loo",  # 1-row global-mean scalar vs encode join-back (r6)
+    "nb_train_lang_model",  # 1-row vocab/doc-total scalars + |vocab|-row grid expansion (r6)
     "welch_price_priority",  # 1-row moment vector (r6)
     "q11_important_parts",  # 1-row global threshold vs group sums
     "q22_global_sales_opportunity",  # 1-row avg-balance scalar

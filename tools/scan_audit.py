@@ -79,6 +79,9 @@ KNOWN_LEGIT = {
     "kendall_qty_shipdelay",  # persisted cell table feeds both theta sides + both marginals (one real scan; cache-text artifact) (r6)
     "weighted_price_quantiles",  # persisted weight table feeds bounds + bucket totals + windows (one real scan; cache-text artifact) (r6)
     "profile_columns_orders_approx",  # 2 scans BY CONTRACT: approx production branch + exact-NDV audit gate (r6 bounded-error oracle); production form is the approx branch alone (r6)
+    "survival_customer_km",  # persisted per-customer (first,last) table feeds horizon scalar + risk table (one real scan; cache-text artifact) (r6)
+    "target_encode_segment_loo",  # 2 scans BY DESIGN: per-category agg (broadcast) + row-wise encode join-back; persisting a fact-sized projection would be worse at 100 TB (r6)
+    "nb_train_lang_model",  # 2 real scans BY DESIGN (token counts + per-class doc priors, both column-pruned); persisted counts/docs tables feed the 4 grid branches (cache-text artifact) (r6)
     "similarity_tfidf_topk", "triangles_copurchase",
     "dedup_jaccard_prefix", "cms_word_frequency",
     "basket_association_rules", "dedup_cluster_reps",
