@@ -68,6 +68,9 @@ _UNSEEN_FIRST = (
     "randtest_price_priority",
     "nb_train_lang_model",
     "target_encode_segment_loo",
+    "seqmine_event_triples",
+    "fd_discovery_orders",
+    "conformal_interval_price",
     # never driver-checked rows-only (weaker driver row)
     "approx_percentiles_price",
     "similarity_ivf_kmeans_topk",

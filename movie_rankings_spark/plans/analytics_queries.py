@@ -2395,3 +2395,198 @@ def target_encode_segment_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("c_acctbal") * F.lit(100)).cast("long"),
         smoothing=10.0,
     )
+
+
+# --- r6: sequential pattern mining over user-day event sequences ------------
+
+_SEQMINE_ORACLE = """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, event_type AS t,
+         epoch_us(ts) AS m
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+), pt AS (
+  SELECT user_id, day, t, MIN(m) AS mn, MAX(m) AS mx
+  FROM ev GROUP BY 1, 2, 3
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_total_sequences
+  FROM (SELECT DISTINCT user_id, day FROM pt)
+), ac AS (
+  SELECT p1.user_id, p1.day, p1.t AS a, p1.mn, p3.t AS c, p3.mx
+  FROM pt p1 JOIN pt p3 ON p1.user_id = p3.user_id AND p1.day = p3.day
+), tr AS (
+  SELECT DISTINCT e.user_id, e.day, ac.a, e.t AS b, ac.c
+  FROM ev e JOIN ac ON e.user_id = ac.user_id AND e.day = ac.day
+  WHERE e.m > ac.mn AND e.m < ac.mx
+), sup AS (
+  SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS n_sequences
+  FROM tr GROUP BY 1, 2, 3
+)
+SELECT a, b, c, n_sequences, tot.n_total_sequences,
+       CAST(n_sequences AS DOUBLE) / CAST(tot.n_total_sequences AS DOUBLE)
+         AS support
+FROM sup CROSS JOIN tot
+ORDER BY n_sequences DESC, a, b, c
+"""
+
+
+@REGISTRY.register("seqmine_event_triples", _SEQMINE_ORACLE)
+def seqmine_event_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern discovery over user-day event sequences:
+    the support of EVERY ordered event-type triple (view -> click ->
+    purchase and its 124 rivals) — the funnel-DISCOVERY companion to
+    the fixed funnel_* queries and the first-order transition matrix
+    (which cannot see order beyond adjacent pairs). Existence per
+    sequence is decided by the min/max interval test — never an
+    event-triple enumeration
+    (operators/seqmine.py::sequence_triple_support)."""
+    from movie_rankings_spark.operators.seqmine import (
+        sequence_triple_support,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date")
+    )
+    return sequence_triple_support(
+        ev, ["user_id", "day"], "event_type", "ts"
+    )
+
+
+# --- r6: functional-dependency discovery over orders ------------------------
+
+_FD_PAIR_SQL = """
+SELECT '{lhs}' AS lhs, '{rhs}' AS rhs,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_groups,
+       CAST(SUM(CASE WHEN n_rhs > 1 THEN n_rows ELSE 0 END) AS BIGINT)
+         AS n_violating_rows,
+       CAST(MAX(n_rhs) AS BIGINT) AS max_rhs_per_group,
+       SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0 AS fd_holds
+FROM (
+  SELECT CAST({lexpr} AS VARCHAR) AS lv,
+         CAST(COUNT(DISTINCT CAST({rexpr} AS VARCHAR)) AS BIGINT) AS n_rhs,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM orders
+  WHERE {lexpr} IS NOT NULL AND {rexpr} IS NOT NULL
+  GROUP BY 1
+)
+"""
+
+# o_orderdate is stored as a timestamp; the engine profiles it AS A
+# DATE, so the oracle must group by the same day granularity (raw
+# timestamps only coincide while the generator emits midnights)
+_FD_EXPR = {"o_orderdate": "CAST(o_orderdate AS DATE)"}
+
+_FD_PAIRS = [
+    ("o_orderkey", "o_custkey"),
+    ("o_custkey", "o_orderpriority"),
+    ("o_custkey", "o_orderstatus"),
+    ("o_orderdate", "o_orderstatus"),
+    ("o_orderpriority", "o_orderstatus"),
+    ("o_orderstatus", "o_orderpriority"),
+]
+
+_FD_ORACLE = (
+    "\nUNION ALL\n".join(
+        _FD_PAIR_SQL.format(
+            lhs=l,
+            rhs=r,
+            lexpr=_FD_EXPR.get(l, l),
+            rexpr=_FD_EXPR.get(r, r),
+        )
+        for l, r in _FD_PAIRS
+    )
+    + "\nORDER BY lhs, rhs"
+)
+
+
+@REGISTRY.register("fd_discovery_orders", _FD_ORACLE)
+def fd_discovery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise functional-dependency discovery over orders: does
+    o_orderkey determine o_custkey (a key FD that must hold), does a
+    customer always order at one priority (it does not), is status
+    determined by date/priority — the dependency-profiling readout a
+    schema-inference or data-quality engine produces, computed for
+    all six candidate pairs in ONE stacked fact scan
+    (operators/fdprofile.py::fd_violations; the oracle runs the
+    textbook per-pair GROUP BY form)."""
+    from movie_rankings_spark.operators.fdprofile import fd_violations
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("date")
+    )
+    return fd_violations(o, _FD_PAIRS)
+
+
+# --- r6: split-conformal prediction intervals (priority-median model) -------
+
+_CONFORMAL_ORACLE = """
+WITH b AS (
+  SELECT o_orderpriority AS g,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS y,
+         substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) AS h
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+), s AS (
+  SELECT g, y,
+         CASE WHEN h <= '7' THEN 'train'
+              WHEN h <= 'b' THEN 'calib'
+              ELSE 'test' END AS sp
+  FROM b
+), ranked_tr AS (
+  SELECT g, y, ROW_NUMBER() OVER (PARTITION BY g ORDER BY y) AS rn,
+         COUNT(*) OVER (PARTITION BY g) AS n_train
+  FROM s WHERE sp = 'train'
+), med AS (
+  SELECT g, CAST(n_train AS BIGINT) AS n_train, y AS pred_cents
+  FROM ranked_tr WHERE rn = (n_train + 1) // 2
+), ca AS (
+  SELECT abs(s.y - med.pred_cents) AS sc
+  FROM s JOIN med USING (g) WHERE s.sp = 'calib'
+), kq AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_calib,
+         CAST((9 * (COUNT(*) + 1) + 9) // 10 AS BIGINT) AS conf_k
+  FROM ca
+), ranked_ca AS (
+  SELECT sc, ROW_NUMBER() OVER (ORDER BY sc) AS rn FROM ca
+), qh AS (
+  SELECT kq.n_calib, kq.conf_k, ranked_ca.sc AS q_hat
+  FROM ranked_ca JOIN kq ON ranked_ca.rn = kq.conf_k
+)
+SELECT med.g AS "group", med.n_train, med.pred_cents,
+       qh.n_calib, qh.conf_k, qh.q_hat,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST(SUM(CASE WHEN abs(s.y - med.pred_cents) <= qh.q_hat
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+       CAST(SUM(CASE WHEN abs(s.y - med.pred_cents) <= qh.q_hat
+                     THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS coverage
+FROM s JOIN med USING (g) CROSS JOIN qh
+WHERE s.sp = 'test'
+GROUP BY 1, 2, 3, 4, 5, 6
+ORDER BY 1
+"""
+
+
+@REGISTRY.register("conformal_interval_price", _CONFORMAL_ORACLE)
+def conformal_interval_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals around a per-priority
+    median price predictor, with the held-out coverage audit: train /
+    calibrate / test by hash split, q-hat = the finite-sample
+    conformal quantile of calibration |error|s (alpha = 0.1), and the
+    per-group share of test rows inside [pred +/- q_hat] — the
+    distribution-free error bar the classifier/regression tier lacks
+    (operators/conformal.py::split_conformal_group_median)."""
+    from movie_rankings_spark.operators.conformal import (
+        split_conformal_group_median,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    return split_conformal_group_median(
+        o,
+        F.col("o_orderkey"),
+        F.col("o_orderpriority"),
+        F.round(F.col("o_totalprice") * F.lit(100)).cast("long"),
+        alpha_num=1,
+        alpha_den=10,
+    )

@@ -45,6 +45,8 @@ NESTED_LOOP_LEGIT = {
     "survival_customer_km",  # 1-row horizon-date scalar vs per-customer table (r6)
     "target_encode_segment_loo",  # 1-row global-mean scalar vs encode join-back (r6)
     "nb_train_lang_model",  # 1-row vocab/doc-total scalars + |vocab|-row grid expansion (r6)
+    "seqmine_event_triples",  # 1-row total-sequence scalar vs |types|^3 support rows (r6)
+    "conformal_interval_price",  # 1-row conformal-quantile scalar vs test rows (r6)
     "welch_price_priority",  # 1-row moment vector (r6)
     "q11_important_parts",  # 1-row global threshold vs group sums
     "q22_global_sales_opportunity",  # 1-row avg-balance scalar
