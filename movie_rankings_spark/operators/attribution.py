@@ -159,3 +159,108 @@ def position_based_attribution(
         )
         .orderBy("touch_type")
     )
+
+
+def shapley_attribution(
+    journeys: DataFrame,
+    mask_col: Column,
+    converted_col: Column,
+    channels: "list[str]",
+) -> DataFrame:
+    """Shapley-value channel attribution over converting journeys
+    (Shapley 1953 applied to marketing paths, e.g. Zhao et al. 2018):
+    with coalition value v(S) = number of conversions from journeys
+    whose touched-channel set ⊆ S,
+
+        φ_c = Σ_{S ⊆ C∖{c}} |S|!·(n−1−|S|)!/n! · (v(S∪{c}) − v(S))
+
+    — the fair division of conversions across channels, the
+    game-theoretic upgrade of the last-touch / position-based rules
+    in this module (which this function complements, same fact).
+
+    Shape: the caller reduces the fact to journeys ONCE (a user-day
+    groupBy); here ONE aggregate collapses converting journeys to at
+    most 2ⁿ (mask, count) cells, and everything after is bounded
+    2ⁿ×2ⁿ broadcast grid algebra (n = |channels| ≤ 12 enforced) —
+    subset sums for v(S), then the weighted marginal sum per channel.
+    No driver loop, no per-journey work past the first aggregate.
+
+    Exactness: v(S) and the weighted marginal numerators are exact
+    longs (weights pre-scaled by n! in Python ints); φ_c is ONE
+    correctly-rounded division ⇒ value-hash exact. Σφ_c =
+    v(C) − v(∅) by construction (efficiency axiom), emitted per row
+    as conversions_total for the audit.
+
+    Output: one row per channel — channel, phi_num (×n!), phi,
+    conversions_total — ordered by channel.
+    """
+    n = len(channels)
+    if not 1 <= n <= 12:
+        raise ValueError(f"need 1..12 channels, got {n}")
+    fact = [1] * (n + 1)
+    for i in range(2, n + 1):
+        fact[i] = fact[i - 1] * i
+    n_fact = fact[n]
+    # weight(|S|)·n! = |S|!·(n−1−|S|)!  — exact ints
+    w = {s: fact[s] * fact[n - 1 - s] for s in range(n)}
+
+    spark = journeys.sparkSession
+    cells = (
+        journeys.select(
+            mask_col.cast("int").alias("m"),
+            converted_col.cast("int").alias("cv"),
+        )
+        .filter((F.col("cv") == 1) & F.col("m").isNotNull())
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).cast("long").alias("cn"))
+    )
+    subsets = spark.range(2**n).select(F.col("id").cast("int").alias("s"))
+    vs = (
+        subsets.join(
+            F.broadcast(cells),
+            cells["m"].bitwiseAND(F.col("s")) == cells["m"],
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("cn"), F.lit(0)).cast("long").alias("v"))
+        .persist_tracked()  # read by S-side, S∪{c}-side, and the total
+    )
+    popcnt = sum(
+        F.shiftright(F.col("s"), i).bitwiseAND(F.lit(1)) for i in range(n)
+    )
+    wcase = F.lit(None).cast("long")
+    for size, wt in w.items():
+        wcase = F.when(popcnt == size, F.lit(wt)).otherwise(wcase)
+    chan = spark.createDataFrame(
+        [(i, name) for i, name in enumerate(channels)], "c int, channel string"
+    )
+    v2 = vs.select(F.col("s").alias("s2"), F.col("v").alias("v2"))
+    total = vs.agg(
+        (F.max(F.when(F.col("s") == 2**n - 1, F.col("v"))).cast("long")
+         - F.max(F.when(F.col("s") == 0, F.col("v"))).cast("long")
+         ).alias("conversions_total")
+    )
+    marg = (
+        F.broadcast(chan)
+        .join(vs, F.expr("(s & shiftleft(1, c)) = 0"))
+        .withColumn("_w", wcase)
+        .join(F.broadcast(v2), F.expr("s2 = (s | shiftleft(1, c))"))
+        .groupBy("c", "channel")
+        .agg(
+            F.sum(F.col("_w") * (F.col("v2") - F.col("v")))
+            .cast("long")
+            .alias("phi_num")
+        )
+    )
+    return (
+        marg.crossJoin(F.broadcast(total))
+        .select(
+            "channel",
+            "phi_num",
+            (F.col("phi_num").cast("double") / F.lit(float(n_fact))).alias(
+                "phi"
+            ),
+            "conversions_total",
+        )
+        .orderBy("channel")
+    )

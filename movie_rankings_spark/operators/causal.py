@@ -1,0 +1,289 @@
+"""Panel causal-inference estimators over event data.
+
+Reference parity: no causal surface exists in the reference
+(top_movies.py); this extends the A/B readout (A78, randomized
+contrast) with the OBSERVATIONAL workhorse: difference-in-differences
+over a two-period user panel — the estimator an analytics engine runs
+when treatment was not randomized but a pre-period exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def cuped_contrast(
+    panel: DataFrame,
+    arm_col: str = "treated",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """CUPED variance-reduced two-arm contrast (Deng et al., WSDM'13):
+    adjust the experiment metric Y by the pre-experiment covariate X,
+
+        θ  = cov(X, Y) / var(X)            (pooled, both arms)
+        Δ* = (ȳ_T − ȳ_C) − θ·(x̄_T − x̄_C)
+
+    with variance-reduction factor ρ² = corr(X, Y)² — the fraction of
+    metric variance the pre-period explains (Var[Δ*] ≈ (1−ρ²)·Var[Δ]).
+
+    Shape: ONE aggregate of the unit panel (arm 0/1, integral x, y)
+    producing exact DECIMAL(38,0) moments — pooled n/Σx/Σy/Σx²/Σy²/Σxy
+    plus per-arm n/Σx/Σy — with map-side combine; everything after is
+    closed-form IEEE arithmetic on one row.
+
+    Exactness: centered sums n·Σxy − Σx·Σy etc. are exact DECIMAL
+    differences cast to double once; shared closed form ⇒ value-hash
+    exact. Degenerate inputs (empty arm, zero-variance X) yield NULL
+    via try_divide, matching the oracle's x/0 → NULL.
+
+    Output: ONE row — n_c, n_t, mean_y_c, mean_y_t, delta_raw, theta,
+    delta_cuped, rho2.
+    """
+    d38 = "decimal(38,0)"
+    zero = F.lit(0).cast(d38)
+    rows = panel.select(
+        F.col(arm_col).cast("int").alias("_t"),
+        F.col(x_col).cast("long").alias("_x"),
+        F.col(y_col).cast("long").alias("_y"),
+    ).filter(
+        F.col("_t").isNotNull()
+        & F.col("_x").isNotNull()
+        & F.col("_y").isNotNull()
+    )
+    xd = F.col("_x").cast("decimal(19,0)")
+    yd = F.col("_y").cast("decimal(19,0)")
+
+    def arm(t, expr):
+        return F.sum(
+            F.when(F.col("_t") == t, expr).otherwise(zero)
+        ).cast(d38)
+
+    m = rows.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(xd).cast(d38).alias("sx"),
+        F.sum(yd).cast(d38).alias("sy"),
+        F.sum((xd * xd).cast(d38)).cast(d38).alias("sxx"),
+        F.sum((yd * yd).cast(d38)).cast(d38).alias("syy"),
+        F.sum((xd * yd).cast(d38)).cast(d38).alias("sxy"),
+        arm(0, F.lit(1).cast(d38)).alias("n0"),
+        arm(1, F.lit(1).cast(d38)).alias("n1"),
+        arm(0, xd.cast(d38)).alias("sx0"),
+        arm(1, xd.cast(d38)).alias("sx1"),
+        arm(0, yd.cast(d38)).alias("sy0"),
+        arm(1, yd.cast(d38)).alias("sy1"),
+    )
+    n = F.col("n")
+    cxy = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    cxx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    cyy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    theta = F.try_divide(cxy, cxx)
+    rho2 = F.try_divide(cxy * cxy, cxx * cyy)
+    n0d, n1d = F.col("n0").cast("double"), F.col("n1").cast("double")
+    mean_y_c = F.try_divide(F.col("sy0").cast("double"), n0d)
+    mean_y_t = F.try_divide(F.col("sy1").cast("double"), n1d)
+    mean_x_c = F.try_divide(F.col("sx0").cast("double"), n0d)
+    mean_x_t = F.try_divide(F.col("sx1").cast("double"), n1d)
+    delta_raw = mean_y_t - mean_y_c
+    delta_cuped = delta_raw - theta * (mean_x_t - mean_x_c)
+    return m.select(
+        F.col("n0").cast("long").alias("n_c"),
+        F.col("n1").cast("long").alias("n_t"),
+        mean_y_c.alias("mean_y_c"),
+        mean_y_t.alias("mean_y_t"),
+        delta_raw.alias("delta_raw"),
+        theta.alias("theta"),
+        delta_cuped.alias("delta_cuped"),
+        rho2.alias("rho2"),
+    )
+
+
+def mantel_haenszel(
+    df: DataFrame,
+    stratum_col: Column,
+    exposed_col: Column,
+    outcome_col: Column,
+) -> DataFrame:
+    """Mantel–Haenszel stratified 2×2 analysis: the common odds ratio
+
+        OR_MH = Σᵢ aᵢdᵢ/nᵢ  /  Σᵢ bᵢcᵢ/nᵢ
+
+    plus the Cochran–Mantel–Haenszel statistic
+    (Σaᵢ − ΣEᵢ)²/ΣVᵢ with Eᵢ = r1ᵢc1ᵢ/nᵢ and
+    Vᵢ = r1ᵢr0ᵢc1ᵢc0ᵢ/(nᵢ²(nᵢ−1)) — exposure↔outcome association
+    adjusted for a confounding stratum, the stratified companion to
+    diff_in_diff (which adjusts by differencing, not stratifying).
+
+    Shape: ONE conditional-aggregate fact scan to the per-stratum 2×2
+    (a,b,c,d — exact longs, map-side combine), per-stratum terms on
+    that bounded table, ONE re-aggregate to a single row.
+
+    Exactness: cross-stratum sums of the double-valued terms would be
+    partial-agg-order-dependent, so each per-stratum term is quantized
+    to DECIMAL(28,6) first (the psi_feature_drift convention) and the
+    decimal sums are exact; the closed forms on the one-row result are
+    shared IEEE expressions ⇒ value-hash exact. Degenerate strata
+    (n ≤ 1) contribute NULL-as-zero via coalesce, identically in both
+    engines.
+
+    Output: ONE row — k_strata, n_total, sum_a, sum_e, sum_v,
+    or_mh, cmh_stat.
+    """
+    e = exposed_col.cast("int")
+    o = outcome_col.cast("int")
+    rows = df.select(
+        stratum_col.alias("_s"), e.alias("_e"), o.alias("_o")
+    ).filter(
+        F.col("_s").isNotNull()
+        & F.col("_e").isNotNull()
+        & F.col("_o").isNotNull()
+    )
+
+    def cnt(ev, ov):
+        w = (F.col("_e") == ev) & (F.col("_o") == ov)
+        return F.sum(F.when(w, 1).otherwise(0)).cast("long")
+
+    cells = rows.groupBy("_s").agg(
+        cnt(1, 1).alias("a"),
+        cnt(1, 0).alias("b"),
+        cnt(0, 1).alias("c"),
+        cnt(0, 0).alias("d"),
+    )
+    n = (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast(
+        "double"
+    )
+    r1 = (F.col("a") + F.col("b")).cast("double")  # exposed total
+    r0 = (F.col("c") + F.col("d")).cast("double")
+    c1 = (F.col("a") + F.col("c")).cast("double")  # outcome total
+    c0 = (F.col("b") + F.col("d")).cast("double")
+    q = "decimal(28,6)"
+    t_ad = F.try_divide(
+        (F.col("a") * F.col("d")).cast("double"), n
+    ).cast(q)
+    t_bc = F.try_divide(
+        (F.col("b") * F.col("c")).cast("double"), n
+    ).cast(q)
+    t_e = F.try_divide(r1 * c1, n).cast(q)
+    t_v = F.try_divide(
+        ((r1 * r0) * c1) * c0, (n * n) * (n - F.lit(1.0))
+    ).cast(q)
+    zero = F.lit(0).cast(q)
+    terms = cells.select(
+        F.col("a"),
+        (F.col("a") + F.col("b") + F.col("c") + F.col("d")).alias("_n"),
+        F.coalesce(t_ad, zero).alias("t_ad"),
+        F.coalesce(t_bc, zero).alias("t_bc"),
+        F.coalesce(t_e, zero).alias("t_e"),
+        F.coalesce(t_v, zero).alias("t_v"),
+    )
+    out = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("k_strata"),
+        F.sum("_n").cast("long").alias("n_total"),
+        F.sum("a").cast("long").alias("sum_a"),
+        F.sum("t_ad").cast("decimal(38,6)").alias("_sad"),
+        F.sum("t_bc").cast("decimal(38,6)").alias("_sbc"),
+        F.sum("t_e").cast("decimal(38,6)").alias("_se"),
+        F.sum("t_v").cast("decimal(38,6)").alias("_sv"),
+    )
+    diff = F.col("sum_a").cast("double") - F.col("_se").cast("double")
+    return out.select(
+        "k_strata",
+        "n_total",
+        "sum_a",
+        F.col("_se").cast("double").alias("sum_e"),
+        F.col("_sv").cast("double").alias("sum_v"),
+        F.try_divide(
+            F.col("_sad").cast("double"), F.col("_sbc").cast("double")
+        ).alias("or_mh"),
+        F.try_divide(
+            diff * diff, F.col("_sv").cast("double")
+        ).alias("cmh_stat"),
+    )
+
+
+def diff_in_diff(
+    panel: DataFrame,
+    treated_col: str = "treated",
+    post_col: str = "post",
+    y_col: str = "y",
+) -> DataFrame:
+    """Two-period, two-group difference-in-differences from a
+    user-period panel of (treated 0/1, post 0/1, integral outcome):
+
+        DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre)
+
+    with the large-sample standard error √(Σ_cells s²_cell/n_cell)
+    (independent cell means; the classic 2×2 delta-method SE).
+
+    Shape: ONE aggregate of the panel into the four (treated, post)
+    cells — exact DECIMAL moments per cell with map-side combine —
+    then closed-form IEEE arithmetic on the 4-row table. The panel
+    itself is the caller's one-scan groupBy of the fact.
+
+    Exactness: the welch_t_test convention — exact DECIMAL(38,0)
+    n/Σy/Σy² per cell, centered sums as exact DECIMAL differences,
+    one double cast each, shared closed form ⇒ value-hash exact.
+
+    Output: ONE row — n and mean for each of the four cells
+    (n_t_pre, mean_t_pre, …), did, se, z = did/se.
+    """
+    d38 = "decimal(38,0)"
+    vd = F.col("_y").cast("decimal(19,0)")
+    zero = F.lit(0).cast(d38)
+    rows = panel.select(
+        F.col(treated_col).cast("int").alias("_t"),
+        F.col(post_col).cast("int").alias("_p"),
+        F.col(y_col).cast("long").alias("_y"),
+    ).filter(
+        F.col("_t").isNotNull()
+        & F.col("_p").isNotNull()
+        & F.col("_y").isNotNull()
+    )
+
+    def cell(t, p, expr):
+        w = (F.col("_t") == t) & (F.col("_p") == p)
+        return F.sum(F.when(w, expr).otherwise(zero)).cast(d38)
+
+    aggs = []
+    for t in (0, 1):
+        for p in (0, 1):
+            tag = f"{'t' if t else 'c'}_{'post' if p else 'pre'}"
+            aggs += [
+                cell(t, p, F.lit(1).cast(d38)).alias(f"n_{tag}"),
+                cell(t, p, vd.cast(d38)).alias(f"s_{tag}"),
+                cell(t, p, (vd * vd).cast(d38)).alias(f"ss_{tag}"),
+            ]
+    m = rows.agg(*aggs)
+
+    def stats(tag):
+        n = F.col(f"n_{tag}")
+        mean = F.col(f"s_{tag}").cast("double") / n.cast("double")
+        # sample variance of the cell mean: s²/n with exact centered sum
+        var_num = (
+            n * F.col(f"ss_{tag}") - F.col(f"s_{tag}") * F.col(f"s_{tag}")
+        ).cast("double")
+        se2 = F.try_divide(
+            var_num,
+            n.cast("double")
+            * (n.cast("double") - F.lit(1.0))
+            * n.cast("double"),
+        )
+        return n.cast("long"), mean, se2
+
+    cols, se2s, means = [], [], {}
+    for tag in ("c_pre", "c_post", "t_pre", "t_post"):
+        n, mean, se2 = stats(tag)
+        means[tag] = mean
+        se2s.append(se2)
+        cols += [n.alias(f"n_{tag}"), mean.alias(f"mean_{tag}")]
+    did = (means["t_post"] - means["t_pre"]) - (
+        means["c_post"] - means["c_pre"]
+    )
+    se = F.sqrt(se2s[0] + se2s[1] + se2s[2] + se2s[3])
+    return m.select(
+        *cols,
+        did.alias("did"),
+        se.alias("se"),
+        F.try_divide(did, se).alias("z"),  # NULL, not error, on 0-var cells
+    )

@@ -972,3 +972,199 @@ def randomization_test(
             / F.lit(float(n_perm + 1))
         ).alias("p_value"),
     )
+
+
+def cochran_armitage(
+    df: DataFrame, bin_col: Column, event_col: Column, n_bins: int
+) -> DataFrame:
+    """Cochran–Armitage trend test: is the event rate MONOTONICALLY
+    associated with an ordered bin (integer scores s_b = b)?
+
+        T = Σ s_b·r_b − (R/N)·Σ s_b·n_b
+        Var(T) = (R/N)(1 − R/N)·(Σ s²_b·n_b − (Σ s_b·n_b)²/N)
+        Z = T / √Var(T)
+
+    The hypothesis-test companion to the isotonic FIT over the same
+    bins (operators/isotonic.py): isotonic estimates the monotone
+    curve, Cochran–Armitage scores the evidence that any trend exists.
+
+    Shape: ONE conditional fact aggregate straight to the five scalar
+    moments (N, R, Σsn, Σsr, Σs²n — all exact longs, map-side
+    combine); everything after is closed-form IEEE arithmetic on one
+    row. Bins outside [0, n_bins) and NULLs are excluded.
+
+    Exactness: the moments are exact integers; T, Var, Z are shared
+    closed-form double expressions ⇒ value-hash exact. Degenerate
+    inputs (all-event / no-event / single bin) yield NULL z via
+    try_divide.
+
+    Output: ONE row — n_total, n_events, t_stat, var_t, z.
+    """
+    b = bin_col.cast("long")
+    r = event_col.cast("int")
+    rows = df.select(b.alias("_b"), r.alias("_r")).filter(
+        F.col("_b").isNotNull()
+        & F.col("_r").isNotNull()
+        & (F.col("_b") >= 0)
+        & (F.col("_b") < n_bins)
+    )
+    m = rows.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_r").cast("long").alias("rr"),
+        F.sum(F.col("_b")).cast("long").alias("sn"),
+        F.sum(F.col("_b") * F.col("_r")).cast("long").alias("sr"),
+        F.sum(F.col("_b") * F.col("_b")).cast("long").alias("ssn"),
+    )
+    nd = F.col("n").cast("double")
+    p = F.try_divide(F.col("rr").cast("double"), nd)
+    t = F.col("sr").cast("double") - p * F.col("sn").cast("double")
+    var_t = (
+        p
+        * (F.lit(1.0) - p)
+        * (
+            F.col("ssn").cast("double")
+            - F.try_divide(
+                F.col("sn").cast("double") * F.col("sn").cast("double"),
+                nd,
+            )
+        )
+    )
+    return m.select(
+        F.col("n").alias("n_total"),
+        F.col("rr").alias("n_events"),
+        t.alias("t_stat"),
+        var_t.alias("var_t"),
+        F.try_divide(t, F.sqrt(var_t)).alias("z"),
+    )
+
+
+def jarque_bera(
+    df: DataFrame, group_col: str, value_col: Column
+) -> DataFrame:
+    """Per-group Jarque–Bera normality diagnostic from exact raw
+    moments of an integral value: skewness S, kurtosis K, and
+
+        JB = n/6 · (S² + (K−3)²/4).
+
+    The distribution-SHAPE screen beside the location (welch/anova)
+    and dispersion (brown_forsythe) tests: a quality gate flags a
+    segment whose metric stopped looking like its model.
+
+    Shape: ONE conditional fact aggregate to per-group exact
+    DECIMAL(38,0) moments (n, Σv, Σv², Σv³, Σv⁴, map-side combine);
+    closed form on the |groups|-row table. The n-scaled central
+    moments cancel: with M2 = nΣv² − (Σv)², M3 = n²Σv³ − 3nΣv²Σv +
+    2(Σv)³, M4 = n³Σv⁴ − 4n²Σv³Σv + 6nΣv²(Σv)² − 3(Σv)⁴ (all exact
+    DECIMAL), S = M3/M2^1.5 and K = M4/M2² exactly — no per-row
+    centering pass. Requires |v|⁴·n ≲ 10³⁸ (fine for bounded
+    integral measures; document per call site).
+
+    Exactness: M2–M4 are exact DECIMAL polynomials cast to double
+    once; S/K/JB shared closed forms ⇒ value-hash exact. Zero-variance
+    groups yield NULL via try_divide.
+
+    Output: one row per group — group, n_rows, mean, skewness,
+    kurtosis (raw, normal ⇒ 3), jb_stat — ordered by group.
+    """
+    d38 = "decimal(38,0)"
+    v = value_col.cast("long")
+    rows = df.select(F.col(group_col).alias("g"), v.alias("v")).filter(
+        F.col("g").isNotNull() & F.col("v").isNotNull()
+    )
+    vd = F.col("v").cast("decimal(19,0)")
+    m = rows.groupBy("g").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(vd).cast(d38).alias("s1"),
+        F.sum((vd * vd).cast(d38)).cast(d38).alias("s2"),
+        F.sum((vd * vd * vd).cast(d38)).cast(d38).alias("s3"),
+        F.sum(((vd * vd).cast(d38) * (vd * vd).cast(d38)).cast(d38))
+        .cast(d38)
+        .alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    m2 = (n * s2 - s1 * s1).cast("double")
+    m3 = (n * n * s3 - F.lit(3).cast(d38) * n * s2 * s1
+          + F.lit(2).cast(d38) * s1 * s1 * s1).cast("double")
+    m4 = (
+        n * n * n * s4
+        - F.lit(4).cast(d38) * n * n * s3 * s1
+        + F.lit(6).cast(d38) * n * s2 * s1 * s1
+        - F.lit(3).cast(d38) * s1 * s1 * s1 * s1
+    ).cast("double")
+    # M2^1.5 as M2·√M2: sqrt and multiply are correctly rounded in
+    # both engines, pow(x, 1.5) is not guaranteed to be
+    skew = F.try_divide(m3, m2 * F.sqrt(m2))
+    kurt = F.try_divide(m4, m2 * m2)
+    nd = n.cast("double")
+    jb = (
+        nd
+        / F.lit(6.0)
+        * (
+            skew * skew
+            + (kurt - F.lit(3.0)) * (kurt - F.lit(3.0)) / F.lit(4.0)
+        )
+    )
+    return m.select(
+        F.col("g").alias("group"),
+        n.cast("long").alias("n_rows"),
+        F.try_divide(s1.cast("double"), nd).alias("mean"),
+        skew.alias("skewness"),
+        kurt.alias("kurtosis"),
+        jb.alias("jb_stat"),
+    ).orderBy("group")
+
+
+def brown_forsythe(
+    df: DataFrame, group_col: str, cents_col: Column
+) -> DataFrame:
+    """Brown–Forsythe variance-homogeneity test: one-way ANOVA on the
+    absolute deviations z_ij = |v_ij − median_g| from each group's
+    LOWER MEDIAN — the robust Levene variant (median-centered), the
+    dispersion companion to anova_oneway's location test and the
+    check that guards its equal-variance assumption.
+
+    Shape: TWO column-pruned fact scans by design — (1) the per-group
+    (value, count) cell table (persisted) feeds a per-GROUP window
+    for the lower median (domain-bounded cells, never a
+    SinglePartition exchange; the split_conformal convention), (2) a
+    re-scan joins the broadcast |groups|-row median table and feeds
+    the absolute deviations to anova_oneway's one-pass moment
+    aggregate. Cheaper at scale than persisting a fact-sized
+    (g, v) projection between passes.
+
+    Exactness: the lower median of integral cents is an exact long,
+    so every deviation stays an exact long and the whole ANOVA
+    decomposition inherits anova_oneway's value-hash-exact contract.
+
+    Output: anova_oneway's schema over the deviations — one row per
+    group (group, n_group, …, f_stat, df1, df2) — ordered by group.
+    """
+    from pyspark.sql import Window
+
+    v = cents_col.cast("long")
+    base = df.select(F.col(group_col).alias("g"), v.alias("v")).filter(
+        F.col("g").isNotNull() & F.col("v").isNotNull()
+    )
+    cells = (
+        base.groupBy("g", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .persist_tracked()  # per-g totals + median window read this
+    )
+    ng = cells.groupBy("g").agg(F.sum("n").cast("long").alias("n_g"))
+    w = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    med = (
+        cells.withColumn("_cum", F.sum("n").over(w))
+        .join(F.broadcast(ng), "g")
+        .filter(
+            F.col("_cum")
+            >= F.floor((F.col("n_g") + 1) / F.lit(2)).cast("long")
+        )
+        .groupBy("g")
+        .agg(F.min("v").cast("long").alias("med"))
+    )
+    dev = base.join(F.broadcast(med), "g").select(
+        "g", F.abs(F.col("v") - F.col("med")).alias("absdev")
+    )
+    return anova_oneway(dev, "g", F.col("absdev"))

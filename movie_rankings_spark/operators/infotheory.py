@@ -141,3 +141,123 @@ def cohens_kappa(df: DataFrame, a: Column, b: Column) -> DataFrame:
         pe.alias("pe"),
         ((po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
     )
+
+
+def feature_info_gain(
+    df: DataFrame,
+    target_col: Column,
+    features: "dict[str, Column]",
+    n_shuffle: int = 32,
+) -> DataFrame:
+    """Information-gain feature ranking: MI(target; f) for every
+    candidate feature f, plus the entropies and the symmetric
+    uncertainty SU = 2·MI/(H(f)+H(t)) — the filter-method feature-
+    selection sweep (which columns predict the label at all) run
+    before any model training.
+
+    Shape: ONE stacked fact scan (×|features| bounded explode, the
+    fd_violations convention, repartitioned ahead of the blow-up) to
+    the (feature, value, target) cell table (persisted); marginals
+    and totals re-aggregate that bounded table; MI/H assemble per
+    feature with one more bounded aggregate. Never a per-feature
+    rescan.
+
+    Exactness: every count is an exact long; each ln is evaluated on
+    the same exact-ratio double in both engines and quantized to
+    fixed-point q9 (the mutual_information_cells convention), so the
+    cross-cell sums are exact integer sums; the final nats are single
+    divisions ⇒ value-hash exact.
+
+    Output: one row per feature — feature, n_rows, n_cells,
+    mi_nats, h_feature, h_target, su — ordered by feature.
+    """
+    qsc = F.lit(float(L_SCALE))
+    stacked = (
+        df.repartition(n_shuffle)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(name).alias("f"),
+                            expr.cast("string").alias("fv"),
+                        )
+                        for name, expr in features.items()
+                    ]
+                )
+            ).alias("e"),
+            target_col.cast("string").alias("t"),
+        )
+        .select("e.f", "e.fv", "t")
+        .filter(F.col("fv").isNotNull() & F.col("t").isNotNull())
+    )
+    cells = (
+        stacked.groupBy("f", "fv", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+        .persist_tracked()  # marginals + MI assembly read this
+    )
+    rt = cells.groupBy("f", "fv").agg(
+        F.sum("o").cast("long").alias("rn")
+    )
+    ct = cells.groupBy("f", "t").agg(F.sum("o").cast("long").alias("cn"))
+    g = cells.groupBy("f").agg(F.sum("o").cast("long").alias("n"))
+
+    ratio = (
+        F.col("o").cast("double") * F.col("n").cast("double")
+    ) / (F.col("rn").cast("double") * F.col("cn").cast("double"))
+    mi = (
+        cells.join(rt, ["f", "fv"])
+        .join(ct, ["f", "t"])
+        .join(F.broadcast(g), "f")
+        .select(
+            "f",
+            (
+                F.col("o")
+                * F.round(F.log(ratio) * qsc).cast("long")
+            ).alias("c_q9"),
+        )
+        .groupBy("f")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum("c_q9").cast("long").alias("mi_q9"),
+        )
+    )
+
+    def entropy(marg, cnt_col, out):
+        p = F.col(cnt_col).cast("double") / F.col("n").cast("double")
+        return (
+            marg.join(F.broadcast(g), "f")
+            .select(
+                "f",
+                (
+                    F.col(cnt_col)
+                    * F.round(F.log(p) * qsc).cast("long")
+                ).alias("h_q9"),
+            )
+            .groupBy("f")
+            .agg((-F.sum("h_q9")).cast("long").alias(out))
+        )
+
+    hf = entropy(rt, "rn", "hf_q9")
+    ht = entropy(ct, "cn", "ht_q9")
+    den = F.col("n").cast("double") * qsc
+    mi_nats = F.col("mi_q9").cast("double") / den
+    h_f = F.col("hf_q9").cast("double") / den
+    h_t = F.col("ht_q9").cast("double") / den
+    return (
+        g.join(mi, "f")
+        .join(hf, "f")
+        .join(ht, "f")
+        .select(
+            F.col("f").alias("feature"),
+            F.col("n").alias("n_rows"),
+            "n_cells",
+            mi_nats.alias("mi_nats"),
+            h_f.alias("h_feature"),
+            h_t.alias("h_target"),
+            F.try_divide(
+                F.lit(2.0) * mi_nats, h_f + h_t
+            ).alias("su"),
+        )
+        .orderBy("feature")
+    )

@@ -533,3 +533,94 @@ def exp_smooth_daily(
         (F.col("r.lvl") + F.col("r.trend")).alias("forecast_next"),
     )
     return out.orderBy(*gcols, "day")
+
+
+def ccf_daily(
+    df: DataFrame,
+    day_col: str,
+    x_agg,
+    y_agg,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Exact lead–lag cross-correlation between two daily metrics of
+    one fact: r(k) = corr(x_d, y_{d+k}) for k = −max_lag..+max_lag —
+    "does metric X LEAD metric Y by k days?" (positive-k peak: X
+    leads), the two-series companion to acf_daily's self-persistence
+    diagnostic and the screen run before lagged-feature engineering.
+
+    Shape: the fact shuffles ONCE into the (day, x, y) series —
+    bounded by the DATE DOMAIN (persisted; scalar pass + both pair
+    sides read it); a (2·max_lag+1)-row lag frame broadcast-
+    crossJoins the heads and equi-joins the tails on day+k. Never a
+    global-sort window, never a second fact pass. Days missing from
+    the series contribute no pair at lags spanning them (the
+    acf_daily gappy-series semantics).
+
+    Exactness (the acf_daily expansion, two-series form): A_k =
+    n²·Σx_h·y_t − n·(Sy·Σx_h + Sx·Σy_t) + cnt_k·Sx·Sy is an exact
+    DECIMAL polynomial of exact longs; the denominator
+    n·√(cxx·cyy) evaluates √ and · on exact-integer-valued doubles —
+    shared closed form ⇒ value-hash exact. Constant series ⇒ NULL
+    via try_divide.
+
+    Output: 2·max_lag+1 rows — lag, n_pairs, ccf — ordered by lag.
+    """
+    spark = df.sparkSession
+    daily = (
+        df.groupBy(F.to_date(F.col(day_col)).alias("d"))
+        .agg(
+            x_agg.cast("long").alias("x"),
+            y_agg.cast("long").alias("y"),
+        )
+        .persist_tracked()  # scalar pass + both pair sides read this
+    )
+
+    def d19(c):
+        return c.cast("decimal(19,0)")
+
+    n, sx, sy, sxx, syy = daily.agg(
+        F.count(F.lit(1)).cast("long"),
+        F.sum("x").cast("long"),
+        F.sum("y").cast("long"),
+        F.sum(d19(F.col("x")) * d19(F.col("x"))).cast("decimal(38,0)"),
+        F.sum(d19(F.col("y")) * d19(F.col("y"))).cast("decimal(38,0)"),
+    ).collect()[0]
+    lags = spark.createDataFrame(
+        [(k,) for k in range(-max_lag, max_lag + 1)], "lag int"
+    )
+    head = daily.select(
+        F.col("d").alias("dh"), F.col("x").alias("xh")
+    ).crossJoin(F.broadcast(lags))
+    tail = daily.select(F.col("d").alias("dt"), F.col("y").alias("yt"))
+    pairs = head.join(tail, F.date_add(head.dh, head.lag) == tail.dt)
+    agg = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(d19(F.col("xh")) * d19(F.col("yt"))).alias("sxy"),
+        F.sum("xh").cast("long").alias("sh"),
+        F.sum("yt").cast("long").alias("st"),
+    )
+    nd = F.lit(n).cast("decimal(19,0)")
+    sxd = F.lit(sx).cast("decimal(19,0)")
+    syd = F.lit(sy).cast("decimal(19,0)")
+    a_k = (
+        nd * nd * F.col("sxy")
+        - nd * (syd * F.col("sh").cast("decimal(19,0)")
+                + sxd * F.col("st").cast("decimal(19,0)"))
+        + F.col("n_pairs").cast("decimal(19,0)") * sxd * syd
+    )
+    cxx = (
+        F.lit(n).cast("decimal(19,0)")
+        * F.lit(str(sxx)).cast("decimal(38,0)")
+        - sxd * sxd
+    ).cast("double")
+    cyy = (
+        F.lit(n).cast("decimal(19,0)")
+        * F.lit(str(syy)).cast("decimal(38,0)")
+        - syd * syd
+    ).cast("double")
+    den = F.lit(float(n)) * F.sqrt(cxx * cyy)
+    return agg.select(
+        F.col("lag").cast("long").alias("lag"),
+        "n_pairs",
+        F.try_divide(a_k.cast("double"), den).alias("ccf"),
+    ).orderBy("lag")

@@ -71,6 +71,16 @@ _UNSEEN_FIRST = (
     "seqmine_event_triples",
     "fd_discovery_orders",
     "conformal_interval_price",
+    "isotonic_price_status",
+    "did_parity_revenue",
+    "cuped_purchase_uplift",
+    "mh_segment_price_status",
+    "trend_fstatus_price_ca",
+    "jb_quantity_returnflag",
+    "brown_forsythe_price_priority",
+    "attribution_shapley_channels",
+    "feature_infogain_orders",
+    "ccf_views_purchases",
     # never driver-checked rows-only (weaker driver row)
     "approx_percentiles_price",
     "similarity_ivf_kmeans_topk",

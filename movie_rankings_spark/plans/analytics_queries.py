@@ -2590,3 +2590,751 @@ def conformal_interval_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         alpha_num=1,
         alpha_den=10,
     )
+
+
+# --- r6: isotonic calibration of F-status rate over price bins --------------
+
+_ISOTONIC_ORACLE = """
+WITH cells AS (
+  SELECT LEAST(19, CAST(FLOOR(o_totalprice / 25000) AS INT)) AS b,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+              AS BIGINT) AS s
+  FROM orders WHERE o_totalprice IS NOT NULL
+  GROUP BY 1
+), pre AS (
+  SELECT l.b, CAST(SUM(r.n) AS BIGINT) AS cn,
+         CAST(SUM(r.s) AS BIGINT) AS cs
+  FROM cells l JOIN cells r ON r.b <= l.b GROUP BY 1
+), pre0 AS (
+  SELECT b AS jm1, cn AS nj, cs AS sj FROM pre
+  UNION ALL SELECT -1, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+), segs AS (
+  SELECT p0.jm1 + 1 AS j, p.b AS k,
+         CAST(p.cs - p0.sj AS DOUBLE) / CAST(p.cn - p0.nj AS DOUBLE)
+           AS avg_jk
+  FROM pre p JOIN pre0 p0 ON p0.jm1 < p.b
+), inner_min AS (
+  SELECT c.b AS i, s.j, MIN(s.avg_jk) AS mn
+  FROM cells c JOIN segs s ON s.j <= c.b AND s.k >= c.b
+  GROUP BY 1, 2
+), fit AS (
+  SELECT i, MAX(mn) AS isotonic_y FROM inner_min GROUP BY 1
+)
+SELECT c.b AS bin, c.n AS n_rows, c.s AS sum_y,
+       CAST(c.s AS DOUBLE) / CAST(c.n AS DOUBLE) AS mean_y,
+       f.isotonic_y
+FROM cells c JOIN fit f ON f.i = c.b ORDER BY 1
+"""
+
+
+@REGISTRY.register("isotonic_price_status", _ISOTONIC_ORACLE)
+def isotonic_price_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone non-decreasing) calibration of the
+    F-status rate over 20 fixed price bins: the actual monotone FIT
+    the calibration-bins readout stops short of — computed via the
+    Robertson-Wright minimax closed form over the bounded bin grid,
+    so the classically-sequential PAVA needs no iteration and no
+    driver loop (operators/isotonic.py::isotonic_fit_binned)."""
+    from movie_rankings_spark.operators.isotonic import isotonic_fit_binned
+
+    o = _t(spark, sf_dir, "orders")
+    return isotonic_fit_binned(
+        o.filter(F.col("o_totalprice").isNotNull()),
+        F.least(
+            F.lit(19),
+            F.floor(F.col("o_totalprice") / F.lit(25000)).cast("int"),
+        ),
+        (F.col("o_orderstatus") == "F").cast("long"),
+        n_bins=20,
+    )
+
+
+# --- r6: difference-in-differences (signup treatment, purchase revenue) -----
+
+_DID_ORACLE = """
+WITH pan AS (
+  SELECT user_id,
+         CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+              THEN 1 ELSE 0 END AS post,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), p AS (
+  SELECT CAST(user_id % 2 AS INT) AS g, pan.post AS pp, pan.y FROM pan
+), m AS (
+  SELECT
+    SUM(CASE WHEN g=0 AND pp=0 THEN 1 ELSE 0 END)::HUGEINT AS n_c_pre,
+    SUM(CASE WHEN g=0 AND pp=0 THEN y::HUGEINT ELSE 0 END) AS s_c_pre,
+    SUM(CASE WHEN g=0 AND pp=0 THEN y::HUGEINT * y ELSE 0 END) AS ss_c_pre,
+    SUM(CASE WHEN g=0 AND pp=1 THEN 1 ELSE 0 END)::HUGEINT AS n_c_post,
+    SUM(CASE WHEN g=0 AND pp=1 THEN y::HUGEINT ELSE 0 END) AS s_c_post,
+    SUM(CASE WHEN g=0 AND pp=1 THEN y::HUGEINT * y ELSE 0 END) AS ss_c_post,
+    SUM(CASE WHEN g=1 AND pp=0 THEN 1 ELSE 0 END)::HUGEINT AS n_t_pre,
+    SUM(CASE WHEN g=1 AND pp=0 THEN y::HUGEINT ELSE 0 END) AS s_t_pre,
+    SUM(CASE WHEN g=1 AND pp=0 THEN y::HUGEINT * y ELSE 0 END) AS ss_t_pre,
+    SUM(CASE WHEN g=1 AND pp=1 THEN 1 ELSE 0 END)::HUGEINT AS n_t_post,
+    SUM(CASE WHEN g=1 AND pp=1 THEN y::HUGEINT ELSE 0 END) AS s_t_post,
+    SUM(CASE WHEN g=1 AND pp=1 THEN y::HUGEINT * y ELSE 0 END) AS ss_t_post
+  FROM p
+), d AS (
+  SELECT
+    CAST(n_c_pre AS BIGINT) AS n_c_pre,
+    CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE) AS mean_c_pre,
+    CAST(n_c_pre * ss_c_pre - s_c_pre * s_c_pre AS DOUBLE)
+      / (CAST(n_c_pre AS DOUBLE) * (CAST(n_c_pre AS DOUBLE) - 1.0)
+         * CAST(n_c_pre AS DOUBLE)) AS se2_c_pre,
+    CAST(n_c_post AS BIGINT) AS n_c_post,
+    CAST(s_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE) AS mean_c_post,
+    CAST(n_c_post * ss_c_post - s_c_post * s_c_post AS DOUBLE)
+      / (CAST(n_c_post AS DOUBLE) * (CAST(n_c_post AS DOUBLE) - 1.0)
+         * CAST(n_c_post AS DOUBLE)) AS se2_c_post,
+    CAST(n_t_pre AS BIGINT) AS n_t_pre,
+    CAST(s_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE) AS mean_t_pre,
+    CAST(n_t_pre * ss_t_pre - s_t_pre * s_t_pre AS DOUBLE)
+      / (CAST(n_t_pre AS DOUBLE) * (CAST(n_t_pre AS DOUBLE) - 1.0)
+         * CAST(n_t_pre AS DOUBLE)) AS se2_t_pre,
+    CAST(n_t_post AS BIGINT) AS n_t_post,
+    CAST(s_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE) AS mean_t_post,
+    CAST(n_t_post * ss_t_post - s_t_post * s_t_post AS DOUBLE)
+      / (CAST(n_t_post AS DOUBLE) * (CAST(n_t_post AS DOUBLE) - 1.0)
+         * CAST(n_t_post AS DOUBLE)) AS se2_t_post
+  FROM m
+)
+SELECT n_c_pre, mean_c_pre, n_c_post, mean_c_post,
+       n_t_pre, mean_t_pre, n_t_post, mean_t_post,
+       (mean_t_post - mean_t_pre) - (mean_c_post - mean_c_pre) AS did,
+       sqrt(((se2_c_pre + se2_c_post) + se2_t_pre) + se2_t_post) AS se,
+       ((mean_t_post - mean_t_pre) - (mean_c_post - mean_c_pre))
+         / sqrt(((se2_c_pre + se2_c_post) + se2_t_pre) + se2_t_post) AS z
+FROM d
+"""
+
+
+@REGISTRY.register("did_parity_revenue", _DID_ORACLE)
+def did_parity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on the user-period purchase panel:
+    outcome = per-user-period purchase cents, post = the back half of
+    the event window, treatment = user-id parity — a deterministic
+    A/A (placebo) assignment, the standard mechanics check run before
+    pointing the estimator at a real rollout (DiD is expected ~ 0;
+    a significant z here would flag a broken panel). The
+    observational companion to the randomized
+    abtest_conversion_events readout; panel built in ONE fact scan
+    (operators/causal.py::diff_in_diff)."""
+    from movie_rankings_spark.operators.causal import diff_in_diff
+
+    ev = _t(spark, sf_dir, "events")
+    pan = ev.groupBy(
+        "user_id",
+        (F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp"))
+        .cast("int")
+        .alias("post"),
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * F.lit(100)).cast("long"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    panel = pan.select(
+        F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("treated"),
+        "post",
+        "y",
+    )
+    return diff_in_diff(panel)
+
+
+# --- r6: CUPED variance-reduced A/A contrast on the purchase panel ---------
+
+_CUPED_ORACLE = """
+WITH pan AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                        AND ts < TIMESTAMP '2024-01-16 00:00:00'
+                       THEN CAST(round(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                        AND ts >= TIMESTAMP '2024-01-16 00:00:00'
+                       THEN CAST(round(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS y,
+         CAST(user_id % 2 AS INT) AS t
+  FROM events GROUP BY user_id
+), m AS (
+  SELECT COUNT(*)::HUGEINT AS n,
+         SUM(x::HUGEINT) AS sx, SUM(y::HUGEINT) AS sy,
+         SUM(x::HUGEINT * x) AS sxx, SUM(y::HUGEINT * y) AS syy,
+         SUM(x::HUGEINT * y) AS sxy,
+         SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END)::HUGEINT AS n0,
+         SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END)::HUGEINT AS n1,
+         SUM(CASE WHEN t = 0 THEN x::HUGEINT ELSE 0 END) AS sx0,
+         SUM(CASE WHEN t = 1 THEN x::HUGEINT ELSE 0 END) AS sx1,
+         SUM(CASE WHEN t = 0 THEN y::HUGEINT ELSE 0 END) AS sy0,
+         SUM(CASE WHEN t = 1 THEN y::HUGEINT ELSE 0 END) AS sy1
+  FROM pan
+), d AS (
+  SELECT CAST(n0 AS BIGINT) AS n_c, CAST(n1 AS BIGINT) AS n_t,
+         CAST(n * sxy - sx * sy AS DOUBLE) AS cxy,
+         CAST(n * sxx - sx * sx AS DOUBLE) AS cxx,
+         CAST(n * syy - sy * sy AS DOUBLE) AS cyy,
+         CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS mean_y_c,
+         CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean_y_t,
+         CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS mean_x_c,
+         CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean_x_t
+  FROM m
+)
+SELECT n_c, n_t, mean_y_c, mean_y_t,
+       mean_y_t - mean_y_c AS delta_raw,
+       cxy / cxx AS theta,
+       (mean_y_t - mean_y_c)
+         - (cxy / cxx) * (mean_x_t - mean_x_c) AS delta_cuped,
+       (cxy * cxy) / (cxx * cyy) AS rho2
+FROM d
+"""
+
+
+@REGISTRY.register("cuped_purchase_uplift", _CUPED_ORACLE)
+def cuped_purchase_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced contrast on the per-user purchase
+    panel: X = pre-period purchase cents (first event-window half),
+    Y = post-period cents, arms by user-id parity — the same A/A
+    placebo as did_parity_revenue, read through the pre-period-
+    covariate adjustment every experimentation platform applies
+    (θ from pooled cov/var, ρ² = variance explained). Panel built in
+    ONE fact scan (operators/causal.py::cuped_contrast)."""
+    from movie_rankings_spark.operators.causal import cuped_contrast
+
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    cents = F.round(F.col("value") * F.lit(100)).cast("long")
+    purch = F.col("event_type") == "purchase"
+    pan = ev.groupBy("user_id").agg(
+        F.sum(F.when(purch & (F.col("ts") < cut), cents).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(purch & (F.col("ts") >= cut), cents).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("y"),
+    )
+    panel = pan.select(
+        F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("t"),
+        "x",
+        "y",
+    )
+    return cuped_contrast(panel, "t", "x", "y")
+
+
+# --- r6: Mantel-Haenszel stratified odds ratio (segment strata) -------------
+
+_MH_ORACLE = """
+WITH r AS (
+  SELECT c.c_mktsegment AS s,
+         CASE WHEN o.o_totalprice >= 150000 THEN 1 ELSE 0 END AS e,
+         CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS oc
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE c.c_mktsegment IS NOT NULL AND o.o_totalprice IS NOT NULL
+), cells AS (
+  SELECT s,
+    CAST(SUM(CASE WHEN e = 1 AND oc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+    CAST(SUM(CASE WHEN e = 1 AND oc = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+    CAST(SUM(CASE WHEN e = 0 AND oc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+    CAST(SUM(CASE WHEN e = 0 AND oc = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM r GROUP BY s
+), terms AS (
+  SELECT a, a + b + c + d AS _n,
+    COALESCE(CAST(CAST(a * d AS DOUBLE)
+      / CAST(a + b + c + d AS DOUBLE) AS DECIMAL(28,6)), 0) AS t_ad,
+    COALESCE(CAST(CAST(b * c AS DOUBLE)
+      / CAST(a + b + c + d AS DOUBLE) AS DECIMAL(28,6)), 0) AS t_bc,
+    COALESCE(CAST(CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+      / CAST(a + b + c + d AS DOUBLE) AS DECIMAL(28,6)), 0) AS t_e,
+    COALESCE(CAST(
+      ((CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE))
+        * CAST(a + c AS DOUBLE)) * CAST(b + d AS DOUBLE)
+      / ((CAST(a + b + c + d AS DOUBLE) * CAST(a + b + c + d AS DOUBLE))
+         * (CAST(a + b + c + d AS DOUBLE) - 1.0)) AS DECIMAL(28,6)),
+      0) AS t_v
+  FROM cells
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k_strata,
+         CAST(SUM(_n) AS BIGINT) AS n_total,
+         CAST(SUM(a) AS BIGINT) AS sum_a,
+         CAST(SUM(t_ad) AS DECIMAL(38,6)) AS _sad,
+         CAST(SUM(t_bc) AS DECIMAL(38,6)) AS _sbc,
+         CAST(SUM(t_e) AS DECIMAL(38,6)) AS _se,
+         CAST(SUM(t_v) AS DECIMAL(38,6)) AS _sv
+  FROM terms
+)
+SELECT k_strata, n_total, sum_a,
+       CAST(_se AS DOUBLE) AS sum_e,
+       CAST(_sv AS DOUBLE) AS sum_v,
+       CAST(_sad AS DOUBLE) / CAST(_sbc AS DOUBLE) AS or_mh,
+       (CAST(sum_a AS DOUBLE) - CAST(_se AS DOUBLE))
+         * (CAST(sum_a AS DOUBLE) - CAST(_se AS DOUBLE))
+         / CAST(_sv AS DOUBLE) AS cmh_stat
+FROM tot
+"""
+
+
+@REGISTRY.register("mh_segment_price_status", _MH_ORACLE)
+def mh_segment_price_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Haenszel common odds ratio + CMH statistic for
+    high-price exposure (o_totalprice >= 150k) vs F-status outcome,
+    stratified by the customer's market segment — the
+    confounder-adjusted association the crude chi2_lang_source-style
+    2x2 cannot give. Broadcast-joins the customer dim for strata;
+    ONE conditional fact aggregate to the 5 per-stratum 2x2 tables
+    (operators/causal.py::mantel_haenszel)."""
+    from movie_rankings_spark.operators.causal import mantel_haenszel
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.filter(F.col("o_totalprice").isNotNull()).join(
+        F.broadcast(c), F.col("c_custkey") == F.col("o_custkey")
+    )
+    return mantel_haenszel(
+        j,
+        F.col("c_mktsegment"),
+        (F.col("o_totalprice") >= 150000).cast("int"),
+        (F.col("o_orderstatus") == "F").cast("int"),
+    )
+
+
+# --- r6: Cochran-Armitage trend test over the isotonic price bins -----------
+
+_CA_ORACLE = """
+WITH r AS (
+  SELECT LEAST(19, CAST(FLOOR(o_totalprice / 25000) AS BIGINT)) AS b,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS e
+  FROM orders WHERE o_totalprice IS NOT NULL
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(e) AS BIGINT) AS rr,
+         CAST(SUM(b) AS BIGINT) AS sn,
+         CAST(SUM(b * e) AS BIGINT) AS sr,
+         CAST(SUM(b * b) AS BIGINT) AS ssn
+  FROM r
+)
+SELECT n AS n_total, rr AS n_events,
+  CAST(sr AS DOUBLE)
+    - (CAST(rr AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(sn AS DOUBLE)
+    AS t_stat,
+  (CAST(rr AS DOUBLE) / CAST(n AS DOUBLE))
+    * (1.0 - CAST(rr AS DOUBLE) / CAST(n AS DOUBLE))
+    * (CAST(ssn AS DOUBLE)
+       - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE) / CAST(n AS DOUBLE))
+    AS var_t,
+  (CAST(sr AS DOUBLE)
+    - (CAST(rr AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(sn AS DOUBLE))
+  / sqrt((CAST(rr AS DOUBLE) / CAST(n AS DOUBLE))
+    * (1.0 - CAST(rr AS DOUBLE) / CAST(n AS DOUBLE))
+    * (CAST(ssn AS DOUBLE)
+       - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE) / CAST(n AS DOUBLE)))
+    AS z
+FROM m
+"""
+
+
+@REGISTRY.register("trend_fstatus_price_ca", _CA_ORACLE)
+def trend_fstatus_price_ca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test for the F-status rate across the
+    SAME 20 price bins isotonic_price_status fits: the isotonic query
+    estimates the monotone curve, this one scores the evidence any
+    trend exists (integer bin scores, one conditional aggregate to
+    five exact moments; operators/disttests.py::cochran_armitage)."""
+    from movie_rankings_spark.operators.disttests import cochran_armitage
+
+    o = _t(spark, sf_dir, "orders")
+    return cochran_armitage(
+        o.filter(F.col("o_totalprice").isNotNull()),
+        F.least(
+            F.lit(19),
+            F.floor(F.col("o_totalprice") / F.lit(25000)).cast("int"),
+        ),
+        (F.col("o_orderstatus") == "F").cast("int"),
+        n_bins=20,
+    )
+
+
+# --- r6: Jarque-Bera normality screen per return flag -----------------------
+
+_JB_ORACLE = """
+WITH r AS (
+  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+), m AS (
+  SELECT g, COUNT(*)::HUGEINT AS n,
+         SUM(v::HUGEINT) AS s1,
+         SUM(v::HUGEINT * v) AS s2,
+         SUM(v::HUGEINT * v * v) AS s3,
+         SUM((v::HUGEINT * v) * (v::HUGEINT * v)) AS s4
+  FROM r GROUP BY g
+), c AS (
+  SELECT g, n,
+    CAST(n * s2 - s1 * s1 AS DOUBLE) AS m2,
+    CAST(n * n * s3 - 3 * n * s2 * s1 + 2 * s1 * s1 * s1 AS DOUBLE)
+      AS m3,
+    CAST(n * n * n * s4 - 4 * n * n * s3 * s1
+         + 6 * n * s2 * s1 * s1
+         - 3 * s1 * s1 * s1 * s1 AS DOUBLE) AS m4,
+    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean
+  FROM m
+), f AS (
+  SELECT g, CAST(n AS BIGINT) AS n_rows, mean,
+         m3 / (m2 * sqrt(m2)) AS skewness,
+         m4 / (m2 * m2) AS kurtosis,
+         CAST(n AS DOUBLE) AS nd
+  FROM c
+)
+SELECT g AS "group", n_rows, mean, skewness, kurtosis,
+       nd / 6.0 * (skewness * skewness
+                   + (kurtosis - 3.0) * (kurtosis - 3.0) / 4.0)
+         AS jb_stat
+FROM f ORDER BY "group"
+"""
+
+
+@REGISTRY.register("jb_quantity_returnflag", _JB_ORACLE)
+def jb_quantity_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality screen of l_quantity per return flag —
+    exact skewness/kurtosis from one conditional aggregate of raw
+    DECIMAL moments (the n-scaled central-moment polynomials cancel
+    the means, so no centering pass); the SHAPE diagnostic beside the
+    location (ANOVA) and dispersion (Brown-Forsythe) tests
+    (operators/disttests.py::jarque_bera)."""
+    from movie_rankings_spark.operators.disttests import jarque_bera
+
+    li = _t(spark, sf_dir, "lineitem")
+    return jarque_bera(
+        li.filter(F.col("l_quantity").isNotNull()),
+        "l_returnflag",
+        F.col("l_quantity"),
+    )
+
+
+# --- r6: Brown-Forsythe variance homogeneity across order priorities --------
+
+_BF_ORACLE = """
+WITH r AS (
+  SELECT o_orderpriority AS g,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+), ranked AS (
+  SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn,
+         COUNT(*) OVER (PARTITION BY g) AS n_g
+  FROM r
+), med AS (
+  SELECT g, v AS med FROM ranked WHERE rn = (n_g + 1) // 2
+), dev AS (
+  SELECT r.g, abs(r.v - med.med) AS v FROM r JOIN med USING (g)
+), pg AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(CAST(v AS HUGEINT)) AS HUGEINT) AS s_g,
+         CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT) AS ss_g
+  FROM dev GROUP BY g
+), gq AS (
+  SELECT *, CAST(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+                 / CAST(n_g AS DOUBLE) AS DECIMAL(28,0)) AS term
+  FROM pg
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n_g) AS BIGINT) AS n_total,
+         CAST(SUM(s_g) AS HUGEINT) AS s_all,
+         CAST(SUM(ss_g) AS HUGEINT) AS ss_all,
+         CAST(SUM(term) AS DECIMAL(38,0)) AS term_sum
+  FROM gq
+), fin AS (
+  SELECT CAST(term_sum AS DOUBLE)
+           - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE)
+             / CAST(n_total AS DOUBLE) AS ssb,
+         CAST(ss_all AS DOUBLE) - CAST(term_sum AS DOUBLE) AS ssw,
+         CAST(k AS DOUBLE) AS kd, CAST(n_total AS DOUBLE) AS ntd
+  FROM tot
+)
+SELECT g AS "group", n_g AS n_group,
+       CAST(s_g AS BIGINT) AS sum_cents,
+       CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE) AS mean_cents,
+       CAST(ss_g AS DOUBLE) - CAST(term AS DOUBLE) AS ss_within_g,
+       ssb AS ss_between, ssw AS ss_within,
+       (ssb / (kd - 1.0)) / (ssw / (ntd - kd)) AS f_stat
+FROM gq CROSS JOIN fin ORDER BY "group"
+"""
+
+
+@REGISTRY.register("brown_forsythe_price_priority", _BF_ORACLE)
+def brown_forsythe_price_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test of order price cents
+    across the five order priorities: one-way ANOVA on absolute
+    deviations from each group's lower median — the robust guard for
+    anova_price_returnflag's equal-variance assumption. Two
+    column-pruned fact scans by design (median pass over the value
+    cells, then the deviation aggregate;
+    operators/disttests.py::brown_forsythe)."""
+    from movie_rankings_spark.operators.disttests import brown_forsythe
+
+    o = _t(spark, sf_dir, "orders")
+    return brown_forsythe(
+        o.filter(F.col("o_totalprice").isNotNull()),
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * F.lit(100)).cast("long"),
+    )
+
+
+# --- r6: Shapley-value channel attribution over user-day journeys -----------
+
+_SHAPLEY_ORACLE = """
+WITH j AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+    + 2 * MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+    + 4 * MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+    + 8 * MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS m,
+    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cv
+  FROM events GROUP BY 1, 2
+), cells AS (
+  SELECT m, CAST(COUNT(*) AS BIGINT) AS cn FROM j WHERE cv = 1 GROUP BY 1
+), subsets AS (
+  SELECT CAST(r.range AS INT) AS s FROM range(0, 16) r
+), vs AS (
+  SELECT s, CAST(COALESCE(SUM(CASE WHEN (cells.m & subsets.s) = cells.m
+                                   THEN cn END), 0) AS BIGINT) AS v
+  FROM subsets LEFT JOIN cells ON (cells.m & subsets.s) = cells.m
+  GROUP BY s
+), tot AS (
+  SELECT CAST(MAX(CASE WHEN s = 15 THEN v END)
+              - MAX(CASE WHEN s = 0 THEN v END) AS BIGINT)
+           AS conversions_total
+  FROM vs
+), ch AS (
+  SELECT * FROM (VALUES (0, 'click'), (1, 'error'),
+                        (2, 'signup'), (3, 'view')) AS t(c, channel)
+), marg AS (
+  SELECT ch.c, ch.channel,
+    CAST(SUM(
+      (CASE ((vs.s >> 0) & 1) + ((vs.s >> 1) & 1)
+            + ((vs.s >> 2) & 1) + ((vs.s >> 3) & 1)
+         WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END)
+      * (v2.v - vs.v)) AS BIGINT) AS phi_num
+  FROM ch
+  JOIN vs ON (vs.s & (1 << ch.c)) = 0
+  JOIN vs v2 ON v2.s = (vs.s | (1 << ch.c))
+  GROUP BY 1, 2
+)
+SELECT channel, phi_num,
+       CAST(phi_num AS DOUBLE) / 24.0 AS phi,
+       conversions_total
+FROM marg CROSS JOIN tot ORDER BY channel
+"""
+
+
+@REGISTRY.register("attribution_shapley_channels", _SHAPLEY_ORACLE)
+def attribution_shapley_channels(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shapley-value conversion attribution across the four
+    non-purchase channels over user-day journeys: v(S) = conversions
+    from journeys touching only channels in S; phi_c the exact
+    Shapley share (weights pre-scaled by 4! so every numerator is an
+    exact long). The game-theoretic upgrade of last-touch /
+    position-based attribution on the same fact; ONE journey groupBy
+    then bounded 16x16 grid algebra
+    (operators/attribution.py::shapley_attribution)."""
+    from movie_rankings_spark.operators.attribution import (
+        shapley_attribution,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+
+    def touched(t):
+        return F.max(
+            F.when(F.col("event_type") == t, 1).otherwise(0)
+        ).cast("int")
+
+    j = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        (
+            touched("click")
+            + touched("error") * 2
+            + touched("signup") * 4
+            + touched("view") * 8
+        ).alias("m"),
+        touched("purchase").alias("cv"),
+    )
+    return shapley_attribution(
+        j,
+        F.col("m"),
+        F.col("cv"),
+        ["click", "error", "signup", "view"],
+    )
+
+
+# --- r6: information-gain feature sweep over orders -------------------------
+
+_INFOGAIN_ORACLE = """
+WITH stacked AS (
+  SELECT 'month' AS f, CAST(MONTH(o_orderdate) AS VARCHAR) AS fv,
+         o_orderstatus AS t
+  FROM orders WHERE o_orderdate IS NOT NULL AND o_orderstatus IS NOT NULL
+  UNION ALL
+  SELECT 'price_bin',
+         CAST(LEAST(19, CAST(FLOOR(o_totalprice / 25000) AS BIGINT))
+              AS VARCHAR),
+         o_orderstatus
+  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL
+  UNION ALL
+  SELECT 'priority', o_orderpriority, o_orderstatus
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+  UNION ALL
+  SELECT 'year', CAST(YEAR(o_orderdate) AS VARCHAR), o_orderstatus
+  FROM orders WHERE o_orderdate IS NOT NULL AND o_orderstatus IS NOT NULL
+), cells AS (
+  SELECT f, fv, t, CAST(COUNT(*) AS BIGINT) AS o
+  FROM stacked GROUP BY 1, 2, 3
+), rt AS (
+  SELECT f, fv, CAST(SUM(o) AS BIGINT) AS rn FROM cells GROUP BY 1, 2
+), ct AS (
+  SELECT f, t, CAST(SUM(o) AS BIGINT) AS cn FROM cells GROUP BY 1, 2
+), g AS (
+  SELECT f, CAST(SUM(o) AS BIGINT) AS n FROM cells GROUP BY 1
+), mi AS (
+  SELECT c.f, CAST(COUNT(*) AS BIGINT) AS n_cells,
+    CAST(SUM(c.o * CAST(round(ln(
+        (CAST(c.o AS DOUBLE) * CAST(g.n AS DOUBLE))
+      / (CAST(rt.rn AS DOUBLE) * CAST(ct.cn AS DOUBLE))
+    ) * 1000000000.0) AS BIGINT)) AS BIGINT) AS mi_q9
+  FROM cells c
+  JOIN rt USING (f, fv) JOIN ct USING (f, t) JOIN g USING (f)
+  GROUP BY 1
+), hf AS (
+  SELECT rt.f,
+    CAST(-SUM(rt.rn * CAST(round(ln(
+        CAST(rt.rn AS DOUBLE) / CAST(g.n AS DOUBLE)
+    ) * 1000000000.0) AS BIGINT)) AS BIGINT) AS hf_q9
+  FROM rt JOIN g USING (f) GROUP BY 1
+), ht AS (
+  SELECT ct.f,
+    CAST(-SUM(ct.cn * CAST(round(ln(
+        CAST(ct.cn AS DOUBLE) / CAST(g.n AS DOUBLE)
+    ) * 1000000000.0) AS BIGINT)) AS BIGINT) AS ht_q9
+  FROM ct JOIN g USING (f) GROUP BY 1
+), fin AS (
+  SELECT g.f AS feature, g.n AS n_rows, mi.n_cells,
+    CAST(mi.mi_q9 AS DOUBLE)
+      / (CAST(g.n AS DOUBLE) * 1000000000.0) AS mi_nats,
+    CAST(hf.hf_q9 AS DOUBLE)
+      / (CAST(g.n AS DOUBLE) * 1000000000.0) AS h_feature,
+    CAST(ht.ht_q9 AS DOUBLE)
+      / (CAST(g.n AS DOUBLE) * 1000000000.0) AS h_target
+  FROM g JOIN mi USING (f) JOIN hf USING (f) JOIN ht USING (f)
+)
+SELECT feature, n_rows, n_cells, mi_nats, h_feature, h_target,
+       2.0 * mi_nats / (h_feature + h_target) AS su
+FROM fin ORDER BY feature
+"""
+
+
+@REGISTRY.register("feature_infogain_orders", _INFOGAIN_ORACLE)
+def feature_infogain_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information-gain feature-selection sweep: MI(o_orderstatus; f)
+    + symmetric uncertainty for four candidate order features (month,
+    price bin, priority, year) in ONE stacked fact scan — the
+    filter-method ranking run before training any model on the table
+    (which features predict the label at all). The multi-feature
+    generalization of the single-pair mi_lang_source readout
+    (operators/infotheory.py::feature_info_gain)."""
+    from movie_rankings_spark.operators.infotheory import feature_info_gain
+
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isNotNull()
+    )
+    return feature_info_gain(
+        o,
+        F.col("o_orderstatus"),
+        {
+            "month": F.month("o_orderdate"),
+            "price_bin": F.least(
+                F.lit(19),
+                F.floor(F.col("o_totalprice") / F.lit(25000)).cast("long"),
+            ),
+            "priority": F.col("o_orderpriority"),
+            "year": F.year("o_orderdate"),
+        },
+    )
+
+
+# --- r6: lead-lag cross-correlation between daily views and purchases -------
+
+_CCF_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), scal AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM daily
+), lags AS (
+  SELECT CAST(unnest(generate_series(-7, 7)) AS INT) AS lag
+), pairs AS (
+  SELECT l.lag, h.x AS xh, t.y AS yt
+  FROM lags l
+  JOIN daily h ON TRUE
+  JOIN daily t ON t.d = h.d + l.lag
+), agg AS (
+  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         SUM(CAST(xh AS HUGEINT) * yt) AS sxy,
+         CAST(SUM(xh) AS BIGINT) AS sh, CAST(SUM(yt) AS BIGINT) AS st
+  FROM pairs GROUP BY 1
+)
+SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+  CAST(CAST(n AS HUGEINT) * n * sxy
+       - CAST(n AS HUGEINT)
+         * (CAST(sy AS HUGEINT) * sh + CAST(sx AS HUGEINT) * st)
+       + CAST(n_pairs AS HUGEINT) * sx * sy AS DOUBLE)
+  / (CAST(n AS DOUBLE)
+     * sqrt(CAST(CAST(n AS HUGEINT) * sxx
+                 - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+            * CAST(CAST(n AS HUGEINT) * syy
+                   - CAST(sy AS HUGEINT) * sy AS DOUBLE)))
+    AS ccf
+FROM agg CROSS JOIN scal ORDER BY lag
+"""
+
+
+@REGISTRY.register("ccf_views_purchases", _CCF_ORACLE)
+def ccf_views_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do daily views LEAD daily purchase revenue? Exact lead-lag
+    cross-correlation (k = -7..+7) between the two metrics of the
+    events fact — the two-series companion to acf_daily_revenue, run
+    before engineering lagged features. One fact shuffle into the
+    date-domain-bounded (day, views, purchase-cents) series
+    (operators/timeseries.py::ccf_daily)."""
+    from movie_rankings_spark.operators.timeseries import ccf_daily
+
+    ev = _t(spark, sf_dir, "events")
+    return ccf_daily(
+        ev,
+        "ts",
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * F.lit(100)).cast("long"),
+            ).otherwise(F.lit(0))
+        ),
+        max_lag=7,
+    )

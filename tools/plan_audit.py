@@ -119,6 +119,10 @@ NESTED_LOOP_LEGIT = {
     "drift_train_val_psi",  # 1-row totals onto the 10-bin frame (r5)
     "embedding_jl_rademacher",  # 16-row sign table broadcast onto the vectors (JIT-able per-row fold) (r5)
     "ks_source_length_profiles",  # theta join of the BOUNDED length grid (ROC shape) + 1-row total (r5)
+    "isotonic_price_status",  # prefix/minimax theta joins over the <=20-row BIN grid (r6)
+    "brown_forsythe_price_priority",  # anova 1-row totals cross join (|groups|=5 table) (r6)
+    "attribution_shapley_channels",  # 16-row subset-grid bitmask theta joins + 1-row total (r6)
+    "ccf_views_purchases",  # 15-row lag frame onto the date-domain-bounded daily series (acf shape) (r6)
 }
 
 #: row-at-a-time Python allowed ONLY for the literal Spark-4 @udtf
