@@ -1168,3 +1168,137 @@ def brown_forsythe(
         "g", F.abs(F.col("v") - F.col("med")).alias("absdev")
     )
     return anova_oneway(dev, "g", F.col("absdev"))
+
+
+def ks_sweep_bh_fdr(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k_terms: int = 50,
+) -> DataFrame:
+    """Multiple-testing-corrected KS drift scan: the group-vs-rest
+    sweep (ks_group_vs_rest), each statistic converted to its
+    asymptotic p-value via the truncated Kolmogorov series
+
+        p = 2·Σ_{k=1..K} (−1)^{k−1}·exp(−2k²λ²),
+        λ² = D²·(n_g·n_rest)/(n_g+n_rest)
+
+    then Benjamini–Hochberg adjusted across the |groups| simultaneous
+    tests (q_i = min_{j≥i} p_(j)·m/j) — the scan a curation pipeline
+    actually acts on: with 50 sources, 2–3 raw p < .05 appear by
+    chance alone; BH controls the false-discovery rate.
+
+    Shape: the sweep's one-fact-pass machinery, then everything on
+    the BOUNDED |groups|-row result — p terms via a |groups|×K
+    broadcast grid, rank and the running min via theta self-joins
+    (≤ |groups|² rows; never a global window). K is fixed (series
+    terms decay as exp(−2k²λ²); K = 50 is far past double underflow
+    for any λ the test can emit).
+
+    Exactness: exp is evaluated on identically-computed doubles in
+    both engines and each term quantized to DECIMAL(28,15) before the
+    cross-k sum (the drift-monitor ln convention); BH arithmetic is
+    closed-form on exact ranks ⇒ value-hash exact.
+
+    Output: one row per group — group, n_group, ks_d, p_value,
+    bh_rank, q_value, significant_05 — ordered by group.
+    """
+    ks = ks_group_vs_rest(df, group_col, value_col).persist_tracked()
+    spark = df.sparkSession
+    kg = spark.range(1, k_terms + 1).select(
+        F.col("id").cast("long").alias("k")
+    )
+    ne = F.try_divide(
+        (F.col("n_group") * F.col("n_rest")).cast("double"),
+        (F.col("n_group") + F.col("n_rest")).cast("double"),
+    )
+    lam2 = (F.col("ks_d") * F.col("ks_d")) * ne
+    kd = F.col("k").cast("double")
+    sign = F.when(F.pmod(F.col("k"), F.lit(2)) == 1, F.lit(1.0)).otherwise(
+        F.lit(-1.0)
+    )
+    # q8, not the drift monitor's q15: exp() may differ by 1 ulp
+    # across engines, and a 1e-15 grid leaves ~5% boundary-hit odds
+    # per term; 1e-8 keeps far more precision than a p-value needs
+    # while making a boundary hit ~5e-9-probable per term
+    term = (
+        sign * F.exp((F.lit(-2.0) * (kd * kd)) * lam2)
+    ).cast("decimal(28,8)")
+    pv = (
+        ks.crossJoin(F.broadcast(kg))
+        .select("group", term.alias("t"))
+        .groupBy("group")
+        .agg(F.sum("t").cast("decimal(38,8)").alias("_s"))
+        .select(
+            "group",
+            F.least(
+                F.lit(1.0),
+                F.greatest(
+                    F.lit(0.0), F.lit(2.0) * F.col("_s").cast("double")
+                ),
+            ).alias("p_value"),
+        )
+    )
+    base = ks.join(pv, "group").persist_tracked()  # self-join sides
+    m = base.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    l = base.select(
+        F.col("group").alias("g_l"),
+        F.col("p_value").alias("p_l"),
+    )
+    r = base.select(
+        F.col("group").alias("g_r"), F.col("p_value").alias("p_r")
+    )
+    rank = (
+        l.join(
+            F.broadcast(r),
+            (F.col("p_r") < F.col("p_l"))
+            | (
+                (F.col("p_r") == F.col("p_l"))
+                & (F.col("g_r") <= F.col("g_l"))
+            ),
+        )
+        .groupBy("g_l", "p_l")
+        .agg(F.count(F.lit(1)).cast("long").alias("bh_rank"))
+        .crossJoin(F.broadcast(m))
+        .select(
+            "g_l",
+            "bh_rank",
+            (
+                F.col("p_l")
+                * F.col("m").cast("double")
+                / F.col("bh_rank").cast("double")
+            ).alias("raw"),
+        )
+        .persist_tracked()  # running-min theta join reads both sides
+    )
+    runmin = (
+        rank.select(
+            F.col("g_l").alias("g_i"),
+            F.col("bh_rank").alias("rk_i"),
+        )
+        .join(
+            F.broadcast(
+                rank.select(
+                    F.col("bh_rank").alias("rk_j"), F.col("raw").alias("raw_j")
+                )
+            ),
+            F.col("rk_j") >= F.col("rk_i"),
+        )
+        .groupBy("g_i", "rk_i")
+        .agg(F.min("raw_j").alias("_q"))
+    )
+    return (
+        base.join(runmin, base["group"] == runmin["g_i"])
+        .select(
+            "group",
+            "n_group",
+            "ks_d",
+            "p_value",
+            F.col("rk_i").alias("bh_rank"),
+            F.least(F.lit(1.0), F.col("_q")).alias("q_value"),
+            (F.least(F.lit(1.0), F.col("_q")) <= F.lit(0.05)).alias(
+                "significant_05"
+            ),
+        )
+        .orderBy("group")
+    )

@@ -624,3 +624,131 @@ def ccf_daily(
         "n_pairs",
         F.try_divide(a_k.cast("double"), den).alias("ccf"),
     ).orderBy("lag")
+
+
+def holt_winters_daily(
+    df: DataFrame,
+    day_col: str,
+    cents_col,
+    season: int = 7,
+    alpha: float = 0.3,
+    beta: float = 0.2,
+    gamma: float = 0.4,
+) -> DataFrame:
+    """Additive Holt–Winters (triple exponential) smoothing of a
+    daily metric with a length-``season`` cycle — the seasonal
+    completion of exp_smooth_daily's level+trend model (weekly retail
+    series need the seasonal term or the trend eats the weekday
+    shape):
+
+        l_t = α·(x_t − s_{t−m}) + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+        s_t = γ·(x_t − l_t) + (1−γ)·s_{t−m}
+        fitted_t = l_{t−1} + b_{t−1} + s_{t−m}   (one-step-ahead)
+
+    initialized the textbook way (Hyndman & Athanasopoulos §7.3,
+    additive): l = mean(cycle 1), b = (mean(cycle 2) − mean(cycle 1))
+    / m, s_i = x_i − mean(cycle 1) for the first cycle; the
+    recurrence starts at t = m+1. Requires ≥ 2·season days.
+
+    Shape: the exp_smooth_daily machinery — ONE fact shuffle to the
+    date-domain-bounded daily series, recurrence as ONE codegen'd
+    left fold over the day-sorted array; the fold accumulator carries
+    the full output array so s_{t−m} is element_at(acc, −m). Never a
+    global-sort window.
+
+    Exactness: daily sums exact BIGINTs; identical IEEE sequence —
+    same literals (α, 1−α, … exact doubles), same operation order,
+    same left-fold order — replayed by a recursive CTE carrying the
+    last m seasonals as a LIST column ⇒ every value hashes
+    bit-for-bit.
+
+    Output: |days| rows — day (yyyy-MM-dd string), revenue_cents,
+    hw_level, hw_trend, hw_seasonal, fitted (NULL for the first
+    cycle) — ordered by day.
+    """
+    m = season
+    daily = df.select(
+        F.col(day_col).alias("day"), cents_col.alias("_c")
+    ).groupBy("day").agg(F.sum("_c").cast("long").alias("rev"))
+    arr = daily.agg(
+        F.sort_array(F.collect_list(F.struct("day", "rev"))).alias("a")
+    ).select(
+        "a",
+        (
+            F.aggregate(
+                F.slice("a", 1, m),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x["rev"],
+            ).cast("double")
+            / F.lit(float(m))
+        ).alias("w1"),
+        (
+            F.aggregate(
+                F.slice("a", m + 1, m),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x["rev"],
+            ).cast("double")
+            / F.lit(float(m))
+        ).alias("w2"),
+    )
+    out_t = (
+        "array<struct<day:date,rev:bigint,lvl:double,trend:double,"
+        "seas:double,fitted:double>>"
+    )
+    a_, b_, g_ = (F.lit(float(v)) for v in (alpha, beta, gamma))
+    one_a = F.lit(1.0 - alpha)
+    one_b = F.lit(1.0 - beta)
+    one_g = F.lit(1.0 - gamma)
+    b0 = (F.col("w2") - F.col("w1")) / F.lit(float(m))
+    seed = F.transform(
+        F.slice("a", 1, m),
+        lambda x: F.struct(
+            x["day"].alias("day"),
+            x["rev"].alias("rev"),
+            F.col("w1").alias("lvl"),
+            b0.alias("trend"),
+            (x["rev"].cast("double") - F.col("w1")).alias("seas"),
+            F.lit(None).cast("double").alias("fitted"),
+        ),
+    ).cast(out_t)
+
+    def step(acc, x):
+        xd = x["rev"].cast("double")
+        prev = F.element_at(acc, -1)
+        s_tm = F.element_at(acc, -m)["seas"]
+        lvl = a_ * (xd - s_tm) + one_a * (prev["lvl"] + prev["trend"])
+        trend = b_ * (lvl - prev["lvl"]) + one_b * prev["trend"]
+        seas = g_ * (xd - lvl) + one_g * s_tm
+        fitted = prev["lvl"] + prev["trend"] + s_tm
+        return F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    x["day"].alias("day"),
+                    x["rev"].alias("rev"),
+                    lvl.alias("lvl"),
+                    trend.alias("trend"),
+                    seas.alias("seas"),
+                    fitted.alias("fitted"),
+                )
+            ),
+        )
+
+    folded = arr.select(
+        F.aggregate(
+            F.slice("a", m + 1, F.size("a") - m), seed, step
+        ).alias("s")
+    )
+    return (
+        folded.select(F.explode("s").alias("e"))
+        .select(
+            F.date_format(F.col("e.day"), "yyyy-MM-dd").alias("day"),
+            F.col("e.rev").alias("revenue_cents"),
+            F.col("e.lvl").alias("hw_level"),
+            F.col("e.trend").alias("hw_trend"),
+            F.col("e.seas").alias("hw_seasonal"),
+            F.col("e.fitted").alias("fitted"),
+        )
+        .orderBy("day")
+    )

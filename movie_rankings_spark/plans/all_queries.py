@@ -81,6 +81,8 @@ _UNSEEN_FIRST = (
     "attribution_shapley_channels",
     "feature_infogain_orders",
     "ccf_views_purchases",
+    "holtwinters_daily_revenue",
+    "ks_sweep_fdr_sources",
     # never driver-checked rows-only (weaker driver row)
     "approx_percentiles_price",
     "similarity_ivf_kmeans_topk",

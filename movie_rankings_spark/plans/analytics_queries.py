@@ -3338,3 +3338,87 @@ def ccf_views_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         max_lag=7,
     )
+
+
+# --- r6: additive Holt-Winters weekly-seasonal smoothing --------------------
+
+_HW_ORACLE = """
+WITH RECURSIVE d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders GROUP BY 1
+), i AS (
+  SELECT day, rev, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM d
+), init AS (
+  SELECT CAST(SUM(CASE WHEN rn <= 7 THEN rev END) AS DOUBLE) / 7.0
+           AS w1,
+         CAST(SUM(CASE WHEN rn BETWEEN 8 AND 14 THEN rev END)
+              AS DOUBLE) / 7.0 AS w2
+  FROM i
+), seedrows AS (
+  SELECT i.rn, i.day, i.rev, init.w1 AS lvl,
+         (init.w2 - init.w1) / 7.0 AS trend,
+         CAST(i.rev AS DOUBLE) - init.w1 AS seas,
+         CAST(NULL AS DOUBLE) AS fitted
+  FROM i CROSS JOIN init WHERE i.rn <= 7
+), rec AS (
+  SELECT 7 AS rn, CAST(NULL AS DATE) AS day,
+         CAST(NULL AS BIGINT) AS rev,
+         MAX(lvl) AS lvl, MAX(trend) AS trend,
+         LIST(seas ORDER BY rn) AS sl,
+         CAST(NULL AS DOUBLE) AS seas, CAST(NULL AS DOUBLE) AS fitted
+  FROM seedrows
+  UNION ALL
+  SELECT i.rn, i.day, i.rev,
+    0.3 * (CAST(i.rev AS DOUBLE) - r.sl[1])
+      + 0.7 * (r.lvl + r.trend),
+    0.2 * ((0.3 * (CAST(i.rev AS DOUBLE) - r.sl[1])
+            + 0.7 * (r.lvl + r.trend)) - r.lvl)
+      + 0.8 * r.trend,
+    r.sl[2:7] || [
+      0.4 * (CAST(i.rev AS DOUBLE)
+             - (0.3 * (CAST(i.rev AS DOUBLE) - r.sl[1])
+                + 0.7 * (r.lvl + r.trend)))
+      + 0.6 * r.sl[1]],
+    0.4 * (CAST(i.rev AS DOUBLE)
+           - (0.3 * (CAST(i.rev AS DOUBLE) - r.sl[1])
+              + 0.7 * (r.lvl + r.trend)))
+      + 0.6 * r.sl[1],
+    r.lvl + r.trend + r.sl[1]
+  FROM i JOIN rec r ON i.rn = r.rn + 1
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, rev AS revenue_cents,
+       lvl AS hw_level, trend AS hw_trend,
+       seas AS hw_seasonal, fitted
+FROM seedrows
+UNION ALL
+SELECT strftime(day, '%Y-%m-%d'), rev, lvl, trend, seas, fitted
+FROM rec WHERE rn >= 8
+ORDER BY 1
+"""
+
+
+@REGISTRY.register("holtwinters_daily_revenue", _HW_ORACLE)
+def holtwinters_daily_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Additive Holt-Winters smoothing of daily order revenue with a
+    weekly cycle (alpha=0.3, beta=0.2, gamma=0.4, textbook first-two-
+    cycle initialization) — the seasonal completion of
+    smooth_daily_revenue's level+trend model. Same fold machinery,
+    accumulator carries the seasonal lag; the oracle replays the
+    IDENTICAL IEEE recurrence as a recursive CTE with a LIST-typed
+    seasonal state (operators/timeseries.py::holt_winters_daily)."""
+    from movie_rankings_spark.operators.timeseries import (
+        holt_winters_daily,
+    )
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "_day", F.col("o_orderdate").cast("date")
+    )
+    return holt_winters_daily(
+        orders,
+        "_day",
+        F.round(F.col("o_totalprice") * F.lit(100)).cast("long"),
+    )

@@ -3905,3 +3905,95 @@ def nb_train_lang_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang"),
         F.split(F.col("text"), " "),
     )
+
+
+# --- r6: BH-FDR-corrected KS drift scan across sources ----------------------
+
+_KS_FDR_ORACLE = """
+WITH cells AS (
+  SELECT source AS g, CAST(n_chars AS BIGINT) AS v,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+), grid AS (SELECT DISTINCT v AS v_at FROM cells),
+cum_g AS (
+  SELECT c.g, gr.v_at, CAST(SUM(c.c) AS BIGINT) AS cum_g
+  FROM cells c JOIN grid gr ON c.v <= gr.v_at GROUP BY 1, 2
+),
+cum_all AS (
+  SELECT gr.v_at, CAST(SUM(c.c) AS BIGINT) AS cum_all
+  FROM cells c JOIN grid gr ON c.v <= gr.v_at GROUP BY 1
+),
+ng AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n_group FROM cells GROUP BY 1),
+nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM cells),
+d AS (
+  SELECT cg.g, cg.v_at,
+         ABS(cg.cum_g * (nt.n_total - ng.n_group)
+             - (ca.cum_all - cg.cum_g) * ng.n_group) AS d_num,
+         ng.n_group, nt.n_total
+  FROM cum_g cg JOIN cum_all ca USING (v_at) JOIN ng USING (g)
+  CROSS JOIN nt
+), rr AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY g ORDER BY d_num DESC, v_at ASC) AS rn
+  FROM d
+), ks AS (
+  SELECT g, n_group,
+         CAST(n_total - n_group AS BIGINT) AS n_rest,
+         CAST(d_num AS DOUBLE)
+           / CAST(n_group * (n_total - n_group) AS DOUBLE) AS ks_d
+  FROM rr WHERE rn = 1
+), kgrid AS (
+  SELECT CAST(r.range AS BIGINT) AS k FROM range(1, 51) r
+), pv AS (
+  SELECT ks.g,
+    LEAST(1.0, GREATEST(0.0, 2.0 * CAST(CAST(SUM(CAST(
+      (CASE WHEN k % 2 = 1 THEN 1.0 ELSE -1.0 END)
+      * exp((-2.0 * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE)))
+            * ((ks.ks_d * ks.ks_d)
+               * (CAST(ks.n_group * ks.n_rest AS DOUBLE)
+                  / CAST(ks.n_group + ks.n_rest AS DOUBLE))))
+      AS DECIMAL(28,8))) AS DECIMAL(38,8)) AS DOUBLE)))
+      AS p_value
+  FROM ks CROSS JOIN kgrid GROUP BY ks.g, ks.ks_d, ks.n_group, ks.n_rest
+), m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pv),
+rk AS (
+  SELECT l.g, l.p_value,
+         CAST(COUNT(*) AS BIGINT) AS bh_rank
+  FROM pv l JOIN pv r
+    ON (r.p_value < l.p_value)
+       OR (r.p_value = l.p_value AND r.g <= l.g)
+  GROUP BY 1, 2
+), raw AS (
+  SELECT rk.g, rk.bh_rank,
+         rk.p_value * CAST(m.m AS DOUBLE)
+           / CAST(rk.bh_rank AS DOUBLE) AS raw
+  FROM rk CROSS JOIN m
+), runmin AS (
+  SELECT i.g, i.bh_rank, MIN(j.raw) AS q
+  FROM raw i JOIN raw j ON j.bh_rank >= i.bh_rank
+  GROUP BY 1, 2
+)
+SELECT ks.g AS "group", ks.n_group, ks.ks_d, pv.p_value,
+       runmin.bh_rank,
+       LEAST(1.0, runmin.q) AS q_value,
+       LEAST(1.0, runmin.q) <= 0.05 AS significant_05
+FROM ks JOIN pv USING (g) JOIN runmin USING (g)
+ORDER BY "group"
+"""
+
+
+@REGISTRY.register("ks_sweep_fdr_sources", _KS_FDR_ORACLE)
+def ks_sweep_fdr_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable version of ks_source_length_profiles: each
+    source's group-vs-rest KS statistic converted to its asymptotic
+    p-value (truncated Kolmogorov series, DECIMAL-quantized terms)
+    and Benjamini-Hochberg adjusted across the simultaneous tests —
+    the q-values a curation pipeline thresholds when scanning many
+    sources at once. One fact pass (the sweep), then bounded-grid
+    algebra (operators/disttests.py::ks_sweep_bh_fdr)."""
+    from movie_rankings_spark.operators.disttests import ks_sweep_bh_fdr
+
+    docs = _docs(spark, sf_dir).filter(
+        F.col("source").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    return ks_sweep_bh_fdr(docs, "source", "n_chars")
