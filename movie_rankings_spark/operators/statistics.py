@@ -598,3 +598,98 @@ def weighted_quantiles(
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy(F.col("q_num").cast("double") / F.col("q_den"))
+
+
+def corr_matrix(df: DataFrame, features: "dict[str, Column]") -> DataFrame:
+    """Pairwise Pearson correlation matrix over k integral measures in
+    ONE fact pass — the profiling step run before feature selection or
+    PCA (corr_price_quantity answers one designed pair; this screens
+    all k(k−1)/2 of them at once, the numeric companion to
+    feature_info_gain's categorical sweep).
+
+    Shape: ONE map-side-combined aggregate producing n + k exact
+    DECIMAL(38,0) sums + k squares + k(k−1)/2 cross-products (all
+    from the same row vector — no stacked explode needed, unlike the
+    categorical sweep); the matrix rows unpivot from that single
+    moment row with a bounded stack. Rows with ANY NULL feature are
+    excluded (complete-case contract, so every pair shares one n).
+
+    Exactness: centered sums n·Σxy − ΣxΣy are exact DECIMAL
+    differences cast to double once; corr is one shared closed form
+    (√·√ denominator, both correctly rounded) ⇒ value-hash exact.
+    Zero-variance features yield NULL via try_divide.
+
+    Output: k(k−1)/2 rows — feat_a, feat_b (feat_a < feat_b
+    alphabetically by construction of the caller's dict order),
+    n_rows, corr — ordered by feat_a, feat_b.
+    """
+    d38 = "decimal(38,0)"
+    names = list(features)
+    rows = df.select(
+        *[expr.cast("long").alias(n) for n, expr in features.items()]
+    )
+    cond = None
+    for n in names:
+        c = F.col(n).isNotNull()
+        cond = c if cond is None else (cond & c)
+    rows = rows.filter(cond)
+
+    def d19(n):
+        return F.col(n).cast("decimal(19,0)")
+
+    aggs = [F.count(F.lit(1)).cast(d38).alias("n")]
+    for n in names:
+        aggs.append(F.sum(d19(n)).cast(d38).alias(f"s_{n}"))
+        aggs.append(
+            F.sum((d19(n) * d19(n)).cast(d38)).cast(d38).alias(f"ss_{n}")
+        )
+    pairs = [
+        (a, b) for i, a in enumerate(names) for b in names[i + 1 :]
+    ]
+    for a, b in pairs:
+        aggs.append(
+            F.sum((d19(a) * d19(b)).cast(d38))
+            .cast(d38)
+            .alias(f"sx_{a}_{b}")
+        )
+    mom = rows.agg(*aggs)
+
+    n_ = F.col("n")
+
+    def corr(a, b):
+        cxy = (n_ * F.col(f"sx_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")).cast(
+            "double"
+        )
+        cxx = (n_ * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")).cast(
+            "double"
+        )
+        cyy = (n_ * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")).cast(
+            "double"
+        )
+        return F.try_divide(cxy, F.sqrt(cxx) * F.sqrt(cyy))
+
+    out = mom.select(
+        n_.cast("long").alias("n_rows"),
+        *[corr(a, b).alias(f"c_{a}_{b}") for a, b in pairs],
+    )
+    stacked = out.select(
+        "n_rows",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("feat_a"),
+                        F.lit(b).alias("feat_b"),
+                        F.col(f"c_{a}_{b}").alias("corr"),
+                    )
+                    for a, b in pairs
+                ]
+            )
+        ).alias("e"),
+    )
+    return stacked.select(
+        F.col("e.feat_a").alias("feat_a"),
+        F.col("e.feat_b").alias("feat_b"),
+        "n_rows",
+        F.col("e.corr").alias("corr"),
+    ).orderBy("feat_a", "feat_b")

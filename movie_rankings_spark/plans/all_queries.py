@@ -83,6 +83,8 @@ _UNSEEN_FIRST = (
     "ccf_views_purchases",
     "holtwinters_daily_revenue",
     "ks_sweep_fdr_sources",
+    "corr_matrix_lineitem",
+    "markov_steady_state_sessions",
     # never driver-checked rows-only (weaker driver row)
     "approx_percentiles_price",
     "similarity_ivf_kmeans_topk",

@@ -3422,3 +3422,86 @@ def holtwinters_daily_revenue(
         "_day",
         F.round(F.col("o_totalprice") * F.lit(100)).cast("long"),
     )
+
+
+# --- r6: pairwise Pearson correlation matrix over lineitem measures ---------
+
+_CORRMAT_ORACLE = """
+WITH r AS (
+  SELECT CAST(round(l_discount * 10000) AS BIGINT) AS disc_bp,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(round(l_tax * 10000) AS BIGINT) AS tax_bp
+  FROM lineitem
+  WHERE l_discount IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_quantity IS NOT NULL AND l_tax IS NOT NULL
+), m AS (
+  SELECT COUNT(*)::HUGEINT AS n,
+    SUM(disc_bp::HUGEINT) AS s_d, SUM(disc_bp::HUGEINT * disc_bp) AS ss_d,
+    SUM(price_cents::HUGEINT) AS s_p,
+    SUM(price_cents::HUGEINT * price_cents) AS ss_p,
+    SUM(qty::HUGEINT) AS s_q, SUM(qty::HUGEINT * qty) AS ss_q,
+    SUM(tax_bp::HUGEINT) AS s_t, SUM(tax_bp::HUGEINT * tax_bp) AS ss_t,
+    SUM(disc_bp::HUGEINT * price_cents) AS x_dp,
+    SUM(disc_bp::HUGEINT * qty) AS x_dq,
+    SUM(disc_bp::HUGEINT * tax_bp) AS x_dt,
+    SUM(price_cents::HUGEINT * qty) AS x_pq,
+    SUM(price_cents::HUGEINT * tax_bp) AS x_pt,
+    SUM(qty::HUGEINT * tax_bp) AS x_qt
+  FROM r
+), c AS (
+  SELECT CAST(n AS BIGINT) AS n_rows,
+    CAST(n * x_dp - s_d * s_p AS DOUBLE)
+      / (sqrt(CAST(n * ss_d - s_d * s_d AS DOUBLE))
+         * sqrt(CAST(n * ss_p - s_p * s_p AS DOUBLE))) AS c_dp,
+    CAST(n * x_dq - s_d * s_q AS DOUBLE)
+      / (sqrt(CAST(n * ss_d - s_d * s_d AS DOUBLE))
+         * sqrt(CAST(n * ss_q - s_q * s_q AS DOUBLE))) AS c_dq,
+    CAST(n * x_dt - s_d * s_t AS DOUBLE)
+      / (sqrt(CAST(n * ss_d - s_d * s_d AS DOUBLE))
+         * sqrt(CAST(n * ss_t - s_t * s_t AS DOUBLE))) AS c_dt,
+    CAST(n * x_pq - s_p * s_q AS DOUBLE)
+      / (sqrt(CAST(n * ss_p - s_p * s_p AS DOUBLE))
+         * sqrt(CAST(n * ss_q - s_q * s_q AS DOUBLE))) AS c_pq,
+    CAST(n * x_pt - s_p * s_t AS DOUBLE)
+      / (sqrt(CAST(n * ss_p - s_p * s_p AS DOUBLE))
+         * sqrt(CAST(n * ss_t - s_t * s_t AS DOUBLE))) AS c_pt,
+    CAST(n * x_qt - s_q * s_t AS DOUBLE)
+      / (sqrt(CAST(n * ss_q - s_q * s_q AS DOUBLE))
+         * sqrt(CAST(n * ss_t - s_t * s_t AS DOUBLE))) AS c_qt
+  FROM m
+)
+SELECT 'disc_bp' AS feat_a, 'price_cents' AS feat_b, n_rows, c_dp AS corr
+FROM c
+UNION ALL SELECT 'disc_bp', 'qty', n_rows, c_dq FROM c
+UNION ALL SELECT 'disc_bp', 'tax_bp', n_rows, c_dt FROM c
+UNION ALL SELECT 'price_cents', 'qty', n_rows, c_pq FROM c
+UNION ALL SELECT 'price_cents', 'tax_bp', n_rows, c_pt FROM c
+UNION ALL SELECT 'qty', 'tax_bp', n_rows, c_qt FROM c
+ORDER BY 1, 2
+"""
+
+
+@REGISTRY.register("corr_matrix_lineitem", _CORRMAT_ORACLE)
+def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the four lineitem
+    measures (discount bp, price cents, quantity, tax bp) in ONE fact
+    pass — the numeric profiling sweep beside feature_infogain's
+    categorical one (corr_price_quantity screens one pair; this does
+    all six) (operators/statistics.py::corr_matrix)."""
+    from movie_rankings_spark.operators.statistics import corr_matrix
+
+    li = _t(spark, sf_dir, "lineitem")
+    return corr_matrix(
+        li,
+        {
+            "disc_bp": F.round(F.col("l_discount") * F.lit(10000)).cast(
+                "long"
+            ),
+            "price_cents": F.round(
+                F.col("l_extendedprice") * F.lit(100)
+            ).cast("long"),
+            "qty": F.col("l_quantity"),
+            "tax_bp": F.round(F.col("l_tax") * F.lit(10000)).cast("long"),
+        },
+    )

@@ -2487,3 +2487,112 @@ def pivot_orders_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_p.alias("n_p"),
         (n_f + n_o + n_p).alias("n_total"),
     ).orderBy("o_orderpriority")
+
+
+# --- r6: Markov steady state of the session transition chain ----------------
+
+def _markov_oracle(n_iter: int = 20) -> str:
+    """SQL twin of markov_steady_state over the session-transition
+    counts: 25 scalar P columns + a recursive CTE whose π update uses
+    the IDENTICAL left-associated 5-term dot products as the Spark
+    fold."""
+    states = ["click", "error", "purchase", "signup", "view"]
+    k = len(states)
+    pcols = ",\n    ".join(
+        f"MAX(CASE WHEN cur_type = '{a}' AND next_type = '{b}' "
+        f"THEN p END) AS p_{i}_{j}"
+        for i, a in enumerate(states)
+        for j, b in enumerate(states)
+    )
+    entries = []
+    for i in range(k):
+        expr = f"pi[1] * p_0_{i}"
+        for j in range(1, k):
+            expr = f"({expr} + pi[{j + 1}] * p_{j}_{i})"
+        entries.append(expr)
+    pi_new = ",\n      ".join(entries)
+    vals = ", ".join(
+        f"({i}, '{s}')" for i, s in enumerate(states)
+    )
+    return f"""
+WITH RECURSIVE marked AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w <= 21600000000
+              THEN 0 ELSE 1 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, event_id, ts, event_type,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq
+  FROM marked
+), seqs AS (
+  SELECT user_id, session_seq,
+         list(event_type ORDER BY ts, event_id) AS types
+  FROM sess GROUP BY 1, 2
+), pairs AS (
+  SELECT split_part(p, ' ', 1) AS cur_type, split_part(p, ' ', 2) AS next_type
+  FROM (
+    SELECT unnest(list_transform(range(1, len(types)),
+                  i -> concat_ws(' ', types[i], types[i+1]))) AS p
+    FROM seqs
+  )
+), counts AS (
+  SELECT cur_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pairs GROUP BY 1, 2
+), rs AS (
+  SELECT cur_type, CAST(SUM(n) AS BIGINT) AS rn FROM counts GROUP BY 1
+), pc AS (
+  SELECT c.cur_type, c.next_type,
+         CAST(c.n AS DOUBLE) / CAST(rs.rn AS DOUBLE) AS p
+  FROM counts c JOIN rs USING (cur_type)
+), pmat AS (
+  SELECT
+    {pcols}
+  FROM pc
+), rec AS (
+  SELECT 0 AS it,
+         [{", ".join(f"CAST({1.0 / k!r} AS DOUBLE)" for _ in range(k))}]
+           AS pi
+  UNION ALL
+  SELECT it + 1, [
+      {pi_new}
+    ]
+  FROM rec CROSS JOIN pmat WHERE it < {n_iter}
+), fin AS (
+  SELECT pi FROM rec WHERE it = {n_iter}
+), st AS (
+  SELECT * FROM (VALUES {vals}) AS t(idx, state)
+), tot AS (SELECT CAST(SUM(rn) AS BIGINT) AS tot FROM rs)
+SELECT st.state, fin.pi[st.idx + 1] AS pi_stationary,
+       CAST(rs.rn AS DOUBLE) / CAST(tot.tot AS DOUBLE) AS share_source
+FROM st CROSS JOIN fin
+JOIN rs ON rs.cur_type = st.state
+CROSS JOIN tot
+ORDER BY st.state
+"""
+
+
+@REGISTRY.register("markov_steady_state_sessions", _markov_oracle())
+def markov_steady_state_sessions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Long-run occupancy of the session event-type chain: the
+    stationary distribution pi = pi.P of the 6h-gap session
+    transition matrix (20 power iterations from uniform, folded
+    in-engine over the 25-cell flattened matrix) next to the
+    model-free empirical source share — "where do users end up
+    spending their time" per the first-order model
+    (operators/markov.py::markov_steady_state, counts from
+    operators/sessionize.py::session_transition_matrix)."""
+    from movie_rankings_spark.operators.markov import markov_steady_state
+    from movie_rankings_spark.operators.sessionize import (
+        session_transition_matrix,
+    )
+
+    counts = session_transition_matrix(_t(spark, sf_dir, "events"))
+    return markov_steady_state(
+        counts,
+        ["click", "error", "purchase", "signup", "view"],
+        n_col="n_transitions",
+    )

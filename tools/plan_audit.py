@@ -124,6 +124,7 @@ NESTED_LOOP_LEGIT = {
     "attribution_shapley_channels",  # 16-row subset-grid bitmask theta joins + 1-row total (r6)
     "ccf_views_purchases",  # 15-row lag frame onto the date-domain-bounded daily series (acf shape) (r6)
     "ks_sweep_fdr_sources",  # ks-sweep grid (allowlisted shape) + |groups|^2 BH rank/run-min theta self-joins + 50-row k-grid (r6)
+    "markov_steady_state_sessions",  # 1-row folded pi vector cross-joined onto the 5-row state list + 1-row total (r6)
 }
 
 #: row-at-a-time Python allowed ONLY for the literal Spark-4 @udtf
