@@ -946,3 +946,103 @@ FROM cand
 WHERE CAST(i AS DOUBLE) / (n_a + n_b - i) >= {threshold}
 ORDER BY doc_lo, doc_hi
 """
+
+
+def contrastive_triplets(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    neg_buckets_hex: int = 2,
+) -> DataFrame:
+    """Contrastive (anchor, positive, negative) triplet mining for
+    embedding/training pipelines: positives are EXACT near-duplicates
+    (the prefix-filtered n-gram Jaccard join — no false negatives),
+    negatives are deterministic hash-neighbors — the standard
+    supervision triple for contrastive fine-tuning, mined entirely
+    in-engine.
+
+    Selection:
+      * anchor = every doc with ≥ 1 Jaccard-≥ t partner;
+      * positive = the partner with the HIGHEST jaccard (ties → the
+        smallest partner id) — symmetric pairs counted from both
+        ends, so both members of a dup pair become anchors;
+      * negative = the next doc in md5(doc_id) ring order within the
+        doc's md5-prefix bucket (wrapping to the bucket's first) — a
+        uniform "random but deterministic" draw; rows where the draw
+        collides with the anchor or its positive are dropped
+        (measure-zero, engine-identical).
+
+    Shape: the positive side is jaccard_prefix_pairs (its near-linear
+    candidate contract); the negative side is ONE column-pruned doc
+    pass with a lead/first window PARTITIONED by the 16^``hex`` md5
+    prefix buckets (bucket count is the scale knob: 2 hex chars = 256
+    sorted partitions here; at 100 TB raise to 4–5 chars so each
+    bucket sort stays executor-sized — never a global sort).
+
+    Exactness: jaccard is the exact pairs join's output; argmax and
+    ring-neighbor are deterministic integer/string comparisons ⇒
+    value-hash exact.
+
+    Output: anchor_doc, positive_doc, jaccard_pos, negative_doc —
+    ordered by anchor_doc.
+    """
+    from pyspark.sql import Window
+
+    pairs = jaccard_prefix_pairs(docs, n=n, threshold=threshold)
+    both = pairs.select(
+        F.col("doc_a").alias("anchor"),
+        F.col("doc_b").alias("partner"),
+        "jaccard",
+    ).unionByName(
+        pairs.select(
+            F.col("doc_b").alias("anchor"),
+            F.col("doc_a").alias("partner"),
+            "jaccard",
+        )
+    )
+    pos = (
+        both.groupBy("anchor")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("jaccard").alias("j"),
+                    (-F.col("partner")).alias("_np"),
+                )
+            ).alias("_m")
+        )
+        .select(
+            "anchor",
+            (-F.col("_m._np")).cast("long").alias("positive_doc"),
+            F.col("_m.j").alias("jaccard_pos"),
+        )
+    )
+    h = F.md5(F.col("doc_id").cast("string"))
+    ring = docs.select(
+        F.col("doc_id").cast("long").alias("d"),
+        h.alias("h"),
+        F.substring(h, 1, neg_buckets_hex).alias("b"),
+    )
+    w = Window.partitionBy("b").orderBy("h", "d")
+    wf = Window.partitionBy("b").orderBy("h", "d").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    neg = ring.select(
+        F.col("d").alias("anchor"),
+        F.coalesce(
+            F.lead("d", 1).over(w), F.first("d").over(wf)
+        ).alias("negative_doc"),
+    )
+    return (
+        pos.join(neg, "anchor")
+        .filter(
+            (F.col("negative_doc") != F.col("anchor"))
+            & (F.col("negative_doc") != F.col("positive_doc"))
+        )
+        .select(
+            F.col("anchor").alias("anchor_doc"),
+            "positive_doc",
+            "jaccard_pos",
+            "negative_doc",
+        )
+        .orderBy("anchor_doc")
+    )

@@ -27,9 +27,11 @@ from movie_rankings_spark.plans.registry import REGISTRY
 #: the 16 never-driver-checked stream_* queries first (oracle-backed,
 #: ~1-5 s each), then the r6 additions (never sampled by definition),
 #: then the never-checked rows-only tail (their driver row is the
-#: weaker check). The head is 40 entries, so a 50-row r6 sample
-#: covers every never-sampled / changed query and brings cumulative
-#: driver coverage to 247/247. Regenerate next round from
+#: weaker check). The head outgrew a single 50-row sample as r6 kept
+#: adding queries (66 entries now): a 50-row r6 sample covers all 16
+#: streams + the first ~34 r6 additions; the remainder (late r6
+#: additions + the rows-only tail, whose driver row is the weak
+#: rows-only check anyway) must HEAD the r7 rotation. Regenerate from
 #: CORRECTNESS_r06.json.
 _UNSEEN_FIRST = (
     # never driver-checked streaming (oracle-backed)
@@ -85,6 +87,7 @@ _UNSEEN_FIRST = (
     "ks_sweep_fdr_sources",
     "corr_matrix_lineitem",
     "markov_steady_state_sessions",
+    "contrastive_triplets_docs",
     # never driver-checked rows-only (weaker driver row)
     "approx_percentiles_price",
     "similarity_ivf_kmeans_topk",

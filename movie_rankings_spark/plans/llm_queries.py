@@ -3997,3 +3997,64 @@ def ks_sweep_fdr_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").isNotNull() & F.col("n_chars").isNotNull()
     )
     return ks_sweep_bh_fdr(docs, "source", "n_chars")
+
+
+# --- r6: contrastive triplet mining (exact near-dup positives) ---------------
+
+_TRIPLET_ORACLE = f"""
+WITH s AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+sz AS (SELECT doc_id, len(sh) AS n FROM s),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (x.n + y.n - i) AS jaccard
+  FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+  WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5
+), bd AS (
+  SELECT doc_a AS anchor, doc_b AS partner, jaccard FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a, jaccard FROM pairs
+), pos AS (
+  SELECT anchor, partner AS positive_doc, jaccard AS jaccard_pos,
+         ROW_NUMBER() OVER (PARTITION BY anchor
+                            ORDER BY jaccard DESC, partner ASC) AS rn
+  FROM bd
+), ring AS (
+  SELECT CAST(doc_id AS BIGINT) AS d,
+         md5(CAST(doc_id AS VARCHAR)) AS h,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS b
+  FROM documents
+), neg AS (
+  SELECT d AS anchor,
+         COALESCE(LEAD(d, 1) OVER w, FIRST_VALUE(d) OVER w2)
+           AS negative_doc
+  FROM ring
+  WINDOW w AS (PARTITION BY b ORDER BY h, d),
+         w2 AS (PARTITION BY b ORDER BY h, d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT pos.anchor AS anchor_doc, pos.positive_doc, pos.jaccard_pos,
+       neg.negative_doc
+FROM pos JOIN neg USING (anchor)
+WHERE pos.rn = 1
+  AND neg.negative_doc != pos.anchor
+  AND neg.negative_doc != pos.positive_doc
+ORDER BY anchor_doc
+"""
+
+
+@REGISTRY.register("contrastive_triplets_docs", _TRIPLET_ORACLE)
+def contrastive_triplets_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(anchor, positive, negative) triplets for contrastive
+    fine-tuning, mined in-engine: positives from the EXACT
+    prefix-filtered Jaccard join (no false negatives), negatives as
+    deterministic md5-ring neighbors within 256 hash buckets (the
+    bucket count is the 100 TB knob — raise it so each bucket sort
+    stays executor-sized)
+    (operators/dedup.py::contrastive_triplets)."""
+    from movie_rankings_spark.operators.dedup import contrastive_triplets
+
+    return contrastive_triplets(_docs(spark, sf_dir), n=3, threshold=0.5)
