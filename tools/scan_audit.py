@@ -84,6 +84,14 @@ KNOWN_LEGIT = {
     "nb_train_lang_model",  # 2 real scans BY DESIGN (token counts + per-class doc priors, both column-pruned); persisted counts/docs tables feed the 4 grid branches (cache-text artifact) (r6)
     "seqmine_event_triples",  # 2 real scans BY DESIGN (per-scope type min/max agg + b-event interval probe); persisted min/max table feeds grid + total count (cache-text artifact) (r6)
     "conformal_interval_price",  # 3 real scans BY DESIGN (train/calibrate/test split roles, each column-pruned); persisted cell tables feed median window + quantile + totals (cache-text artifact) (r6)
+    "isotonic_price_status",  # persisted <=20-bin cell table feeds prefix + bins + readout branches (one real scan; cache-text artifact) (r6)
+    "brown_forsythe_price_priority",  # 2 real scans BY DESIGN (median cell pass + deviation aggregate, both column-pruned); persisted cells feed ng + window (cache-text artifact) (r6)
+    "attribution_shapley_channels",  # persisted 2^n subset-value table feeds total + marginal branches (one real journey scan; cache-text artifact) (r6)
+    "feature_infogain_orders",  # persisted stacked cell table feeds 3 marginals + MI/H branches (one real x|features| scan; cache-text artifact) (r6)
+    "ccf_views_purchases",  # persisted daily series feeds scalar + both lag-join sides (acf shape; one real scan; cache-text artifact) (r6)
+    "markov_steady_state_sessions",  # persisted densified 25-cell matrix feeds row sums + fold + empirical share (one real sessionize scan; cache-text artifact) (r6)
+    "ks_sweep_fdr_sources",  # nested persisted tiers (sweep cells -> ks rows -> p-values -> ranks) each read by 2-3 bounded branches (one real fact scan; deep cache-text repetition) (r6)
+    "contrastive_triplets_docs",  # 2 real scans BY DESIGN (prefix-join positives + column-pruned md5-ring negatives); inherits dedup_jaccard_prefix's reviewed shape (r6)
     "similarity_tfidf_topk", "triangles_copurchase",
     "dedup_jaccard_prefix", "cms_word_frequency",
     "basket_association_rules", "dedup_cluster_reps",
