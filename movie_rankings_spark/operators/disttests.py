@@ -1302,3 +1302,114 @@ def ks_sweep_bh_fdr(
         )
         .orderBy("group")
     )
+
+
+def dunn_posthoc(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Dunn's post-hoc test: which PAIRS of groups differ, after
+    kruskal_wallis rejects the global null — pairwise mean-rank
+    contrasts on the pooled midranks with the tie-corrected variance
+
+        z_ij = (R̄_i − R̄_j) / √( (N(N+1)/12 − T/(12(N−1)))·(1/nᵢ+1/nⱼ) )
+
+    with T = Σ(t³−t) over tie groups (Dunn 1964). Shares
+    kruskal_wallis's machinery and contract (integral, DOMAIN-bounded
+    value column): one fact reduction to the (group, value) cell
+    table, doubled midranks from a broadcast theta join of the
+    bounded distinct-value grid, then the pairwise layer is a
+    |groups|² self-join of the bounded per-group table.
+
+    Exactness: doubled rank sums are exact BIGINTs; z is a shared
+    closed form of exact integers (R̄ = S2/(2n)) ⇒ value-hash exact.
+
+    Output: one row per unordered pair (group_a < group_b) —
+    group_a, group_b, n_a, n_b, mean_rank_a, mean_rank_b, z —
+    ordered by group_a, group_b.
+    """
+    cells = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.col(value_col).cast("long").alias("v"),
+        )
+        .filter(F.col("g").isNotNull() & F.col("v").isNotNull())
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist_tracked()  # value totals + per-group joins read this
+    )
+    vt = (
+        cells.groupBy("v")
+        .agg(F.sum("c").cast("long").alias("cv"))
+        .persist_tracked()  # grid theta join + tie sum read this
+    )
+    grid = vt.select(F.col("v").alias("v_at"), F.col("cv").alias("c_at"))
+    cumlt = (
+        vt.join(F.broadcast(grid), F.col("v") < F.col("v_at"))
+        .groupBy("v_at")
+        .agg(F.sum("cv").cast("long").alias("cumlt"))
+    )
+    r2 = (
+        grid.join(F.broadcast(cumlt), "v_at", "left")
+        .select(
+            F.col("v_at").alias("v"),
+            (
+                F.lit(2) * F.coalesce(F.col("cumlt"), F.lit(0))
+                + F.col("c_at")
+                + F.lit(1)
+            )
+            .cast("long")
+            .alias("r2"),
+        )
+    )
+    per_g = (
+        cells.join(F.broadcast(r2), "v")
+        .groupBy("g")
+        .agg(
+            F.sum("c").cast("long").alias("n_g"),
+            F.sum(F.col("c") * F.col("r2")).cast("long").alias("s2_g"),
+        )
+        .persist_tracked()  # both pair sides read this
+    )
+    ties = vt.agg(
+        F.sum("cv").cast("long").alias("n_total"),
+        F.sum(F.col("cv") * F.col("cv") * F.col("cv") - F.col("cv"))
+        .cast("long")
+        .alias("tie_term"),
+    )
+    l = per_g.select(
+        F.col("g").alias("group_a"),
+        F.col("n_g").alias("n_a"),
+        F.col("s2_g").alias("s2_a"),
+    )
+    r = per_g.select(
+        F.col("g").alias("group_b"),
+        F.col("n_g").alias("n_b"),
+        F.col("s2_g").alias("s2_b"),
+    )
+    pairs = l.join(
+        F.broadcast(r), F.col("group_a") < F.col("group_b")
+    ).crossJoin(F.broadcast(ties))
+    nt = F.col("n_total").cast("double")
+    mra = F.col("s2_a").cast("double") / (
+        F.lit(2.0) * F.col("n_a").cast("double")
+    )
+    mrb = F.col("s2_b").cast("double") / (
+        F.lit(2.0) * F.col("n_b").cast("double")
+    )
+    var = (
+        nt * (nt + F.lit(1.0)) / F.lit(12.0)
+        - F.col("tie_term").cast("double")
+        / (F.lit(12.0) * (nt - F.lit(1.0)))
+    ) * (
+        F.lit(1.0) / F.col("n_a").cast("double")
+        + F.lit(1.0) / F.col("n_b").cast("double")
+    )
+    return pairs.select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        mra.alias("mean_rank_a"),
+        mrb.alias("mean_rank_b"),
+        F.try_divide(mra - mrb, F.sqrt(var)).alias("z"),
+    ).orderBy("group_a", "group_b")

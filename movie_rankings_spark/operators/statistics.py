@@ -693,3 +693,76 @@ def corr_matrix(df: DataFrame, features: "dict[str, Column]") -> DataFrame:
         "n_rows",
         F.col("e.corr").alias("corr"),
     ).orderBy("feat_a", "feat_b")
+
+
+def group_percentiles(
+    df: DataFrame,
+    group_col: str,
+    cents_col: Column,
+    quantiles: "tuple[tuple[str, int, int], ...]" = (
+        ("p25", 1, 4),
+        ("p50", 1, 2),
+        ("p75", 3, 4),
+        ("p90", 9, 10),
+        ("p99", 99, 100),
+    ),
+) -> DataFrame:
+    """Exact per-group percentile readout — the "p50/p90/p99 per
+    segment" table every warehouse dashboard starts from, as exact
+    order statistics (left-continuous selection: the ⌈q·n⌉-th
+    smallest, an actual observed value, matching weighted_quantiles'
+    global convention).
+
+    Shape: ONE fact shuffle to the per-group (value, count) cell
+    table (persisted); a per-GROUP window cumulates the cells (sorts
+    are distributed BY GROUP — the split_conformal median pattern);
+    the bounded quantile list broadcast-joins in and each (group,
+    quantile) picks its ⌈num·n/den⌉-th value with exact integer
+    rank arithmetic. Never a global sort.
+
+    Exactness: ranks and picked values are exact longs ⇒ value-hash
+    exact.
+
+    Output: |groups|·|quantiles| rows — group, quantile, n_group,
+    value_cents — ordered by group, quantile.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    cells = (
+        df.select(
+            F.col(group_col).alias("g"),
+            cents_col.cast("long").alias("v"),
+        )
+        .filter(F.col("g").isNotNull() & F.col("v").isNotNull())
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist_tracked()  # group totals + cumulative read this
+    )
+    ng = cells.groupBy("g").agg(F.sum("c").cast("long").alias("n_g"))
+    w = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cells.withColumn("_cum", F.sum("c").over(w)).join(
+        F.broadcast(ng), "g"
+    )
+    q = spark.createDataFrame(
+        list(quantiles), "quantile string, num long, den long"
+    )
+    k = F.floor(
+        (F.col("num") * F.col("n_g") + F.col("den") - F.lit(1))
+        / F.col("den")
+    ).cast("long")
+    return (
+        cum.crossJoin(F.broadcast(q))
+        .filter(F.col("_cum") >= k)
+        .groupBy("g", "quantile", "n_g")
+        .agg(F.min("v").cast("long").alias("value_cents"))
+        .select(
+            F.col("g").alias("group"),
+            "quantile",
+            F.col("n_g").alias("n_group"),
+            "value_cents",
+        )
+        .orderBy("group", "quantile")
+    )

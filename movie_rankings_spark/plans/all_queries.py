@@ -88,6 +88,8 @@ _UNSEEN_FIRST = (
     "corr_matrix_lineitem",
     "markov_steady_state_sessions",
     "contrastive_triplets_docs",
+    "group_percentiles_priority",
+    "dunn_posthoc_doclen",
     # never driver-checked rows-only (weaker driver row)
     "approx_percentiles_price",
     "similarity_ivf_kmeans_topk",

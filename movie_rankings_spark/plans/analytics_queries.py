@@ -3505,3 +3505,111 @@ def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tax_bp": F.round(F.col("l_tax") * F.lit(10000)).cast("long"),
         },
     )
+
+
+# --- r6: per-group exact percentile readout ---------------------------------
+
+_GROUP_PCTL_ORACLE = """
+WITH r AS (
+  SELECT o_orderpriority AS g,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+), cells AS (
+  SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c FROM r GROUP BY 1, 2
+), ng AS (
+  SELECT g, CAST(SUM(c) AS BIGINT) AS n_g FROM cells GROUP BY 1
+), cum AS (
+  SELECT g, v, SUM(c) OVER (PARTITION BY g ORDER BY v) AS cum
+  FROM cells
+), q AS (
+  SELECT * FROM (VALUES ('p25', 1, 4), ('p50', 1, 2), ('p75', 3, 4),
+                        ('p90', 9, 10), ('p99', 99, 100))
+    AS t(quantile, num, den)
+)
+SELECT c.g AS "group", q.quantile, ng.n_g AS n_group,
+       CAST(MIN(c.v) AS BIGINT) AS value_cents
+FROM cum c JOIN ng USING (g) CROSS JOIN q
+WHERE c.cum >= CAST(FLOOR((q.num * ng.n_g + q.den - 1) / q.den)
+                    AS BIGINT)
+GROUP BY 1, 2, 3 ORDER BY 1, 2
+"""
+
+
+@REGISTRY.register("group_percentiles_priority", _GROUP_PCTL_ORACLE)
+def group_percentiles_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The p25/p50/p75/p90/p99 order-price table per order priority —
+    exact left-continuous order statistics per segment, the
+    dashboard staple the global percentile queries don't give. One
+    fact shuffle to per-group value cells, per-GROUP windows (sorts
+    distributed by group, never global)
+    (operators/statistics.py::group_percentiles)."""
+    from movie_rankings_spark.operators.statistics import group_percentiles
+
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+    )
+    return group_percentiles(
+        o,
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * F.lit(100)).cast("long"),
+    )
+
+
+# --- r6: Dunn post-hoc pairwise rank contrasts ------------------------------
+
+_DUNN_ORACLE = """
+WITH cells AS (
+  SELECT source AS g, CAST(n_chars AS BIGINT) AS v,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents
+  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+  GROUP BY 1, 2
+), vt AS (
+  SELECT v, CAST(SUM(c) AS BIGINT) AS cv FROM cells GROUP BY v
+), r2 AS (
+  SELECT v, CAST(2 * (SUM(cv) OVER (ORDER BY v) - cv) + cv + 1
+              AS BIGINT) AS r2
+  FROM vt
+), pg AS (
+  SELECT g, CAST(SUM(c) AS BIGINT) AS n_g,
+         CAST(SUM(c * r2.r2) AS BIGINT) AS s2
+  FROM cells JOIN r2 USING (v) GROUP BY g
+), t AS (
+  SELECT CAST(SUM(cv) AS BIGINT) AS nt,
+         CAST(SUM(cv * cv * cv - cv) AS BIGINT) AS tie
+  FROM vt
+)
+SELECT a.g AS group_a, b.g AS group_b,
+       a.n_g AS n_a, b.n_g AS n_b,
+       CAST(a.s2 AS DOUBLE) / (2.0 * CAST(a.n_g AS DOUBLE))
+         AS mean_rank_a,
+       CAST(b.s2 AS DOUBLE) / (2.0 * CAST(b.n_g AS DOUBLE))
+         AS mean_rank_b,
+       (CAST(a.s2 AS DOUBLE) / (2.0 * CAST(a.n_g AS DOUBLE))
+        - CAST(b.s2 AS DOUBLE) / (2.0 * CAST(b.n_g AS DOUBLE)))
+       / sqrt((CAST(nt AS DOUBLE) * (CAST(nt AS DOUBLE) + 1.0) / 12.0
+               - CAST(tie AS DOUBLE) / (12.0 * (CAST(nt AS DOUBLE) - 1.0)))
+              * (1.0 / CAST(a.n_g AS DOUBLE)
+                 + 1.0 / CAST(b.n_g AS DOUBLE))) AS z
+FROM pg a JOIN pg b ON a.g < b.g CROSS JOIN t
+ORDER BY group_a, group_b
+"""
+
+
+@REGISTRY.register("dunn_posthoc_doclen", _DUNN_ORACLE)
+def dunn_posthoc_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHICH sources differ, after kruskal_doclen_source rejects the
+    global null: Dunn's post-hoc pairwise mean-rank contrasts on the
+    pooled document-length midranks with tie-corrected variance —
+    the pairwise layer a curation decision actually needs
+    (operators/disttests.py::dunn_posthoc)."""
+    from movie_rankings_spark.operators.disttests import dunn_posthoc
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    return dunn_posthoc(docs, "source", "n_chars")

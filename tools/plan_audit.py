@@ -125,6 +125,8 @@ NESTED_LOOP_LEGIT = {
     "ccf_views_purchases",  # 15-row lag frame onto the date-domain-bounded daily series (acf shape) (r6)
     "ks_sweep_fdr_sources",  # ks-sweep grid (allowlisted shape) + |groups|^2 BH rank/run-min theta self-joins + 50-row k-grid (r6)
     "markov_steady_state_sessions",  # 1-row folded pi vector cross-joined onto the 5-row state list + 1-row total (r6)
+    "group_percentiles_priority",  # 5-row quantile-fraction frame cross-joined onto the per-group cell table (r6)
+    "dunn_posthoc_doclen",  # kruskal's bounded distinct-value grid theta join + |groups|^2 pair self-join + 1-row ties (r6)
 }
 
 #: row-at-a-time Python allowed ONLY for the literal Spark-4 @udtf

@@ -92,6 +92,8 @@ KNOWN_LEGIT = {
     "markov_steady_state_sessions",  # persisted densified 25-cell matrix feeds row sums + fold + empirical share (one real sessionize scan; cache-text artifact) (r6)
     "ks_sweep_fdr_sources",  # nested persisted tiers (sweep cells -> ks rows -> p-values -> ranks) each read by 2-3 bounded branches (one real fact scan; deep cache-text repetition) (r6)
     "contrastive_triplets_docs",  # 2 real scans BY DESIGN (prefix-join positives + column-pruned md5-ring negatives); inherits dedup_jaccard_prefix's reviewed shape (r6)
+    "group_percentiles_priority",  # persisted per-group cell table feeds totals + cumulative window (one real scan; cache-text artifact) (r6)
+    "dunn_posthoc_doclen",  # kruskal's persisted cell/value/per-group tiers each read by 2 bounded branches (one real scan; cache-text artifact) (r6)
     "similarity_tfidf_topk", "triangles_copurchase",
     "dedup_jaccard_prefix", "cms_word_frequency",
     "basket_association_rules", "dedup_cluster_reps",
