@@ -287,3 +287,89 @@ def diff_in_diff(
         se.alias("se"),
         F.try_divide(did, se).alias("z"),  # NULL, not error, on 0-var cells
     )
+
+
+def ab_equivalence_mde(
+    panel: DataFrame,
+    arm_col: str = "treated",
+    y_col: str = "y",
+    margin: int = 500,
+) -> DataFrame:
+    """Equivalence (TOST) + sensitivity (MDE) readout for a two-arm
+    contrast — the two numbers a null A/B result actually needs:
+
+      * TOST (Schuirmann 1987): two one-sided t's against ±margin —
+        t_low = (Δ+m)/se, t_high = (Δ−m)/se; "statistically
+        equivalent within ±m" iff t_low > 1.645 AND t_high < −1.645
+        (one-sided 5 %, large-sample normal critical value);
+      * MDE: the minimum true effect an α=5 %/power=80 % two-sided
+        test would detect at these ns and variances,
+        (1.96 + 0.8416)·se — "what this experiment could have seen".
+
+    Shape/exactness: the welch_t_test moment discipline — ONE
+    conditional aggregate to exact DECIMAL (n, Σy, Σy²) per arm,
+    closed-form IEEE on one row (z constants are shared literals;
+    documented normal approximations) ⇒ value-hash exact. Degenerate
+    arms yield NULL via try_divide.
+
+    Output: ONE row — n_c, n_t, mean_c, mean_t, delta, se, t_low,
+    t_high, equivalent (within ±margin), mde_abs, mde_rel.
+    """
+    d38 = "decimal(38,0)"
+    zero = F.lit(0).cast(d38)
+    rows = panel.select(
+        F.col(arm_col).cast("int").alias("_t"),
+        F.col(y_col).cast("long").alias("_y"),
+    ).filter(F.col("_t").isNotNull() & F.col("_y").isNotNull())
+    vd = F.col("_y").cast("decimal(19,0)")
+
+    def arm(t, expr):
+        return F.sum(
+            F.when(F.col("_t") == t, expr).otherwise(zero)
+        ).cast(d38)
+
+    m = rows.agg(
+        arm(0, F.lit(1).cast(d38)).alias("n0"),
+        arm(1, F.lit(1).cast(d38)).alias("n1"),
+        arm(0, vd.cast(d38)).alias("s0"),
+        arm(1, vd.cast(d38)).alias("s1"),
+        arm(0, (vd * vd).cast(d38)).alias("ss0"),
+        arm(1, (vd * vd).cast(d38)).alias("ss1"),
+    )
+    n0d, n1d = F.col("n0").cast("double"), F.col("n1").cast("double")
+    mean0 = F.try_divide(F.col("s0").cast("double"), n0d)
+    mean1 = F.try_divide(F.col("s1").cast("double"), n1d)
+    var0 = F.try_divide(
+        (F.col("n0") * F.col("ss0") - F.col("s0") * F.col("s0")).cast(
+            "double"
+        ),
+        n0d * (n0d - F.lit(1.0)) * n0d,
+    )
+    var1 = F.try_divide(
+        (F.col("n1") * F.col("ss1") - F.col("s1") * F.col("s1")).cast(
+            "double"
+        ),
+        n1d * (n1d - F.lit(1.0)) * n1d,
+    )
+    se = F.sqrt(var0 + var1)
+    delta = mean1 - mean0
+    md = F.lit(float(margin))
+    t_low = F.try_divide(delta + md, se)
+    t_high = F.try_divide(delta - md, se)
+    # one-sided z_{0.95}; 1.96/0.8416 = z_{0.975}/z_{0.80} — shared
+    # literal normal approximations, documented
+    zc = F.lit(1.645)
+    mde = (F.lit(1.96) + F.lit(0.8416)) * se
+    return m.select(
+        F.col("n0").cast("long").alias("n_c"),
+        F.col("n1").cast("long").alias("n_t"),
+        mean0.alias("mean_c"),
+        mean1.alias("mean_t"),
+        delta.alias("delta"),
+        se.alias("se"),
+        t_low.alias("t_low"),
+        t_high.alias("t_high"),
+        ((t_low > zc) & (t_high < -zc)).alias("equivalent"),
+        mde.alias("mde_abs"),
+        F.try_divide(mde, mean0).alias("mde_rel"),
+    )

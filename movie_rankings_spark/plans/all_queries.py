@@ -90,6 +90,7 @@ _UNSEEN_FIRST = (
     "contrastive_triplets_docs",
     "group_percentiles_priority",
     "dunn_posthoc_doclen",
+    "abtest_design_readout",
     # never driver-checked rows-only (weaker driver row)
     "approx_percentiles_price",
     "similarity_ivf_kmeans_topk",

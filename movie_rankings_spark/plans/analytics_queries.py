@@ -3613,3 +3613,73 @@ def dunn_posthoc_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").isNotNull() & F.col("n_chars").isNotNull()
     )
     return dunn_posthoc(docs, "source", "n_chars")
+
+
+# --- r6: TOST equivalence + MDE sensitivity readout --------------------------
+
+_TOST_ORACLE = """
+WITH pan AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS y,
+         CAST(user_id % 2 AS INT) AS t
+  FROM events GROUP BY user_id
+), m AS (
+  SELECT
+    SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END)::HUGEINT AS n0,
+    SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END)::HUGEINT AS n1,
+    SUM(CASE WHEN t = 0 THEN y::HUGEINT ELSE 0 END) AS s0,
+    SUM(CASE WHEN t = 1 THEN y::HUGEINT ELSE 0 END) AS s1,
+    SUM(CASE WHEN t = 0 THEN y::HUGEINT * y ELSE 0 END) AS ss0,
+    SUM(CASE WHEN t = 1 THEN y::HUGEINT * y ELSE 0 END) AS ss1
+  FROM pan
+), d AS (
+  SELECT CAST(n0 AS BIGINT) AS n_c, CAST(n1 AS BIGINT) AS n_t,
+    CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS mean_c,
+    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean_t,
+    sqrt(CAST(n0 * ss0 - s0 * s0 AS DOUBLE)
+           / (CAST(n0 AS DOUBLE) * (CAST(n0 AS DOUBLE) - 1.0)
+              * CAST(n0 AS DOUBLE))
+         + CAST(n1 * ss1 - s1 * s1 AS DOUBLE)
+           / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)
+              * CAST(n1 AS DOUBLE))) AS se
+  FROM m
+)
+SELECT n_c, n_t, mean_c, mean_t,
+       mean_t - mean_c AS delta, se,
+       ((mean_t - mean_c) + 500.0) / se AS t_low,
+       ((mean_t - mean_c) - 500.0) / se AS t_high,
+       (((mean_t - mean_c) + 500.0) / se > 1.645)
+         AND (((mean_t - mean_c) - 500.0) / se < -1.645) AS equivalent,
+       (1.96 + 0.8416) * se AS mde_abs,
+       (1.96 + 0.8416) * se / mean_c AS mde_rel
+FROM d
+"""
+
+
+@REGISTRY.register("abtest_design_readout", _TOST_ORACLE)
+def abtest_design_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two numbers a NULL A/B needs: TOST equivalence within
+    +/-500 revenue cents (two one-sided t's, the 'statistically flat'
+    verdict a plain p > .05 cannot give) and the minimum detectable
+    effect at 5%/80% — computed on the per-user purchase panel with
+    parity arms, the same A/A placebo the DiD/CUPED queries read
+    (operators/causal.py::ab_equivalence_mde)."""
+    from movie_rankings_spark.operators.causal import ab_equivalence_mde
+
+    ev = _t(spark, sf_dir, "events")
+    pan = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * F.lit(100)).cast("long"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    panel = pan.select(
+        F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("t"), "y"
+    )
+    return ab_equivalence_mde(panel, "t", "y", margin=500)
