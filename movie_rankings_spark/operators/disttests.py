@@ -1413,3 +1413,42 @@ def dunn_posthoc(
         mrb.alias("mean_rank_b"),
         F.try_divide(mra - mrb, F.sqrt(var)).alias("z"),
     ).orderBy("group_a", "group_b")
+
+
+def cvm_two_sample(
+    df: DataFrame, value_col: str, a_ind: Column, b_ind: Column
+) -> DataFrame:
+    """Exact two-sample Cramér–von Mises criterion — the INTEGRAL
+    companion to ks_two_sample's supremum: T integrates the squared
+    ECDF gap over the pooled sample, so diffuse shape differences KS's
+    single largest gap understates move T. With counts,
+
+        T = Σ_v c_v·(cumA(v)·m − cumB(v)·n)² / ((n+m)³·n·m)
+
+    over the distinct pooled values (c_v = pooled count at v).
+
+    Shape/exactness: the _bucketed_cum2 machinery — one fact-sized
+    shuffle to the distinct-value table with exact cumulatives (never
+    a global-sort window); every squared term is an exact
+    DECIMAL(38,0) product of BIGINTs and the cross-value sum is an
+    exact decimal sum; T is ONE division ⇒ value-hash exact.
+    Documented bound: c_v·(n·m)²·|V| < 10³⁸ (holds past sf10 for
+    price-like columns; beyond that drop to per-term doubles).
+
+    Output: ONE row — n_a, n_b, t_stat.
+    """
+    cum, n_a, n_b = _bucketed_cum2(df, value_col, a_ind, b_ind)
+    gap = (
+        F.col("cum_a") * F.lit(n_b) - F.col("cum_b") * F.lit(n_a)
+    ).cast("decimal(19,0)")
+    term = (
+        (F.col("ca") + F.col("cb")).cast("decimal(19,0)") * (gap * gap)
+    ).cast("decimal(38,0)")
+    tot = cum.agg(F.sum(term).cast("decimal(38,0)").alias("s"))
+    npm = float(n_a + n_b)
+    den = npm * npm * npm * float(n_a) * float(n_b)
+    return tot.select(
+        F.lit(n_a).cast("long").alias("n_a"),
+        F.lit(n_b).cast("long").alias("n_b"),
+        (F.col("s").cast("double") / F.lit(den)).alias("t_stat"),
+    )

@@ -91,6 +91,7 @@ _UNSEEN_FIRST = (
     "group_percentiles_priority",
     "dunn_posthoc_doclen",
     "abtest_design_readout",
+    "cvm_price_priority",
     # never driver-checked rows-only (weaker driver row)
     "approx_percentiles_price",
     "similarity_ivf_kmeans_topk",

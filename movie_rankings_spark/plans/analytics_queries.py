@@ -3683,3 +3683,64 @@ def abtest_design_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("t"), "y"
     )
     return ab_equivalence_mde(panel, "t", "y", margin=500)
+
+
+# --- r6: Cramer-von Mises integral shape test --------------------------------
+
+_CVM_ORACLE = """
+WITH r AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS a,
+         CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS b
+  FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    AND o_totalprice IS NOT NULL
+), vc AS (
+  SELECT v, CAST(SUM(a) AS BIGINT) AS ca, CAST(SUM(b) AS BIGINT) AS cb
+  FROM r GROUP BY 1
+), cum AS (
+  SELECT v, ca, cb,
+         CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+         CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS cum_b
+  FROM vc
+), tot AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b
+  FROM vc
+), s AS (
+  SELECT SUM(CAST(c.ca + c.cb AS HUGEINT)
+             * (CAST(c.cum_a * t.n_b - c.cum_b * t.n_a AS HUGEINT)
+                * (c.cum_a * t.n_b - c.cum_b * t.n_a))) AS s,
+         MAX(t.n_a) AS n_a, MAX(t.n_b) AS n_b
+  FROM cum c CROSS JOIN tot t
+)
+SELECT n_a, n_b,
+       CAST(s AS DOUBLE)
+         / (CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b AS DOUBLE)
+            * CAST(n_a + n_b AS DOUBLE) * CAST(n_a AS DOUBLE)
+            * CAST(n_b AS DOUBLE)) AS t_stat
+FROM s
+"""
+
+
+@REGISTRY.register("cvm_price_priority", _CVM_ORACLE)
+def cvm_price_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did urgent orders price differently from low-priority ones —
+    ANYWHERE in the distribution? Exact two-sample Cramer-von Mises
+    criterion over the same contrast as ks_price_priority: KS reads
+    the single largest ECDF gap, CvM integrates the squared gap over
+    the pooled sample, so diffuse shape differences register
+    (operators/disttests.py::cvm_two_sample)."""
+    from movie_rankings_spark.operators.disttests import cvm_two_sample
+
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+        & F.col("o_totalprice").isNotNull()
+    )
+    return cvm_two_sample(
+        o.withColumn(
+            "cents", F.round(F.col("o_totalprice") * F.lit(100)).cast("long")
+        ),
+        "cents",
+        (F.col("o_orderpriority") == "1-URGENT").cast("int"),
+        (F.col("o_orderpriority") == "5-LOW").cast("int"),
+    )

@@ -69,6 +69,7 @@ KNOWN_LEGIT = {
     "benford_totalprice",  # persisted <=9-row digit table feeds total + output branches (one real scan; cache-text artifact) (r5)
     "ks_price_priority",  # persisted distinct-value table feeds bounds + windows (one real scan; cache-text artifact) (r5)
     "mannwhitney_price_priority",  # same bucketed-cumulative shape as ks (r5)
+    "cvm_price_priority",  # same bucketed-cumulative shape as ks (persisted distinct-value table; one real scan; cache-text artifact) (r6)
     "spearman_qty_price",  # persisted pair table + two rank caches feed the moment join (one real scan; cache-text artifact) (r5)
     "acf_daily_revenue",  # persisted daily series feeds scalar + both lag-join sides (one real scan; cache-text artifact) (r5)
     "changepoint_daily_revenue",  # persisted daily series feeds prefix + totals (one real scan; cache-text artifact) (r5)
