@@ -1423,7 +1423,12 @@ def cvm_two_sample(
     ECDF gap over the pooled sample, so diffuse shape differences KS's
     single largest gap understates move T. With counts,
 
-        T = Σ_v c_v·(cumA(v)·m − cumB(v)·n)² / ((n+m)³·n·m)
+        T = Σ_v c_v·(cumA(v)·m − cumB(v)·n)² / ((n+m)²·n·m)
+
+    (Anderson 1962 / scipy.stats.cramervonmises_2samp: the nm/N² ×
+    Σ c_v (F_A−F_B)² form with F = cum/n expands to exactly this —
+    the denominator is N²·n·m, so T is comparable against standard
+    CvM critical values, e.g. ~0.461 at the 5% level.)
 
     over the distinct pooled values (c_v = pooled count at v).
 
@@ -1446,7 +1451,7 @@ def cvm_two_sample(
     ).cast("decimal(38,0)")
     tot = cum.agg(F.sum(term).cast("decimal(38,0)").alias("s"))
     npm = float(n_a + n_b)
-    den = npm * npm * npm * float(n_a) * float(n_b)
+    den = npm * npm * float(n_a) * float(n_b)
     return tot.select(
         F.lit(n_a).cast("long").alias("n_a"),
         F.lit(n_b).cast("long").alias("n_b"),

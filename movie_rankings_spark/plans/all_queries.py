@@ -21,78 +21,27 @@ import movie_rankings_spark.plans.warehouse_queries  # noqa: F401
 from movie_rankings_spark.plans.registry import REGISTRY
 
 #: The correctness harness walks queries() in dict order and records
-#: a row for the first ~50 only; the r1-r5 samples together covered
-#: 209 of the 238 queries registered through r5. This head is the r6
-#: rotation (regenerated from CORRECTNESS_r05.json at round start):
-#: the 16 never-driver-checked stream_* queries first (oracle-backed,
-#: ~1-5 s each), then the r6 additions (never sampled by definition),
-#: then the never-checked rows-only tail (their driver row is the
-#: weaker check). The head outgrew a single 50-row sample as r6 kept
-#: adding queries (66 entries now): a 50-row r6 sample covers all 16
-#: streams + the first ~34 r6 additions; the remainder (late r6
-#: additions + the rows-only tail, whose driver row is the weak
-#: rows-only check anyway) must HEAD the r7 rotation. Regenerate from
-#: CORRECTNESS_r06.json.
+#: a row for the first ~50 only; the r1-r6 samples together covered
+#: 257 of the 276 queries registered through r6. This head is the r7
+#: rotation (regenerated from CORRECTNESS_r06.json at round start):
+#: the 19 never-driver-sampled queries first — the five late-r6
+#: statistics additions, contrastive triplets, then the rows-only /
+#: ANN tail (their driver row is the weaker rows-only check, but the
+#: driver has never seen even that) — followed by any r7 additions
+#: (append new query names here as they are registered; they are
+#: never-sampled by definition). Everything after the head keeps
+#: cheap-first registration order, so leftover sample slots re-check
+#: previously-green queries. Regenerate from CORRECTNESS_r07.json at
+#: r8 start.
 _UNSEEN_FIRST = (
-    # never driver-checked streaming (oracle-backed)
-    "stream_session_dynamic_gap",
-    "stream_dedup_then_window",
-    "stream_sliding_6h",
-    "stream_session_windows",
-    "stream_dedup_user_types",
-    "stream_dedup_watermark_bounded",
-    "stream_static_join_segments",
-    "stream_stream_view_purchase",
-    "stream_stream_outer_attribution",
-    "stream_tumbling_daily",
-    "stream_user_lifetime_stats",
-    "stream_upsert_snapshot",
-    "stream_dedup_incremental",
-    "stream_cms_maintained",
-    "stream_bitmap_users_rollup",
-    "stream_histogram_rollup",
-    # r6 additions / semantics changed in r6 (re-sample)
-    "stream_transform_with_state",
-    "stream_tws_lastk_events",
-    "dedup_embedding_lsh",
-    "approx_distinct_parts",
-    "welch_price_priority",
-    "anova_price_returnflag",
-    "kruskal_doclen_source",
-    "kendall_qty_shipdelay",
-    "weighted_price_quantiles",
-    "pivot_orders_status",
-    "smooth_daily_revenue",
-    "textrank_keywords",
-    "smooth_priority_revenue",
-    "forecast_backtest_daily",
-    "survival_customer_km",
-    "randtest_price_priority",
-    "nb_train_lang_model",
-    "target_encode_segment_loo",
-    "seqmine_event_triples",
-    "fd_discovery_orders",
-    "conformal_interval_price",
-    "isotonic_price_status",
-    "did_parity_revenue",
-    "cuped_purchase_uplift",
-    "mh_segment_price_status",
-    "trend_fstatus_price_ca",
-    "jb_quantity_returnflag",
-    "brown_forsythe_price_priority",
-    "attribution_shapley_channels",
-    "feature_infogain_orders",
-    "ccf_views_purchases",
-    "holtwinters_daily_revenue",
-    "ks_sweep_fdr_sources",
-    "corr_matrix_lineitem",
+    # never driver-sampled, oracle-backed (late-r6 registrations)
     "markov_steady_state_sessions",
     "contrastive_triplets_docs",
     "group_percentiles_priority",
     "dunn_posthoc_doclen",
     "abtest_design_readout",
     "cvm_price_priority",
-    # never driver-checked rows-only (weaker driver row)
+    # never driver-sampled rows-only tail (weaker driver row)
     "approx_percentiles_price",
     "similarity_ivf_kmeans_topk",
     "similarity_pq_topk",
@@ -106,6 +55,7 @@ _UNSEEN_FIRST = (
     "tokenizer_encode_bpe",
     "profile_columns_orders_approx",
     "knn_label_propagation_ivf",
+    # r7 additions (never sampled by definition) — append below
 )
 
 #: most expensive entries at sf0.01, slowest-last; everything absent

@@ -3716,7 +3716,7 @@ WITH r AS (
 SELECT n_a, n_b,
        CAST(s AS DOUBLE)
          / (CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b AS DOUBLE)
-            * CAST(n_a + n_b AS DOUBLE) * CAST(n_a AS DOUBLE)
+            * CAST(n_a AS DOUBLE)
             * CAST(n_b AS DOUBLE)) AS t_stat
 FROM s
 """

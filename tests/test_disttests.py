@@ -111,6 +111,51 @@ def test_bucketed_cum_matches_across_bucket_counts(spark):
     assert outs[0] == outs[1] == outs[2]
 
 
+def test_cvm_hand_computed(spark):
+    # A = {1}, B = {2}: at v=1, F_A=1, F_B=0 (gap 1, pooled count 1);
+    # at v=2 the gap closes.  T = nm/N^2 * sum = 1/4 * 1 = 0.25 —
+    # the scipy.stats.cramervonmises_2samp value for this pair.
+    df = _two_group_df(spark, [1], [2])
+    from movie_rankings_spark.operators.disttests import cvm_two_sample
+
+    [r] = cvm_two_sample(df, "v", F.col("a"), F.col("b")).collect()
+    assert (r["n_a"], r["n_b"]) == (1, 1)
+    assert abs(r["t_stat"] - 0.25) < 1e-15
+
+
+def test_cvm_brute_force_with_ties(spark):
+    # numpy reference for Anderson's count form: T = nm/N^2 *
+    # sum over pooled distinct v of c_v * (F_A(v) - F_B(v))^2,
+    # the normalization scipy.stats.cramervonmises_2samp uses.
+    rng = np.random.default_rng(13)
+    a = rng.integers(0, 40, size=97)
+    b = rng.integers(5, 50, size=143)
+    df = _two_group_df(spark, a, b)
+    from movie_rankings_spark.operators.disttests import cvm_two_sample
+
+    [r] = cvm_two_sample(df, "v", F.col("a"), F.col("b")).collect()
+    n, m = len(a), len(b)
+    vs = np.unique(np.concatenate([a, b]))
+    ca = np.array([(a <= v).sum() for v in vs], dtype=np.float64)
+    cb = np.array([(b <= v).sum() for v in vs], dtype=np.float64)
+    cv = np.array(
+        [(a == v).sum() + (b == v).sum() for v in vs], dtype=np.float64
+    )
+    t_ref = (n * m / (n + m) ** 2) * float(
+        (cv * (ca / n - cb / m) ** 2).sum()
+    )
+    assert (r["n_a"], r["n_b"]) == (n, m)
+    assert abs(r["t_stat"] - t_ref) < 1e-12
+
+
+def test_cvm_identical_samples_zero(spark):
+    df = _two_group_df(spark, [3, 5, 5, 9], [3, 5, 5, 9])
+    from movie_rankings_spark.operators.disttests import cvm_two_sample
+
+    [r] = cvm_two_sample(df, "v", F.col("a"), F.col("b")).collect()
+    assert r["t_stat"] == 0.0
+
+
 def test_benford_known_counts(spark):
     # 1, 19, 123 -> digit 1 x3; 250 -> 2; 999 -> 9; 0 and -5 dropped
     df = spark.createDataFrame(
