@@ -21,27 +21,74 @@ recomputes), it just forfeits the reuse the persist bought.
 Thread-safety: the registry is guarded by a lock, and it is
 THREAD-SCOPED — each thread tracks (and releases) only its own
 persists, so concurrent queries on one SparkSession cannot release
-each other's in-flight intermediates. ``release_persisted`` from a
-thread touches only that thread's entries; :class:`scoped_persists`
-offers an explicit per-query registry for callers who want release
-bounded to a block regardless of threading.
+each other's in-flight intermediates. Buckets are keyed by
+``(ident, weakref(thread))``, not the raw ident alone: CPython reuses
+thread idents, so a raw-ident registry would let a NEW thread inherit
+— and later unpersist — a dead thread's frames, and threads that died
+without releasing would leak their bucket forever. Every registry
+access first reaps buckets whose owning thread is gone, unpersisting
+the orphaned frames best-effort. ``release_persisted`` from a thread
+touches only that thread's entries; :class:`scoped_persists` offers
+an explicit per-query registry for callers who want release bounded
+to a block regardless of threading.
 """
 
 from __future__ import annotations
 
 import threading
+import weakref
 
 from pyspark.sql import DataFrame
 
 _LOCK = threading.Lock()
-# thread ident -> that thread's tracked persists (insertion order)
-_TRACKED: dict[int, list[DataFrame]] = {}
+# thread ident -> (weakref to owning Thread, tracked persists in
+# insertion order). The weakref disambiguates ident reuse: a bucket
+# whose thread object is dead (or collected) belongs to a finished
+# thread and is reaped — never inherited by a new thread that drew
+# the same ident.
+_TRACKED: dict[int, tuple[weakref.ref, list[DataFrame]]] = {}
+
+
+def _reap_dead_locked() -> list[DataFrame]:
+    """Drop buckets owned by dead/collected threads; return their
+    orphaned frames for the caller to unpersist OUTSIDE the lock
+    (unpersist does a JVM round-trip)."""
+    orphans: list[DataFrame] = []
+    for ident in [
+        i
+        for i, (ref, _) in _TRACKED.items()
+        if (t := ref()) is None or not t.is_alive()
+    ]:
+        orphans.extend(_TRACKED.pop(ident)[1])
+    return orphans
+
+
+def _unpersist_quiet(frames: list[DataFrame], blocking: bool = False) -> int:
+    n = 0
+    for df in frames:
+        try:
+            df.unpersist(blocking)
+            n += 1
+        except Exception:  # noqa: BLE001 — session may already be gone
+            pass
+    return n
 
 
 def _bucket() -> list[DataFrame]:
-    ident = threading.get_ident()
+    t = threading.current_thread()
     with _LOCK:
-        return _TRACKED.setdefault(ident, [])
+        orphans = _reap_dead_locked()
+        entry = _TRACKED.get(t.ident)
+        if entry is None or entry[0]() is not t:
+            # fresh thread (or an ident whose previous owner somehow
+            # survived the reap while a different live thread now
+            # holds the ident — never inherit its frames)
+            if entry is not None:
+                orphans.extend(entry[1])
+            entry = (weakref.ref(t), [])
+            _TRACKED[t.ident] = entry
+    _unpersist_quiet(orphans)
+    return entry[1]
 
 
 def _persist_tracked(self: DataFrame, *args, **kwargs) -> DataFrame:
@@ -64,25 +111,27 @@ def release_persisted(blocking: bool = False) -> int:
     own cache, never another thread's in-flight intermediates.
     Dropping the strong references here also lets the ContextCleaner
     reap any localCheckpoint RDDs the released plans were pinning."""
-    ident = threading.get_ident()
+    t = threading.current_thread()
     with _LOCK:
-        frames = _TRACKED.pop(ident, [])
-    n = 0
-    for df in frames:
-        try:
-            df.unpersist(blocking)
-            n += 1
-        except Exception:  # noqa: BLE001 — session may already be gone
-            pass
-    return n
+        orphans = _reap_dead_locked()
+        entry = _TRACKED.pop(t.ident, None)
+        frames = entry[1] if entry is not None and entry[0]() is t else []
+        if entry is not None and entry[0]() is not t:
+            orphans.extend(entry[1])
+    _unpersist_quiet(orphans)
+    return _unpersist_quiet(frames, blocking)
 
 
 def tracked_count() -> int:
     """Number of currently tracked (not yet released) persists for the
     calling thread."""
-    ident = threading.get_ident()
+    t = threading.current_thread()
     with _LOCK:
-        return len(_TRACKED.get(ident, ()))
+        orphans = _reap_dead_locked()
+        entry = _TRACKED.get(t.ident)
+        n = len(entry[1]) if entry is not None and entry[0]() is t else 0
+    _unpersist_quiet(orphans)
+    return n
 
 
 class scoped_persists:
@@ -103,13 +152,13 @@ class scoped_persists:
         return self
 
     def __exit__(self, *exc) -> None:
-        ident = threading.get_ident()
+        t = threading.current_thread()
         with _LOCK:
-            bucket = _TRACKED.get(ident, [])
-            frames = bucket[self._mark :]
-            del bucket[self._mark :]
-        for df in frames:
-            try:
-                df.unpersist(False)
-            except Exception:  # noqa: BLE001
-                pass
+            entry = _TRACKED.get(t.ident)
+            if entry is None or entry[0]() is not t:
+                frames: list[DataFrame] = []
+            else:
+                bucket = entry[1]
+                frames = bucket[self._mark :]
+                del bucket[self._mark :]
+        _unpersist_quiet(frames)

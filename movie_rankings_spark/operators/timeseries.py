@@ -692,6 +692,20 @@ def holt_winters_daily(
             / F.lit(float(m))
         ).alias("w2"),
     )
+    # The "≥ 2·season days" contract is ENFORCED, not just documented:
+    # with m ≤ |days| < 2m the second-cycle mean w2 would average a
+    # partial cycle (still divided by m) and silently seed a wrong
+    # trend b0; with |days| < m the fold's F.slice would get a
+    # negative length and fail at runtime. Matching split_conformal's
+    # small-split guard: persist the 1-row series frame (so the guard
+    # scalar and the fold share one fact scan) and raise explicitly.
+    arr = arr.persist_tracked()
+    n_days = arr.select(F.size("a")).first()[0] or 0
+    if n_days < 2 * m:
+        raise ValueError(
+            f"holt_winters_daily needs >= 2*season={2 * m} distinct "
+            f"days to seed level/trend/seasonals, got {n_days}"
+        )
     out_t = (
         "array<struct<day:date,rev:bigint,lvl:double,trend:double,"
         "seas:double,fitted:double>>"

@@ -40,3 +40,67 @@ def test_release_before_materialization_is_safe(spark, sf_dir):
     mrs.release_persisted()  # before the action
     rows = plan.collect()
     assert rows  # recomputed fine
+
+
+def test_dead_thread_bucket_reaped_not_inherited(spark):
+    """A thread that persists and dies without releasing must not leak
+    its bucket, and a later thread must never inherit (and thus never
+    cross-release) it: the registry weak-refs the owning Thread and
+    reaps dead buckets — unpersisting the orphans — on next access."""
+    import threading
+
+    from movie_rankings_spark import caching
+
+    mrs.release_persisted()
+    df_holder = {}
+
+    def work():
+        df = spark.range(50).persist_tracked()
+        df.count()
+        df_holder["df"] = df
+        df_holder["ident"] = threading.get_ident()
+
+    t = threading.Thread(target=work)
+    t.start()
+    t.join()
+    # dead thread's bucket is still registered (nothing accessed yet)
+    with caching._LOCK:
+        assert df_holder["ident"] in caching._TRACKED
+    # any registry access reaps it and unpersists the orphan
+    assert mrs.tracked_count() == 0
+    with caching._LOCK:
+        assert df_holder["ident"] not in caching._TRACKED
+    assert not df_holder["df"].storageLevel.useMemory
+
+
+def test_release_only_touches_calling_thread(spark):
+    """A LIVE sibling thread's tracked frames survive this thread's
+    release (thread scoping) — only dead threads' buckets are reaped."""
+    import threading
+
+    from movie_rankings_spark import caching
+
+    mrs.release_persisted()
+    ready = threading.Event()
+    done = threading.Event()
+    state = {}
+
+    def work():
+        df = spark.range(64).persist_tracked()
+        df.count()
+        state["df"] = df
+        ready.set()
+        done.wait(timeout=30)
+        state["released"] = mrs.release_persisted()
+
+    t = threading.Thread(target=work)
+    t.start()
+    assert ready.wait(timeout=30)
+    try:
+        mrs.release_persisted()  # main thread: must not touch sibling
+        assert state["df"].storageLevel.useMemory
+    finally:
+        done.set()
+        t.join()
+    assert state["released"] == 1
+    assert not state["df"].storageLevel.useMemory

@@ -58,6 +58,19 @@ def test_holt_winters_matches_reference(spark):
     assert sum(errs) / len(errs) < 100
 
 
+def test_holt_winters_rejects_short_series(spark):
+    from pyspark.sql import functions as F
+
+    for n_days in (5, 10):  # < m and m <= n < 2m for season=7
+        rows = [(f"2024-03-{d+1:02d}", 100 + d) for d in range(n_days)]
+        df = (
+            spark.createDataFrame(rows, "day string, cents long")
+            .withColumn("day", F.col("day").cast("date"))
+        )
+        with pytest.raises(ValueError, match="2\\*season"):
+            holt_winters_daily(df, "day", F.col("cents"))
+
+
 def _ks_p(d, n_g, n_rest, k_terms=50):
     ne = n_g * n_rest / (n_g + n_rest)
     lam2 = d * d * ne
