@@ -17,6 +17,7 @@ Three strategies:
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator, Sequence
 
 import numpy as np
@@ -169,6 +170,19 @@ def cosine_topk_numpy(
     )
 
 
+def auto_centroids(n_vectors: int, floor: int = 16) -> int:
+    """√corpus centroid count — the classic IVF balance point: with
+    k = √n buckets, a query probing a fixed number of buckets scans
+    ~nprobe·n/k = nprobe·√n candidates, and centroid scoring costs
+    k = √n, so total probe work is O(√n) per query instead of O(n).
+    Operationally (the r6 SCALING finding): a FIXED k starves the
+    cluster once n/k buckets outgrow the core count — 16 buckets fan
+    32 cores at sf1 — while √n keeps the bucket-keyed joins fanning
+    out as the corpus grows. The floor keeps tiny fixtures on the
+    well-tested 16-bucket shape."""
+    return max(floor, math.isqrt(max(n_vectors, 1) - 1) + 1)  # ceil(sqrt n)
+
+
 def ivf_assignments(
     embeddings: DataFrame, centroids: np.ndarray, n_probes: int = 1
 ) -> DataFrame:
@@ -251,7 +265,7 @@ def ivf_topk(
     embeddings: DataFrame,
     query_ids: Sequence[int],
     k: int = 5,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     nprobe: int = 4,
     centroid_source: str = "head",
 ) -> DataFrame:
@@ -260,8 +274,13 @@ def ivf_topk(
     bucket). ``centroid_source``: "head" = first n_centroids vectors
     by vec_id (deterministic stand-in, plan shape identical);
     "kmeans" = distributed Lloyd's (kmeans_centroids) — better-shaped
-    buckets, same probe/score plan."""
+    buckets, same probe/score plan. ``n_centroids=None`` (default)
+    sizes the codebook as :func:`auto_centroids`'s ceil(√corpus) — one
+    metadata-cheap count() pass — so bucket count grows with the
+    corpus instead of starving cores at scale."""
     spark = embeddings.sparkSession
+    if n_centroids is None:
+        n_centroids = auto_centroids(embeddings.count())
     if centroid_source == "kmeans":
         centroids = kmeans_centroids(embeddings, n_centroids)
     else:
@@ -611,7 +630,7 @@ def knn_label_propagation_ivf(
     embeddings: DataFrame,
     query_pred,
     k: int = 5,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     nprobe: int = 4,
     sample_per_centroid: int = 32,
     kmeans_iters: int = 5,
@@ -656,6 +675,13 @@ def knn_label_propagation_ivf(
     corpus = embeddings.filter(~query_pred).select(
         "vec_id", "label", "embedding"
     )
+    if n_centroids is None:
+        # √corpus codebook (auto_centroids): the r6 SCALING flag was a
+        # FIXED 16-bucket codebook fanning 32 cores over 16 join keys
+        # at sf1 (e=0.91/decade). One count() pass; with nprobe fixed
+        # the probed fraction nprobe/√n also SHRINKS as the corpus
+        # grows, so scored pairs go O(holdout·√corpus), not O(·corpus).
+        n_centroids = auto_centroids(corpus.count())
     n_samp = max(n_centroids, sample_per_centroid * n_centroids)
     samp_rows = (
         corpus.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")

@@ -809,9 +809,12 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @REGISTRY.register("similarity_ivf_topk")  # ANN: recall<1 by design
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN (rows-only: approximate by construction;
-    recall against the exact variant is covered in tests)."""
+    recall against the exact variant is covered in tests). Codebook
+    sized by the auto √corpus knob (similarity.auto_centroids), so
+    bucket count — and the probe join's parallelism — grows with the
+    embeddings table instead of pinning at 16."""
     return similarity.ivf_topk(
-        _emb(spark, sf_dir), _QUERY_IDS, k=5, n_centroids=16, nprobe=4
+        _emb(spark, sf_dir), _QUERY_IDS, k=5, nprobe=4
     )
 
 
@@ -822,7 +825,7 @@ def similarity_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall against the exact variant is gated in tests — trained
     buckets must not recall worse than the head-sample stand-in)."""
     return similarity.ivf_topk(
-        _emb(spark, sf_dir), _QUERY_IDS, k=5, n_centroids=16, nprobe=4,
+        _emb(spark, sf_dir), _QUERY_IDS, k=5, nprobe=4,
         centroid_source="kmeans",
     )
 
@@ -2227,7 +2230,6 @@ def knn_label_propagation_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         _emb(spark, sf_dir),
         F.col("vec_id") % 97 == 0,
         k=5,
-        n_centroids=16,
         nprobe=8,
     ).orderBy("query_id")
 

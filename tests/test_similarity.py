@@ -101,3 +101,28 @@ def test_retrieval_eval_identity_and_zero(spark, sf_dir):
     wrong = exact.withColumn("vec_id", F.col("vec_id") + 1_000_000)
     zero = similarity.retrieval_eval(wrong, exact, k=5).collect()
     assert all(r["recall_at_k"] == 0.0 and r["mrr"] == 0.0 for r in zero)
+
+
+def test_auto_centroids_sqrt_with_floor():
+    from movie_rankings_spark.operators.similarity import auto_centroids
+
+    assert auto_centroids(0) == 16
+    assert auto_centroids(1) == 16
+    assert auto_centroids(256) == 16  # sqrt = floor
+    assert auto_centroids(257) == 17  # first past the floor: ceil
+    assert auto_centroids(2000) == 45
+    assert auto_centroids(20000) == 142
+    assert auto_centroids(10**12) == 10**6  # 100 TB-ish corpus
+
+
+def test_ivf_auto_centroids_recall_floor(emb, exact_topk):
+    # default (auto √corpus) config must still clear the isotropic
+    # recall floor and return exactly queries x k rows
+    exact_sets: dict[int, set] = {}
+    for (qid, _rn), vid in exact_topk.items():
+        exact_sets.setdefault(qid, set()).add(vid)
+    ivf = similarity.ivf_topk(emb, QUERY_IDS, k=5)
+    rows = ivf.collect()
+    assert len(rows) == len(QUERY_IDS) * 5
+    hits = sum(1 for r in rows if r["vec_id"] in exact_sets[r["query_id"]])
+    assert hits / len(rows) >= 0.3
