@@ -354,33 +354,79 @@ COMPACT_PRIORITY = (
 COMPACT_BUDGET = 1900
 
 
-def compact_payload(timings: dict[str, float], sf: float | None) -> str:
+def compact_payload(
+    timings: dict[str, float],
+    sf: float | None,
+    calibration: float | None = None,
+) -> str:
     """One JSON line ≤ COMPACT_BUDGET bytes.
 
     ``value`` totals over ALL measured queries; ``queries`` carries the
     COMPACT_PRIORITY slice first, then as many remaining queries as fit
-    the budget (measurement order). Full map: BENCH_FULL_local.json.
+    the budget (measurement order). Full map: the round-stamped
+    BENCH_FULL_* file. ``calib`` is the container-speed calibration
+    scan's seconds (see :func:`calibration_seconds`) — divide per-query
+    ratios by (calib / the BASELINE.md calibration anchor) to strip the
+    1.15–1.6× cross-container spread before judging a regression.
     """
     order = [n for n in COMPACT_PRIORITY if n in timings]
     order += [n for n in timings if n not in order]
 
     def render(names: list[str]) -> str:
-        return json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": round(sum(timings.values()), 2),
-                "unit": "sec",
-                "n_run": len(timings),
-                "queries": {n: round(timings[n], 3) for n in names},
-                "sf": sf,
-            },
-            separators=(",", ":"),
-        )
+        payload = {
+            "metric": "headline_suite_seconds",
+            "value": round(sum(timings.values()), 2),
+            "unit": "sec",
+            "n_run": len(timings),
+            "queries": {n: round(timings[n], 3) for n in names},
+            "sf": sf,
+        }
+        if calibration is not None:
+            payload["calib"] = round(calibration, 4)
+        return json.dumps(payload, separators=(",", ":"))
 
     keep = len(order)
     while keep > 0 and len(render(order[:keep])) > COMPACT_BUDGET:
         keep -= 1
     return render(order[:keep])
+
+
+def calibration_seconds(spark, sf_dir: str, repeats: int = 3) -> float:
+    """Container-speed calibration: one FIXED reference plan — a raw
+    lineitem parquet scan into a 3-aggregate groupBy, written inline so
+    it can never drift with library code — timed best-of-``repeats``
+    before the suite. Identical plans measure 1.15–1.6× apart across
+    round containers (BASELINE.md r3s3 note); dividing every per-query
+    baseline ratio by (calib / the recorded calibration anchor) turns
+    that prose caveat into a measured correction, so the 2× perf gate
+    judges the CODE, not the container draw."""
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    best = float("inf")
+    for _ in range(repeats):
+        start = time.perf_counter()
+        spark.read.parquet(path).groupBy("l_returnflag").agg(
+            {"l_extendedprice": "sum", "l_quantity": "avg", "*": "count"}
+        ).collect()
+        best = min(best, time.perf_counter() - start)
+    return best
+
+
+def _default_bench_out(repo_dir: str, sf_tag: str) -> str:
+    """Round-stamped default output path: BENCH_FULL_r{N}_{sf}.json,
+    N = 1 + the highest driver-recorded BENCH_r{N}.json. Stamping (r6
+    verdict item: the driver's round-end bench silently overwrote the
+    builder's final sweep) means no run can clobber the artifact a
+    BASELINE.md claim cites; SPARK_GRAFT_BENCH_OUT still overrides."""
+    import glob
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for f in glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))
+        if (m := re.match(r"BENCH_r(\d+)\.json$", os.path.basename(f)))
+    ]
+    n = max(rounds) + 1 if rounds else 0
+    return os.path.join(repo_dir, f"BENCH_FULL_r{n:02d}_{sf_tag}.json")
 
 
 def _baseline_seconds() -> dict[str, float]:
@@ -427,6 +473,9 @@ def main() -> int:
     if os.path.isdir(warm_dir) and os.path.normpath(sf_dir) != warm_dir:
         for name in HEADLINE_QUERIES:
             all_queries.QUERIES[name](spark, warm_dir).collect()
+
+    calib = calibration_seconds(spark, sf_dir)
+    print(f"# calibration: {calib:.3f}s", file=sys.stderr)
 
     baseline = _baseline_seconds()
     timings: dict[str, float] = {}
@@ -475,19 +524,18 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "calibration_seconds": round(calib, 4),
     }
     full_path = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT",
-        os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_local.json"
-        ),
+        _default_bench_out(os.path.dirname(os.path.abspath(__file__)), sf_tag),
     )
     try:
         with open(full_path, "w", encoding="utf-8") as fh:
             json.dump(full, fh, indent=1)
     except OSError:
         pass  # read-only checkout — stderr already has every timing
-    print(compact_payload(timings, sf))
+    print(compact_payload(timings, sf, calib))
     return 0
 
 

@@ -68,3 +68,23 @@ def test_registry_head_prioritizes_unseen_queries():
 def test_registry_queries_and_oracles_align():
     # oracles must be a subset of queries, in a consistent order
     assert set(all_queries.ORACLES) <= set(all_queries.QUERIES)
+
+
+def test_compact_line_carries_calibration():
+    line = bench.compact_payload(_fake_timings(), sf=0.1, calibration=0.4321)
+    assert len(line) <= bench.COMPACT_BUDGET
+    payload = json.loads(line)
+    assert payload["calib"] == 0.4321
+    for name in bench.COMPACT_PRIORITY:  # calib must not evict a rep
+        assert name in payload["queries"], name
+
+
+def test_default_bench_out_is_round_stamped(tmp_path):
+    # next round after the highest driver artifact, never a fixed name
+    for n in (1, 2, 6):
+        (tmp_path / f"BENCH_r{n:02d}.json").write_text("{}")
+    out = bench._default_bench_out(str(tmp_path), "sf0.1")
+    assert out.endswith("BENCH_FULL_r07_sf0.1.json")
+    assert bench._default_bench_out(str(tmp_path / "empty"), "sf1").endswith(
+        "BENCH_FULL_r00_sf1.json"
+    )
