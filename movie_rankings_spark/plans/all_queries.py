@@ -56,6 +56,7 @@ _UNSEEN_FIRST = (
     "profile_columns_orders_approx",
     "knn_label_propagation_ivf",
     # r7 additions (never sampled by definition) — append below
+    "stream_tws_session_timeout",
 )
 
 #: most expensive entries at sf0.01, slowest-last; everything absent

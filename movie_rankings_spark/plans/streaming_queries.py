@@ -293,6 +293,120 @@ def _stage_split_events(spark: SparkSession, sf_dir: str, n: int = 4) -> str:
     return dst
 
 
+def _stage_time_split_events(
+    spark: SparkSession, sf_dir: str, n: int = 3
+) -> str:
+    """Split the events table into n parquet files by EVENT-TIME RANGE
+    (ntile over ts, event_id) with strictly increasing mtimes, so the
+    file-source stream (maxFilesPerTrigger=1) delivers micro-batches
+    in event-time order — the arrival discipline the timer-based
+    session processor needs (a hash split makes every batch span the
+    full time range, so the watermark jumps to max after batch 1 and
+    timer firings race later events). Idempotent staging."""
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    dst = os.path.join(
+        os.path.dirname(ev._CHECKPOINT_ROOT),
+        "stream_src",
+        f"events_timesplit_{tag}_{n}",
+    )
+    marker = os.path.join(dst, "_STAGED")
+    if not os.path.exists(marker):
+        from movie_rankings_spark.catalog import table_path
+
+        os.makedirs(dst, exist_ok=True)
+        raw = spark.read.parquet(table_path(sf_dir, "events"))
+        sliced = raw.withColumn(
+            "_slice",
+            F.ntile(n).over(
+                Window.orderBy("ts", "event_id")
+            ),
+        )
+        for i in range(1, n + 1):
+            tmp = os.path.join(dst, f"_tmp_{i}")
+            sliced.filter(F.col("_slice") == i).drop("_slice").coalesce(
+                1
+            ).write.mode("overwrite").parquet(tmp)
+            part = next(
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            )
+            final = os.path.join(dst, f"slice_{i:02d}.parquet")
+            shutil.move(os.path.join(tmp, part), final)
+            shutil.rmtree(tmp)
+            # strictly increasing mtimes: FileStreamSource orders by
+            # (modification time, path); both orders agree here
+            os.utime(final, (1_700_000_000 + i, 1_700_000_000 + i))
+        open(marker, "w").close()
+    return dst
+
+
+_TWS_SESSION_ORACLE = """
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w <= 21600000000
+              THEN 0 ELSE 1 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq
+  FROM marked
+), agg AS (
+  SELECT user_id, CAST(session_seq AS INTEGER) AS session_seq,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(MIN(epoch_us(ts)) AS BIGINT) AS start_us,
+         CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_us
+  FROM sess GROUP BY 1, 2
+), mx AS (SELECT MAX(epoch_us(ts)) AS max_us FROM events)
+SELECT a.user_id, a.session_seq, a.n_events, a.start_us, a.last_us
+FROM agg a CROSS JOIN mx
+WHERE a.session_seq < (SELECT MAX(b.session_seq) FROM agg b
+                       WHERE b.user_id = a.user_id)
+   OR (a.last_us // 1000) + 21600000 + 1000 <= (mx.max_us // 1000)
+ORDER BY 1, 2
+"""
+
+
+@REGISTRY.register("stream_tws_session_timeout", _TWS_SESSION_ORACLE)
+def stream_tws_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization through transformWithStateInPandas with
+    EVENT-TIME TIMERS + state TTL (r7 — the last untouched typed-state
+    features; streaming/stateful.py::SessionTimeoutProcessor): a
+    session with a successor event is closed by the input path; a
+    session whose user goes quiet is closed by ``handleExpiredTimer``
+    when the watermark passes last_event + 6 h + slack; the session
+    ValueState carries a 24 h processing-time TTL (eviction semantics
+    unit-tested separately with a 1 ms TTL). Input staged as 3
+    event-time-ordered micro-batches so timer firings are consistent
+    with batch sessionization; every closed session is emitted exactly
+    once and a user's trailing unexpired session is withheld — the
+    oracle applies the identical cut, so the check is hash-exact."""
+    from movie_rankings_spark.streaming.stateful import sessionize_tws
+
+    src = _stage_time_split_events(spark, sf_dir, n=3)
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(prov_key, None)
+    spark.conf.set(prov_key, _ROCKSDB_PROVIDER)
+    try:
+        stream = ev.read_events_stream(spark, src, maxFilesPerTrigger=1)
+        out = ev.run_to_batch(
+            sessionize_tws(stream),
+            output_mode="append",
+            state_partitions=None,  # Python-state op: keep parallelism
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, prev)
+    return out.orderBy("user_id", "session_seq")
+
+
 @REGISTRY.register("stream_upsert_snapshot", _SNAPSHOT_ORACLE)
 def stream_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest-wins snapshot MAINTAINED by a stream: the event
@@ -354,8 +468,12 @@ _ROCKSDB_PROVIDER = (
 def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user lifetime stats through transformWithStateInPandas —
     the Spark 4 typed-state API (ValueState + MapState, RocksDB
-    backend; streaming/stateful.py). The changelog arrives as 4
-    micro-batches (maxFilesPerTrigger=1), state carries across them,
+    backend; streaming/stateful.py). The changelog arrives as 2
+    micro-batches (maxFilesPerTrigger=1; r7: 4 -> 2 — the oracle
+    tests state CARRY-OVER, which one batch boundary exercises, and
+    each TWS micro-batch pays the pure-Python-protobuf state-server
+    round-trips that made these the suite's two slowest entries),
+    state carries across them,
     and every accumulator is an integer, so the final snapshot (max
     n_events per user) equals the batch groupBy — the full-oracle
     check the old applyInPandasWithState twin
@@ -370,7 +488,7 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from movie_rankings_spark.streaming.stateful import user_lifetime_tws
 
-    src = _stage_split_events(spark, sf_dir, n=4)
+    src = _stage_split_events(spark, sf_dir, n=2)
     prov_key = "spark.sql.streaming.stateStore.providerClass"
     prev = spark.conf.get(prov_key, None)
     spark.conf.set(prov_key, _ROCKSDB_PROVIDER)
@@ -421,7 +539,8 @@ def stream_tws_lastk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     transformWithStateInPandas with a LISTSTATE (r6 — the typed-state
     feature the lifetime query doesn't touch: a bounded per-key list
     maintained across micro-batches, only k survivors ever stored).
-    4 micro-batches, RocksDB provider; the kept set is a total order
+    2 micro-batches (r7: 4 -> 2, same rationale as the lifetime
+    query), RocksDB provider; the kept set is a total order
     by (ts DESC, event_id DESC), so the final snapshot equals the
     batch window — full oracle (streaming/stateful.py::
     LastKEventsProcessor)."""
@@ -429,7 +548,7 @@ def stream_tws_lastk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from movie_rankings_spark.streaming.stateful import user_lastk_tws
 
-    src = _stage_split_events(spark, sf_dir, n=4)
+    src = _stage_split_events(spark, sf_dir, n=2)
     prov_key = "spark.sql.streaming.stateStore.providerClass"
     prev = spark.conf.get(prov_key, None)
     spark.conf.set(prov_key, _ROCKSDB_PROVIDER)

@@ -221,3 +221,213 @@ def test_lastk_processor_slicing_invariance():
     ]
     assert last.iloc[0]["n_seen"] == n
     assert [(int(a), int(b)) for a, b in got] == want
+
+
+class FakeTimerHandle(FakeHandle):
+    def __init__(self):
+        super().__init__()
+        self.timers = set()
+
+    def registerTimer(self, expiry):
+        self.timers.add(int(expiry))
+
+    def deleteTimer(self, expiry):
+        self.timers.discard(int(expiry))
+
+    def listTimers(self):
+        return iter(sorted(self.timers))
+
+
+class FakeTimerValues:
+    def __init__(self, wm_ms):
+        self._wm = wm_ms
+
+    def getCurrentWatermarkInMs(self):
+        return self._wm
+
+    def getCurrentProcessingTimeInMs(self):
+        return 0
+
+
+class FakeExpiredTimerInfo:
+    def __init__(self, expiry_ms):
+        self._e = expiry_ms
+
+    def getExpiryTimeInMs(self):
+        return self._e
+
+
+def _sess_batch(ts_us, ids):
+    return pd.DataFrame({"ts_us": ts_us, "event_id": ids})
+
+
+def test_session_processor_gap_split_and_timer_emission():
+    """One batch spanning two sessions emits the first immediately;
+    the trailing session is emitted by the timer once the watermark
+    passes last + gap + slack, and the seq counter survives the
+    state clear."""
+    from movie_rankings_spark.streaming.stateful import (
+        SESSION_CLOSE_SLACK_MS,
+        SESSION_GAP_MS,
+        SESSION_GAP_US,
+        SessionTimeoutProcessor,
+    )
+
+    h = FakeTimerHandle()
+    p = SessionTimeoutProcessor()
+    p.init(h)
+    t0 = 1_000_000_000_000  # us
+    t1 = t0 + SESSION_GAP_US + 1  # strictly past the gap -> new session
+    out = list(
+        p.handleInputRows(
+            (7,), iter([_sess_batch([t0, t1], [1, 2])]), FakeTimerValues(0)
+        )
+    )
+    assert len(out) == 1
+    assert out[0].iloc[0].to_dict() == {
+        "user_id": 7, "session_seq": 1, "n_events": 1,
+        "start_us": t0, "last_us": t0,
+    }
+    expiry = t1 // 1000 + SESSION_GAP_MS + SESSION_CLOSE_SLACK_MS
+    assert h.timers == {expiry}
+    # early firing (watermark short of threshold): no emission, re-armed
+    assert (
+        list(p.handleExpiredTimer((7,), FakeTimerValues(expiry - 1),
+                                  FakeExpiredTimerInfo(expiry))) == []
+    )
+    assert h.timers == {expiry}
+    # real firing: trailing session emitted, state cleared
+    [fired] = list(
+        p.handleExpiredTimer((7,), FakeTimerValues(expiry),
+                             FakeExpiredTimerInfo(expiry))
+    )
+    assert fired.iloc[0].to_dict() == {
+        "user_id": 7, "session_seq": 2, "n_events": 1,
+        "start_us": t1, "last_us": t1,
+    }
+    # a fresh event after the clear continues the numbering at 3
+    nxt = list(
+        p.handleInputRows(
+            (7,),
+            iter([_sess_batch([t1 + 2 * SESSION_GAP_US], [3])]),
+            FakeTimerValues(0),
+        )
+    )
+    assert nxt == []  # opens session 3, nothing closed yet
+    [row] = list(
+        p.handleExpiredTimer(
+            (7,), FakeTimerValues(10**18), FakeExpiredTimerInfo(0)
+        )
+    )
+    assert row.iloc[0]["session_seq"] == 3
+
+
+def test_session_processor_extends_across_batches():
+    """A session straddling a batch boundary stays ONE session; the
+    old timer is replaced by the extended one."""
+    from movie_rankings_spark.streaming.stateful import (
+        SESSION_CLOSE_SLACK_MS,
+        SESSION_GAP_MS,
+        SESSION_GAP_US,
+        SessionTimeoutProcessor,
+    )
+
+    h = FakeTimerHandle()
+    p = SessionTimeoutProcessor()
+    p.init(h)
+    t0 = 1_000_000_000_000
+    t1 = t0 + SESSION_GAP_US  # == gap: still the same session (<=)
+    assert list(
+        p.handleInputRows((3,), iter([_sess_batch([t0], [1])]),
+                          FakeTimerValues(0))
+    ) == []
+    assert list(
+        p.handleInputRows((3,), iter([_sess_batch([t1], [2])]),
+                          FakeTimerValues(0))
+    ) == []
+    assert h.timers == {t1 // 1000 + SESSION_GAP_MS + SESSION_CLOSE_SLACK_MS}
+    [row] = list(
+        p.handleExpiredTimer((3,), FakeTimerValues(10**18),
+                             FakeExpiredTimerInfo(0))
+    )
+    assert row.iloc[0].to_dict() == {
+        "user_id": 3, "session_seq": 1, "n_events": 2,
+        "start_us": t0, "last_us": t1,
+    }
+
+
+def test_ttl_state_evicts_between_microbatches(spark, tmp_path):
+    """State TTL (ProcessingTime mode — the only one Spark permits
+    ttlDurationMs in): with a 1 ms TTL every micro-batch starts from
+    empty state (batches are spaced far beyond 1 ms of wall time), so
+    each emitted count is that batch's own size; with no TTL the
+    counts accumulate. ProcessingTime-mode TWS keeps scheduling
+    no-data micro-batches even under trigger(availableNow) — the
+    query never self-terminates — so the test polls the memory sink
+    for both data batches' emissions and stops the query itself."""
+    import os
+    import time
+    import uuid
+
+    from movie_rankings_spark.streaming.stateful import ttl_count_tws
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rows_a = [(1, i) for i in range(3)]
+    rows_b = [(1, i) for i in range(100, 102)]
+    for i, rows in enumerate([rows_a, rows_b]):
+        tmp = str(tmp_path / f"w{i}")
+        spark.createDataFrame(
+            rows, "user_id long, event_id long"
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"b{i}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        def run(ttl_ms):
+            name = f"ttl_{uuid.uuid4().hex[:10]}"
+            stream = (
+                spark.readStream.schema("user_id long, event_id long")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            q = (
+                ttl_count_tws(stream, ttl_ms)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .option(
+                    "checkpointLocation", str(tmp_path / f"ck_{name}")
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                deadline = time.time() + 120
+                while time.time() < deadline:
+                    if spark.table(name).count() >= 2:
+                        break
+                    time.sleep(0.5)
+            finally:
+                q.stop()
+                q.awaitTermination(30)
+            return sorted(
+                r["batch_count"] for r in spark.table(name).collect()
+            )
+
+        assert run(ttl_ms=1) == [2, 3]       # each batch counts alone
+        assert run(ttl_ms=None) == [3, 5]    # state survives -> running
+    finally:
+        if prev is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, prev)
