@@ -1457,3 +1457,315 @@ def cvm_two_sample(
         F.lit(n_b).cast("long").alias("n_b"),
         (F.col("s").cast("double") / F.lit(den)).alias("t_stat"),
     )
+
+
+def mcnemar_test(df: DataFrame, a_ind: Column, b_ind: Column) -> DataFrame:
+    """McNemar's test for PAIRED binary raters — the within-subject
+    companion to cohens_kappa on the same contrast: kappa measures
+    chance-corrected agreement, McNemar asks whether the two raters'
+    marginal rates DIFFER, using only the discordant pairs
+    (χ² = (n10 − n01)² / (n10 + n01), the plain uncorrected form —
+    the continuity-corrected variant subtracts 1 from |n10 − n01|
+    and is noted, not emitted).
+
+    Shape/exactness: ONE map-side-combined aggregate over the fact —
+    four exact BIGINT cell counts of the paired 2×2 table; the
+    statistic is one IEEE division of exact integers, written
+    identically in the oracle. Rows where either indicator is NULL
+    are excluded (a pair needs both raters).
+
+    Output: ONE row — n11, n10, n01, n00, n_discordant, chi2
+    (NULL when no discordant pairs — matching DuckDB x/0.0)."""
+    a = a_ind.cast("int")
+    b = b_ind.cast("int")
+    rows = df.select(a.alias("_a"), b.alias("_b")).filter(
+        F.col("_a").isNotNull() & F.col("_b").isNotNull()
+    )
+    m = rows.agg(
+        F.sum(((F.col("_a") == 1) & (F.col("_b") == 1)).cast("long")).alias("n11"),
+        F.sum(((F.col("_a") == 1) & (F.col("_b") == 0)).cast("long")).alias("n10"),
+        F.sum(((F.col("_a") == 0) & (F.col("_b") == 1)).cast("long")).alias("n01"),
+        F.sum(((F.col("_a") == 0) & (F.col("_b") == 0)).cast("long")).alias("n00"),
+    )
+    diff = (F.col("n10") - F.col("n01")).cast("double")
+    disc = (F.col("n10") + F.col("n01")).cast("long")
+    return m.select(
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        disc.alias("n_discordant"),
+        F.try_divide(diff * diff, disc.cast("double")).alias("chi2"),
+    )
+
+
+def effect_sizes(
+    df: DataFrame, cents_col: Column, a_ind: Column, b_ind: Column
+) -> DataFrame:
+    """Standardized effect sizes for the A-vs-B mean contrast — the
+    numbers a readout reports NEXT TO welch_t_test's p-value (a tiny
+    p on big data says nothing about magnitude): Cohen's d on the
+    pooled SD, Hedges' g (d × J, J = 1 − 3/(4·df − 1) — the
+    small-sample bias correction), and Glass's Δ (B's SD as the
+    control scale, for unequal-variance contrasts).
+
+    Shape/exactness: welch_t_test's single six-moment DECIMAL
+    aggregate; d/g/Δ are shared closed-form IEEE expressions of the
+    exact centered sums, written identically in the oracle.
+
+    Output: ONE row — n_a, n_b, mean_diff, sd_pooled, cohens_d,
+    hedges_j, hedges_g, glass_delta."""
+    d38 = "decimal(38,0)"
+    v = cents_col.cast("long")
+    rows = df.select(
+        v.alias("v"), a_ind.cast("int").alias("_a"), b_ind.cast("int").alias("_b")
+    ).filter(((F.col("_a") + F.col("_b")) > 0) & F.col("v").isNotNull())
+    vd = F.col("v").cast("decimal(19,0)")
+    zero = F.lit(0).cast("decimal(19,0)")
+    m = rows.agg(
+        F.sum(F.when(F.col("_a") == 1, 1).otherwise(0)).cast("long").alias("na"),
+        F.sum(F.when(F.col("_b") == 1, 1).otherwise(0)).cast("long").alias("nb"),
+        F.sum(F.when(F.col("_a") == 1, vd).otherwise(zero)).cast(d38).alias("sa"),
+        F.sum(F.when(F.col("_b") == 1, vd).otherwise(zero)).cast(d38).alias("sb"),
+        F.sum(F.when(F.col("_a") == 1, (vd * vd).cast(d38)).otherwise(F.lit(0).cast(d38)))
+        .cast(d38)
+        .alias("saa"),
+        F.sum(F.when(F.col("_b") == 1, (vd * vd).cast(d38)).otherwise(F.lit(0).cast(d38)))
+        .cast(d38)
+        .alias("sbb"),
+    )
+    na, nb = F.col("na").cast(d38), F.col("nb").cast(d38)
+    num_a = (na * F.col("saa") - F.col("sa") * F.col("sa")).cast("double")
+    num_b = (nb * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double")
+    nad, nbd = F.col("na").cast("double"), F.col("nb").cast("double")
+    mean_a = F.try_divide(F.col("sa").cast("double"), nad)
+    mean_b = F.try_divide(F.col("sb").cast("double"), nbd)
+    var_a = F.try_divide(num_a, nad * (nad - F.lit(1.0)))
+    var_b = F.try_divide(num_b, nbd * (nbd - F.lit(1.0)))
+    sp = F.sqrt(
+        F.try_divide(
+            (nad - F.lit(1.0)) * var_a + (nbd - F.lit(1.0)) * var_b,
+            nad + nbd - F.lit(2.0),
+        )
+    )
+    d = F.try_divide(mean_a - mean_b, sp)
+    j = F.lit(1.0) - F.lit(3.0) / (
+        F.lit(4.0) * (nad + nbd - F.lit(2.0)) - F.lit(1.0)
+    )
+    return m.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        (mean_a - mean_b).alias("mean_diff"),
+        sp.alias("sd_pooled"),
+        d.alias("cohens_d"),
+        j.alias("hedges_j"),
+        (d * j).alias("hedges_g"),
+        F.try_divide(mean_a - mean_b, F.sqrt(var_b)).alias("glass_delta"),
+    )
+
+
+def grubbs_max_outlier(df: DataFrame, cents_col: Column) -> DataFrame:
+    """Grubbs' statistic for the single most extreme value:
+    G = max|x − x̄| / s. The p-value needs a t-quantile (no closed
+    form), so the readout is G itself plus the outlying value — the
+    screening number an anomaly dashboard thresholds (G ≳ 4–5 at
+    typical n means "investigate").
+
+    Shape: TWO fact passes by design — one three-moment DECIMAL
+    aggregate (n, Σv, Σv²), then the 1-row moment frame broadcast
+    back onto the scan for one max-of-struct aggregate (at 100 TB
+    two column-pruned scans beat persisting the fact). The outlier
+    is the lexicographic max of (|x − x̄|, x) — a total order, so
+    ties break deterministically toward the larger value; |x − x̄|
+    is the same IEEE subtraction in both engines, so the struct max
+    hashes exactly.
+
+    Output: ONE row — n, mean, sd, outlier_value, abs_dev, g_stat."""
+    d38 = "decimal(38,0)"
+    v = cents_col.cast("long")
+    rows = df.select(v.alias("v")).filter(F.col("v").isNotNull())
+    vd = F.col("v").cast("decimal(19,0)")
+    m = rows.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(vd).cast(d38).alias("s1"),
+        F.sum((vd * vd).cast(d38)).cast(d38).alias("s2"),
+    )
+    nn = F.col("n").cast(d38)
+    nd = F.col("n").cast("double")
+    mean = F.try_divide(F.col("s1").cast("double"), nd)
+    var = F.try_divide(
+        (nn * F.col("s2") - F.col("s1") * F.col("s1")).cast("double"),
+        nd * (nd - F.lit(1.0)),
+    )
+    mom = m.select("n", mean.alias("mean"), F.sqrt(var).alias("sd"))
+    dev = F.abs(F.col("v").cast("double") - F.col("mean"))
+    top = (
+        rows.crossJoin(F.broadcast(mom))
+        .agg(
+            F.max(F.struct(dev.alias("d"), F.col("v").alias("v"))).alias("t"),
+            F.first("n").alias("n"),
+            F.first("mean").alias("mean"),
+            F.first("sd").alias("sd"),
+        )
+    )
+    return top.select(
+        "n",
+        "mean",
+        "sd",
+        F.col("t.v").alias("outlier_value"),
+        F.col("t.d").alias("abs_dev"),
+        F.try_divide(F.col("t.d"), F.col("sd")).alias("g_stat"),
+    )
+
+
+def runs_test(df: DataFrame, order_col: Column, ind: Column) -> DataFrame:
+    """Wald–Wolfowitz runs test over a BINARY SEQUENCE: is the
+    arrangement of 1s and 0s random, or does it cluster (fewer runs)
+    / alternate (more runs) than chance? The classic check that a
+    daily above/below-median indicator isn't trending or seasonal
+    before treating days as exchangeable.
+
+        R ~ N(μ, σ²),  μ = 2·n1·n0/N + 1,
+        σ² = 2·n1·n0·(2·n1·n0 − N) / (N²·(N−1))
+
+    CALLER CONTRACT: the sequence must already be DOMAIN-BOUNDED
+    (a daily/monthly rollup, ≤ ~10⁵ rows) — the run count needs a
+    total order, computed here with a global-sort lag window, which
+    is only legitimate on bounded tables (the plan-audit allowlist
+    convention for date-domain sequences).
+
+    Exactness: run/group counts are exact BIGINTs from the lag pass;
+    z is one shared closed-form IEEE expression of those integers.
+    Output: ONE row — n, n_pos, n_neg, n_runs, z."""
+    from pyspark.sql import Window
+
+    seq = df.select(order_col.alias("_o"), ind.cast("int").alias("x")).filter(
+        F.col("x").isNotNull()
+    )
+    w = Window.orderBy("_o")
+    marked = seq.withColumn(
+        "brk",
+        F.when(
+            F.lag("x").over(w).isNull() | (F.lag("x").over(w) != F.col("x")),
+            1,
+        ).otherwise(0),
+    )
+    m = marked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("n_pos"),
+        F.sum("brk").cast("long").alias("n_runs"),
+    )
+    nd = F.col("n").cast("double")
+    n1 = F.col("n_pos").cast("double")
+    n0 = (F.col("n") - F.col("n_pos")).cast("double")
+    two = F.lit(2.0) * n1 * n0
+    mu = two / nd + F.lit(1.0)
+    var = F.try_divide(
+        two * (two - nd), nd * nd * (nd - F.lit(1.0))
+    )
+    return m.select(
+        "n",
+        "n_pos",
+        (F.col("n") - F.col("n_pos")).cast("long").alias("n_neg"),
+        "n_runs",
+        F.try_divide(F.col("n_runs").cast("double") - mu, F.sqrt(var)).alias(
+            "z"
+        ),
+    )
+
+
+def friedman_test(
+    df: DataFrame, block_col: Column, treat_col: Column, value_col: Column
+) -> DataFrame:
+    """Friedman rank test over COMPLETE blocks — the repeated-measures
+    companion to kruskal_wallis: KW ranks all observations in one
+    pool (between-subjects), Friedman ranks treatments WITHIN each
+    block, removing block-level shifts (month-to-month drift) from
+    the treatment comparison. Blocks missing any treatment are
+    dropped (the complete-block requirement). CALLER CONTRACT: one
+    row per (block, treatment) cell — pre-aggregate replicated
+    measurements first (the completeness filter counts cell ROWS).
+
+    Tie-corrected statistic computed entirely in DOUBLED ranks so
+    every intermediate is an exact integer (average ranks are
+    multiples of ½; with r2 = 2·rank):
+
+        χ²_F = (k−1)·Σ_j (S2_j − n·(k+1))² / (Σ r2² − n·k·(k+1)²)
+
+    Shape: ranks come from a window partitioned BY BLOCK (k rows per
+    partition — bounded), never a global sort; the rest is two
+    bounded aggregates. One IEEE division at the end ⇒ value-hash
+    exact. Output: ONE row — n_blocks, k_treatments, chi2_f — plus
+    per-treatment rank sums in stat order are available from the
+    intermediate (not emitted; keep the readout one row)."""
+    from pyspark.sql import Window
+
+    cells = df.select(
+        block_col.alias("blk"), treat_col.alias("trt"), value_col.alias("y")
+    ).filter(F.col("y").isNotNull())
+    k_total = cells.select("trt").distinct().count()
+    full = (
+        cells.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("_k"))
+        .filter(F.col("_k") == k_total)
+        .select("blk")
+    )
+    kept = cells.join(F.broadcast(full), "blk")
+    wb = Window.partitionBy("blk").orderBy("y")
+    we = Window.partitionBy("blk", "y")
+    # doubled average rank: 2·rank + (ties − 1) is always integral
+    ranked = kept.select(
+        "blk",
+        "trt",
+        (
+            F.lit(2) * F.rank().over(wb)
+            + F.count(F.lit(1)).over(we)
+            - F.lit(1)
+        )
+        .cast("long")
+        .alias("r2"),
+    )
+    per_trt = ranked.groupBy("trt").agg(
+        F.sum("r2").cast("long").alias("s2")
+    )
+    tots = ranked.agg(
+        F.sum(F.col("r2") * F.col("r2")).cast("long").alias("ssq2"),
+        F.countDistinct("blk").cast("long").alias("n_blocks"),
+    )
+    stat = (
+        per_trt.crossJoin(F.broadcast(tots))
+        .select(
+            "n_blocks",
+            F.col("s2"),
+            F.col("ssq2"),
+        )
+        .groupBy("n_blocks", "ssq2")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.sum(
+                (
+                    F.col("s2")
+                    - F.col("n_blocks") * F.lit(k_total + 1)
+                )
+                * (
+                    F.col("s2")
+                    - F.col("n_blocks") * F.lit(k_total + 1)
+                )
+            )
+            .cast("long")
+            .alias("num2"),
+        )
+    )
+    kd = F.col("k").cast("double")
+    nd = F.col("n_blocks").cast("double")
+    den = (
+        F.col("ssq2").cast("double")
+        - nd * kd * F.lit(float((k_total + 1) ** 2))
+    )
+    return stat.select(
+        "n_blocks",
+        F.col("k").alias("k_treatments"),
+        F.try_divide(
+            (kd - F.lit(1.0)) * F.col("num2").cast("double"), den
+        ).alias("chi2_f"),
+    )

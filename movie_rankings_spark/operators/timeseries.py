@@ -766,3 +766,88 @@ def holt_winters_daily(
         )
         .orderBy("day")
     )
+
+
+def durbin_watson_daily(
+    df: DataFrame, day_col: str, cents_col
+) -> DataFrame:
+    """Durbin–Watson autocorrelation statistic of the residuals from
+    the daily linear trend — the diagnostic that says whether an OLS
+    trend line's errors are serially correlated (DW ≈ 2 independent,
+    → 0 positively autocorrelated, → 4 alternating), i.e. whether the
+    trend's standard errors can be believed. Completes the trend
+    family: grouped OLS fits the line, the ACF reads raw-series lags,
+    DW reads the RESIDUAL lag-1 structure.
+
+    Shape (the exp_smooth_daily convention): ONE fact shuffle to the
+    date-domain-bounded daily table; OLS moments are exact DECIMAL
+    sums over t = row_number (a bounded-window rank); the lag-1
+    residual pass is one bounded-window lag.
+
+    Exactness: slope/intercept are IEEE divisions of exact DECIMAL
+    centered sums (grouped_ols's convention); each residual is then
+    QUANTIZED to DECIMAL(28,4) so the two quadratic sums are exact
+    decimal arithmetic — immune to float-sum ordering across
+    partitions — and DW is ONE final double division, written
+    identically in the oracle.
+
+    Output: ONE row — n_days, slope, intercept, dw."""
+    d38 = "decimal(38,0)"
+    daily = (
+        df.select(F.col(day_col).alias("day"), cents_col.alias("_c"))
+        .groupBy("day")
+        .agg(F.sum("_c").cast("long").alias("y"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day")
+    seq = daily.select(
+        "day", "y", F.row_number().over(w).cast("long").alias("t")
+    ).persist_tracked()
+    td = F.col("t").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
+    m = seq.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(td).cast(d38).alias("st"),
+        F.sum(yd).cast(d38).alias("sy"),
+        F.sum((td * td).cast(d38)).cast(d38).alias("stt"),
+        F.sum((td * yd).cast(d38)).cast(d38).alias("sty"),
+    )
+    nn = F.col("n").cast(d38)
+    slope = F.try_divide(
+        (nn * F.col("sty") - F.col("st") * F.col("sy")).cast("double"),
+        (nn * F.col("stt") - F.col("st") * F.col("st")).cast("double"),
+    )
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("st").cast("double")
+    ) / F.col("n").cast("double")
+    mom = m.select("n", slope.alias("b"), intercept.alias("a"))
+    resid = seq.crossJoin(F.broadcast(mom)).select(
+        "day",
+        "n",
+        (
+            F.col("y").cast("double")
+            - (F.col("a") + F.col("b") * F.col("t").cast("double"))
+        )
+        .cast("decimal(28,4)")
+        .alias("e"),
+    )
+    lagged = resid.withColumn("e_prev", F.lag("e").over(w))
+    de = (F.col("e") - F.col("e_prev")).cast("decimal(28,4)")
+    sums = lagged.agg(
+        F.first("n").alias("n_days"),
+        F.sum((de * de).cast("decimal(38,8)")).alias("num"),
+        F.sum((F.col("e") * F.col("e")).cast("decimal(38,8)")).alias("den"),
+    )
+    out = (
+        sums.crossJoin(F.broadcast(mom.select(F.col("b").alias("slope"), F.col("a").alias("intercept"))))
+        .select(
+            "n_days",
+            "slope",
+            "intercept",
+            F.try_divide(
+                F.col("num").cast("double"), F.col("den").cast("double")
+            ).alias("dw"),
+        )
+    )
+    return out

@@ -57,6 +57,12 @@ _UNSEEN_FIRST = (
     "knn_label_propagation_ivf",
     # r7 additions (never sampled by definition) — append below
     "stream_tws_session_timeout",
+    "effect_size_price_priority",
+    "runs_daily_revenue",
+    "grubbs_daily_revenue",
+    "friedman_price_month_priority",
+    "dw_trend_daily_revenue",
+    "mcnemar_quality_raters",
 )
 
 #: most expensive entries at sf0.01, slowest-last; everything absent

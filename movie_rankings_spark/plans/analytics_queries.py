@@ -3744,3 +3744,325 @@ def cvm_price_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderpriority") == "1-URGENT").cast("int"),
         (F.col("o_orderpriority") == "5-LOW").cast("int"),
     )
+
+
+# --- r7: effect sizes, McNemar, runs, Grubbs, Friedman, Durbin-Watson -------
+
+_EFFECT_ORACLE = """
+WITH r AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS a,
+         CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS b
+  FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+), m AS (
+  SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb,
+         CAST(SUM(CASE WHEN a = 1 THEN CAST(v AS HUGEINT) ELSE 0 END)
+              AS HUGEINT) AS sa,
+         CAST(SUM(CASE WHEN b = 1 THEN CAST(v AS HUGEINT) ELSE 0 END)
+              AS HUGEINT) AS sb,
+         CAST(SUM(CASE WHEN a = 1 THEN CAST(v AS HUGEINT) * v ELSE 0 END)
+              AS HUGEINT) AS saa,
+         CAST(SUM(CASE WHEN b = 1 THEN CAST(v AS HUGEINT) * v ELSE 0 END)
+              AS HUGEINT) AS sbb
+  FROM r
+), d AS (
+  SELECT na, nb,
+         CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS mean_a,
+         CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mean_b,
+         CAST(na * saa - sa * sa AS DOUBLE)
+           / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0)) AS var_a,
+         CAST(nb * sbb - sb * sb AS DOUBLE)
+           / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0)) AS var_b
+  FROM m
+), s AS (
+  SELECT *,
+         sqrt(((CAST(na AS DOUBLE) - 1.0) * var_a
+               + (CAST(nb AS DOUBLE) - 1.0) * var_b)
+              / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 2.0)) AS sp,
+         1.0 - 3.0 / (4.0 * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 2.0)
+                      - 1.0) AS j
+  FROM d
+)
+SELECT na AS n_a, nb AS n_b,
+       (mean_a - mean_b) AS mean_diff,
+       sp AS sd_pooled,
+       (mean_a - mean_b) / sp AS cohens_d,
+       j AS hedges_j,
+       ((mean_a - mean_b) / sp) * j AS hedges_g,
+       (mean_a - mean_b) / sqrt(var_b) AS glass_delta
+FROM s
+"""
+
+
+@REGISTRY.register("effect_size_price_priority", _EFFECT_ORACLE)
+def effect_size_price_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d / Hedges' g / Glass's Delta for the urgent-vs-low price
+    contrast — the magnitude readout next to welch_price_priority's
+    p-value on the identical moments
+    (operators/disttests.py::effect_sizes)."""
+    from movie_rankings_spark.operators.disttests import effect_sizes
+
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    return effect_sizes(
+        o.withColumn(
+            "cents", F.round(F.col("o_totalprice") * F.lit(100)).cast("long")
+        ),
+        F.col("cents"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("int"),
+        (F.col("o_orderpriority") == "5-LOW").cast("int"),
+    )
+
+
+_RUNS_ORACLE = """
+WITH daily AS (
+  SELECT o_orderdate AS day,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(y) AS HUGEINT) AS sy
+  FROM daily
+), seq AS (
+  SELECT day,
+         CASE WHEN CAST(y AS HUGEINT) * t.nd > t.sy THEN 1 ELSE 0 END AS x
+  FROM daily CROSS JOIN tot t
+), marked AS (
+  SELECT x, CASE WHEN LAG(x) OVER (ORDER BY day) IS NULL
+                      OR LAG(x) OVER (ORDER BY day) <> x
+                 THEN 1 ELSE 0 END AS brk
+  FROM seq
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS n_pos,
+         CAST(SUM(brk) AS BIGINT) AS n_runs
+  FROM marked
+)
+SELECT n, n_pos, CAST(n - n_pos AS BIGINT) AS n_neg, n_runs,
+       (CAST(n_runs AS DOUBLE)
+        - (2.0 * CAST(n_pos AS DOUBLE) * CAST(n - n_pos AS DOUBLE)
+           / CAST(n AS DOUBLE) + 1.0))
+       / sqrt((2.0 * CAST(n_pos AS DOUBLE) * CAST(n - n_pos AS DOUBLE))
+              * (2.0 * CAST(n_pos AS DOUBLE) * CAST(n - n_pos AS DOUBLE)
+                 - CAST(n AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                 * (CAST(n AS DOUBLE) - 1.0))) AS z
+FROM m
+"""
+
+
+@REGISTRY.register("runs_daily_revenue", _RUNS_ORACLE)
+def runs_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the daily-revenue above/below-mean
+    sequence — is day-level revenue exchangeable, or does it cluster
+    (trend/seasonality) before anyone bootstraps over days? The
+    indicator is the EXACT integer comparison y*n_days > total (no
+    float mean), the sequence is the date-domain-bounded daily table
+    (operators/disttests.py::runs_test)."""
+    from movie_rankings_spark.operators.disttests import runs_test
+
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * F.lit(100)).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+    )
+    seq = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        (
+            F.col("y").cast("decimal(38,0)") * F.col("nd").cast("decimal(38,0)")
+            > F.col("sy")
+        )
+        .cast("int")
+        .alias("x"),
+    )
+    return runs_test(seq, F.col("day"), F.col("x"))
+
+
+_GRUBBS_ORACLE = """
+WITH daily AS (
+  SELECT o_orderdate AS day,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM orders GROUP BY 1
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(v AS HUGEINT)) AS HUGEINT) AS s1,
+         CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT) AS s2
+  FROM daily
+), mom AS (
+  SELECT n,
+         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+         sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS sd
+  FROM m
+), dev AS (
+  SELECT d.v, abs(CAST(d.v AS DOUBLE) - mom.mean) AS ad,
+         mom.n, mom.mean, mom.sd
+  FROM daily d CROSS JOIN mom
+), top AS (
+  SELECT * FROM dev ORDER BY ad DESC, v DESC LIMIT 1
+)
+SELECT n, mean, sd, v AS outlier_value, ad AS abs_dev,
+       ad / sd AS g_stat
+FROM top
+"""
+
+
+@REGISTRY.register("grubbs_daily_revenue", _GRUBBS_ORACLE)
+def grubbs_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' max-outlier statistic over daily revenue — which single
+    day deviates most from the mean, in SD units (the screening number
+    an ops dashboard thresholds before the CUSUM/changepoint tier
+    digs in; operators/disttests.py::grubbs_max_outlier)."""
+    from movie_rankings_spark.operators.disttests import grubbs_max_outlier
+
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * F.lit(100)).cast("long"))
+            .cast("long")
+            .alias("v")
+        )
+    )
+    return grubbs_max_outlier(daily, F.col("v"))
+
+
+_FRIEDMAN_ORACLE = """
+WITH cells AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS blk, o_orderpriority AS trt,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS y
+  FROM orders GROUP BY 1, 2
+), k AS (SELECT COUNT(DISTINCT trt) AS kt FROM cells),
+full_blocks AS (
+  SELECT blk FROM cells GROUP BY blk
+  HAVING COUNT(*) = (SELECT kt FROM k)
+), kept AS (
+  SELECT c.* FROM cells c JOIN full_blocks USING (blk)
+), ranked AS (
+  SELECT blk, trt,
+         CAST(2 * RANK() OVER (PARTITION BY blk ORDER BY y)
+              + COUNT(*) OVER (PARTITION BY blk, y) - 1 AS BIGINT) AS r2
+  FROM kept
+), per_trt AS (
+  SELECT trt, CAST(SUM(r2) AS BIGINT) AS s2 FROM ranked GROUP BY trt
+), tots AS (
+  SELECT CAST(SUM(r2 * r2) AS BIGINT) AS ssq2,
+         CAST(COUNT(DISTINCT blk) AS BIGINT) AS n_blocks
+  FROM ranked
+), stat AS (
+  SELECT t.n_blocks, t.ssq2,
+         CAST(COUNT(*) AS BIGINT) AS kk,
+         CAST(SUM((p.s2 - t.n_blocks * ((SELECT kt FROM k) + 1))
+                  * (p.s2 - t.n_blocks * ((SELECT kt FROM k) + 1)))
+              AS BIGINT) AS num2
+  FROM per_trt p CROSS JOIN tots t
+  GROUP BY t.n_blocks, t.ssq2
+)
+SELECT n_blocks, kk AS k_treatments,
+       (CAST(kk AS DOUBLE) - 1.0) * CAST(num2 AS DOUBLE)
+         / (CAST(ssq2 AS DOUBLE)
+            - CAST(n_blocks AS DOUBLE) * CAST(kk AS DOUBLE)
+              * CAST(((SELECT kt FROM k) + 1) * ((SELECT kt FROM k) + 1)
+                     AS DOUBLE)) AS chi2_f
+FROM stat
+"""
+
+
+@REGISTRY.register("friedman_price_month_priority", _FRIEDMAN_ORACLE)
+def friedman_price_month_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Friedman rank test: do order priorities differ in mean price
+    CONSISTENTLY ACROSS MONTHS? Blocks = order months, treatments =
+    the 5 priorities, cell = mean price cents; ranking within blocks
+    removes month-level drift the pooled Kruskal-Wallis would absorb
+    into noise (operators/disttests.py::friedman_test, tie-corrected,
+    doubled-rank integer arithmetic)."""
+    from movie_rankings_spark.operators.disttests import friedman_test
+
+    cells = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("blk"),
+            F.col("o_orderpriority").alias("trt"),
+        )
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("o_totalprice") * F.lit(100)).cast("long")
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("y")
+        )
+    )
+    return friedman_test(cells, F.col("blk"), F.col("trt"), F.col("y"))
+
+
+_DW_ORACLE = """
+WITH daily AS (
+  SELECT o_orderdate AS day,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+), seq AS (
+  SELECT day, y, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t
+  FROM daily
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(t AS HUGEINT)) AS HUGEINT) AS st,
+         CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(SUM(CAST(t AS HUGEINT) * t) AS HUGEINT) AS stt,
+         CAST(SUM(CAST(t AS HUGEINT) * y) AS HUGEINT) AS sty
+  FROM seq
+), fit AS (
+  SELECT n,
+         CAST(n * sty - st * sy AS DOUBLE)
+           / CAST(n * stt - st * st AS DOUBLE) AS b,
+         (CAST(sy AS DOUBLE)
+          - (CAST(n * sty - st * sy AS DOUBLE)
+             / CAST(n * stt - st * st AS DOUBLE)) * CAST(st AS DOUBLE))
+           / CAST(n AS DOUBLE) AS a
+  FROM m
+), resid AS (
+  SELECT seq.day, fit.n, fit.a, fit.b,
+         CAST(CAST(seq.y AS DOUBLE)
+              - (fit.a + fit.b * CAST(seq.t AS DOUBLE))
+              AS DECIMAL(28,4)) AS e
+  FROM seq CROSS JOIN fit
+), lagged AS (
+  SELECT n, a, b, e, LAG(e) OVER (ORDER BY day) AS e_prev
+  FROM resid
+)
+SELECT MAX(n) AS n_days, MAX(b) AS slope, MAX(a) AS intercept,
+       CAST(SUM(CAST(CAST(e - e_prev AS DECIMAL(28,4))
+                     * CAST(e - e_prev AS DECIMAL(28,4))
+                     AS DECIMAL(38,8))) AS DOUBLE)
+         / CAST(SUM(CAST(e * e AS DECIMAL(38,8))) AS DOUBLE) AS dw
+FROM lagged
+"""
+
+
+@REGISTRY.register("dw_trend_daily_revenue", _DW_ORACLE)
+def dw_trend_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson autocorrelation of the daily-revenue OLS-trend
+    residuals — can the trend line's standard errors be believed, or
+    are the errors serially correlated? Completes the trend family
+    next to regression_monthly_trend (fit) and acf_daily_revenue (raw
+    lags); residuals quantized DECIMAL(28,4) so the quadratic sums are
+    exact (operators/timeseries.py::durbin_watson_daily)."""
+    from movie_rankings_spark.operators.timeseries import durbin_watson_daily
+
+    return durbin_watson_daily(
+        _t(spark, sf_dir, "orders"),
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * F.lit(100)).cast("long"),
+    )

@@ -4060,3 +4060,49 @@ def contrastive_triplets_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from movie_rankings_spark.operators.dedup import contrastive_triplets
 
     return contrastive_triplets(_docs(spark, sf_dir), n=3, threshold=0.5)
+
+
+# --- r7: McNemar paired-rater marginal test ----------------------------------
+
+_MCNEMAR_ORACLE = """
+WITH r AS (
+  SELECT CASE WHEN n_chars >= 240 THEN 1 ELSE 0 END AS a,
+         CASE WHEN (length(text) - length(replace(text, ' ', ''))) * 1000
+                   >= n_chars * 178 THEN 1 ELSE 0 END AS b
+  FROM documents
+), m AS (
+  SELECT
+    CAST(SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+    CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+    CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+    CAST(SUM(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00
+  FROM r
+)
+SELECT n11, n10, n01, n00,
+       CAST(n10 + n01 AS BIGINT) AS n_discordant,
+       CAST(n10 - n01 AS DOUBLE) * CAST(n10 - n01 AS DOUBLE)
+         / CAST(n10 + n01 AS DOUBLE) AS chi2
+FROM m
+"""
+
+
+@REGISTRY.register("mcnemar_quality_raters", _MCNEMAR_ORACLE)
+def mcnemar_quality_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do the two quality heuristics fire at DIFFERENT RATES on the
+    same documents? McNemar's paired test on the discordant cells of
+    the same rater pair kappa_quality_raters scores: kappa asks
+    "do they agree beyond chance", McNemar asks "is one rater
+    systematically stricter" — the pair of numbers a heuristic-swap
+    decision needs (operators/disttests.py::mcnemar_test; same single
+    map-side-combined 2x2 aggregate shape as kappa)."""
+    from movie_rankings_spark.operators.disttests import mcnemar_test
+
+    docs = _docs(spark, sf_dir)
+    rater_a = (F.col("n_chars") >= F.lit(240)).cast("int")
+    spaces = F.length("text") - F.length(
+        F.replace(F.col("text"), F.lit(" "), F.lit(""))
+    )
+    rater_b = (spaces * F.lit(1000) >= F.col("n_chars") * F.lit(178)).cast(
+        "int"
+    )
+    return mcnemar_test(docs, rater_a, rater_b)

@@ -341,3 +341,138 @@ def test_weighted_quantiles_bruteforce(spark):
         assert r["value"] == want_v, (num, r)
         assert r["cum_weight"] == want_cum
         assert r["total_weight"] == W
+
+
+def test_mcnemar_hand_computed(spark):
+    # pairs: 3 concordant-pos, 2 concordant-neg, 4 a-only, 1 b-only
+    rows = (
+        [(1, 1)] * 3 + [(0, 0)] * 2 + [(1, 0)] * 4 + [(0, 1)] * 1
+        + [(None, 1)]  # dropped: needs both raters
+    )
+    df = spark.createDataFrame(rows, "a int, b int")
+    from movie_rankings_spark.operators.disttests import mcnemar_test
+
+    [r] = mcnemar_test(df, F.col("a"), F.col("b")).collect()
+    assert (r["n11"], r["n10"], r["n01"], r["n00"]) == (3, 4, 1, 2)
+    assert r["n_discordant"] == 5
+    assert abs(r["chi2"] - (4 - 1) ** 2 / 5) < 1e-15
+
+
+def test_mcnemar_no_discordant_is_null(spark):
+    df = spark.createDataFrame([(1, 1), (0, 0)], "a int, b int")
+    from movie_rankings_spark.operators.disttests import mcnemar_test
+
+    [r] = mcnemar_test(df, F.col("a"), F.col("b")).collect()
+    assert r["chi2"] is None
+
+
+def test_effect_sizes_match_numpy(spark):
+    rng = np.random.RandomState(3)
+    a = rng.randint(100, 9000, 60)
+    b = rng.randint(300, 11000, 45)
+    df = _two_group_df(spark, a, b)
+    from movie_rankings_spark.operators.disttests import effect_sizes
+
+    [r] = effect_sizes(df, F.col("v"), F.col("a"), F.col("b")).collect()
+    na, nb = len(a), len(b)
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    sp = math.sqrt(((na - 1) * va + (nb - 1) * vb) / (na + nb - 2))
+    d = (a.mean() - b.mean()) / sp
+    j = 1 - 3 / (4 * (na + nb - 2) - 1)
+    assert (r["n_a"], r["n_b"]) == (na, nb)
+    assert abs(r["cohens_d"] - d) < 1e-12
+    assert abs(r["hedges_g"] - d * j) < 1e-12
+    assert abs(r["glass_delta"] - (a.mean() - b.mean()) / math.sqrt(vb)) < 1e-12
+
+
+def test_grubbs_matches_numpy_and_tiebreak(spark):
+    vals = [10, 12, 11, 13, 9, 50]  # 50 is the outlier
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    from movie_rankings_spark.operators.disttests import grubbs_max_outlier
+
+    [r] = grubbs_max_outlier(df, F.col("v")).collect()
+    x = np.array(vals, dtype=float)
+    g = np.abs(x - x.mean()).max() / x.std(ddof=1)
+    assert r["outlier_value"] == 50
+    assert abs(r["g_stat"] - g) < 1e-12
+    # symmetric tie: the larger value wins deterministically
+    df2 = spark.createDataFrame([(0,), (10,)], "v long")
+    [r2] = grubbs_max_outlier(df2, F.col("v")).collect()
+    assert r2["outlier_value"] == 10
+
+
+def test_runs_test_hand_computed(spark):
+    # sequence 1 1 0 0 0 1 0 -> runs: [11][000][1][0] = 4
+    seq = [1, 1, 0, 0, 0, 1, 0]
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(seq)], "t int, x int"
+    )
+    from movie_rankings_spark.operators.disttests import runs_test
+
+    [r] = runs_test(df, F.col("t"), F.col("x")).collect()
+    n, n1, n0 = 7, 3, 4
+    mu = 2 * n1 * n0 / n + 1
+    var = 2 * n1 * n0 * (2 * n1 * n0 - n) / (n * n * (n - 1))
+    assert (r["n"], r["n_pos"], r["n_neg"], r["n_runs"]) == (7, 3, 4, 4)
+    assert abs(r["z"] - (4 - mu) / math.sqrt(var)) < 1e-14
+
+
+def test_friedman_matches_reference(spark):
+    # classic 4 blocks x 3 treatments with a tie inside block 2
+    data = {
+        ("b1", "x"): 1.0, ("b1", "y"): 2.0, ("b1", "z"): 3.0,
+        ("b2", "x"): 2.0, ("b2", "y"): 2.0, ("b2", "z"): 5.0,
+        ("b3", "x"): 1.0, ("b3", "y"): 3.0, ("b3", "z"): 2.0,
+        ("b4", "x"): 1.0, ("b4", "y"): 2.0, ("b4", "z"): 3.0,
+        ("b5", "x"): 9.0,  # incomplete block: dropped
+    }
+    rows = [(b, t, v) for (b, t), v in data.items()]
+    df = spark.createDataFrame(rows, "blk string, trt string, y double")
+    from movie_rankings_spark.operators.disttests import friedman_test
+
+    [r] = friedman_test(
+        df, F.col("blk"), F.col("trt"), F.col("y")
+    ).collect()
+    # reference: tie-corrected Friedman on the 4 complete blocks
+    import itertools
+
+    blocks = ["b1", "b2", "b3", "b4"]
+    trts = ["x", "y", "z"]
+    ranks = {}
+    for b in blocks:
+        vals = [(data[(b, t)], t) for t in trts]
+        for t in trts:
+            v = data[(b, t)]
+            less = sum(1 for w, _ in vals if w < v)
+            eq = sum(1 for w, _ in vals if w == v)
+            ranks[(b, t)] = less + (eq + 1) / 2
+    n, k = len(blocks), len(trts)
+    s = {t: sum(ranks[(b, t)] for b in blocks) for t in trts}
+    num = (k - 1) * sum((s[t] - n * (k + 1) / 2) ** 2 for t in trts)
+    den = sum(r_ * r_ for r_ in ranks.values()) - n * k * (k + 1) ** 2 / 4
+    assert (r["n_blocks"], r["k_treatments"]) == (4, 3)
+    assert abs(r["chi2_f"] - num / den) < 1e-12
+
+
+def test_durbin_watson_matches_numpy(spark):
+    rng = np.random.RandomState(8)
+    days = [f"2024-02-{d+1:02d}" for d in range(25)]
+    cents = (1000 + 37 * np.arange(25) + rng.randint(-200, 200, 25)).tolist()
+    rows = [(d, int(c)) for d, c in zip(days, cents)]
+    df = spark.createDataFrame(rows, "day string, cents long").withColumn(
+        "day", F.col("day").cast("date")
+    )
+    from movie_rankings_spark.operators.timeseries import durbin_watson_daily
+
+    [r] = durbin_watson_daily(df, "day", F.col("cents")).collect()
+    t = np.arange(1, 26, dtype=float)
+    y = np.array(cents, dtype=float)
+    b = ((len(t) * (t * y).sum() - t.sum() * y.sum())
+         / (len(t) * (t * t).sum() - t.sum() ** 2))
+    a = (y.sum() - b * t.sum()) / len(t)
+    # mirror the operator's DECIMAL(28,4) residual quantization
+    e = np.round(y - (a + b * t), 4)
+    dw = (np.diff(e) ** 2).sum() / (e * e).sum()
+    assert r["n_days"] == 25
+    assert abs(r["slope"] - b) < 1e-9
+    assert abs(r["dw"] - dw) < 1e-9
