@@ -92,3 +92,68 @@ def fd_violations(
         )
         .orderBy("lhs", "rhs")
     )
+
+
+def inclusion_dependencies(
+    pairs: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Cross-table INCLUSION-dependency check — the referential-
+    integrity half of schema profiling (fd_violations is the
+    intra-table half): for each candidate (dependent column ⊆
+    referenced column) pair, does every non-NULL dependent value
+    appear in the referenced column, and if not, how many distinct
+    values are dangling? The Metanome-style IND primitive a
+    foreign-key discovery / data-contract engine runs per release.
+
+    ``pairs``: (label, dependent_df, dep_col, referenced_df, ref_col).
+
+    Shape: per pair, BOTH sides reduce to column-pruned DISTINCT
+    value tables (map-side combined, shuffle ∝ distinct values, never
+    rows), then ONE left-anti join counts dangling values; the
+    per-pair results (1 row each) union into the report. The pair
+    list is bounded and declared — no schema-wide quadratic sweep.
+    Values compare as strings (cross-type candidates stay checkable).
+
+    Exactness: counts exact longs; the violation share is one IEEE
+    division. Output: one row per pair — pair_label, dep_column,
+    ref_column, n_distinct_dep, n_dangling, dangling_share,
+    ind_holds — ordered by pair_label."""
+    outs = []
+    for label, dep_df, dep_col, ref_df, ref_col in pairs:
+        dep = (
+            dep_df.select(F.col(dep_col).cast("string").alias("v"))
+            .filter(F.col("v").isNotNull())
+            .distinct()
+        )
+        ref = (
+            ref_df.select(F.col(ref_col).cast("string").alias("v"))
+            .filter(F.col("v").isNotNull())
+            .distinct()
+        )
+        dangling = dep.join(ref, "v", "left_anti")
+        outs.append(
+            dep.agg(F.count(F.lit(1)).cast("long").alias("n_distinct_dep"))
+            .crossJoin(
+                F.broadcast(
+                    dangling.agg(
+                        F.count(F.lit(1)).cast("long").alias("n_dangling")
+                    )
+                )
+            )
+            .select(
+                F.lit(label).alias("pair_label"),
+                F.lit(dep_col).alias("dep_column"),
+                F.lit(ref_col).alias("ref_column"),
+                "n_distinct_dep",
+                "n_dangling",
+                F.try_divide(
+                    F.col("n_dangling").cast("double"),
+                    F.col("n_distinct_dep").cast("double"),
+                ).alias("dangling_share"),
+                (F.col("n_dangling") == 0).alias("ind_holds"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("pair_label")

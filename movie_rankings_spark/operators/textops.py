@@ -800,3 +800,64 @@ def quality_filtered_per_group(
         .filter(F.col("quality") > F.col("_thr"))
         .select("doc_id", group_col, "source", "quality")
     )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    ref_pred,
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY against a reference partition: the
+    fraction of a candidate's distinct word k-grams absent from the
+    reference corpus — the memorization/boilerplate screen that ranks
+    "how much of this document is new text" (near 0 = recycled
+    reference content; near 1 = genuinely novel). The per-document
+    complement of the corpus-level decontamination gates: decontam
+    DROPS exact benchmark matches, novelty SCORES gram-level overlap.
+
+    Shape: both sides reduce to DISTINCT gram tables (map-side
+    combined, rows ∝ tokens); novelty counting is ONE left-anti join
+    on the gram string (no pairs, no windows). Documents shorter than
+    k words drop out (no grams).
+
+    Exactness: counts are exact longs; the score is one IEEE division
+    — value-hash exact. Output per candidate doc: doc_id,
+    n_distinct_grams, n_novel, novelty."""
+    from movie_rankings_spark.operators.winnowing import _word_kgrams
+
+    toks = F.split(F.col(text_col), " ")
+    grams = _word_kgrams(toks, k)  # total: sub-k docs -> empty array
+    base = docs.filter(F.size(toks) >= k)
+    cand = (
+        base.filter(~ref_pred)
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    ref = (
+        base.filter(ref_pred)
+        .select(F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    nd = cand.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_grams")
+    )
+    novel = (
+        cand.join(ref, "gram", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
+    )
+    return (
+        nd.join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_distinct_grams",
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias(
+                "n_novel"
+            ),
+            F.try_divide(
+                F.coalesce(F.col("n_novel"), F.lit(0)).cast("double"),
+                F.col("n_distinct_grams").cast("double"),
+            ).alias("novelty"),
+        )
+    )

@@ -63,6 +63,9 @@ _UNSEEN_FIRST = (
     "friedman_price_month_priority",
     "dw_trend_daily_revenue",
     "mcnemar_quality_raters",
+    "winnow_fingerprints_docs",
+    "ngram_novelty_docs",
+    "inclusion_deps_tpch",
 )
 
 #: most expensive entries at sf0.01, slowest-last; everything absent

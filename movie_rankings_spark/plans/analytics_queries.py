@@ -4066,3 +4066,65 @@ def dw_trend_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         F.round(F.col("o_totalprice") * F.lit(100)).cast("long"),
     )
+
+
+# --- r7: cross-table inclusion-dependency discovery --------------------------
+
+
+def _ind_pair_sql(label: str, dep_t: str, dep_c: str, ref_t: str, ref_c: str) -> str:
+    return f"""
+SELECT '{label}' AS pair_label, '{dep_c}' AS dep_column,
+       '{ref_c}' AS ref_column,
+       CAST(d.n AS BIGINT) AS n_distinct_dep,
+       CAST(x.n AS BIGINT) AS n_dangling,
+       CAST(x.n AS DOUBLE) / CAST(d.n AS DOUBLE) AS dangling_share,
+       x.n = 0 AS ind_holds
+FROM (SELECT COUNT(*) AS n FROM
+        (SELECT DISTINCT CAST({dep_c} AS VARCHAR) AS v FROM {dep_t}
+         WHERE {dep_c} IS NOT NULL)) d
+CROSS JOIN
+     (SELECT COUNT(*) AS n FROM
+        (SELECT DISTINCT CAST({dep_c} AS VARCHAR) AS v FROM {dep_t}
+         WHERE {dep_c} IS NOT NULL) dd
+      ANTI JOIN
+        (SELECT DISTINCT CAST({ref_c} AS VARCHAR) AS v FROM {ref_t}
+         WHERE {ref_c} IS NOT NULL) rr
+      ON dd.v = rr.v) x
+"""
+
+
+_IND_PAIRS = (
+    ("01_lineitem_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("02_lineitem_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("03_lineitem_suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("04_orders_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+    ("05_nation_regionkey", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("06_custkey_in_orders", "customer", "c_custkey", "orders", "o_custkey"),
+    ("07_events_user_custkey", "events", "user_id", "customer", "c_custkey"),
+)
+
+_IND_ORACLE = (
+    "\nUNION ALL\n".join(_ind_pair_sql(*p) for p in _IND_PAIRS)
+    + "\nORDER BY pair_label"
+)
+
+
+@REGISTRY.register("inclusion_deps_tpch", _IND_ORACLE)
+def inclusion_deps_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity profile of the warehouse: for seven
+    declared candidate (dependent ⊆ referenced) column pairs across
+    the TPC-H tables — the five real FK edges plus two deliberate
+    non-INDs (customers without orders; event users vs customers) —
+    count the distinct dangling values. The cross-table companion to
+    fd_discovery_orders; each pair is two distinct-value reductions
+    and one anti join, never a row-level join
+    (operators/fdprofile.py::inclusion_dependencies)."""
+    from movie_rankings_spark.operators.fdprofile import (
+        inclusion_dependencies,
+    )
+
+    pairs = [
+        (label, _t(spark, sf_dir, dep_t), dep_c, _t(spark, sf_dir, ref_t), ref_c)
+        for label, dep_t, dep_c, ref_t, ref_c in _IND_PAIRS
+    ]
+    return inclusion_dependencies(pairs)

@@ -4106,3 +4106,95 @@ def mcnemar_quality_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "int"
     )
     return mcnemar_test(docs, rater_a, rater_b)
+
+
+# --- r7: winnowing fingerprints (MOSS) + n-gram novelty ----------------------
+
+_WINNOW_ORACLE = """
+WITH tk AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), g AS (
+  SELECT doc_id, CAST(len(t) - 2 AS BIGINT) AS n_grams,
+         unnest(range(0, len(t) - 2)) AS pos, t
+  FROM tk WHERE len(t) >= 3
+), h AS (
+  SELECT doc_id, n_grams, CAST(pos AS BIGINT) AS pos,
+         CAST('0x' || substr(
+             md5(array_to_string(list_slice(t, pos + 1, pos + 3), ' ')),
+             1, 8) AS BIGINT) * 1048576 + CAST(pos AS BIGINT) AS key
+  FROM g
+), sel AS (
+  SELECT doc_id, n_grams, pos,
+         MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS s
+  FROM h
+), fps AS (
+  SELECT DISTINCT doc_id, n_grams, s
+  FROM sel WHERE pos <= greatest(n_grams - 4, 0)
+)
+SELECT doc_id, n_grams,
+       CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+       CAST(MIN(s) AS BIGINT) AS fp_min,
+       CAST(MAX(s) AS BIGINT) AS fp_max,
+       CAST(SUM(CAST(s AS HUGEINT)) % 2147483647 AS BIGINT) AS fp_checksum
+FROM fps GROUP BY 1, 2 ORDER BY doc_id
+"""
+
+
+@REGISTRY.register("winnow_fingerprints_docs", _WINNOW_ORACLE)
+def winnow_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint summaries per document — word
+    3-grams, window 4, leftmost-min (h*2^20+pos bigint key) selection:
+    the positional copy-detection fingerprint the MinHash/SimHash
+    dedup tier doesn't give (any shared run of >= w+k-1 = 6 words
+    between two docs shares a fingerprint;
+    operators/winnowing.py::winnow_fingerprints)."""
+    from movie_rankings_spark.operators.winnowing import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir), "text", k=3, w=4).orderBy(
+        "doc_id"
+    )
+
+
+_NOVELTY_ORACLE = """
+WITH tk AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), g AS (
+  SELECT doc_id, unnest(range(0, len(t) - 2)) AS pos, t
+  FROM tk WHERE len(t) >= 3
+), grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(t, pos + 1, pos + 3), ' ') AS gram
+  FROM g
+), cand AS (SELECT * FROM grams WHERE doc_id % 5 <> 0),
+ref AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 5 = 0),
+nd AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct_grams
+  FROM cand GROUP BY 1
+), novel AS (
+  SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel
+  FROM cand c ANTI JOIN ref r ON c.gram = r.gram
+  GROUP BY 1
+)
+SELECT nd.doc_id, nd.n_distinct_grams,
+       CAST(COALESCE(novel.n_novel, 0) AS BIGINT) AS n_novel,
+       CAST(COALESCE(novel.n_novel, 0) AS DOUBLE)
+         / CAST(nd.n_distinct_grams AS DOUBLE) AS novelty
+FROM nd LEFT JOIN novel USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@REGISTRY.register("ngram_novelty_docs", _NOVELTY_ORACLE)
+def ngram_novelty_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram novelty of every candidate document (doc_id % 5
+    != 0) against the reference slice (doc_id % 5 == 0) — the
+    per-document "how much of this is new text" score between the
+    corpus dedup tier and the decontamination gates
+    (operators/textops.py::ngram_novelty: two distinct-gram tables,
+    one anti join)."""
+    from movie_rankings_spark.operators.textops import ngram_novelty
+
+    return ngram_novelty(
+        _docs(spark, sf_dir), F.col("doc_id") % 5 == 0, "text", k=3
+    ).orderBy("doc_id")
