@@ -1769,3 +1769,62 @@ def friedman_test(
             (kd - F.lit(1.0)) * F.col("num2").cast("double"), den
         ).alias("chi2_f"),
     )
+
+
+def cochran_q(
+    df: DataFrame, inds: list[Column], names: list[str] | None = None
+) -> DataFrame:
+    """Cochran's Q test over k ≥ 2 PAIRED binary raters — the k-rater
+    generalization of mcnemar_test (identical to it at k = 2): do the
+    raters' positive rates differ, conditioning on per-row totals?
+
+        Q = (k−1)·(k·ΣC_j² − T²) / (k·T − ΣR_i²)
+
+    with R_i the per-row positive count, C_j the per-rater totals,
+    T = ΣR_i = ΣC_j — every term an exact integer, so Q is ONE IEEE
+    division (the doubled-rank Friedman convention; Q is in fact
+    Friedman on binary data).
+
+    Shape: ONE map-side-combined aggregate — per-row sums are in-row
+    expressions, the k rater totals are k conditional sums. Rows with
+    any NULL rater are excluded. Output: ONE row — n_rows, one
+    per-rater total column (``names``, default pos_0..pos_{k-1} —
+    scalar columns, not an array, so the oracle hash is type-stable),
+    t_total, sum_row_sq, q_stat."""
+    k = len(inds)
+    cols = [c.cast("int").alias(f"_r{j}") for j, c in enumerate(inds)]
+    rows = df.select(*cols)
+    notnull = rows
+    for j in range(k):
+        notnull = notnull.filter(F.col(f"_r{j}").isNotNull())
+    rsum = sum(F.col(f"_r{j}") for j in range(k))
+    m = notnull.select(*[F.col(f"_r{j}") for j in range(k)], rsum.alias("_rs")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        *[
+            F.sum(F.col(f"_r{j}")).cast("long").alias(f"c{j}")
+            for j in range(k)
+        ],
+        F.sum(F.col("_rs")).cast("long").alias("t_total"),
+        F.sum(F.col("_rs") * F.col("_rs")).cast("long").alias("sum_row_sq"),
+    )
+    csq = sum(
+        F.col(f"c{j}").cast("decimal(38,0)") * F.col(f"c{j}").cast("decimal(38,0)")
+        for j in range(k)
+    )
+    t38 = F.col("t_total").cast("decimal(38,0)")
+    num = (
+        F.lit(k - 1).cast("decimal(38,0)")
+        * (F.lit(k).cast("decimal(38,0)") * csq - t38 * t38)
+    ).cast("double")
+    den = (
+        F.lit(k).cast("decimal(38,0)") * t38
+        - F.col("sum_row_sq").cast("decimal(38,0)")
+    ).cast("double")
+    names = names or [f"pos_{j}" for j in range(k)]
+    return m.select(
+        "n_rows",
+        *[F.col(f"c{j}").alias(names[j]) for j in range(k)],
+        "t_total",
+        "sum_row_sq",
+        F.try_divide(num, den).alias("q_stat"),
+    )

@@ -116,3 +116,101 @@ def nb_train(
         )
         .orderBy("class", "token")
     )
+
+
+def nb_score(
+    docs: DataFrame,
+    doc_id_col: Column,
+    tokens_col: Column,
+    model: DataFrame,
+) -> DataFrame:
+    """Serve-time scoring under an nb_train model: argmax_c
+    [ln P(c) + Σ_w count(w, doc) · ln P(w|c)] per document — the
+    classification pass that completes the NB pair (nb_train is the
+    distributed job; this is the distributed JOIN that applies it).
+
+    Shape: the doc side reduces to per-doc token counts (map-side
+    combined, rows ∝ tokens); ONE equi-join on token against the
+    bounded |classes|·|vocab| model grid fans each doc-token row out
+    ×|classes|; per-(doc, class) log-likelihoods are a hash
+    aggregate; argmax is a per-doc window over |classes| rows.
+
+    Exactness (the bigram-LM ln convention): each cell's ln P(w|c)
+    and each ln P(c) is quantized to DECIMAL(18,9) ONCE on the
+    bounded grid — cross-engine 1-ulp ln() differences vanish at the
+    grid, and everything after (count·lp products, the per-doc sum)
+    is exact decimal arithmetic, so scores hash bit-for-bit. Ties
+    break toward the lexicographically smaller class. CALLER
+    CONTRACT: every scored token must be in the model's vocabulary
+    (true when scoring the training corpus; filter or smooth OOV
+    upstream otherwise — unseen tokens are dropped by the inner
+    join, silently shortening the document).
+
+    Output per doc: doc_id, n_tokens, pred_class, best_score,
+    margin (best − runner-up; NULL for single-class models)."""
+    from pyspark.sql import Window
+
+    toks = (
+        docs.select(doc_id_col.alias("doc_id"), tokens_col.alias("toks"))
+        .select("doc_id", F.explode("toks").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    cells = model.select(
+        F.col("class").alias("cls"),
+        "token",
+        F.log(F.col("p_w_class")).cast("decimal(18,9)").alias("lp"),
+    )
+    priors = (
+        model.select(
+            F.col("class").alias("cls"),
+            F.log(F.col("prior_class")).cast("decimal(18,9)").alias("lprior"),
+        )
+        .distinct()
+    )
+    scored = (
+        toks.join(cells, "token")
+        .groupBy("doc_id", "cls")
+        .agg(
+            # cnt as DECIMAL(10,0): a (19,0)x(18,9) product needs
+            # precision 38+ and Spark silently DROPS SCALE to fit —
+            # (10,0)x(18,9) = (29,9) stays exact (cnt < 10^10 per
+            # doc-token is safely above any real document)
+            F.sum(
+                (F.col("cnt").cast("decimal(10,0)") * F.col("lp")).cast(
+                    "decimal(38,9)"
+                )
+            ).alias("ll"),
+            F.sum("cnt").cast("long").alias("n_tokens"),
+        )
+        .join(F.broadcast(priors), "cls")
+        .select(
+            "doc_id",
+            "cls",
+            "n_tokens",
+            # (38,9)+(18,9) would need precision 39: Spark silently
+            # rounds the result to scale 8. |score| < 10^19 by any
+            # real document, so narrow to (28,9) and stay exact.
+            (F.col("ll").cast("decimal(28,9)") + F.col("lprior"))
+            .cast("decimal(28,9)")
+            .alias("s"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("s").desc(), F.col("cls").asc()
+    )
+    ranked = scored.select(
+        "doc_id",
+        "n_tokens",
+        "cls",
+        "s",
+        F.row_number().over(w).alias("_r"),
+        F.lead("s").over(w).alias("_next"),
+    ).filter(F.col("_r") == 1)
+    return ranked.select(
+        "doc_id",
+        "n_tokens",
+        F.col("cls").alias("pred_class"),
+        F.col("s").cast("double").alias("best_score"),
+        (F.col("s") - F.col("_next")).cast("double").alias("margin"),
+    )

@@ -861,3 +861,84 @@ def ngram_novelty(
             ).alias("novelty"),
         )
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_k: int = 25,
+    min_count: int = 5,
+) -> DataFrame:
+    """Top collocations by pointwise mutual information — which word
+    PAIRS co-occur far beyond their unigram rates:
+
+        PMI(w1,w2) = ln( (c12/N_bi) / ((c1/N_uni)·(c2/N_uni)) )
+
+    the classic collocation-mining readout (phrase candidates for a
+    tokenizer's merge list, entity screening). ``min_count`` drops
+    the low-count pairs whose PMI explodes on noise.
+
+    Shape: bigrams via in-row index transforms (codegen, no UDF);
+    ONE map-side-combined count shuffle per granularity (bigram,
+    unigram — both ∝ tokens); the scored table is filtered to
+    c12 ≥ min_count before the bounded global top-k sort.
+
+    Exactness: counts exact longs; the PMI argument is one shared
+    double expression of exact integers; ln() is quantized
+    DECIMAL(18,9) (the bigram-LM convention — cross-engine 1-ulp
+    libm differences vanish at the grid) and the top-k order
+    (pmi DESC, bigram ASC) is total. Output: bigram, c12, c1, c2,
+    pmi — the top_k rows."""
+    toks = F.split(F.col(text_col), " ")
+    from movie_rankings_spark.operators.winnowing import _word_kgrams
+
+    bigrams = (
+        docs.filter(F.size(toks) >= 2)
+        .select(F.explode(_word_kgrams(toks, 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        .filter(F.col("c12") >= min_count)
+    )
+    uni = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist_tracked()  # read for w1, w2, and the N_uni scalar
+    )
+    totals = uni.agg(
+        F.sum("c").cast("long").alias("n_uni")
+    ).crossJoin(
+        F.broadcast(
+            docs.filter(F.size(toks) >= 2)
+            .agg(F.sum(F.size(toks) - F.lit(1)).cast("long").alias("n_bi"))
+        )
+    )
+    parts = F.split(F.col("bigram"), " ")
+    scored = (
+        bigrams.withColumn("w1", parts.getItem(0))
+        .withColumn("w2", parts.getItem(1))
+        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(totals))
+    )
+    arg = (
+        F.col("c12").cast("double")
+        * F.col("n_uni").cast("double")
+        * F.col("n_uni").cast("double")
+        / (
+            F.col("c1").cast("double")
+            * F.col("c2").cast("double")
+            * F.col("n_bi").cast("double")
+        )
+    )
+    return (
+        scored.select(
+            "bigram",
+            "c12",
+            "c1",
+            "c2",
+            F.log(arg).cast("decimal(18,9)").cast("double").alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), F.col("bigram").asc())
+        .limit(top_k)
+    )

@@ -66,6 +66,9 @@ _UNSEEN_FIRST = (
     "winnow_fingerprints_docs",
     "ngram_novelty_docs",
     "inclusion_deps_tpch",
+    "pmi_collocations_docs",
+    "cochranq_quality_raters",
+    "nb_score_docs",
 )
 
 #: most expensive entries at sf0.01, slowest-last; everything absent

@@ -4198,3 +4198,182 @@ def ngram_novelty_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_novelty(
         _docs(spark, sf_dir), F.col("doc_id") % 5 == 0, "text", k=3
     ).orderBy("doc_id")
+
+
+# --- r7: PMI collocations, Cochran's Q, NB document scoring ------------------
+
+_PMI_ORACLE = """
+WITH tk AS (
+  SELECT string_split(text, ' ') AS t FROM documents
+), bi AS (
+  SELECT t[i + 1] || ' ' || t[i + 2] AS bigram
+  FROM (SELECT t, unnest(range(0, len(t) - 1)) AS i FROM tk WHERE len(t) >= 2)
+), bc AS (
+  SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c12 FROM bi GROUP BY 1
+  HAVING COUNT(*) >= 5
+), uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest(t) AS w FROM tk) GROUP BY 1
+), tot AS (
+  SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM uni) AS n_uni,
+         (SELECT CAST(SUM(len(t) - 1) AS BIGINT) FROM tk WHERE len(t) >= 2)
+           AS n_bi
+), scored AS (
+  SELECT b.bigram, b.c12, u1.c AS c1, u2.c AS c2,
+         CAST(CAST(ln(CAST(b.c12 AS DOUBLE) * CAST(t.n_uni AS DOUBLE)
+                      * CAST(t.n_uni AS DOUBLE)
+                      / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)
+                         * CAST(t.n_bi AS DOUBLE)))
+                   AS DECIMAL(18,9)) AS DOUBLE) AS pmi
+  FROM bc b
+  JOIN uni u1 ON u1.w = string_split(b.bigram, ' ')[1]
+  JOIN uni u2 ON u2.w = string_split(b.bigram, ' ')[2]
+  CROSS JOIN tot t
+)
+SELECT * FROM scored ORDER BY pmi DESC, bigram ASC LIMIT 25
+"""
+
+
+@REGISTRY.register("pmi_collocations_docs", _PMI_ORACLE)
+def pmi_collocations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 word-pair collocations by PMI over the corpus (min
+    count 5) — phrase candidates for a tokenizer merge list / entity
+    screen; counts exact, ln quantized DECIMAL(18,9), total top-k
+    order (operators/textops.py::pmi_collocations)."""
+    from movie_rankings_spark.operators.textops import pmi_collocations
+
+    return pmi_collocations(
+        _docs(spark, sf_dir), "text", top_k=25, min_count=5
+    )
+
+
+_COCHRANQ_ORACLE = """
+WITH r AS (
+  SELECT CASE WHEN n_chars >= 240 THEN 1 ELSE 0 END AS a,
+         CASE WHEN (length(text) - length(replace(text, ' ', ''))) * 1000
+                   >= n_chars * 178 THEN 1 ELSE 0 END AS b,
+         CASE WHEN len(string_split(text, ' ')) >= 50 THEN 1 ELSE 0 END AS c
+  FROM documents
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(a) AS BIGINT) AS len_rater,
+         CAST(SUM(b) AS BIGINT) AS space_rater,
+         CAST(SUM(c) AS BIGINT) AS token_rater,
+         CAST(SUM(a + b + c) AS BIGINT) AS t_total,
+         CAST(SUM((a + b + c) * (a + b + c)) AS BIGINT) AS sum_row_sq
+  FROM r
+)
+SELECT n_rows, len_rater, space_rater, token_rater, t_total, sum_row_sq,
+       CAST(2 * (3 * (CAST(len_rater AS HUGEINT) * len_rater
+                      + CAST(space_rater AS HUGEINT) * space_rater
+                      + CAST(token_rater AS HUGEINT) * token_rater)
+                 - CAST(t_total AS HUGEINT) * t_total) AS DOUBLE)
+         / CAST(3 * CAST(t_total AS HUGEINT)
+                - CAST(sum_row_sq AS HUGEINT) AS DOUBLE) AS q_stat
+FROM m
+"""
+
+
+@REGISTRY.register("cochranq_quality_raters", _COCHRANQ_ORACLE)
+def cochranq_quality_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q across THREE paired quality heuristics (the kappa/
+    McNemar pair plus a 50-token rater): do the raters' positive
+    rates differ, conditioning on per-document totals? Friedman on
+    binary data, all-integer moments, one division
+    (operators/disttests.py::cochran_q)."""
+    from movie_rankings_spark.operators.disttests import cochran_q
+
+    docs = _docs(spark, sf_dir)
+    spaces = F.length("text") - F.length(
+        F.replace(F.col("text"), F.lit(" "), F.lit(""))
+    )
+    return cochran_q(
+        docs,
+        [
+            (F.col("n_chars") >= F.lit(240)).cast("int"),
+            (spaces * F.lit(1000) >= F.col("n_chars") * F.lit(178)).cast("int"),
+            (F.size(F.split(F.col("text"), " ")) >= F.lit(50)).cast("int"),
+        ],
+        names=["len_rater", "space_rater", "token_rater"],
+    )
+
+
+_NB_SCORE_ORACLE = """
+WITH b AS (
+  SELECT lang AS cls, string_split(text, ' ') AS toks
+  FROM documents WHERE lang IS NOT NULL
+), ex AS (
+  SELECT cls, unnest(toks) AS token FROM b
+), cnt AS (
+  SELECT cls, token, CAST(COUNT(*) AS BIGINT) AS n_wc FROM ex GROUP BY 1, 2
+), docs AS (
+  SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_docs_class FROM b GROUP BY 1
+), dt AS (
+  SELECT CAST(SUM(n_docs_class) AS BIGINT) AS n_docs_total FROM docs
+), tc AS (
+  SELECT cls, CAST(SUM(n_wc) AS BIGINT) AS total_c FROM cnt GROUP BY 1
+), tw AS (
+  SELECT token, CAST(SUM(n_wc) AS BIGINT) AS n_w_all FROM cnt GROUP BY 1
+), v AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size FROM tw
+), cells AS (
+  SELECT tc.cls, tw.token,
+         CAST(ln((CAST(COALESCE(c.n_wc, 0) AS DOUBLE) + 1.0)
+                 / (CAST(tc.total_c AS DOUBLE)
+                    + 1.0 * CAST(v.vocab_size AS DOUBLE)))
+              AS DECIMAL(18,9)) AS lp
+  FROM tc CROSS JOIN tw
+  LEFT JOIN cnt c ON c.cls = tc.cls AND c.token = tw.token
+  CROSS JOIN v
+), priors AS (
+  SELECT d.cls,
+         CAST(ln(CAST(d.n_docs_class AS DOUBLE)
+                 / CAST(dt.n_docs_total AS DOUBLE)) AS DECIMAL(18,9))
+           AS lprior
+  FROM docs d CROSS JOIN dt
+), dtok AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents)
+  GROUP BY 1, 2
+), sc AS (
+  SELECT d.doc_id, ce.cls,
+         CAST(CAST(SUM(CAST(CAST(d.cnt AS DECIMAL(10,0)) * ce.lp
+                           AS DECIMAL(38,9))) AS DECIMAL(28,9))
+              + MAX(p.lprior) AS DECIMAL(28,9)) AS s,
+         CAST(SUM(d.cnt) AS BIGINT) AS n_tokens
+  FROM dtok d JOIN cells ce ON ce.token = d.token
+  JOIN priors p ON p.cls = ce.cls
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT doc_id, n_tokens, cls, s,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY s DESC, cls ASC) AS rn,
+         LEAD(s) OVER (PARTITION BY doc_id
+                       ORDER BY s DESC, cls ASC) AS nxt
+  FROM sc
+)
+SELECT doc_id, n_tokens, cls AS pred_class,
+       CAST(s AS DOUBLE) AS best_score,
+       CAST(s - nxt AS DOUBLE) AS margin
+FROM ranked WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+@REGISTRY.register("nb_score_docs", _NB_SCORE_ORACLE)
+def nb_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve-time naive-Bayes classification of every document under
+    the nb_train_lang_model grid: argmax over exact-decimal
+    log-likelihood sums (per-cell ln quantized DECIMAL(18,9) on the
+    bounded vocab x classes grid, then pure decimal arithmetic), with
+    the best-vs-runner-up margin — the distributed JOIN that applies
+    the trained model (operators/nbayes.py::nb_score)."""
+    from movie_rankings_spark.operators.nbayes import nb_score, nb_train
+
+    docs = _docs(spark, sf_dir)
+    model = nb_train(
+        docs, F.col("lang"), F.split(F.col("text"), " ")
+    )
+    return nb_score(
+        docs, F.col("doc_id"), F.split(F.col("text"), " "), model
+    ).orderBy("doc_id")

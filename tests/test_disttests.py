@@ -476,3 +476,29 @@ def test_durbin_watson_matches_numpy(spark):
     assert r["n_days"] == 25
     assert abs(r["slope"] - b) < 1e-9
     assert abs(r["dw"] - dw) < 1e-9
+
+
+def test_cochran_q_hand_computed_and_mcnemar_equivalence(spark):
+    from movie_rankings_spark.operators.disttests import (
+        cochran_q,
+        mcnemar_test,
+    )
+
+    rows = [(1, 1, 0), (1, 0, 0), (0, 1, 1), (1, 1, 1), (0, 0, 0), (1, 0, 1)]
+    df = spark.createDataFrame(rows, "a int, b int, c int")
+    [r] = cochran_q(
+        df, [F.col("a"), F.col("b"), F.col("c")], ["ca", "cb", "cc"]
+    ).collect()
+    k = 3
+    cs = [sum(x[j] for x in rows) for j in range(3)]
+    t = sum(cs)
+    srs = sum(sum(x) ** 2 for x in rows)
+    q = (k - 1) * (k * sum(c * c for c in cs) - t * t) / (k * t - srs)
+    assert (r["ca"], r["cb"], r["cc"]) == tuple(cs)
+    assert (r["t_total"], r["sum_row_sq"]) == (t, srs)
+    assert abs(r["q_stat"] - q) < 1e-12
+    # k = 2: Q reduces to McNemar's chi2 on the same pairs
+    df2 = df.select("a", "b")
+    [q2] = cochran_q(df2, [F.col("a"), F.col("b")]).collect()
+    [m2] = mcnemar_test(df2, F.col("a"), F.col("b")).collect()
+    assert abs(q2["q_stat"] - m2["chi2"]) < 1e-12

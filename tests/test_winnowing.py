@@ -128,3 +128,99 @@ def test_ngram_novelty_hand_computed(spark):
     assert abs(out[1]["novelty"] - 1 / 3) < 1e-15
     assert (out[2]["n_distinct_grams"], out[2]["n_novel"]) == (1, 1)
     assert out[3]["n_novel"] == 0 and out[3]["novelty"] == 0.0
+
+
+def test_pmi_collocations_hand_computed(spark):
+    from movie_rankings_spark.operators.textops import pmi_collocations
+
+    # "x y" appears 6 times; x,y appear only together; "a b" 5 times
+    # among frequent unigrams
+    texts = ["x y a b"] * 5 + ["x y c"] + ["a c b a c b"] * 3
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = pmi_collocations(df, "text", top_k=10, min_count=5).collect()
+    import math
+    from collections import Counter
+
+    uni = Counter(w for t in texts for w in t.split())
+    bi = Counter(
+        f"{ws[i]} {ws[i+1]}"
+        for t in texts
+        for ws in [t.split()]
+        for i in range(len(ws) - 1)
+    )
+    n_uni = sum(uni.values())
+    n_bi = sum(len(t.split()) - 1 for t in texts if len(t.split()) >= 2)
+    got = {r["bigram"]: r for r in rows}
+    for bg, r in got.items():
+        w1, w2 = bg.split(" ")
+        assert r["c12"] == bi[bg] and bi[bg] >= 5
+        ref = math.log(bi[bg] * n_uni * n_uni / (uni[w1] * uni[w2] * n_bi))
+        assert abs(r["pmi"] - ref) < 1e-8
+    # "x y" is the strongest collocation (x and y occur only together)
+    assert rows[0]["bigram"] == "x y"
+
+
+def test_nb_score_matches_python_mirror(spark):
+    """nb_score on a toy corpus == an exact-decimal python mirror
+    (per-cell ln quantized to 9 dp, decimal sums, argmax with class
+    tie-break) — and the pipeline classifies the separable toy
+    corpus perfectly."""
+    import math
+    from collections import Counter
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from pyspark.sql import functions as F
+
+    from movie_rankings_spark.operators.nbayes import nb_score, nb_train
+
+    texts = {
+        0: ("en", "cat dog cat bird"),
+        1: ("en", "dog cat dog"),
+        2: ("fr", "chat chien chat"),
+        3: ("fr", "chien chat chien oiseau"),
+        4: ("en", "bird cat"),
+    }
+    df = spark.createDataFrame(
+        [(i, l, t) for i, (l, t) in texts.items()],
+        "doc_id long, lang string, text string",
+    )
+    model = nb_train(df, F.col("lang"), F.split(F.col("text"), " "))
+    out = {
+        r["doc_id"]: r
+        for r in nb_score(
+            df, F.col("doc_id"), F.split(F.col("text"), " "), model
+        ).collect()
+    }
+    # python mirror
+    cls_docs = Counter(l for l, _ in texts.values())
+    cnt = Counter()
+    for l, t in texts.values():
+        for w in t.split():
+            cnt[(l, w)] += 1
+    vocab = sorted({w for _, w in cnt})
+    tot_c = Counter()
+    for (l, _w), n in cnt.items():
+        tot_c[l] += n
+    q9 = lambda x: Decimal(repr(x)).quantize(
+        Decimal("1.000000000"), rounding=ROUND_HALF_UP
+    )
+    lp = {
+        (l, w): q9(math.log((cnt[(l, w)] + 1) / (tot_c[l] + len(vocab))))
+        for l in cls_docs
+        for w in vocab
+    }
+    lprior = {
+        l: q9(math.log(cls_docs[l] / sum(cls_docs.values())))
+        for l in cls_docs
+    }
+    for i, (l, t) in texts.items():
+        scores = {
+            c: lprior[c] + sum(lp[(c, w)] for w in t.split())
+            for c in cls_docs
+        }
+        best = min(sorted(scores), key=lambda c: (-scores[c], c))
+        r = out[i]
+        assert r["pred_class"] == best == l
+        assert abs(r["best_score"] - float(scores[best])) < 1e-12
