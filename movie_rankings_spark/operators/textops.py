@@ -892,13 +892,19 @@ def pmi_collocations(
     toks = F.split(F.col(text_col), " ")
     from movie_rankings_spark.operators.winnowing import _word_kgrams
 
-    bigrams = (
+    # TWO real fact scans total: one for bigram counts, one for
+    # unigram counts; both count tables are persisted because each
+    # feeds a scalar total AND the scored join (N_bi = the sum of
+    # ALL bigram counts, taken before the min_count filter — same
+    # number as summing len-1 over the docs, no third scan)
+    bigrams_all = (
         docs.filter(F.size(toks) >= 2)
         .select(F.explode(_word_kgrams(toks, 2)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).cast("long").alias("c12"))
-        .filter(F.col("c12") >= min_count)
+        .persist_tracked()
     )
+    bigrams = bigrams_all.filter(F.col("c12") >= min_count)
     uni = (
         docs.select(F.explode(toks).alias("w"))
         .groupBy("w")
@@ -909,8 +915,7 @@ def pmi_collocations(
         F.sum("c").cast("long").alias("n_uni")
     ).crossJoin(
         F.broadcast(
-            docs.filter(F.size(toks) >= 2)
-            .agg(F.sum(F.size(toks) - F.lit(1)).cast("long").alias("n_bi"))
+            bigrams_all.agg(F.sum("c12").cast("long").alias("n_bi"))
         )
     )
     parts = F.split(F.col("bigram"), " ")

@@ -48,6 +48,13 @@ NESTED_LOOP_LEGIT = {
     "seqmine_event_triples",  # 1-row total-sequence scalar vs |types|^3 support rows (r6)
     "conformal_interval_price",  # 1-row conformal-quantile scalar vs test rows (r6)
     "welch_price_priority",  # 1-row moment vector (r6)
+    "runs_daily_revenue",  # date-bounded daily table x 1-row total (r7)
+    "grubbs_daily_revenue",  # daily table x 1-row moment frame (r7)
+    "friedman_price_month_priority",  # |treatments|-row sums x 1-row totals (r7)
+    "dw_trend_daily_revenue",  # daily table x 1-row OLS-fit scalars (r7)
+    "inclusion_deps_tpch",  # per-pair 1-row count x 1-row dangling count (r7)
+    "pmi_collocations_docs",  # scored bigrams x 1-row corpus totals (r7)
+    "nb_score_docs",  # model grid construction: bounded vocab x classes (r7)
     "q11_important_parts",  # 1-row global threshold vs group sums
     "q22_global_sales_opportunity",  # 1-row avg-balance scalar
     "percentiles_lineitem_price",  # interpolation bounds vs 1-row

@@ -83,6 +83,8 @@ KNOWN_LEGIT = {
     "survival_customer_km",  # persisted per-customer (first,last) table feeds horizon scalar + risk table (one real scan; cache-text artifact) (r6)
     "target_encode_segment_loo",  # 2 scans BY DESIGN: per-category agg (broadcast) + row-wise encode join-back; persisting a fact-sized projection would be worse at 100 TB (r6)
     "nb_train_lang_model",  # 2 real scans BY DESIGN (token counts + per-class doc priors, both column-pruned); persisted counts/docs tables feed the 4 grid branches (cache-text artifact) (r6)
+    "nb_score_docs",  # nb_train's 2 by-design scans + 1 doc-token scoring scan; the 12 cached grid branches are InMemoryTableScans (r7)
+    "pmi_collocations_docs",  # 2 real scans (bigram + unigram counts); persisted count tables feed totals + the scored join (r7)
     "seqmine_event_triples",  # 2 real scans BY DESIGN (per-scope type min/max agg + b-event interval probe); persisted min/max table feeds grid + total count (cache-text artifact) (r6)
     "conformal_interval_price",  # 3 real scans BY DESIGN (train/calibrate/test split roles, each column-pruned); persisted cell tables feed median window + quantile + totals (cache-text artifact) (r6)
     "isotonic_price_status",  # persisted <=20-bin cell table feeds prefix + bins + readout branches (one real scan; cache-text artifact) (r6)
