@@ -1828,3 +1828,185 @@ def cochran_q(
         "sum_row_sq",
         F.try_divide(num, den).alias("q_stat"),
     )
+
+
+def mann_kendall(df: DataFrame, order_col: Column, value_col: Column) -> DataFrame:
+    """Mann–Kendall trend test over a DOMAIN-BOUNDED series — the
+    nonparametric "is there a monotonic trend?" companion to the
+    Theil–Sen slope (Sen estimates the trend MK tests):
+    S = Σ_{i<j} sign(y_j − y_i) over the order, with the tie-corrected
+    normal approximation
+
+        Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18
+
+    and the ±1 continuity correction in z.
+
+    Contract: the series is domain-bounded (a daily/monthly rollup) —
+    pair counting is a theta self-join of the series against itself
+    (the kendall_tau_b convention; ≤ ~10⁵ rows ⇒ broadcast-size).
+    All counts exact BIGINTs; Var and z are shared closed-form IEEE
+    expressions. Output: ONE row — n, s_stat, var_s, z."""
+    seq = df.select(
+        order_col.alias("o"), value_col.cast("long").alias("y")
+    ).filter(F.col("y").isNotNull()).persist_tracked()
+    b = seq.select(F.col("o").alias("o2"), F.col("y").alias("y2"))
+    pairs = seq.join(F.broadcast(b), F.col("o") < F.col("o2"))
+    s = pairs.agg(
+        F.sum(
+            F.when(F.col("y2") > F.col("y"), 1)
+            .when(F.col("y2") < F.col("y"), -1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("s_stat")
+    )
+    ties = (
+        seq.groupBy("y")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .agg(
+            F.sum("t").cast("long").alias("n"),
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("long")
+            .alias("tie_term"),
+        )
+    )
+    out = s.crossJoin(F.broadcast(ties))
+    nd = F.col("n").cast("double")
+    var = (
+        nd * (nd - F.lit(1.0)) * (F.lit(2.0) * nd + F.lit(5.0))
+        - F.col("tie_term").cast("double")
+    ) / F.lit(18.0)
+    sd = F.col("s_stat").cast("double")
+    z = F.when(F.col("s_stat") > 0, (sd - F.lit(1.0)) / F.sqrt(var)).when(
+        F.col("s_stat") < 0, (sd + F.lit(1.0)) / F.sqrt(var)
+    ).otherwise(F.lit(0.0))
+    return out.select("n", "s_stat", var.alias("var_s"), z.alias("z"))
+
+
+def jonckheere_terpstra(
+    df: DataFrame, group_ord: Column, value_col: Column
+) -> DataFrame:
+    """Jonckheere–Terpstra test for ORDERED alternatives — the
+    missing piece between kruskal_wallis (any difference among k
+    groups) and mann_kendall (trend in one series): with groups in a
+    meaningful order (priority 1→5), JT = Σ_{i<j} U_ij pools the
+    one-sided Mann–Whitney counts of every ordered group pair, so a
+    MONOTONE shift across groups that KW spreads over k−1 degrees of
+    freedom lands in one directed statistic.
+
+    Contract: group_ord is an integral rank; value_col is
+    DOMAIN-BOUNDED integral (quantities, line counts, ratings) — pair
+    counting is a theta self-join of the (group, value) CELL table
+    (|groups|·|V| rows, data-independent; the kendall_tau_b
+    convention), never a fact self-join.
+
+    Doubled arithmetic keeps ½-ties integral: JT2 = 2·JT with
+    ties counting 1; mean2 = (N² − Σn_i²)/2. Var(JT) is the
+    tie-corrected Hollander–Wolfe form — three terms, every factor an
+    exact BIGINT sum over group sizes n_i and pooled tie sizes t_j:
+
+      [N(N−1)(2N+5) − Σn_i(n_i−1)(2n_i+5) − Σt_j(t_j−1)(2t_j+5)]/72
+      + Σn_i(n_i−1)(n_i−2)·Σt_j(t_j−1)(t_j−2) / (36·N(N−1)(N−2))
+      + Σn_i(n_i−1)·Σt_j(t_j−1) / (8·N(N−1))
+
+    z = (JT2 − mean2) / (2·√Var). Output: ONE row — n, k_groups,
+    jt2, mean2, var_jt, z."""
+    d38 = "decimal(38,0)"
+    cells = (
+        df.select(
+            group_ord.cast("int").alias("g"),
+            value_col.cast("long").alias("v"),
+        )
+        .filter(F.col("g").isNotNull() & F.col("v").isNotNull())
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist_tracked()  # theta-join sides + both marginals
+    )
+    b = cells.select(
+        F.col("g").alias("g2"), F.col("v").alias("v2"), F.col("c").alias("c2")
+    )
+    pairs = cells.join(F.broadcast(b), F.col("g") < F.col("g2"))
+    jt = pairs.agg(
+        F.sum(
+            F.when(F.col("v") < F.col("v2"), 2 * F.col("c") * F.col("c2"))
+            .when(F.col("v") == F.col("v2"), F.col("c") * F.col("c2"))
+            .otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("jt2")
+    )
+    gm = (
+        cells.groupBy("g")
+        .agg(F.sum("c").cast("long").alias("n_i"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k_groups"),
+            F.sum("n_i").cast("long").alias("n"),
+            F.sum(F.col("n_i") * F.col("n_i")).cast("long").alias("sum_ni2"),
+            F.sum(F.col("n_i") * (F.col("n_i") - 1)).cast("long").alias("g1"),
+            F.sum(
+                F.col("n_i") * (F.col("n_i") - 1) * (F.col("n_i") - 2)
+            )
+            .cast("long")
+            .alias("g2t"),
+            F.sum(
+                F.col("n_i") * (F.col("n_i") - 1) * (2 * F.col("n_i") + 5)
+            )
+            .cast("long")
+            .alias("g25"),
+        )
+    )
+    tm = (
+        cells.groupBy("v")
+        .agg(F.sum("c").cast("long").alias("t_j"))
+        .agg(
+            F.sum(F.col("t_j") * (F.col("t_j") - 1)).cast("long").alias("t1"),
+            F.sum(
+                F.col("t_j") * (F.col("t_j") - 1) * (F.col("t_j") - 2)
+            )
+            .cast("long")
+            .alias("t2"),
+            F.sum(
+                F.col("t_j") * (F.col("t_j") - 1) * (2 * F.col("t_j") + 5)
+            )
+            .cast("long")
+            .alias("t25"),
+        )
+    )
+    out = jt.crossJoin(F.broadcast(gm)).crossJoin(F.broadcast(tm))
+    nd = F.col("n").cast("double")
+    mean2 = (
+        (
+            F.col("n").cast(d38) * F.col("n").cast(d38)
+            - F.col("sum_ni2").cast(d38)
+        )
+        .cast("decimal(38,0)")
+        / F.lit(2).cast("decimal(38,0)")
+    ).cast("double")
+    term1 = (
+        nd * (nd - F.lit(1.0)) * (F.lit(2.0) * nd + F.lit(5.0))
+        - F.col("g25").cast("double")
+        - F.col("t25").cast("double")
+    ) / F.lit(72.0)
+    term2 = F.try_divide(
+        F.col("g2t").cast("double") * F.col("t2").cast("double"),
+        F.lit(36.0) * nd * (nd - F.lit(1.0)) * (nd - F.lit(2.0)),
+    )
+    term3 = F.try_divide(
+        F.col("g1").cast("double") * F.col("t1").cast("double"),
+        F.lit(8.0) * nd * (nd - F.lit(1.0)),
+    )
+    var = term1 + term2 + term3
+    z = F.try_divide(
+        F.col("jt2").cast("double") - mean2,
+        F.lit(2.0) * F.sqrt(var),
+    )
+    return out.select(
+        "n",
+        "k_groups",
+        "jt2",
+        mean2.alias("mean2"),
+        var.alias("var_jt"),
+        z.alias("z"),
+    )

@@ -947,3 +947,91 @@ def pmi_collocations(
         .orderBy(F.col("pmi").desc(), F.col("bigram").asc())
         .limit(top_k)
     )
+
+
+def rake_keyphrases(
+    docs: DataFrame,
+    text_col: str = "text",
+    lang: str = "en",
+    top_k: int = 20,
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) — candidate
+    phrases are the maximal stopword-free token runs; each word is
+    scored deg(w)/freq(w) (deg = Σ length of the phrases its
+    occurrences sit in — co-occurrence degree; freq = occurrence
+    count), and a phrase scores the sum of its words. The cheap
+    unsupervised keyword tier next to textrank_keywords: TextRank
+    needs the word graph and power iteration; RAKE is two hash
+    aggregates.
+
+    Shape: tokenize + posexplode (rows ∝ tokens), ONE shuffle on
+    doc_id for the segment/phrase-length windows, then word stats and
+    phrase reassembly are hash aggregates; the final top-k sort runs
+    on the bounded distinct-phrase table.
+
+    Exactness: deg/freq are exact longs; each word score is ONE
+    double division quantized DECIMAL(18,9) (a dyadic double can
+    never sit exactly on a 5·10⁻¹⁰ rounding boundary, so both engines
+    round identically), and phrase scores are exact decimal sums —
+    identical-text phrases have identical scores by construction, so
+    the (score DESC, phrase ASC) top-k order is total.
+
+    Output: top_k rows — phrase, n_words, n_occurrences, score."""
+    from pyspark.sql import Window
+
+    from movie_rankings_spark.functions.text import LANG_STOPWORDS
+
+    stops = [F.lit(w) for w in LANG_STOPWORDS[lang]]
+    toks = (
+        docs.select(
+            "doc_id", F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w")
+        )
+        .withColumn("is_stop", F.col("w").isin(*stops) | (F.col("w") == ""))
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    segs = toks.withColumn(
+        "seg", F.sum(F.col("is_stop").cast("int")).over(wdoc)
+    ).filter(~F.col("is_stop"))
+    wseg = Window.partitionBy("doc_id", "seg")
+    cand = (
+        segs.withColumn("plen", F.count(F.lit(1)).over(wseg))
+        .select("doc_id", "seg", "pos", "w", "plen")
+        .persist_tracked()  # word stats AND phrase reassembly read this
+    )
+    wstats = cand.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("plen").cast("long").alias("deg"),
+    )
+    wscore = wstats.select(
+        "w",
+        (F.col("deg").cast("double") / F.col("freq").cast("double"))
+        .cast("decimal(18,9)")
+        .alias("ws"),
+    )
+    phrases = (
+        cand.join(wscore, "w")
+        .groupBy("doc_id", "seg")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "w"))
+                    ),
+                    lambda x: x["w"],
+                ),
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.col("ws").cast("decimal(28,9)")).alias("score_d"),
+        )
+    )
+    return (
+        phrases.groupBy("phrase")
+        .agg(
+            F.max("n_words").cast("long").alias("n_words"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.max("score_d").cast("double").alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("phrase").asc())
+        .limit(top_k)
+    )

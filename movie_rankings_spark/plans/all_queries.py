@@ -69,6 +69,9 @@ _UNSEEN_FIRST = (
     "pmi_collocations_docs",
     "cochranq_quality_raters",
     "nb_score_docs",
+    "mk_trend_daily_revenue",
+    "jt_priority_linecount",
+    "rake_keyphrases_docs",
 )
 
 #: most expensive entries at sf0.01, slowest-last; everything absent

@@ -4128,3 +4128,129 @@ def inclusion_deps_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
         for label, dep_t, dep_c, ref_t, ref_c in _IND_PAIRS
     ]
     return inclusion_dependencies(pairs)
+
+
+# --- r7: Mann-Kendall trend + Jonckheere-Terpstra ordered test ---------------
+
+_MK_ORACLE = """
+WITH daily AS (
+  SELECT o_orderdate AS o,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+), s AS (
+  SELECT CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                       WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+  FROM daily a JOIN daily b ON a.o < b.o
+), ties AS (
+  SELECT CAST(SUM(t) AS BIGINT) AS n,
+         CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+  FROM (SELECT COUNT(*) AS t FROM daily GROUP BY y)
+), m AS (
+  SELECT s.s_stat, ties.n, ties.tie_term,
+         (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+          * (2.0 * CAST(n AS DOUBLE) + 5.0)
+          - CAST(tie_term AS DOUBLE)) / 18.0 AS var_s
+  FROM s CROSS JOIN ties
+)
+SELECT n, s_stat, var_s,
+       CASE WHEN s_stat > 0
+              THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt(var_s)
+            WHEN s_stat < 0
+              THEN (CAST(s_stat AS DOUBLE) + 1.0) / sqrt(var_s)
+            ELSE 0.0 END AS z
+FROM m
+"""
+
+
+@REGISTRY.register("mk_trend_daily_revenue", _MK_ORACLE)
+def mk_trend_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test on daily revenue — the
+    significance companion to the Theil-Sen slope already in the
+    registry (Sen estimates, MK tests), tie-corrected with continuity
+    correction (operators/disttests.py::mann_kendall; pair counting
+    on the date-domain-bounded daily table)."""
+    from movie_rankings_spark.operators.disttests import mann_kendall
+
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * F.lit(100)).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+    return mann_kendall(daily, F.col("day"), F.col("y"))
+
+
+_JT_ORACLE = """
+WITH lc AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines
+  FROM lineitem GROUP BY 1
+), fact AS (
+  SELECT CAST(substr(o.o_orderpriority, 1, 1) AS INTEGER) AS g, lc.n_lines AS v
+  FROM orders o JOIN lc ON lc.l_orderkey = o.o_orderkey
+), cells AS (
+  SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c FROM fact GROUP BY 1, 2
+), jt AS (
+  SELECT CAST(SUM(CASE WHEN a.v < b.v THEN 2 * a.c * b.c
+                       WHEN a.v = b.v THEN a.c * b.c ELSE 0 END) AS BIGINT)
+           AS jt2
+  FROM cells a JOIN cells b ON a.g < b.g
+), gm AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+         CAST(SUM(n_i) AS BIGINT) AS n,
+         CAST(SUM(n_i * n_i) AS BIGINT) AS sum_ni2,
+         CAST(SUM(n_i * (n_i - 1)) AS BIGINT) AS g1,
+         CAST(SUM(n_i * (n_i - 1) * (n_i - 2)) AS BIGINT) AS g2t,
+         CAST(SUM(n_i * (n_i - 1) * (2 * n_i + 5)) AS BIGINT) AS g25
+  FROM (SELECT g, CAST(SUM(c) AS BIGINT) AS n_i FROM cells GROUP BY g)
+), tm AS (
+  SELECT CAST(SUM(t_j * (t_j - 1)) AS BIGINT) AS t1,
+         CAST(SUM(t_j * (t_j - 1) * (t_j - 2)) AS BIGINT) AS t2,
+         CAST(SUM(t_j * (t_j - 1) * (2 * t_j + 5)) AS BIGINT) AS t25
+  FROM (SELECT v, CAST(SUM(c) AS BIGINT) AS t_j FROM cells GROUP BY v)
+), m AS (
+  SELECT jt.jt2, gm.*, tm.*,
+         CAST((CAST(n AS HUGEINT) * n - sum_ni2) / 2 AS DOUBLE) AS mean2,
+         ((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+           * (2.0 * CAST(n AS DOUBLE) + 5.0)
+           - CAST(g25 AS DOUBLE) - CAST(t25 AS DOUBLE)) / 72.0
+          + CAST(g2t AS DOUBLE) * CAST(t2 AS DOUBLE)
+            / (36.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+               * (CAST(n AS DOUBLE) - 2.0))
+          + CAST(g1 AS DOUBLE) * CAST(t1 AS DOUBLE)
+            / (8.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+           AS var_jt
+  FROM jt CROSS JOIN gm CROSS JOIN tm
+)
+SELECT n, k_groups, jt2, mean2, var_jt,
+       (CAST(jt2 AS DOUBLE) - mean2) / (2.0 * sqrt(var_jt)) AS z
+FROM m
+"""
+
+
+@REGISTRY.register("jt_priority_linecount", _JT_ORACLE)
+def jt_priority_linecount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra ordered-alternative test: do orders carry
+    systematically more line items as priority drops 1-URGENT →
+    5-LOW? Priorities are an ORDERED factor, so the directed JT
+    statistic (pooled one-sided MWU over every ordered group pair)
+    catches a monotone shift Kruskal-Wallis dilutes; values = line
+    counts per order (domain ≤ 7), so the pair census is a bounded
+    cell-table theta join
+    (operators/disttests.py::jonckheere_terpstra)."""
+    from movie_rankings_spark.operators.disttests import jonckheere_terpstra
+
+    lc = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_lines"))
+    )
+    fact = _t(spark, sf_dir, "orders").join(
+        lc, F.col("l_orderkey") == F.col("o_orderkey")
+    ).select(
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("g"),
+        F.col("n_lines").alias("v"),
+    )
+    return jonckheere_terpstra(fact, F.col("g"), F.col("v"))

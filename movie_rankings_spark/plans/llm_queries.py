@@ -4377,3 +4377,60 @@ def nb_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nb_score(
         docs, F.col("doc_id"), F.split(F.col("text"), " "), model
     ).orderBy("doc_id")
+
+
+# --- r7: RAKE keyphrases ------------------------------------------------------
+
+_RAKE_ORACLE = """
+WITH tk AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), raw AS (
+  SELECT doc_id, unnest(t) AS w,
+         CAST(generate_subscripts(t, 1) AS BIGINT) AS pos
+  FROM tk
+), pos AS (
+  SELECT doc_id, w, pos,
+         (w IN ('a','the','and','of','to','in','is') OR w = '') AS is_stop
+  FROM raw
+), segs AS (
+  SELECT doc_id, w, pos,
+         SUM(CASE WHEN is_stop THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS seg,
+         is_stop
+  FROM pos
+), cand AS (
+  SELECT doc_id, seg, pos, w,
+         COUNT(*) OVER (PARTITION BY doc_id, seg) AS plen
+  FROM segs WHERE NOT is_stop
+), ws AS (
+  SELECT w,
+         CAST(CAST(SUM(plen) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+              AS DECIMAL(18,9)) AS ws
+  FROM cand GROUP BY w
+), phr AS (
+  SELECT c.doc_id, c.seg,
+         string_agg(c.w, ' ' ORDER BY c.pos) AS phrase,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         SUM(CAST(ws.ws AS DECIMAL(28,9))) AS score_d
+  FROM cand c JOIN ws ON ws.w = c.w
+  GROUP BY 1, 2
+)
+SELECT phrase, CAST(MAX(n_words) AS BIGINT) AS n_words,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(MAX(score_d) AS DOUBLE) AS score
+FROM phr GROUP BY phrase
+ORDER BY score DESC, phrase ASC LIMIT 20
+"""
+
+
+@REGISTRY.register("rake_keyphrases_docs", _RAKE_ORACLE)
+def rake_keyphrases_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 RAKE keyphrases over the corpus — maximal stopword-free
+    token runs scored by summed word degree/frequency ratios: the
+    two-aggregate unsupervised keyword tier next to the graph-based
+    textrank_keywords (operators/textops.py::rake_keyphrases; word
+    scores quantized DECIMAL(18,9), phrase sums exact decimal, total
+    top-k order)."""
+    from movie_rankings_spark.operators.textops import rake_keyphrases
+
+    return rake_keyphrases(_docs(spark, sf_dir), "text", lang="en", top_k=20)

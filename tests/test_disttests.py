@@ -502,3 +502,78 @@ def test_cochran_q_hand_computed_and_mcnemar_equivalence(spark):
     [q2] = cochran_q(df2, [F.col("a"), F.col("b")]).collect()
     [m2] = mcnemar_test(df2, F.col("a"), F.col("b")).collect()
     assert abs(q2["q_stat"] - m2["chi2"]) < 1e-12
+
+
+def test_mann_kendall_matches_brute_force(spark):
+    rng = np.random.RandomState(21)
+    y = (100 + 3 * np.arange(40) + rng.randint(-30, 30, 40)).tolist()
+    df = spark.createDataFrame(
+        [(i, int(v)) for i, v in enumerate(y)], "t int, y long"
+    )
+    from movie_rankings_spark.operators.disttests import mann_kendall
+
+    [r] = mann_kendall(df, F.col("t"), F.col("y")).collect()
+    n = len(y)
+    s = sum(
+        np.sign(y[j] - y[i]) for i in range(n) for j in range(i + 1, n)
+    )
+    _, t = np.unique(y, return_counts=True)
+    var = (n * (n - 1) * (2 * n + 5) - sum(
+        int(tt) * (tt - 1) * (2 * tt + 5) for tt in t
+    )) / 18
+    z = (s - 1) / math.sqrt(var) if s > 0 else (
+        (s + 1) / math.sqrt(var) if s < 0 else 0.0
+    )
+    assert (r["n"], r["s_stat"]) == (n, int(s))
+    assert abs(r["var_s"] - var) < 1e-9
+    assert abs(r["z"] - z) < 1e-12
+
+
+def test_mann_kendall_flat_series(spark):
+    df = spark.createDataFrame([(i, 7) for i in range(10)], "t int, y long")
+    from movie_rankings_spark.operators.disttests import mann_kendall
+
+    [r] = mann_kendall(df, F.col("t"), F.col("y")).collect()
+    assert r["s_stat"] == 0 and r["z"] == 0.0 and r["var_s"] == 0.0
+
+
+def test_jonckheere_terpstra_matches_brute_force(spark):
+    rng = np.random.RandomState(17)
+    groups = {1: 25, 2: 30, 3: 20, 4: 28}
+    data = {
+        g: (rng.randint(0, 8, n) + g).tolist() for g, n in groups.items()
+    }  # planted ordered shift, heavy ties (domain 8)
+    rows = [(g, int(v)) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "g int, v long")
+    from movie_rankings_spark.operators.disttests import jonckheere_terpstra
+
+    [r] = jonckheere_terpstra(df, F.col("g"), F.col("v")).collect()
+    gs = sorted(data)
+    jt2 = 0
+    for a in range(len(gs)):
+        for bq in range(a + 1, len(gs)):
+            for x in data[gs[a]]:
+                for yv in data[gs[bq]]:
+                    jt2 += 2 if x < yv else (1 if x == yv else 0)
+    n = sum(groups.values())
+    ni = list(groups.values())
+    pooled = [v for vs in data.values() for v in vs]
+    _, tj = np.unique(pooled, return_counts=True)
+    tj = [int(x) for x in tj]
+    mean2 = (n * n - sum(x * x for x in ni)) / 2
+    var = (
+        (n * (n - 1) * (2 * n + 5)
+         - sum(x * (x - 1) * (2 * x + 5) for x in ni)
+         - sum(x * (x - 1) * (2 * x + 5) for x in tj)) / 72
+        + (sum(x * (x - 1) * (x - 2) for x in ni)
+           * sum(x * (x - 1) * (x - 2) for x in tj))
+        / (36 * n * (n - 1) * (n - 2))
+        + (sum(x * (x - 1) for x in ni) * sum(x * (x - 1) for x in tj))
+        / (8 * n * (n - 1))
+    )
+    z = (jt2 - mean2) / (2 * math.sqrt(var))
+    assert (r["n"], r["k_groups"], r["jt2"]) == (n, 4, jt2)
+    assert abs(r["mean2"] - mean2) < 1e-9
+    assert abs(r["var_jt"] - var) < 1e-9
+    assert abs(r["z"] - z) < 1e-12
+    assert r["z"] > 3  # the planted ordered shift is detected

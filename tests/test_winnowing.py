@@ -224,3 +224,29 @@ def test_nb_score_matches_python_mirror(spark):
         r = out[i]
         assert r["pred_class"] == best == l
         assert abs(r["best_score"] - float(scores[best])) < 1e-12
+
+
+def test_rake_hand_computed(spark):
+    from movie_rankings_spark.operators.textops import rake_keyphrases
+
+    # stopwords (en): a the and of to in is
+    texts = [
+        "deep learning of neural networks",   # [deep learning] [neural networks]
+        "deep learning is great",             # [deep learning] [great]
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = rake_keyphrases(df, "text", lang="en", top_k=10).collect()
+    got = {r["phrase"]: r for r in rows}
+    # freq: deep 2, learning 2, neural 1, networks 1, great 1
+    # deg (sum of phrase lens): deep 4, learning 4, neural 2,
+    # networks 2, great 1 -> ws: 2, 2, 2, 2, 1
+    assert set(got) == {"deep learning", "neural networks", "great"}
+    dl = got["deep learning"]
+    assert (dl["n_words"], dl["n_occurrences"]) == (2, 2)
+    assert abs(dl["score"] - 4.0) < 1e-12
+    assert abs(got["neural networks"]["score"] - 4.0) < 1e-12
+    assert abs(got["great"]["score"] - 1.0) < 1e-12
+    # ties break phrase-ascending: "deep learning" < "neural networks"
+    assert rows[0]["phrase"] == "deep learning"

@@ -55,6 +55,8 @@ NESTED_LOOP_LEGIT = {
     "inclusion_deps_tpch",  # per-pair 1-row count x 1-row dangling count (r7)
     "pmi_collocations_docs",  # scored bigrams x 1-row corpus totals (r7)
     "nb_score_docs",  # model grid construction: bounded vocab x classes (r7)
+    "mk_trend_daily_revenue",  # date-bounded daily theta self-join + 1-row ties (r7)
+    "jt_priority_linecount",  # |groups|x|V| cell-table theta join + 1-row marginals (r7)
     "q11_important_parts",  # 1-row global threshold vs group sums
     "q22_global_sales_opportunity",  # 1-row avg-balance scalar
     "percentiles_lineitem_price",  # interpolation bounds vs 1-row

@@ -85,6 +85,9 @@ KNOWN_LEGIT = {
     "nb_train_lang_model",  # 2 real scans BY DESIGN (token counts + per-class doc priors, both column-pruned); persisted counts/docs tables feed the 4 grid branches (cache-text artifact) (r6)
     "nb_score_docs",  # nb_train's 2 by-design scans + 1 doc-token scoring scan; the 12 cached grid branches are InMemoryTableScans (r7)
     "pmi_collocations_docs",  # 2 real scans (bigram + unigram counts); persisted count tables feed totals + the scored join (r7)
+    "mk_trend_daily_revenue",  # 1 real scan; persisted daily series feeds self-join sides + ties (cache-text artifact) (r7)
+    "rake_keyphrases_docs",  # 1 real scan; persisted candidate-token table feeds word stats + phrase reassembly (cache-text artifact) (r7)
+    "jt_priority_linecount",  # 1 real scan per table; persisted cell table feeds theta-join sides + both marginals (cache-text artifact) (r7)
     "seqmine_event_triples",  # 2 real scans BY DESIGN (per-scope type min/max agg + b-event interval probe); persisted min/max table feeds grid + total count (cache-text artifact) (r6)
     "conformal_interval_price",  # 3 real scans BY DESIGN (train/calibrate/test split roles, each column-pruned); persisted cell tables feed median window + quantile + totals (cache-text artifact) (r6)
     "isotonic_price_status",  # persisted <=20-bin cell table feeds prefix + bins + readout branches (one real scan; cache-text artifact) (r6)
