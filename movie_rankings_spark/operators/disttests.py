@@ -2010,3 +2010,115 @@ def jonckheere_terpstra(
         var.alias("var_jt"),
         z.alias("z"),
     )
+
+
+def mood_median_test(
+    df: DataFrame, group_col: Column, value_col: Column
+) -> DataFrame:
+    """Mood's median test across k groups — the bluntest k-sample
+    location check (each group's split around the POOLED median; a
+    2×k χ² on the counts), robust to anything, the triage step
+    before kruskal_wallis when distributions differ wildly in shape.
+    The pooled cut is the LOWER MEDIAN (smallest value whose
+    inclusive cumulative count reaches ⌈N/2⌉) — integer-exact, no
+    interpolation to diverge on.
+
+    Contract: value_col is DOMAIN-BOUNDED integral (the distinct-
+    value table must be window-safe — the benford/kendall
+    convention). Shape: one fact reduction to (group, value) cells
+    (persisted: the pooled cumulative, per-group splits, and totals
+    all read it); the median comes from a window over the bounded
+    distinct-value table; χ² per-cell terms (O−E)²/E are shared
+    double expressions quantized DECIMAL(18,9) so the k·2-term sum
+    is exact decimal.
+
+    Output: one row per group — group, n, n_le_median, n_gt_median,
+    exp_le (the expected ≤-count), plus the shared median_value and
+    chi2 repeated on every row — ordered by group."""
+    from pyspark.sql import Window
+
+    cells = (
+        df.select(group_col.alias("g"), value_col.cast("long").alias("v"))
+        .filter(F.col("g").isNotNull() & F.col("v").isNotNull())
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist_tracked()
+    )
+    byv = cells.groupBy("v").agg(F.sum("c").cast("long").alias("cv"))
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = byv.withColumn("cum", F.sum("cv").over(wv))
+    tot = cum.agg(F.max("cum").cast("long").alias("n_total"))
+    med = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("cum") * 2 >= F.col("n_total"))
+        .agg(F.min("v").alias("median_value"))
+    )
+    grp = (
+        cells.crossJoin(F.broadcast(med))
+        .groupBy("g")
+        .agg(
+            F.sum("c").cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("v") <= F.col("median_value"), F.col("c")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("n_le_median"),
+            F.first("median_value").alias("median_value"),
+        )
+        .persist_tracked()  # per-group rows + the chi2 scalar read this
+    )
+    tots = grp.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("n_le_median").cast("long").alias("le_t"),
+    )
+    cell = grp.crossJoin(F.broadcast(tots)).select(
+        "g",
+        (
+            F.col("n").cast("double")
+            * F.col("le_t").cast("double")
+            / F.col("nt").cast("double")
+        ).alias("e_le"),
+        (
+            F.col("n").cast("double")
+            * (F.col("nt") - F.col("le_t")).cast("double")
+            / F.col("nt").cast("double")
+        ).alias("e_gt"),
+        F.col("n_le_median").cast("double").alias("o_le"),
+        (F.col("n") - F.col("n_le_median")).cast("double").alias("o_gt"),
+    )
+    chi = cell.select(
+        (
+            (
+                (F.col("o_le") - F.col("e_le"))
+                * (F.col("o_le") - F.col("e_le"))
+                / F.col("e_le")
+            ).cast("decimal(18,9)")
+            + (
+                (F.col("o_gt") - F.col("e_gt"))
+                * (F.col("o_gt") - F.col("e_gt"))
+                / F.col("e_gt")
+            ).cast("decimal(18,9)")
+        ).alias("t")
+    ).agg(F.sum("t").cast("double").alias("chi2"))
+    return (
+        grp.crossJoin(F.broadcast(tots))
+        .crossJoin(F.broadcast(chi))
+        .select(
+            F.col("g").alias("group"),
+            "n",
+            "n_le_median",
+            (F.col("n") - F.col("n_le_median")).cast("long").alias(
+                "n_gt_median"
+            ),
+            (
+                F.col("n").cast("double")
+                * F.col("le_t").cast("double")
+                / F.col("nt").cast("double")
+            ).alias("exp_le"),
+            "median_value",
+            "chi2",
+        )
+        .orderBy("group")
+    )

@@ -197,3 +197,65 @@ def psi_bins(filled: DataFrame, n_bins: int) -> DataFrame:
             "psi_contrib"
         ),
     ).orderBy("bin")
+
+
+def hellinger_drift(
+    df: DataFrame, value_col: Column, a_ind: Column, b_ind: Column
+) -> DataFrame:
+    """Hellinger distance + Bhattacharyya coefficient between two
+    groups' distributions of a DOMAIN-BOUNDED integral value — the
+    third drift lens next to js_token_drift (KL-family, unbounded
+    sensitivity to zeros) and psi_feature_drift (binned, industry
+    convention): Hellinger is a true bounded METRIC (0 identical,
+    1 disjoint), BC = Σ√(p_v·q_v) its overlap complement.
+
+    Contract: value domain bounded (quantities, ratings — the
+    benford convention), so the cell table is broadcast-size. ONE
+    fact reduction to per-(value) conditional counts; each cell's
+    √(p·q) is the shared double expression of exact integers
+    quantized DECIMAL(18,9), the sum exact decimal, and
+    H = √(1 − BC) one final shared op.
+
+    Output: ONE row — n_a, n_b, n_values, bc_coeff, hellinger."""
+    cells = (
+        df.select(
+            value_col.cast("long").alias("v"),
+            a_ind.cast("int").alias("_a"),
+            b_ind.cast("int").alias("_b"),
+        )
+        .filter(
+            F.col("v").isNotNull() & ((F.col("_a") + F.col("_b")) > 0)
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("_a").cast("long").alias("ca"),
+            F.sum("_b").cast("long").alias("cb"),
+        )
+        .persist_tracked()  # totals + the BC sum read this
+    )
+    tot = cells.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+    )
+    terms = cells.crossJoin(F.broadcast(tot)).select(
+        F.sqrt(
+            (F.col("ca").cast("double") / F.col("n_a").cast("double"))
+            * (F.col("cb").cast("double") / F.col("n_b").cast("double"))
+        )
+        .cast("decimal(18,9)")
+        .alias("t")
+    )
+    bc = terms.agg(F.sum("t").cast("double").alias("bc_coeff"))
+    return (
+        tot.crossJoin(F.broadcast(bc))
+        .select(
+            "n_a",
+            "n_b",
+            "n_values",
+            "bc_coeff",
+            F.sqrt(F.greatest(F.lit(1.0) - F.col("bc_coeff"), F.lit(0.0))).alias(
+                "hellinger"
+            ),
+        )
+    )

@@ -766,3 +766,139 @@ def group_percentiles(
         )
         .orderBy("group", "quantile")
     )
+
+
+def partial_correlation(
+    df: DataFrame, x: Column, y: Column, z: Column
+) -> DataFrame:
+    """First-order partial correlation — the x↔y association with a
+    confounder z HELD FIXED:
+
+        r_xy·z = (r_xy − r_xz·r_yz) / √((1 − r_xz²)(1 − r_yz²))
+
+    the screening number that says whether a raw pairwise correlation
+    from corr_matrix survives conditioning (r_xy large but r_xy·z ≈ 0
+    means z explains the pair).
+
+    Shape/exactness: corr_matrix's single nine-moment DECIMAL
+    aggregate (complete-case rows); each r is the shared exact-
+    centered-sums closed form and the partial is one further shared
+    IEEE expression ⇒ value-hash exact. Degenerate variance or
+    |r| = 1 denominators yield NULL via try_divide.
+
+    Output: ONE row — n_rows, r_xy, r_xz, r_yz, pcorr_xy_given_z."""
+    d38 = "decimal(38,0)"
+    rows = df.select(
+        x.cast("long").alias("x"),
+        y.cast("long").alias("y"),
+        z.cast("long").alias("z"),
+    ).filter(
+        F.col("x").isNotNull() & F.col("y").isNotNull() & F.col("z").isNotNull()
+    )
+
+    def d19(n):
+        return F.col(n).cast("decimal(19,0)")
+
+    names = ("x", "y", "z")
+    aggs = [F.count(F.lit(1)).cast(d38).alias("n")]
+    for n in names:
+        aggs.append(F.sum(d19(n)).cast(d38).alias(f"s_{n}"))
+        aggs.append(F.sum((d19(n) * d19(n)).cast(d38)).cast(d38).alias(f"ss_{n}"))
+    for a, b in (("x", "y"), ("x", "z"), ("y", "z")):
+        aggs.append(
+            F.sum((d19(a) * d19(b)).cast(d38)).cast(d38).alias(f"sx_{a}{b}")
+        )
+    mom = rows.agg(*aggs)
+    n_ = F.col("n")
+
+    def corr(a, b):
+        cxy = (n_ * F.col(f"sx_{a}{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")).cast(
+            "double"
+        )
+        cxx = (n_ * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")).cast(
+            "double"
+        )
+        cyy = (n_ * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")).cast(
+            "double"
+        )
+        return F.try_divide(cxy, F.sqrt(cxx) * F.sqrt(cyy))
+
+    rxy, rxz, ryz = corr("x", "y"), corr("x", "z"), corr("y", "z")
+    out = mom.select(
+        n_.cast("long").alias("n_rows"),
+        rxy.alias("r_xy"),
+        rxz.alias("r_xz"),
+        ryz.alias("r_yz"),
+    )
+    pc = F.try_divide(
+        F.col("r_xy") - F.col("r_xz") * F.col("r_yz"),
+        F.sqrt(
+            (F.lit(1.0) - F.col("r_xz") * F.col("r_xz"))
+            * (F.lit(1.0) - F.col("r_yz") * F.col("r_yz"))
+        ),
+    )
+    return out.select(
+        "n_rows", "r_xy", "r_xz", "r_yz", pc.alias("pcorr_xy_given_z")
+    )
+
+
+def concentration_indices(
+    df: DataFrame, key_col: Column, cents_col: Column
+) -> DataFrame:
+    """Market-concentration readout over per-key value mass: the
+    Herfindahl–Hirschman index HHI = Σ s_i² and the Theil-T
+    inequality index T = Σ s_i·ln(n·s_i) (s_i = key i's share) — the
+    two numbers next to the registry's Gini/Lorenz pair: HHI is the
+    antitrust screen (≈1/n diffuse, → 1 monopoly), Theil is the
+    DECOMPOSABLE entropy measure (0 equal, ln n monopoly).
+
+    Shape: one map-side-combined rollup to per-key totals, one
+    bounded aggregate. Exactness: HHI avoids per-row floats entirely
+    — Σx_i² and (Σx_i)² are exact DECIMAL(38,0), HHI is ONE division;
+    each Theil term's ln(n·s_i) is the shared double expression of
+    exact integers quantized DECIMAL(18,9) at the per-KEY table (the
+    bigram-LM convention), s_i·(·) one further shared product
+    quantized (18,12) before the exact sum. Zero-value keys drop
+    (lim s·ln s = 0). Output: ONE row — n_keys, total_cents, hhi,
+    theil_t."""
+    per = (
+        df.select(key_col.alias("k"), cents_col.cast("long").alias("v"))
+        .groupBy("k")
+        .agg(F.sum(F.col("v").cast("decimal(19,0)")).cast("decimal(38,0)").alias("x"))
+        .filter(F.col("x") > 0)
+        .persist_tracked()  # totals + the share table read this
+    )
+    x19 = F.col("x").cast("decimal(19,0)")
+    tot = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("x").cast("decimal(38,0)").alias("xs"),
+        # (19,0)^2 caps at (38,0): exact for per-key totals < 10^19
+        F.sum((x19 * x19).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("xsq"),
+    )
+    terms = per.crossJoin(F.broadcast(tot)).select(
+        (
+            (F.col("x").cast("double") / F.col("xs").cast("double"))
+            * F.log(
+                F.col("n_keys").cast("double")
+                * F.col("x").cast("double")
+                / F.col("xs").cast("double")
+            ).cast("decimal(18,9)").cast("double")
+        )
+        .cast("decimal(18,12)")
+        .alias("t")
+    )
+    theil = terms.agg(F.sum("t").cast("double").alias("theil_t"))
+    return (
+        tot.crossJoin(F.broadcast(theil))
+        .select(
+            "n_keys",
+            F.col("xs").cast("long").alias("total_cents"),
+            F.try_divide(
+                F.col("xsq").cast("double"),
+                F.col("xs").cast("double") * F.col("xs").cast("double"),
+            ).alias("hhi"),
+            "theil_t",
+        )
+    )

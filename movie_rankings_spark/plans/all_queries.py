@@ -72,6 +72,10 @@ _UNSEEN_FIRST = (
     "mk_trend_daily_revenue",
     "jt_priority_linecount",
     "rake_keyphrases_docs",
+    "pcorr_qty_price_discount",
+    "concentration_supplier_revenue",
+    "mood_median_doclen_source",
+    "hellinger_qty_returnflag",
 )
 
 #: most expensive entries at sf0.01, slowest-last; everything absent

@@ -4254,3 +4254,225 @@ def jt_priority_linecount(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_lines").alias("v"),
     )
     return jonckheere_terpstra(fact, F.col("g"), F.col("v"))
+
+
+# --- r7: partial correlation, concentration, Mood's median, Hellinger --------
+
+_PCORR_ORACLE = """
+WITH r AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+         CAST(round(l_discount * 1000) AS BIGINT) AS z
+  FROM lineitem
+), m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(SUM(CAST(z AS HUGEINT)) AS HUGEINT) AS sz,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+         CAST(SUM(CAST(z AS HUGEINT) * z) AS HUGEINT) AS szz,
+         CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(SUM(CAST(x AS HUGEINT) * z) AS HUGEINT) AS sxz,
+         CAST(SUM(CAST(y AS HUGEINT) * z) AS HUGEINT) AS syz
+  FROM r
+), c AS (
+  SELECT CAST(n AS BIGINT) AS n_rows,
+         CAST(n * sxy - sx * sy AS DOUBLE)
+           / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+              * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r_xy,
+         CAST(n * sxz - sx * sz AS DOUBLE)
+           / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+              * sqrt(CAST(n * szz - sz * sz AS DOUBLE))) AS r_xz,
+         CAST(n * syz - sy * sz AS DOUBLE)
+           / (sqrt(CAST(n * syy - sy * sy AS DOUBLE))
+              * sqrt(CAST(n * szz - sz * sz AS DOUBLE))) AS r_yz
+  FROM m
+)
+SELECT n_rows, r_xy, r_xz, r_yz,
+       (r_xy - r_xz * r_yz)
+         / sqrt((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz))
+         AS pcorr_xy_given_z
+FROM c
+"""
+
+
+@REGISTRY.register("pcorr_qty_price_discount", _PCORR_ORACLE)
+def pcorr_qty_price_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the quantity↔price correlation survive holding discount
+    fixed? First-order partial correlation on lineitem — the
+    conditioning readout next to corr_matrix_lineitem's raw pairs
+    (operators/statistics.py::partial_correlation; one nine-moment
+    DECIMAL aggregate)."""
+    from movie_rankings_spark.operators.statistics import partial_correlation
+
+    li = _t(spark, sf_dir, "lineitem")
+    return partial_correlation(
+        li,
+        F.col("l_quantity").cast("long"),
+        F.round(F.col("l_extendedprice") * F.lit(100)).cast("long"),
+        F.round(F.col("l_discount") * F.lit(1000)).cast("long"),
+    )
+
+
+_CONC_ORACLE = """
+WITH per AS (
+  SELECT l_suppkey AS k,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS HUGEINT)
+           AS x
+  FROM lineitem GROUP BY 1
+  HAVING SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) > 0
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(x) AS HUGEINT) AS xs,
+         CAST(SUM(x * x) AS HUGEINT) AS xsq
+  FROM per
+), th AS (
+  SELECT CAST(SUM(CAST(
+           (CAST(p.x AS DOUBLE) / CAST(t.xs AS DOUBLE))
+           * CAST(CAST(ln(CAST(t.n_keys AS DOUBLE) * CAST(p.x AS DOUBLE)
+                          / CAST(t.xs AS DOUBLE)) AS DECIMAL(18,9))
+                  AS DOUBLE)
+           AS DECIMAL(18,12))) AS DOUBLE) AS theil_t
+  FROM per p CROSS JOIN tot t
+)
+SELECT t.n_keys, CAST(t.xs AS BIGINT) AS total_cents,
+       CAST(t.xsq AS DOUBLE)
+         / (CAST(t.xs AS DOUBLE) * CAST(t.xs AS DOUBLE)) AS hhi,
+       th.theil_t
+FROM tot t CROSS JOIN th
+"""
+
+
+@REGISTRY.register("concentration_supplier_revenue", _CONC_ORACLE)
+def concentration_supplier_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """How concentrated is revenue across suppliers? HHI (the
+    antitrust screen, exact integer numerators) + Theil-T (the
+    decomposable entropy inequality index) — the pair next to the
+    registry's Gini/Lorenz view
+    (operators/statistics.py::concentration_indices)."""
+    from movie_rankings_spark.operators.statistics import (
+        concentration_indices,
+    )
+
+    return concentration_indices(
+        _t(spark, sf_dir, "lineitem"),
+        F.col("l_suppkey"),
+        F.round(F.col("l_extendedprice") * F.lit(100)).cast("long"),
+    )
+
+
+_MOOD_ORACLE = """
+WITH cells AS (
+  SELECT source AS g, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+), byv AS (
+  SELECT v, CAST(SUM(c) AS BIGINT) AS cv FROM cells GROUP BY 1
+), cum AS (
+  SELECT v, SUM(cv) OVER (ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cum
+  FROM byv
+), tot AS (SELECT MAX(cum) AS n_total FROM cum),
+med AS (
+  SELECT MIN(v) AS median_value FROM cum CROSS JOIN tot
+  WHERE cum * 2 >= n_total
+), grp AS (
+  SELECT g, CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN v <= (SELECT median_value FROM med)
+                       THEN c ELSE 0 END) AS BIGINT) AS n_le_median
+  FROM cells GROUP BY 1
+), tots AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nt,
+         CAST(SUM(n_le_median) AS BIGINT) AS le_t
+  FROM grp
+), chi AS (
+  SELECT CAST(SUM(
+    CAST((CAST(n_le_median AS DOUBLE)
+          - CAST(n AS DOUBLE) * CAST(le_t AS DOUBLE) / CAST(nt AS DOUBLE))
+         * (CAST(n_le_median AS DOUBLE)
+            - CAST(n AS DOUBLE) * CAST(le_t AS DOUBLE) / CAST(nt AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(le_t AS DOUBLE) / CAST(nt AS DOUBLE))
+         AS DECIMAL(18,9))
+    + CAST((CAST(n - n_le_median AS DOUBLE)
+            - CAST(n AS DOUBLE) * CAST(nt - le_t AS DOUBLE)
+              / CAST(nt AS DOUBLE))
+           * (CAST(n - n_le_median AS DOUBLE)
+              - CAST(n AS DOUBLE) * CAST(nt - le_t AS DOUBLE)
+                / CAST(nt AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(nt - le_t AS DOUBLE)
+              / CAST(nt AS DOUBLE))
+           AS DECIMAL(18,9))) AS DOUBLE) AS chi2
+  FROM grp CROSS JOIN tots
+)
+SELECT g.g AS "group", g.n, g.n_le_median,
+       CAST(g.n - g.n_le_median AS BIGINT) AS n_gt_median,
+       CAST(g.n AS DOUBLE) * CAST(t.le_t AS DOUBLE) / CAST(t.nt AS DOUBLE)
+         AS exp_le,
+       (SELECT median_value FROM med) AS median_value,
+       c.chi2
+FROM grp g CROSS JOIN tots t CROSS JOIN chi c
+ORDER BY 1
+"""
+
+
+@REGISTRY.register("mood_median_doclen_source", _MOOD_ORACLE)
+def mood_median_doclen_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test of document length across sources — the
+    robust location triage on the same contrast kruskal_doclen_source
+    ranks: each source's split around the pooled lower median, 2×k
+    χ² with per-cell DECIMAL(18,9) terms
+    (operators/disttests.py::mood_median_test)."""
+    from movie_rankings_spark.operators.disttests import mood_median_test
+
+    return mood_median_test(
+        _t(spark, sf_dir, "documents"), F.col("source"), F.col("n_chars")
+    )
+
+
+_HELLINGER_ORACLE = """
+WITH cells AS (
+  SELECT CAST(l_quantity AS BIGINT) AS v,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+           AS ca,
+         CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT)
+           AS cb
+  FROM lineitem WHERE l_returnflag IN ('R', 'N')
+  GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
+         CAST(COUNT(*) AS BIGINT) AS n_values
+  FROM cells
+), bc AS (
+  SELECT CAST(SUM(CAST(sqrt(
+           (CAST(c.ca AS DOUBLE) / CAST(t.n_a AS DOUBLE))
+           * (CAST(c.cb AS DOUBLE) / CAST(t.n_b AS DOUBLE)))
+           AS DECIMAL(18,9))) AS DOUBLE) AS bc_coeff
+  FROM cells c CROSS JOIN tot t
+)
+SELECT t.n_a, t.n_b, t.n_values, bc.bc_coeff,
+       sqrt(greatest(1.0 - bc.bc_coeff, 0.0)) AS hellinger
+FROM tot t CROSS JOIN bc
+"""
+
+
+@REGISTRY.register("hellinger_qty_returnflag", _HELLINGER_ORACLE)
+def hellinger_qty_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hellinger distance / Bhattacharyya overlap between returned
+    (R) and kept (N) lineitems' quantity distributions — the bounded
+    true-metric drift lens next to the JS and PSI views; quantity's
+    domain makes the cell table broadcast-size
+    (operators/drift.py::hellinger_drift)."""
+    from movie_rankings_spark.operators.drift import hellinger_drift
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "N")
+    )
+    return hellinger_drift(
+        li,
+        F.col("l_quantity"),
+        (F.col("l_returnflag") == "R").cast("int"),
+        (F.col("l_returnflag") == "N").cast("int"),
+    )

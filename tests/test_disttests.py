@@ -577,3 +577,95 @@ def test_jonckheere_terpstra_matches_brute_force(spark):
     assert abs(r["var_jt"] - var) < 1e-9
     assert abs(r["z"] - z) < 1e-12
     assert r["z"] > 3  # the planted ordered shift is detected
+
+
+def test_mood_median_hand_computed(spark):
+    from movie_rankings_spark.operators.disttests import mood_median_test
+
+    rows = (
+        [("a", v) for v in [1, 2, 3, 4]]
+        + [("b", v) for v in [3, 4, 5, 6]]
+        + [("c", v) for v in [5, 6, 7, 8]]
+    )
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r["group"]: r for r in mood_median_test(
+        df, F.col("g"), F.col("v")
+    ).collect()}
+    # pooled sorted: 1 2 3 3 4 4 5 5 6 6 7 8; N=12, ceil(N/2)=6 -> lower
+    # median = smallest v with cum >= 6 = 4
+    assert out["a"]["median_value"] == 4
+    assert (out["a"]["n_le_median"], out["a"]["n_gt_median"]) == (4, 0)
+    assert (out["b"]["n_le_median"], out["b"]["n_gt_median"]) == (2, 2)
+    assert (out["c"]["n_le_median"], out["c"]["n_gt_median"]) == (0, 4)
+    le_t, nt = 6, 12
+    chi = 0.0
+    for n, o in ((4, 4), (4, 2), (4, 0)):
+        e_le = n * le_t / nt
+        e_gt = n * (nt - le_t) / nt
+        chi += round((o - e_le) ** 2 / e_le, 9) + round(
+            (n - o - e_gt) ** 2 / e_gt, 9
+        )
+    assert abs(out["a"]["chi2"] - chi) < 1e-9
+    assert abs(out["a"]["exp_le"] - 2.0) < 1e-15
+
+
+def test_partial_correlation_matches_numpy(spark):
+    rng = np.random.RandomState(4)
+    z = rng.randint(0, 100, 300)
+    x = 2 * z + rng.randint(0, 40, 300)
+    y = 3 * z + rng.randint(0, 60, 300)
+    df = spark.createDataFrame(
+        [(int(a), int(b), int(c)) for a, b, c in zip(x, y, z)],
+        "x long, y long, z long",
+    )
+    from movie_rankings_spark.operators.statistics import partial_correlation
+
+    [r] = partial_correlation(
+        df, F.col("x"), F.col("y"), F.col("z")
+    ).collect()
+    cm = np.corrcoef(np.vstack([x, y, z]))
+    rxy, rxz, ryz = cm[0, 1], cm[0, 2], cm[1, 2]
+    ref = (rxy - rxz * ryz) / math.sqrt((1 - rxz**2) * (1 - ryz**2))
+    assert abs(r["r_xy"] - rxy) < 1e-10
+    assert abs(r["pcorr_xy_given_z"] - ref) < 1e-9
+    # x,y are driven by z: raw corr high, partial collapses
+    assert r["r_xy"] > 0.9 and abs(r["pcorr_xy_given_z"]) < 0.2
+
+
+def test_concentration_indices_hand_computed(spark):
+    from movie_rankings_spark.operators.statistics import (
+        concentration_indices,
+    )
+
+    # shares 0.5, 0.3, 0.2
+    df = spark.createDataFrame(
+        [(1, 50), (2, 30), (3, 20)], "k int, v long"
+    )
+    [r] = concentration_indices(df, F.col("k"), F.col("v")).collect()
+    assert r["n_keys"] == 3 and r["total_cents"] == 100
+    assert abs(r["hhi"] - (0.25 + 0.09 + 0.04)) < 1e-15
+    ref_t = sum(
+        s * round(math.log(3 * s), 9) for s in (0.5, 0.3, 0.2)
+    )
+    assert abs(r["theil_t"] - ref_t) < 1e-9
+    # equal shares -> theil 0, hhi = 1/n
+    df2 = spark.createDataFrame([(1, 10), (2, 10)], "k int, v long")
+    [r2] = concentration_indices(df2, F.col("k"), F.col("v")).collect()
+    assert abs(r2["hhi"] - 0.5) < 1e-15 and abs(r2["theil_t"]) < 1e-12
+
+
+def test_hellinger_hand_computed(spark):
+    from movie_rankings_spark.operators.drift import hellinger_drift
+
+    # A: {1:2, 2:2}; B: {2:2, 3:2} -> BC = sqrt(.5*.5) = .5
+    rows = [(1, 1, 0)] * 2 + [(2, 1, 0)] * 2 + [(2, 0, 1)] * 2 + [(3, 0, 1)] * 2
+    df = spark.createDataFrame(rows, "v long, a int, b int")
+    [r] = hellinger_drift(df, F.col("v"), F.col("a"), F.col("b")).collect()
+    assert (r["n_a"], r["n_b"], r["n_values"]) == (4, 4, 3)
+    assert abs(r["bc_coeff"] - 0.5) < 1e-9
+    assert abs(r["hellinger"] - math.sqrt(0.5)) < 1e-9
+    # identical distributions -> BC 1, H 0
+    rows2 = [(1, 1, 0), (2, 1, 0), (1, 0, 1), (2, 0, 1)]
+    df2 = spark.createDataFrame(rows2, "v long, a int, b int")
+    [r2] = hellinger_drift(df2, F.col("v"), F.col("a"), F.col("b")).collect()
+    assert abs(r2["bc_coeff"] - 1.0) < 1e-9 and r2["hellinger"] < 1e-4

@@ -57,6 +57,9 @@ NESTED_LOOP_LEGIT = {
     "nb_score_docs",  # model grid construction: bounded vocab x classes (r7)
     "mk_trend_daily_revenue",  # date-bounded daily theta self-join + 1-row ties (r7)
     "jt_priority_linecount",  # |groups|x|V| cell-table theta join + 1-row marginals (r7)
+    "concentration_supplier_revenue",  # per-key share table x 1-row totals (r7)
+    "mood_median_doclen_source",  # bounded cells x 1-row median/total scalars (r7)
+    "hellinger_qty_returnflag",  # bounded value cells x 1-row totals (r7)
     "q11_important_parts",  # 1-row global threshold vs group sums
     "q22_global_sales_opportunity",  # 1-row avg-balance scalar
     "percentiles_lineitem_price",  # interpolation bounds vs 1-row

@@ -87,6 +87,9 @@ KNOWN_LEGIT = {
     "pmi_collocations_docs",  # 2 real scans (bigram + unigram counts); persisted count tables feed totals + the scored join (r7)
     "mk_trend_daily_revenue",  # 1 real scan; persisted daily series feeds self-join sides + ties (cache-text artifact) (r7)
     "rake_keyphrases_docs",  # 1 real scan; persisted candidate-token table feeds word stats + phrase reassembly (cache-text artifact) (r7)
+    "concentration_supplier_revenue",  # 1 real scan; persisted per-key totals feed moments + Theil terms (cache-text artifact) (r7)
+    "mood_median_doclen_source",  # 1 real scan; persisted cell/group tables feed median, splits, chi2 (cache-text artifact) (r7)
+    "hellinger_qty_returnflag",  # 1 real scan; persisted value cells feed totals + BC terms (cache-text artifact) (r7)
     "jt_priority_linecount",  # 1 real scan per table; persisted cell table feeds theta-join sides + both marginals (cache-text artifact) (r7)
     "seqmine_event_triples",  # 2 real scans BY DESIGN (per-scope type min/max agg + b-event interval probe); persisted min/max table feeds grid + total count (cache-text artifact) (r6)
     "conformal_interval_price",  # 3 real scans BY DESIGN (train/calibrate/test split roles, each column-pruned); persisted cell tables feed median window + quantile + totals (cache-text artifact) (r6)
