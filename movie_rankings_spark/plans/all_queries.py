@@ -76,6 +76,7 @@ _UNSEEN_FIRST = (
     "concentration_supplier_revenue",
     "mood_median_doclen_source",
     "hellinger_qty_returnflag",
+    "cep_view_click_purchase",
 )
 
 #: most expensive entries at sf0.01, slowest-last; everything absent

@@ -4476,3 +4476,51 @@ def hellinger_qty_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_returnflag") == "R").cast("int"),
         (F.col("l_returnflag") == "N").cast("int"),
     )
+
+
+# --- r7: CEP regex pattern matching over per-user event sequences ------------
+
+_CEP_ORACLE = """
+WITH sym AS (
+  SELECT user_id,
+         CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+              WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+              ELSE 'x' END AS sym,
+         ts, event_id
+  FROM events
+), seqs AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         string_agg(sym, '' ORDER BY ts, event_id) AS symbols
+  FROM sym GROUP BY 1
+), m AS (
+  SELECT user_id, n_events, symbols,
+         regexp_extract_all(symbols, 'v+c+p') AS ms
+  FROM seqs
+)
+SELECT user_id, n_events, symbols,
+       CAST(len(ms) AS BIGINT) AS n_matches,
+       CAST(COALESCE(list_sum(list_transform(ms, x -> length(x))), 0)
+            AS BIGINT) AS matched_chars
+FROM m ORDER BY user_id
+"""
+
+
+@REGISTRY.register("cep_view_click_purchase", _CEP_ORACLE)
+def cep_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style pattern query: per user, count the
+    non-overlapping `v+c+p` journeys (any run of views, then clicks,
+    closed by a purchase) in the time-ordered event-type string —
+    the regex-shaped sequence query the fixed funnel can't express
+    (operators/cep.py::cep_pattern_matches)."""
+    from movie_rankings_spark.operators.cep import cep_pattern_matches
+
+    sym = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("x")
+    )
+    return cep_pattern_matches(
+        _t(spark, sf_dir, "events"), "user_id", sym, "v+c+p"
+    )
