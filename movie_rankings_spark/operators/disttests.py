@@ -1700,9 +1700,13 @@ def friedman_test(
     intermediate (not emitted; keep the readout one row)."""
     from pyspark.sql import Window
 
-    cells = df.select(
-        block_col.alias("blk"), treat_col.alias("trt"), value_col.alias("y")
-    ).filter(F.col("y").isNotNull())
+    cells = (
+        df.select(
+            block_col.alias("blk"), treat_col.alias("trt"), value_col.alias("y")
+        )
+        .filter(F.col("y").isNotNull())
+        .persist_tracked()  # k-count, completeness filter, and ranks read this
+    )
     k_total = cells.select("trt").distinct().count()
     full = (
         cells.groupBy("blk")

@@ -124,6 +124,7 @@ def inclusion_dependencies(
             dep_df.select(F.col(dep_col).cast("string").alias("v"))
             .filter(F.col("v").isNotNull())
             .distinct()
+            .persist_tracked()  # the distinct count AND the anti join read this
         )
         ref = (
             ref_df.select(F.col(ref_col).cast("string").alias("v"))

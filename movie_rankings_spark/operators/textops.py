@@ -833,6 +833,7 @@ def ngram_novelty(
         base.filter(~ref_pred)
         .select("doc_id", F.explode(grams).alias("gram"))
         .distinct()
+        .persist_tracked()  # per-doc totals AND the anti join read this
     )
     ref = (
         base.filter(ref_pred)

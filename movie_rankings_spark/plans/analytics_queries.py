@@ -3871,6 +3871,7 @@ def runs_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("y")
         )
     )
+    daily = daily.persist_tracked()  # the total AND the sequence read this
     tot = daily.agg(
         F.count(F.lit(1)).cast("long").alias("nd"),
         F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
@@ -3932,6 +3933,7 @@ def grubbs_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("v")
         )
+        .persist_tracked()  # the operator's two passes read this
     )
     return grubbs_max_outlier(daily, F.col("v"))
 

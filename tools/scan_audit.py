@@ -90,6 +90,12 @@ KNOWN_LEGIT = {
     "concentration_supplier_revenue",  # 1 real scan; persisted per-key totals feed moments + Theil terms (cache-text artifact) (r7)
     "mood_median_doclen_source",  # 1 real scan; persisted cell/group tables feed median, splits, chi2 (cache-text artifact) (r7)
     "hellinger_qty_returnflag",  # 1 real scan; persisted value cells feed totals + BC terms (cache-text artifact) (r7)
+    "runs_daily_revenue",  # 1 real scan; persisted daily series feeds total + sequence (cache-text artifact) (r7)
+    "grubbs_daily_revenue",  # 1 real scan; persisted daily table feeds the operator's moment + max passes (cache-text artifact) (r7)
+    "friedman_price_month_priority",  # 1 real scan; persisted cell table feeds k-count, completeness filter, ranks (cache-text artifact) (r7)
+    "dw_trend_daily_revenue",  # 1 real scan; persisted day-sequence feeds moments + residual lag (cache-text artifact) (r7)
+    "inclusion_deps_tpch",  # 1 real scan per side; persisted per-pair distinct tables feed count + anti join (cache-text artifact) (r7)
+    "ngram_novelty_docs",  # 2 real scans (candidate + reference gram reductions); persisted candidate table feeds totals + anti join (r7)
     "jt_priority_linecount",  # 1 real scan per table; persisted cell table feeds theta-join sides + both marginals (cache-text artifact) (r7)
     "seqmine_event_triples",  # 2 real scans BY DESIGN (per-scope type min/max agg + b-event interval probe); persisted min/max table feeds grid + total count (cache-text artifact) (r6)
     "conformal_interval_price",  # 3 real scans BY DESIGN (train/calibrate/test split roles, each column-pruned); persisted cell tables feed median window + quantile + totals (cache-text artifact) (r6)
