@@ -113,3 +113,109 @@ def association_rules(
         conf.alias("confidence"),
         lift.alias("lift"),
     )
+
+
+def item_cosine_topk(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    k: int = 5,
+    min_item_support: int = 20,
+    min_pair_support: int = 3,
+    max_basket: int = 100,
+) -> DataFrame:
+    """Item-item collaborative filtering: per item the top-k most
+    similar items by binary cosine over the basket sets —
+    cos(i,j) = n_both / √(n_i·n_j) — the "users who bought X also
+    bought Y" neighborhood model next to association_rules'
+    confidence/lift (lift normalizes by independence, cosine by
+    SIZE, so it doesn't collapse onto the most popular items).
+
+    Scale shape (the association_rules conventions, plus the item-CF
+    power-user guard): distinct (basket, item) → a-priori frequent-
+    item prefilter → baskets larger than ``max_basket`` SURVIVING
+    items are dropped entirely (a 10⁴-item basket contributes
+    O(10⁸) pairs and no signal — the standard CF pruning; the knob
+    to raise with executor memory), then the within-basket a<b pair
+    self-join, pair-count aggregate, and a per-item top-k window
+    over both pair directions (partitioned by item — never a global
+    sort). Exactness: counts exact BIGINTs; cosine one IEEE
+    expression of exact integers; ranking ties break (cosine desc,
+    n_both desc, neighbor asc).
+
+    Output: item, rank, neighbor, n_item, n_neighbor, n_both,
+    cosine — ordered by (item, rank)."""
+    from pyspark.sql import Window
+
+    bi = (
+        baskets.select(
+            F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+        )
+        .distinct()
+        .persist_tracked()  # support agg + frequent join read this
+    )
+    support = (
+        bi.groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_item"))
+        .filter(F.col("n_item") >= min_item_support)
+    )
+    frequent = bi.join(support, "item").select("basket", "item", "n_item")
+    sized = (
+        frequent.withColumn(
+            "_bsz", F.count(F.lit(1)).over(Window.partitionBy("basket"))
+        )
+        .filter(F.col("_bsz") <= max_basket)
+        .drop("_bsz")
+    )
+    a = sized.select(
+        "basket", F.col("item").alias("ia"), F.col("n_item").alias("n_a")
+    )
+    b = sized.select(
+        "basket", F.col("item").alias("ib"), F.col("n_item").alias("n_b")
+    )
+    pairs = (
+        a.join(b, "basket")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_both"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
+        .filter(F.col("n_both") >= min_pair_support)
+    )
+    fwd = pairs.select(
+        F.col("ia").alias("item"),
+        F.col("ib").alias("neighbor"),
+        F.col("n_a").alias("n_item"),
+        F.col("n_b").alias("n_neighbor"),
+        "n_both",
+    )
+    rev = pairs.select(
+        F.col("ib").alias("item"),
+        F.col("ia").alias("neighbor"),
+        F.col("n_b").alias("n_item"),
+        F.col("n_a").alias("n_neighbor"),
+        "n_both",
+    )
+    cosine = F.col("n_both").cast("double") / F.sqrt(
+        F.col("n_item").cast("double") * F.col("n_neighbor").cast("double")
+    )
+    scored = fwd.unionByName(rev).withColumn("cosine", cosine)
+    w = Window.partitionBy("item").orderBy(
+        F.col("cosine").desc(), F.col("n_both").desc(), F.col("neighbor").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "item",
+            F.col("rank").cast("int").alias("rank"),
+            "neighbor",
+            "n_item",
+            "n_neighbor",
+            "n_both",
+            "cosine",
+        )
+        .orderBy("item", "rank")
+    )

@@ -2126,3 +2126,197 @@ def mood_median_test(
         )
         .orderBy("group")
     )
+
+
+def bartlett_test(
+    df: DataFrame, group_col: Column, cents_col: Column
+) -> DataFrame:
+    """Bartlett's test of variance homogeneity across k groups — the
+    PARAMETRIC dispersion check next to brown_forsythe: BF is robust
+    (median-centered Levene) but pays power under true normality;
+    Bartlett is the textbook likelihood-ratio test the classical
+    ANOVA workflow quotes first. A pipeline runs both: agreement is
+    the signal, disagreement says "heavy tails — trust BF".
+
+    Exactness (the welch/anova convention + the Theil ln rule): ONE
+    map-side-combined fact pass produces per-group exact moments
+    (n, Σv, Σv² through DECIMAL(38,0)); each sample variance is the
+    shared IEEE expression (n·Σv² − (Σv)²)/(n(n−1)) of those exact
+    integers; every ln(s²) is quantized DECIMAL(18,9) BEFORE the
+    weighted sum (JVM log and C log may differ in the last ulp — the
+    concentration_indices rule), the weighted terms sum as exact
+    decimals ((n−1)·lnq at (38,9); (n−1)·s² at (38,6); 1/(n−1) at
+    (18,12)), and χ² / the Bartlett correction C are closed-form
+    doubles of those sums, written identically in the oracle.
+
+    Groups with n < 2 or zero variance are excluded (the statistic is
+    undefined there); k counts the surviving groups. Output: one row
+    per surviving group — group, n_group, var_group — plus the shared
+    scalars n_total, k_groups, pooled_var, c_factor, chi2, df
+    repeated on every row, ordered by group."""
+    d38 = "decimal(38,0)"
+    rows = df.select(
+        group_col.alias("g"), cents_col.cast("long").alias("v")
+    ).filter(F.col("g").isNotNull() & F.col("v").isNotNull())
+    vd = F.col("v").cast("decimal(19,0)")
+    m = rows.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(vd).cast(d38).alias("s"),
+        F.sum((vd * vd).cast(d38)).cast(d38).alias("ss"),
+    )
+    nd = F.col("n").cast("double")
+    var_g = F.try_divide(
+        (F.col("n").cast(d38) * F.col("ss") - F.col("s") * F.col("s")).cast(
+            "double"
+        ),
+        nd * (nd - F.lit(1.0)),
+    )
+    vg = (
+        m.filter(F.col("n") >= 2)
+        .select(
+            "g",
+            "n",
+            (F.col("n") - F.lit(1)).cast("long").alias("w"),
+            var_g.alias("var_g"),
+        )
+        .filter(F.col("var_g") > 0)
+        .persist_tracked()  # the totals scalar and the output rows read this
+    )
+    wd = F.col("w").cast("double")
+    lnq = F.log(F.col("var_g")).cast("decimal(18,9)")
+    tot = vg.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("n_total"),
+        F.sum("w").cast("long").alias("sum_w"),
+        F.sum((F.col("w").cast("decimal(19,0)") * lnq).cast("decimal(38,9)"))
+        .cast("decimal(38,9)")
+        .alias("sum_wln"),
+        F.sum((wd * F.col("var_g")).cast("decimal(38,6)"))
+        .cast("decimal(38,6)")
+        .alias("ssw"),
+        F.sum((F.lit(1.0) / wd).cast("decimal(18,12)"))
+        .cast("decimal(18,12)")
+        .alias("harm"),
+    )
+    sum_wd = F.col("sum_w").cast("double")
+    kd = F.col("k").cast("double")
+    pooled = F.col("ssw").cast("double") / sum_wd
+    lnp = F.log(pooled).cast("decimal(18,9)").cast("double")
+    c_factor = F.lit(1.0) + F.try_divide(
+        F.col("harm").cast("double") - F.lit(1.0) / sum_wd,
+        F.lit(3.0) * (kd - F.lit(1.0)),
+    )
+    chi2 = F.try_divide(
+        sum_wd * lnp - F.col("sum_wln").cast("double"), c_factor
+    )
+    return (
+        vg.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("g").alias("group"),
+            F.col("n").alias("n_group"),
+            F.col("var_g").alias("var_group"),
+            "n_total",
+            F.col("k").alias("k_groups"),
+            pooled.alias("pooled_var"),
+            c_factor.alias("c_factor"),
+            chi2.alias("chi2"),
+            (F.col("k") - F.lit(1)).cast("long").alias("df"),
+        )
+        .orderBy("group")
+    )
+
+
+def fleiss_kappa(df: DataFrame, rating_cols: "list[Column]") -> DataFrame:
+    """Fleiss' kappa for n >= 2 fixed raters assigning each item one
+    of a set of integral category labels — the multi-rater
+    generalization the Cohen-kappa / McNemar / Cochran-Q rater family
+    lacks: kappa_2 scores one PAIR, Cochran-Q tests marginal
+    homogeneity, Fleiss answers "how far beyond chance do ALL the
+    raters agree at once".
+
+    Per item, n_ij = #raters assigning category j; the agreement
+    numerator Σ_j n_ij² is computed WITHOUT materializing the
+    category domain, as the count of ordered rater pairs that agree:
+    Σ_j n_ij² = Σ_{a,b} 1[r_a = r_b] — an n² bounded comparison
+    ladder that stays whole-stage codegen (no arrays, no explode on
+    the hot path). P_i = (Σ_j n_ij² − n)/(n(n−1)); chance agreement
+    P̄e = Σ_j p_j² from pooled category shares (ONE bounded explode →
+    tally — |categories| rows); κ = (P̄ − P̄e)/(1 − P̄e).
+
+    Exactness: Σ_i Σ_j n_ij² and the per-category totals are exact
+    BIGINTs from map-side-combined aggregates; each pooled share
+    square is quantized DECIMAL(18,12) before the exact sum (the
+    bounded-category convention); P̄/P̄e/κ are closed-form IEEE
+    doubles of those integers, written identically in the oracle.
+    Rows with any NULL rating are excluded (every item must carry all
+    n ratings). Output: ONE row — n_items, n_raters, sum_sq, p_bar,
+    p_e, kappa, cat_checksum (Σ_j j·c_j pins the pooled margins into
+    the hash)."""
+    n = len(rating_cols)
+    if n < 2:
+        raise ValueError("fleiss_kappa needs at least 2 raters")
+    rated = df.select(
+        *[c.cast("long").alias(f"_r{i}") for i, c in enumerate(rating_cols)]
+    )
+    cond = F.lit(True)
+    for i in range(n):
+        cond = cond & F.col(f"_r{i}").isNotNull()
+    rated = rated.filter(cond)
+    ssq = None
+    for a in range(n):
+        for b in range(n):
+            term = (
+                (F.col(f"_r{a}") == F.col(f"_r{b}"))
+                .cast("long")
+            )
+            ssq = term if ssq is None else ssq + term
+    base = rated.select(
+        ssq.alias("ssq"),
+        *[F.col(f"_r{i}") for i in range(n)],
+    ).persist_tracked()  # the moment aggregate and the tally read this
+    agg = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("ssq").cast("long").alias("sum_sq"),
+    )
+    cat_tot = (
+        base.select(
+            F.explode(
+                F.array(*[F.col(f"_r{i}") for i in range(n)])
+            ).alias("cat")
+        )
+        .groupBy("cat")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    pe = cat_tot.crossJoin(F.broadcast(agg.select("n_items"))).agg(
+        F.sum(
+            (
+                (
+                    F.col("c").cast("double")
+                    / (F.col("n_items").cast("double") * F.lit(float(n)))
+                )
+                * (
+                    F.col("c").cast("double")
+                    / (F.col("n_items").cast("double") * F.lit(float(n)))
+                )
+            ).cast("decimal(18,12)")
+        )
+        .cast("double")
+        .alias("p_e"),
+        F.sum(F.col("cat") * F.col("c")).cast("long").alias("cat_checksum"),
+    )
+    nid = F.col("n_items").cast("double")
+    p_bar = F.try_divide(
+        F.col("sum_sq").cast("double") - nid * F.lit(float(n)),
+        nid * F.lit(float(n)) * F.lit(float(n - 1)),
+    )
+    return agg.crossJoin(F.broadcast(pe)).select(
+        "n_items",
+        F.lit(n).cast("long").alias("n_raters"),
+        "sum_sq",
+        p_bar.alias("p_bar"),
+        "p_e",
+        F.try_divide(p_bar - F.col("p_e"), F.lit(1.0) - F.col("p_e")).alias(
+            "kappa"
+        ),
+        "cat_checksum",
+    )

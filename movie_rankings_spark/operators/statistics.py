@@ -103,6 +103,13 @@ def chi2_contingency(
     useful output: the large-residual cells ARE the finding. The
     caller (or the oracle reader) sums ``chi2_term`` for the global
     statistic with dof = (R−1)(C−1).
+
+    Caveat: only OBSERVED (count > 0) cells are emitted, so summing
+    ``chi2_term`` understates χ² by Σ e over the empty cells of a
+    sparse table (each contributes (0−e)²/e = e). For the global
+    statistic over a possibly-sparse table use ``cramers_v`` below,
+    whose observed-cells-only identity χ² = n·(Σ o²/(row·col) − 1)
+    is exact regardless of sparsity.
     """
     # The cell table's cardinality is |row domain| × |col domain| —
     # data-independent and tiny — and BOTH the totals projection and
@@ -901,4 +908,157 @@ def concentration_indices(
             ).alias("hhi"),
             "theil_t",
         )
+    )
+
+
+def cramers_v(rows: DataFrame, row_var: str, col_var: str) -> DataFrame:
+    """Cramér's V effect size for the association between two
+    categorical variables — the normalized scalar on top of
+    chi2_contingency's per-cell decomposition: χ² grows with N, V is
+    the [0,1] strength a pipeline can threshold ("drop one of these
+    two features, they encode the same thing"). Emits both the raw V
+    and the Bergsma bias-corrected V (the small-sample estimate that
+    does not inflate toward 1 as the table widens).
+
+    Shape: chi2_contingency's single fact reduction to the bounded
+    (row, col) cell table (persisted — margins, the χ² scalar, and
+    the level counts all read it); margins via PARTITIONED windows;
+    one bounded aggregate. χ² uses the observed-cells-only identity
+    χ² = n·(Σ_ij o_ij²/(row_i·col_j) − 1) — EMPTY cells contribute
+    zero to that sum, so the sparse cell table (groupBy never emits
+    zero cells) still yields the full-table statistic, unlike a
+    naive Σ(o−e)²/e over present cells. Exactness: observed/margin
+    counts are exact BIGINTs; each cell's o²/(row·col) ∈ [0,1] is
+    quantized DECIMAL(18,15) before the exact decimal sum; V and
+    the corrected V are closed-form IEEE doubles of that sum and the
+    exact level counts, written identically in the oracle.
+
+    Output: ONE row — n_obs, r_levels, c_levels, chi2, df,
+    cramers_v, cramers_v_corrected."""
+    from pyspark.sql import Window
+
+    cells = (
+        rows.select(
+            F.col(row_var).alias("_r"), F.col(col_var).alias("_c")
+        )
+        .filter(F.col("_r").isNotNull() & F.col("_c").isNotNull())
+        .groupBy("_r", "_c")
+        .agg(F.count(F.lit(1)).cast("long").alias("observed"))
+        .persist_tracked()
+    )
+    grand = cells.agg(F.sum("observed").cast("long").alias("n_obs"))
+    w_row = Window.partitionBy("_r")
+    w_col = Window.partitionBy("_c")
+    o = F.col("observed").cast("double")
+    term = (
+        o
+        * o
+        / (
+            F.col("row_total").cast("double")
+            * F.col("col_total").cast("double")
+        )
+    )
+    chi = (
+        cells.select(
+            "observed",
+            F.sum("observed").over(w_row).cast("long").alias("row_total"),
+            F.sum("observed").over(w_col).cast("long").alias("col_total"),
+        )
+        .select(term.cast("decimal(18,15)").alias("t"))
+        .agg(F.sum("t").cast("double").alias("s"))
+        .crossJoin(F.broadcast(grand))
+        .select(
+            (
+                F.col("n_obs").cast("double")
+                * (F.col("s") - F.lit(1.0))
+            ).alias("chi2")
+        )
+    )
+    levels = cells.agg(
+        F.countDistinct("_r").cast("long").alias("r_levels"),
+        F.countDistinct("_c").cast("long").alias("c_levels"),
+    )
+    nd = F.col("n_obs").cast("double")
+    rd = F.col("r_levels").cast("double")
+    cd = F.col("c_levels").cast("double")
+    phi2 = F.col("chi2") / nd
+    v = F.sqrt(
+        F.try_divide(phi2, F.least(rd, cd) - F.lit(1.0))
+    )
+    phi2c = F.greatest(
+        F.lit(0.0),
+        phi2 - (rd - F.lit(1.0)) * (cd - F.lit(1.0)) / (nd - F.lit(1.0)),
+    )
+    rc = rd - (rd - F.lit(1.0)) * (rd - F.lit(1.0)) / (nd - F.lit(1.0))
+    cc = cd - (cd - F.lit(1.0)) * (cd - F.lit(1.0)) / (nd - F.lit(1.0))
+    vc = F.sqrt(
+        F.try_divide(phi2c, F.least(rc, cc) - F.lit(1.0))
+    )
+    return (
+        grand.crossJoin(F.broadcast(levels))
+        .crossJoin(F.broadcast(chi))
+        .select(
+            "n_obs",
+            "r_levels",
+            "c_levels",
+            "chi2",
+            ((F.col("r_levels") - 1) * (F.col("c_levels") - 1))
+            .cast("long")
+            .alias("df"),
+            v.alias("cramers_v"),
+            vc.alias("cramers_v_corrected"),
+        )
+    )
+
+
+def grouped_ridge(
+    points: DataFrame,
+    group_cols: "list[str]",
+    x_col: str = "x",
+    y_col: str = "y",
+    lam: float = 0.0,
+    y_scale: int = 4,
+) -> DataFrame:
+    """Per-group RIDGE simple regression — the L2-shrunk slope
+    β = Sxy / (Sxx + n·λ_c) next to grouped_ols' unpenalized fit
+    (Sxy/Sxx here are the n-scaled centered sums n·Σxy − ΣxΣy and
+    n·Σxx − (Σx)², so λ enters as n·λ): the estimate a pipeline
+    prefers for SHORT or noisy per-group series, where OLS slopes on
+    12 points whipsaw and the shrunk slope stays sane. Emits both
+    slopes plus the shrinkage factor Sxx/(Sxx + n·λ) — the "how much
+    did the prior win" diagnostic (→1 = data dominated, →0 = prior
+    dominated).
+
+    Same exact-decimal moment contract as grouped_ols (integer x,
+    DECIMAL(·, y_scale) y rescaled to scale-0; one map-side-combined
+    aggregate; closed-form IEEE expressions of exact moments written
+    identically in the oracle)."""
+    x = F.col(x_col).cast("decimal(10,0)")
+    ys = (F.col(y_col) * (10**y_scale)).cast("decimal(20,0)")
+    m = points.withColumn("_ys", ys).groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum("_ys").cast("double").alias("sy"),
+        F.sum((x * F.col("_ys")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    n = F.col("n_points").cast("double")
+    sx, sxx = F.col("sx"), F.col("sxx")
+    sy, sxy = F.col("sy"), F.col("sxy")
+    unscale = F.lit(float(10**y_scale))
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    den_r = den + n * F.lit(float(lam))
+    slope_ols_s = num / den
+    slope_ridge_s = num / den_r
+    intercept_s = (sy - slope_ridge_s * sx) / n
+    return m.select(
+        *group_cols,
+        "n_points",
+        (slope_ols_s / unscale).alias("slope_ols"),
+        (slope_ridge_s / unscale).alias("slope_ridge"),
+        (intercept_s / unscale).alias("intercept_ridge"),
+        (den / den_r).alias("shrinkage"),
     )

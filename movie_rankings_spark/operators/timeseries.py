@@ -851,3 +851,176 @@ def durbin_watson_daily(
         )
     )
     return out
+
+
+def binseg_changepoint(
+    df: DataFrame, day_col: str, cents_col, top_k: int = 3
+) -> DataFrame:
+    """Binary-segmentation change-point scan on a daily metric: for
+    every candidate split k (left = first k days) the between-segment
+    sum-of-squares reduction gain(k) = S_k²/k + (S−S_k)²/(N−k) − S²/N
+    — the first round of the classic binary-segmentation recursion,
+    and the LEVEL-SHIFT ranking next to cusum_changepoint's single
+    argmax: CUSUM gives the one most decisive switch, this emits the
+    top-k candidate splits WITH their variance-explained gain so a
+    pipeline can threshold ("is any split worth a regime flag?").
+
+    Shape: one fact-sized shuffle into the date-domain-bounded daily
+    series; prefix sums and the gain ranking are global windows over
+    that bounded table (the cusum/bounded-artifact exception,
+    declared in the audit allowlist). Exactness: prefix/total sums
+    are exact BIGINTs; each gain is the shared closed-form IEEE
+    expression of those integers, written identically in the oracle;
+    ranking ties break on earlier day.
+
+    Output: top_k rows — rank, split_day (last day of the left
+    segment, yyyy-MM-dd), k_left, n_days, total_cents, mean_left,
+    mean_right, gain — ordered by rank."""
+    daily = (
+        df.groupBy(F.col(day_col).alias("d"))
+        .agg(F.sum(cents_col.cast("long")).cast("long").alias("x"))
+        .persist_tracked()  # prefix pass + totals pass read this
+    )
+    w = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pref = daily.select(
+        "d",
+        F.sum("x").over(w).cast("long").alias("sk"),
+        F.count(F.lit(1)).over(w).cast("long").alias("k"),
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("s_tot"),
+    )
+    j = pref.crossJoin(F.broadcast(stats)).filter(
+        F.col("k") < F.col("n_days")
+    )
+    kd = F.col("k").cast("double")
+    nd = F.col("n_days").cast("double")
+    skd = F.col("sk").cast("double")
+    sd = F.col("s_tot").cast("double")
+    gain = (
+        skd * skd / kd
+        + (sd - skd) * (sd - skd) / (nd - kd)
+        - sd * sd / nd
+    )
+    scored = j.select(
+        "d",
+        "k",
+        "n_days",
+        "s_tot",
+        "sk",
+        gain.alias("gain"),
+    )
+    wr = Window.orderBy(F.col("gain").desc(), F.col("d").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            F.date_format("d", "yyyy-MM-dd").alias("split_day"),
+            F.col("k").alias("k_left"),
+            "n_days",
+            F.col("s_tot").alias("total_cents"),
+            (F.col("sk").cast("double") / F.col("k").cast("double")).alias(
+                "mean_left"
+            ),
+            (
+                (F.col("s_tot") - F.col("sk")).cast("double")
+                / (F.col("n_days") - F.col("k")).cast("double")
+            ).alias("mean_right"),
+            "gain",
+        )
+        .orderBy("rank")
+    )
+
+
+def seasonal_decompose_daily(
+    df: DataFrame, day_col: str, cents_col, period: int = 7
+) -> DataFrame:
+    """Classical additive seasonal decomposition of a daily metric —
+    trend (centered period-length moving average), seasonal (the
+    zero-mean per-position average of the detrended series), residual
+    — the diagnostic view underneath holt_winters_daily's forecast:
+    HW smooths forward, this EXPLAINS the series ("how much of Monday
+    is just Monday?"), and the residual is what anomaly detectors
+    should score instead of the raw metric.
+
+    Positions are epoch-anchored (days-since-1970 mod period) so both
+    engines derive identical weekday indices with no locale/DOW-origin
+    dependence. The centered MA uses a ROWS window over the OBSERVED
+    daily sequence (the positional contract — TPC-H-like order dates
+    are dense; with gaps, positions are sequence positions).
+
+    Exactness: the daily sums are exact BIGINTs; the detrended value
+    is kept as the exact integer numerator period·y − Σwindow (never
+    a float difference), so per-position means are exact-integer
+    sums over exact counts. The seasonal normalization subtracts the
+    COUNT-WEIGHTED global detrended mean (Σ numerators / period·Σ
+    counts — the weighted variant of the classical unweighted
+    mean-of-means, identical when positions are balanced): every
+    emitted value is then a single IEEE expression of exact integers
+    — no float-to-decimal quantization anywhere, which matters
+    because Spark rounds double→decimal HALF_UP while DuckDB rounds
+    half-even (observed divergence at a .5 boundary on this very
+    series). Written identically in the oracle.
+
+    Output: one row per day — day (yyyy-MM-dd), revenue_cents, pos,
+    trend, seasonal, resid (trend/resid NULL on the first/last
+    ⌊period/2⌋ days where the centered window is partial) — ordered
+    by day."""
+    half = period // 2
+    daily = (
+        df.groupBy(F.col(day_col).alias("d"))
+        .agg(F.sum(cents_col.cast("long")).cast("long").alias("y"))
+        .persist_tracked()  # MA window + position means read this
+    )
+    wma = Window.orderBy("d").rowsBetween(-half, half)
+    base = daily.select(
+        "d",
+        "y",
+        (F.datediff(F.col("d"), F.lit("1970-01-01")) % period).alias("pos"),
+        F.when(
+            F.count(F.lit(1)).over(wma) == period,
+            F.sum("y").over(wma).cast("long"),
+        ).alias("win_sum"),
+    ).persist_tracked()  # position means + the output rows read this
+    # exact integer numerator of the detrended value: period*y - win_sum
+    det_num = (F.col("y") * period - F.col("win_sum")).cast("long")
+    pos_means = (
+        base.filter(F.col("win_sum").isNotNull())
+        .groupBy("pos")
+        .agg(
+            F.sum(det_num).cast("long").alias("dnum"),
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+        )
+        .persist_tracked()  # the global normalizer and the map read this
+    )
+    norm = pos_means.agg(
+        F.sum("dnum").cast("long").alias("d_tot"),
+        F.sum("cnt").cast("long").alias("c_tot"),
+    )
+    seasonal = pos_means.crossJoin(F.broadcast(norm)).select(
+        "pos",
+        (
+            F.col("dnum").cast("double")
+            / (F.lit(float(period)) * F.col("cnt").cast("double"))
+            - F.col("d_tot").cast("double")
+            / (F.lit(float(period)) * F.col("c_tot").cast("double"))
+        ).alias("seasonal"),
+    )
+    trend = F.col("win_sum").cast("double") / F.lit(float(period))
+    detrended = det_num.cast("double") / F.lit(float(period))
+    return (
+        base.join(F.broadcast(seasonal), "pos")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("y").alias("revenue_cents"),
+            F.col("pos").cast("int").alias("pos"),
+            trend.alias("trend"),
+            F.col("seasonal"),
+            (detrended - F.col("seasonal")).alias("resid"),
+        )
+        .orderBy("day")
+    )

@@ -112,3 +112,90 @@ def triangle_count_naive(und: DataFrame) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def local_clustering(und: DataFrame) -> DataFrame:
+    """Per-node local clustering coefficient — triangles through the
+    node over its wedge count: lcc(v) = 2·T_v / (d_v·(d_v−1)) — the
+    node-level refinement of triangle_stats' one global number: hub
+    nodes with low lcc are brokers, high-lcc nodes sit inside tight
+    communities (the feature a graph-aware sampler or fraud screen
+    reads). ``und`` must be canonical (u < v, distinct).
+
+    Shape: the same degree-ordered orientation as triangle_stats
+    (wedge work bounded O(m^1.5), 'curse of the last reducer'-proof);
+    each closed triangle fans out its THREE corners through one
+    explode, then a map-side-combined per-node count. Nodes in no
+    triangle surface with n_triangles = 0 via the degree left join.
+    Exactness: counts are exact BIGINTs; lcc is one IEEE division of
+    exact integers. Output: one row per node with degree ≥ 2 — node,
+    degree, n_triangles, lcc — ordered by node.
+    """
+    # the degree union reads und twice and the orientation join once:
+    # persist so an expensive upstream (e.g. basket explode) runs once
+    und = und.persist_tracked()
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .persist_tracked()  # orientation joins + the output read this
+    )
+    e = und.join(
+        deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u"
+    ).join(
+        deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v"
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("d_dst"),
+    ).persist_tracked()  # wedge sides + closure probe read this
+    x, y = o.alias("x"), o.alias("y")
+    wedge = x.join(
+        y,
+        (F.col("x.src") == F.col("y.src"))
+        & (
+            (F.col("x.d_dst") < F.col("y.d_dst"))
+            | (
+                (F.col("x.d_dst") == F.col("y.d_dst"))
+                & (F.col("x.dst") < F.col("y.dst"))
+            )
+        ),
+    ).select(
+        F.col("x.src").alias("wc"),
+        F.col("x.dst").alias("wa"),
+        F.col("y.dst").alias("wb"),
+    )
+    closed = wedge.join(
+        o.select("src", "dst"),
+        (F.col("wa") == F.col("src")) & (F.col("wb") == F.col("dst")),
+    )
+    per_node = (
+        closed.select(
+            F.explode(F.array("wc", "wa", "wb")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    dd = F.col("d").cast("double")
+    return (
+        deg.filter(F.col("d") >= 2)
+        .join(per_node, "node", "left")
+        .select(
+            "node",
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("long").alias(
+                "n_triangles"
+            ),
+            (
+                F.lit(2.0)
+                * F.coalesce(F.col("t"), F.lit(0)).cast("double")
+                / (dd * (dd - F.lit(1.0)))
+            ).alias("lcc"),
+        )
+        .orderBy("node")
+    )

@@ -77,6 +77,16 @@ _UNSEEN_FIRST = (
     "mood_median_doclen_source",
     "hellinger_qty_returnflag",
     "cep_view_click_purchase",
+    "bartlett_doclen_source",
+    "cramersv_priority_segment",
+    "fleiss_quality_raters",
+    "binseg_changepoint_revenue",
+    "seasonal_decompose_revenue",
+    "local_clustering_copurchase",
+    "itemsim_cosine_topk",
+    "ridge_monthly_trend",
+    "survival_nelson_aalen",
+    "survival_logrank_segment",
 )
 
 #: most expensive entries at sf0.01, slowest-last; everything absent

@@ -4526,3 +4526,595 @@ def cep_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cep_pattern_matches(
         _t(spark, sf_dir, "events"), "user_id", sym, "v+c+p"
     )
+
+
+# --- r7: Bartlett variance-homogeneity test ----------------------------------
+
+_BARTLETT_ORACLE = """
+WITH g AS (
+  SELECT source AS g, CAST(n_chars AS BIGINT) AS v FROM documents
+  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+), m AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(v AS HUGEINT)) AS HUGEINT) AS s,
+         CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT) AS ss
+  FROM g GROUP BY 1 HAVING COUNT(*) >= 2
+), vg AS (
+  SELECT g, n, CAST(n - 1 AS BIGINT) AS w,
+         CAST(n * ss - s * s AS DOUBLE)
+           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS var_g
+  FROM m
+), pos AS (SELECT * FROM vg WHERE var_g > 0),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n) AS BIGINT) AS n_total,
+         CAST(SUM(w) AS BIGINT) AS sum_w,
+         SUM(CAST(CAST(w AS DECIMAL(19,0))
+                  * CAST(ln(var_g) AS DECIMAL(18,9)) AS DECIMAL(38,9)))
+           AS sum_wln,
+         SUM(CAST(CAST(w AS DOUBLE) * var_g AS DECIMAL(38,6))) AS ssw,
+         SUM(CAST(1.0 / CAST(w AS DOUBLE) AS DECIMAL(18,12))) AS harm
+  FROM pos
+), sc AS (
+  SELECT k, n_total, sum_w,
+         CAST(ssw AS DOUBLE) / CAST(sum_w AS DOUBLE) AS pooled_var,
+         1.0 + (CAST(harm AS DOUBLE) - 1.0 / CAST(sum_w AS DOUBLE))
+               / (3.0 * (CAST(k AS DOUBLE) - 1.0)) AS c_factor,
+         CAST(sum_wln AS DOUBLE) AS sum_wln_d
+  FROM tot
+)
+SELECT p.g AS "group", p.n AS n_group, p.var_g AS var_group,
+       sc.n_total, sc.k AS k_groups, sc.pooled_var, sc.c_factor,
+       (CAST(sc.sum_w AS DOUBLE)
+          * CAST(CAST(ln(sc.pooled_var) AS DECIMAL(18,9)) AS DOUBLE)
+        - sc.sum_wln_d) / sc.c_factor AS chi2,
+       CAST(sc.k - 1 AS BIGINT) AS df
+FROM pos p CROSS JOIN sc
+ORDER BY 1
+"""
+
+
+@REGISTRY.register("bartlett_doclen_source", _BARTLETT_ORACLE)
+def bartlett_doclen_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's variance-homogeneity test of document length across
+    sources — the parametric dispersion check next to the same
+    contrast's location tests (kruskal_doclen_source,
+    mood_median_doclen_source) and the robust BF variant
+    (brown_forsythe_price_priority): one exact-moment fact pass,
+    per-group ln(s²) quantized DECIMAL(18,9)
+    (operators/disttests.py::bartlett_test)."""
+    from movie_rankings_spark.operators.disttests import bartlett_test
+
+    return bartlett_test(
+        _t(spark, sf_dir, "documents"), F.col("source"), F.col("n_chars")
+    )
+
+
+# --- r7: Cramér's V association strength --------------------------------------
+
+_CRAMERSV_ORACLE = """
+WITH j AS (
+  SELECT o.o_orderpriority AS r, c.c_mktsegment AS c2
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE o.o_orderpriority IS NOT NULL AND c.c_mktsegment IS NOT NULL
+), cells AS (
+  SELECT r, c2, CAST(COUNT(*) AS BIGINT) AS observed FROM j GROUP BY 1, 2
+), tot AS (SELECT CAST(SUM(observed) AS BIGINT) AS n_obs FROM cells),
+marg AS (
+  SELECT observed,
+         CAST(SUM(observed) OVER (PARTITION BY r) AS BIGINT) AS row_total,
+         CAST(SUM(observed) OVER (PARTITION BY c2) AS BIGINT) AS col_total
+  FROM cells
+), chi AS (
+  SELECT CAST(t.n_obs AS DOUBLE)
+         * (CAST(SUM(CAST(
+              CAST(observed AS DOUBLE) * CAST(observed AS DOUBLE)
+              / (CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE))
+            AS DECIMAL(18,15))) AS DOUBLE) - 1.0) AS chi2
+  FROM marg CROSS JOIN tot t GROUP BY t.n_obs
+), lv AS (
+  SELECT CAST(COUNT(DISTINCT r) AS BIGINT) AS r_levels,
+         CAST(COUNT(DISTINCT c2) AS BIGINT) AS c_levels
+  FROM cells
+)
+SELECT t.n_obs, lv.r_levels, lv.c_levels, chi.chi2,
+       CAST((lv.r_levels - 1) * (lv.c_levels - 1) AS BIGINT) AS df,
+       sqrt((chi.chi2 / CAST(t.n_obs AS DOUBLE))
+            / (least(CAST(lv.r_levels AS DOUBLE),
+                     CAST(lv.c_levels AS DOUBLE)) - 1.0)) AS cramers_v,
+       sqrt(greatest(0.0,
+              chi.chi2 / CAST(t.n_obs AS DOUBLE)
+              - (CAST(lv.r_levels AS DOUBLE) - 1.0)
+                * (CAST(lv.c_levels AS DOUBLE) - 1.0)
+                / (CAST(t.n_obs AS DOUBLE) - 1.0))
+            / (least(CAST(lv.r_levels AS DOUBLE)
+                       - (CAST(lv.r_levels AS DOUBLE) - 1.0)
+                         * (CAST(lv.r_levels AS DOUBLE) - 1.0)
+                         / (CAST(t.n_obs AS DOUBLE) - 1.0),
+                     CAST(lv.c_levels AS DOUBLE)
+                       - (CAST(lv.c_levels AS DOUBLE) - 1.0)
+                         * (CAST(lv.c_levels AS DOUBLE) - 1.0)
+                         / (CAST(t.n_obs AS DOUBLE) - 1.0)) - 1.0))
+         AS cramers_v_corrected
+FROM tot t CROSS JOIN lv CROSS JOIN chi
+"""
+
+
+@REGISTRY.register("cramersv_priority_segment", _CRAMERSV_ORACLE)
+def cramersv_priority_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V (raw + Bergsma bias-corrected) between order
+    priority and the ordering customer's market segment — the [0,1]
+    association strength on top of the chi² machinery: the feature-
+    redundancy screen a pipeline thresholds before one-hot-encoding
+    both columns. Star join then ONE bounded 5×5 cell table
+    (operators/statistics.py::cramers_v)."""
+    from movie_rankings_spark.operators.statistics import cramers_v
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = orders.join(
+        cust, orders.o_custkey == cust.c_custkey
+    )
+    return cramers_v(joined, "o_orderpriority", "c_mktsegment")
+
+
+# --- r7: binary-segmentation change-point scan --------------------------------
+
+_BINSEG_ORACLE = """
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+), pref AS (
+  SELECT d,
+         CAST(SUM(x) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS sk,
+         CAST(COUNT(*) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS k
+  FROM daily
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(x) AS BIGINT) AS s_tot
+  FROM daily
+), sc AS (
+  SELECT p.d, p.k, t.n_days, t.s_tot, p.sk,
+         CAST(p.sk AS DOUBLE) * CAST(p.sk AS DOUBLE) / CAST(p.k AS DOUBLE)
+         + (CAST(t.s_tot AS DOUBLE) - CAST(p.sk AS DOUBLE))
+           * (CAST(t.s_tot AS DOUBLE) - CAST(p.sk AS DOUBLE))
+           / (CAST(t.n_days AS DOUBLE) - CAST(p.k AS DOUBLE))
+         - CAST(t.s_tot AS DOUBLE) * CAST(t.s_tot AS DOUBLE)
+           / CAST(t.n_days AS DOUBLE) AS gain
+  FROM pref p CROSS JOIN tot t
+  WHERE p.k < t.n_days
+), rk AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY gain DESC, d ASC) AS INTEGER)
+            AS rank
+  FROM sc
+)
+SELECT rank, strftime(d, '%Y-%m-%d') AS split_day, k AS k_left, n_days,
+       s_tot AS total_cents,
+       CAST(sk AS DOUBLE) / CAST(k AS DOUBLE) AS mean_left,
+       CAST(s_tot - sk AS DOUBLE) / CAST(n_days - k AS DOUBLE) AS mean_right,
+       gain
+FROM rk WHERE rank <= 3
+ORDER BY rank
+"""
+
+
+@REGISTRY.register("binseg_changepoint_revenue", _BINSEG_ORACLE)
+def binseg_changepoint_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 candidate level-shift splits of daily revenue by
+    between-segment SSE gain — the first binary-segmentation round,
+    next to cusum_changepoint_revenue's single argmax: the gain
+    magnitude is what a regime-flag threshold reads
+    (operators/timeseries.py::binseg_changepoint)."""
+    from movie_rankings_spark.operators.timeseries import binseg_changepoint
+
+    return binseg_changepoint(
+        _t(spark, sf_dir, "orders"),
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * F.lit(100)),
+        top_k=3,
+    )
+
+
+# --- r7: classical seasonal decomposition -------------------------------------
+
+_SEASDEC_ORACLE = """
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+), base AS (
+  SELECT d, y,
+         CAST(date_diff('day', DATE '1970-01-01', d) % 7 AS BIGINT) AS pos,
+         CASE WHEN COUNT(*) OVER w = 7
+              THEN CAST(SUM(y) OVER w AS BIGINT) END AS win_sum
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), pm AS (
+  SELECT pos,
+         CAST(SUM(y * 7 - win_sum) AS BIGINT) AS dnum,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM base WHERE win_sum IS NOT NULL GROUP BY 1
+), norm AS (
+  SELECT CAST(SUM(dnum) AS BIGINT) AS d_tot,
+         CAST(SUM(cnt) AS BIGINT) AS c_tot
+  FROM pm
+), seas AS (
+  SELECT pos,
+         CAST(dnum AS DOUBLE) / (7.0 * CAST(cnt AS DOUBLE))
+         - CAST(n.d_tot AS DOUBLE) / (7.0 * CAST(n.c_tot AS DOUBLE))
+           AS seasonal
+  FROM pm CROSS JOIN norm n
+)
+SELECT strftime(b.d, '%Y-%m-%d') AS day, b.y AS revenue_cents,
+       CAST(b.pos AS INTEGER) AS pos,
+       CAST(b.win_sum AS DOUBLE) / 7.0 AS trend,
+       s.seasonal,
+       CAST(b.y * 7 - b.win_sum AS DOUBLE) / 7.0 - s.seasonal AS resid
+FROM base b JOIN seas s USING (pos)
+ORDER BY day
+"""
+
+
+@REGISTRY.register("seasonal_decompose_revenue", _SEASDEC_ORACLE)
+def seasonal_decompose_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of daily revenue into
+    trend / weekly seasonal / residual — the explanatory view under
+    holt_winters_daily's forecast; residuals are what the anomaly
+    tier should score. Exact-integer detrended numerators, epoch-
+    anchored weekday positions
+    (operators/timeseries.py::seasonal_decompose_daily)."""
+    from movie_rankings_spark.operators.timeseries import (
+        seasonal_decompose_daily,
+    )
+
+    return seasonal_decompose_daily(
+        _t(spark, sf_dir, "orders"),
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * F.lit(100)),
+        period=7,
+    )
+
+
+# --- r7: item-item cosine collaborative filtering ------------------------------
+
+_ITEMSIM_ORACLE = """
+WITH cb AS (
+  SELECT DISTINCT o.o_custkey AS basket, l.l_partkey AS item
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), sup AS (
+  SELECT item, CAST(COUNT(*) AS BIGINT) AS n_item FROM cb GROUP BY 1
+  HAVING COUNT(*) >= 20
+), freq AS (
+  SELECT cb.basket, cb.item, sup.n_item FROM cb JOIN sup USING (item)
+), sized AS (
+  SELECT basket, item, n_item,
+         COUNT(*) OVER (PARTITION BY basket) AS bsz
+  FROM freq
+), kept AS (SELECT basket, item, n_item FROM sized WHERE bsz <= 100),
+pairs AS (
+  SELECT a.item AS ia, b.item AS ib, CAST(COUNT(*) AS BIGINT) AS n_both,
+         MIN(a.n_item) AS n_a, MIN(b.n_item) AS n_b
+  FROM kept a JOIN kept b ON a.basket = b.basket AND a.item < b.item
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+), dirs AS (
+  SELECT ia AS item, ib AS neighbor, n_a AS n_item, n_b AS n_neighbor,
+         n_both
+  FROM pairs
+  UNION ALL
+  SELECT ib, ia, n_b, n_a, n_both FROM pairs
+), scored AS (
+  SELECT *, CAST(n_both AS DOUBLE)
+            / sqrt(CAST(n_item AS DOUBLE) * CAST(n_neighbor AS DOUBLE))
+            AS cosine
+  FROM dirs
+), rk AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY item
+             ORDER BY cosine DESC, n_both DESC, neighbor ASC) AS INTEGER)
+            AS rank
+  FROM scored
+)
+SELECT item, rank, neighbor, CAST(n_item AS BIGINT) AS n_item,
+       CAST(n_neighbor AS BIGINT) AS n_neighbor, n_both, cosine
+FROM rk WHERE rank <= 5
+ORDER BY item, rank
+"""
+
+
+@REGISTRY.register("itemsim_cosine_topk", _ITEMSIM_ORACLE)
+def itemsim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 most similar parts per part by binary cosine over
+    CUSTOMER purchase sets — "customers who bought X also bought Y",
+    the neighborhood-model recommender next to
+    basket_association_rules' order-level lift: cosine normalizes by
+    item popularity, so the neighborhood isn't just the bestsellers.
+    A-priori prefilter + the max_basket power-user guard bound the
+    pair join (operators/basket.py::item_cosine_topk)."""
+    from movie_rankings_spark.operators.basket import item_cosine_topk
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cb = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).select(
+        F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
+    )
+    return item_cosine_topk(
+        cb,
+        "cust",
+        "part",
+        k=5,
+        min_item_support=20,
+        min_pair_support=3,
+        max_basket=100,
+    )
+
+
+# --- r7: ridge-shrunk per-group trend ------------------------------------------
+
+_RIDGE_ORACLE = """
+WITH ord_rev AS (
+  SELECT l_orderkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS rev
+  FROM lineitem GROUP BY l_orderkey
+), monthly AS (
+  SELECT n.n_name,
+         (year(o.o_orderdate) - 1992) * 12 + month(o.o_orderdate) - 1 AS x,
+         CAST(SUM(r.rev) AS DECIMAL(18,4)) AS y
+  FROM ord_rev r
+  JOIN orders o   ON o.o_orderkey  = r.l_orderkey
+  JOIN customer c ON c.c_custkey   = o.o_custkey
+  JOIN nation n   ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2
+), scaled AS (
+  SELECT n_name, x, CAST(y * 10000 AS DECIMAL(20,0)) AS ys FROM monthly
+), m AS (
+  SELECT n_name,
+         CAST(COUNT(*) AS BIGINT) AS n_points,
+         CAST(SUM(CAST(x AS DECIMAL(10,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(x AS DECIMAL(10,0)) * CAST(x AS DECIMAL(10,0)))
+              AS DOUBLE) AS sxx,
+         CAST(SUM(ys) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(CAST(x AS DECIMAL(10,0)) * ys AS DECIMAL(38,0)))
+              AS DOUBLE) AS sxy
+  FROM scaled GROUP BY n_name
+), f AS (
+  SELECT n_name, n_points,
+         CAST(n_points AS DOUBLE) * sxy - sx * sy AS num,
+         CAST(n_points AS DOUBLE) * sxx - sx * sx AS den,
+         CAST(n_points AS DOUBLE) * sxx - sx * sx
+           + CAST(n_points AS DOUBLE) * 5000.0 AS den_r,
+         sx, sy
+  FROM m
+)
+SELECT n_name, n_points,
+       (num / den) / 10000.0 AS slope_ols,
+       (num / den_r) / 10000.0 AS slope_ridge,
+       ((sy - (num / den_r) * sx) / CAST(n_points AS DOUBLE)) / 10000.0
+         AS intercept_ridge,
+       den / den_r AS shrinkage
+FROM f
+ORDER BY n_name
+"""
+
+
+@REGISTRY.register("ridge_monthly_trend", _RIDGE_ORACLE)
+def ridge_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-shrunk revenue trend per nation over the SAME monthly cells
+    regression_monthly_trend fits: on ~7 years of monthly points the
+    OLS slope whipsaws with one hot quarter; the ridge slope
+    (λ_c = 5000 month² in the n-scaled centered form) pulls it toward
+    zero by the emitted shrinkage factor — the stable per-group trend
+    a dashboard or allocation model should consume
+    (operators/statistics.py::grouped_ridge)."""
+    from movie_rankings_spark.operators.statistics import grouped_ridge
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    ord_rev = li.groupBy("l_orderkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        ).alias("rev")
+    )
+    monthly = (
+        ord_rev.join(orders, orders.o_orderkey == ord_rev.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            "n_name",
+            (
+                (F.year("o_orderdate") - 1992) * 12
+                + F.month("o_orderdate")
+                - 1
+            ).alias("x"),
+        )
+        .agg(F.sum("rev").cast("decimal(18,4)").alias("y"))
+    )
+    return grouped_ridge(
+        monthly, ["n_name"], "x", "y", lam=5000.0
+    ).orderBy("n_name")
+
+
+# --- r7: Nelson-Aalen cumulative hazard + log-rank test -----------------------
+
+_NA_ORACLE = """
+WITH per AS (
+  SELECT o_custkey, CAST(MIN(o_orderdate) AS DATE) AS f,
+         CAST(MAX(o_orderdate) AS DATE) AS l
+  FROM orders GROUP BY 1
+), mx AS (
+  SELECT MAX(l) AS m FROM per
+), subj AS (
+  SELECT CAST(datediff('day', f, l) AS BIGINT) AS t,
+         CASE WHEN datediff('day', l, mx.m) > 90 THEN 1 ELSE 0 END AS e
+  FROM per CROSS JOIN mx
+), steps AS (
+  SELECT t, CAST(SUM(e) AS BIGINT) AS d,
+         CAST(SUM(1 - e) AS BIGINT) AS c
+  FROM subj GROUP BY 1
+), risk AS (
+  SELECT t, d, c,
+         CAST(SUM(d + c) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW) AS BIGINT) AS n_at_risk
+  FROM steps
+), q AS (
+  SELECT t, d, c, n_at_risk,
+         CAST(FLOOR(CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE)
+              * 1099511627776.0) AS BIGINT) AS iq,
+         CAST(FLOOR(CAST(d AS DOUBLE) / (CAST(n_at_risk AS DOUBLE)
+              * CAST(n_at_risk AS DOUBLE)) * 1099511627776.0) AS BIGINT)
+           AS vq
+  FROM risk
+), cum AS (
+  SELECT t, d, c, n_at_risk, iq,
+         CAST(SUM(iq) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW) AS BIGINT) AS hq,
+         CAST(SUM(vq) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW) AS BIGINT) AS vq2
+  FROM q
+)
+SELECT t AS duration, n_at_risk, d AS n_events, c AS n_censored,
+       CAST(iq AS DOUBLE) / 1099511627776.0 AS hazard_inc,
+       CAST(hq AS DOUBLE) / 1099511627776.0 AS cum_hazard,
+       CAST(vq2 AS DOUBLE) / 1099511627776.0 AS cum_hazard_var
+FROM cum WHERE d > 0 ORDER BY duration
+"""
+
+
+@REGISTRY.register("survival_nelson_aalen", _NA_ORACLE)
+def survival_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative churn hazard over the SAME customer
+    (duration, event) table survival_customer_km estimates: the
+    additive hazard increments d/n a churn model consumes per
+    period, with the Aalen variance — suffix-sum at-risk counts, no
+    recursion (operators/survival.py::nelson_aalen)."""
+    from movie_rankings_spark.operators.survival import nelson_aalen
+
+    per = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.col("o_orderdate").cast("date")).alias("f"),
+            F.max(F.col("o_orderdate").cast("date")).alias("l"),
+        )
+        .persist_tracked()
+    )
+    horizon = per.agg(F.max("l").alias("m"))
+    subj = per.crossJoin(F.broadcast(horizon)).select(
+        F.datediff("l", "f").cast("long").alias("duration"),
+        (F.datediff("m", "l") > 90).cast("int").alias("event"),
+    )
+    return nelson_aalen(subj)
+
+
+_LOGRANK_ORACLE = """
+WITH per AS (
+  SELECT o.o_custkey, CAST(MIN(o.o_orderdate) AS DATE) AS f,
+         CAST(MAX(o.o_orderdate) AS DATE) AS l,
+         MIN(c.c_mktsegment) AS seg
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+), mx AS (
+  SELECT MAX(l) AS m FROM per
+), subj AS (
+  SELECT CAST(datediff('day', f, l) AS BIGINT) AS t,
+         CASE WHEN datediff('day', l, mx.m) > 90 THEN 1 ELSE 0 END AS e,
+         CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END AS g
+  FROM per CROSS JOIN mx
+), cells AS (
+  SELECT t, g, CAST(SUM(e) AS BIGINT) AS d,
+         CAST(SUM(1 - e) AS BIGINT) AS c
+  FROM subj GROUP BY 1, 2
+), dense AS (
+  SELECT ts.t, gs.g,
+         CAST(COALESCE(cl.d, 0) AS BIGINT) AS d,
+         CAST(COALESCE(cl.c, 0) AS BIGINT) AS c
+  FROM (SELECT DISTINCT t FROM cells) ts
+  CROSS JOIN (SELECT DISTINCT g FROM cells) gs
+  LEFT JOIN cells cl ON cl.t = ts.t AND cl.g = gs.g
+), risk AS (
+  SELECT t, g, d, c,
+         CAST(SUM(d + c) OVER (PARTITION BY g ORDER BY t DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS n_r
+  FROM dense
+), pooled AS (
+  SELECT t, CAST(SUM(d) AS BIGINT) AS d_tot,
+         CAST(SUM(n_r) AS BIGINT) AS n_tot,
+         CAST(SUM(CASE WHEN g = 1 THEN d ELSE 0 END) AS BIGINT) AS d1,
+         CAST(SUM(CASE WHEN g = 1 THEN n_r ELSE 0 END) AS BIGINT) AS n1
+  FROM risk GROUP BY 1
+), ev AS (SELECT * FROM pooled WHERE d_tot > 0),
+terms AS (
+  SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+         CAST(SUM(d_tot) AS BIGINT) AS o_tot,
+         CAST(SUM(CAST(CAST(d_tot AS DOUBLE) * CAST(n1 AS DOUBLE)
+                       / CAST(n_tot AS DOUBLE) AS DECIMAL(18,9)))
+              AS DECIMAL(38,9)) AS e1,
+         CAST(SUM(CAST(CASE WHEN n_tot > 1 THEN
+                 CAST(d_tot AS DOUBLE)
+                 * (CAST(n1 AS DOUBLE) / CAST(n_tot AS DOUBLE))
+                 * ((CAST(n_tot AS DOUBLE) - CAST(n1 AS DOUBLE))
+                    / CAST(n_tot AS DOUBLE))
+                 * ((CAST(n_tot AS DOUBLE) - CAST(d_tot AS DOUBLE))
+                    / (CAST(n_tot AS DOUBLE) - 1.0))
+                 ELSE 0.0 END AS DECIMAL(18,12))) AS DECIMAL(38,12)) AS v
+  FROM ev
+), sizes AS (
+  SELECT CAST(SUM(CASE WHEN g = 1 THEN d + c ELSE 0 END) AS BIGINT) AS n_1,
+         CAST(SUM(CASE WHEN g = 0 THEN d + c ELSE 0 END) AS BIGINT) AS n_2
+  FROM cells
+)
+SELECT s.n_1, s.n_2, t.o1 AS observed_1,
+       CAST(t.o_tot - t.o1 AS BIGINT) AS observed_2,
+       CAST(t.e1 AS DOUBLE) AS expected_1,
+       CAST(t.v AS DOUBLE) AS variance,
+       (CAST(t.o1 AS DOUBLE) - CAST(t.e1 AS DOUBLE))
+         * (CAST(t.o1 AS DOUBLE) - CAST(t.e1 AS DOUBLE))
+         / CAST(t.v AS DOUBLE) AS chi2
+FROM sizes s CROSS JOIN terms t
+"""
+
+
+@REGISTRY.register("survival_logrank_segment", _LOGRANK_ORACLE)
+def survival_logrank_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test: does BUILDING-segment customer churn follow a
+    different survival curve than the rest? The inference companion
+    to the KM/Nelson-Aalen estimators — per pooled event time the
+    hypergeometric O-E accumulation over group-partitioned suffix
+    at-risk counts (operators/survival.py::logrank_test)."""
+    from movie_rankings_spark.operators.survival import logrank_test
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate"
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    per = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.col("o_orderdate").cast("date")).alias("f"),
+            F.max(F.col("o_orderdate").cast("date")).alias("l"),
+            F.min("c_mktsegment").alias("seg"),
+        )
+        .persist_tracked()
+    )
+    horizon = per.agg(F.max("l").alias("m"))
+    subj = per.crossJoin(F.broadcast(horizon)).select(
+        F.datediff("l", "f").cast("long").alias("duration"),
+        (F.datediff("m", "l") > 90).cast("int").alias("event"),
+        (F.col("seg") == "BUILDING").cast("int").alias("g"),
+    )
+    return logrank_test(subj, "duration", "event", F.col("g"))

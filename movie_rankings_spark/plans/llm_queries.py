@@ -4434,3 +4434,124 @@ def rake_keyphrases_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from movie_rankings_spark.operators.textops import rake_keyphrases
 
     return rake_keyphrases(_docs(spark, sf_dir), "text", lang="en", top_k=20)
+
+
+# --- r7: Fleiss' kappa multi-rater agreement ----------------------------------
+
+_FLEISS_ORACLE = """
+WITH r AS (
+  SELECT CASE WHEN n_chars >= 240 THEN 1 ELSE 0 END AS a,
+         CASE WHEN (length(text) - length(replace(text, ' ', ''))) * 1000
+                   >= n_chars * 178 THEN 1 ELSE 0 END AS b,
+         CASE WHEN len(string_split(text, ' ')) >= 50 THEN 1 ELSE 0 END AS c
+  FROM documents
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(SUM((a + b + c) * (a + b + c)
+                  + (3 - a - b - c) * (3 - a - b - c)) AS BIGINT) AS sum_sq,
+         CAST(SUM(a + b + c) AS BIGINT) AS c1
+  FROM r
+), pe AS (
+  SELECT CAST(SUM(CAST(
+           (CAST(c AS DOUBLE) / (CAST(n_items AS DOUBLE) * 3.0))
+           * (CAST(c AS DOUBLE) / (CAST(n_items AS DOUBLE) * 3.0))
+         AS DECIMAL(18,12))) AS DOUBLE) AS p_e,
+         CAST(SUM(cat * c) AS BIGINT) AS cat_checksum
+  FROM (SELECT 1 AS cat, c1 AS c, n_items FROM m
+        UNION ALL
+        SELECT 0 AS cat, 3 * n_items - c1 AS c, n_items FROM m)
+)
+SELECT m.n_items, CAST(3 AS BIGINT) AS n_raters, m.sum_sq,
+       (CAST(m.sum_sq AS DOUBLE) - CAST(m.n_items AS DOUBLE) * 3.0)
+         / (CAST(m.n_items AS DOUBLE) * 3.0 * 2.0) AS p_bar,
+       pe.p_e,
+       ((CAST(m.sum_sq AS DOUBLE) - CAST(m.n_items AS DOUBLE) * 3.0)
+          / (CAST(m.n_items AS DOUBLE) * 3.0 * 2.0) - pe.p_e)
+         / (1.0 - pe.p_e) AS kappa,
+       pe.cat_checksum
+FROM m CROSS JOIN pe
+"""
+
+
+@REGISTRY.register("fleiss_quality_raters", _FLEISS_ORACLE)
+def fleiss_quality_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa across the SAME three quality heuristics
+    cochranq_quality_raters tests: Cochran-Q asks "do their positive
+    RATES differ", Fleiss asks "how far beyond chance do all three
+    AGREE per document" — together the go/no-go readout on swapping
+    one heuristic for another. Agreement numerator as the exact
+    count of concordant rater pairs — pure codegen, no category
+    domain materialized (operators/disttests.py::fleiss_kappa)."""
+    from movie_rankings_spark.operators.disttests import fleiss_kappa
+
+    docs = _docs(spark, sf_dir)
+    spaces = F.length("text") - F.length(
+        F.replace(F.col("text"), F.lit(" "), F.lit(""))
+    )
+    return fleiss_kappa(
+        docs,
+        [
+            (F.col("n_chars") >= F.lit(240)).cast("int"),
+            (spaces * F.lit(1000) >= F.col("n_chars") * F.lit(178)).cast(
+                "int"
+            ),
+            (F.size(F.split(F.col("text"), " ")) >= F.lit(50)).cast("int"),
+        ],
+    )
+
+
+# --- r7: per-node local clustering coefficient --------------------------------
+
+_LCC_ORACLE = """
+WITH baskets AS (
+  SELECT list_distinct(list(l_partkey)) AS parts
+  FROM lineitem GROUP BY l_orderkey
+), ok AS (
+  SELECT parts FROM baskets WHERE len(parts) BETWEEN 2 AND 30
+), pairs AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM ok, LATERAL unnest(parts) AS a(p), LATERAL unnest(parts) AS b(p)
+  WHERE a.p < b.p
+), deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs)
+  GROUP BY node
+), tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e2.u = e1.v
+  JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+), tn AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS t
+  FROM (SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+  GROUP BY node
+)
+SELECT d.node, d.d AS degree,
+       CAST(COALESCE(tn.t, 0) AS BIGINT) AS n_triangles,
+       2.0 * CAST(COALESCE(tn.t, 0) AS DOUBLE)
+         / (CAST(d.d AS DOUBLE) * (CAST(d.d AS DOUBLE) - 1.0)) AS lcc
+FROM deg d LEFT JOIN tn USING (node)
+WHERE d.d >= 2
+ORDER BY node
+"""
+
+
+@REGISTRY.register("local_clustering_copurchase", _LCC_ORACLE)
+def local_clustering_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part local clustering coefficient on the co-purchase
+    graph — which items sit inside tight co-purchase communities vs
+    bridge across them; the node-level refinement of
+    triangles_copurchase' one global number, same degree-ordered
+    O(m^1.5) orientation, oracle = independent naive 3-way join
+    (operators/triangles.py::local_clustering)."""
+    from movie_rankings_spark.catalog import load_table
+    from movie_rankings_spark.operators.pagerank import copurchase_edges
+    from movie_rankings_spark.operators.triangles import (
+        local_clustering,
+        undirected_edges,
+    )
+
+    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    return local_clustering(undirected_edges(edges))

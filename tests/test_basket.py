@@ -51,3 +51,56 @@ def test_infrequent_items_never_pair(spark):
         r["consequent"] for r in out.collect()
     }
     assert "D" not in items
+
+
+def test_item_cosine_topk_hand_computed(spark):
+    from movie_rankings_spark.operators.basket import item_cosine_topk
+
+    # 4 baskets; items A,B always together; C in half of A's baskets
+    rows = []
+    for bk, items in [
+        (1, ["A", "B", "C"]),
+        (2, ["A", "B"]),
+        (3, ["A", "B", "C"]),
+        (4, ["C", "D"]),
+        (5, ["A", "B", "D"]),
+    ]:
+        rows += [(bk, it) for it in items]
+    df = spark.createDataFrame(rows, "bk long, it string")
+    out = item_cosine_topk(
+        df, "bk", "it", k=3, min_item_support=1, min_pair_support=1,
+        max_basket=10,
+    ).collect()
+    got = {
+        (r["item"], r["neighbor"]): (r["cosine"], r["rank"]) for r in out
+    }
+    import math
+
+    # n_A=4, n_B=4, n_AB=4 -> cos=1; n_C=3, n_AC=2 -> 2/sqrt(12)
+    assert abs(got[("A", "B")][0] - 1.0) < 1e-15
+    assert got[("A", "B")][1] == 1
+    assert abs(got[("A", "C")][0] - 2 / math.sqrt(4 * 3)) < 1e-15
+    # top-1 neighbor of C: A and B tie on cosine AND n_both -> A wins
+    c_rows = sorted(
+        [r for r in out if r["item"] == "C"], key=lambda r: r["rank"]
+    )
+    assert c_rows[0]["neighbor"] == "A" and c_rows[1]["neighbor"] == "B"
+
+
+def test_item_cosine_max_basket_drops_power_user(spark):
+    from movie_rankings_spark.operators.basket import item_cosine_topk
+
+    rows = [(1, f"i{j}") for j in range(20)]  # one giant basket
+    rows += [(2, "i0"), (2, "i1"), (3, "i0"), (3, "i1")]
+    df = spark.createDataFrame(rows, "bk long, it string")
+    out = item_cosine_topk(
+        df, "bk", "it", k=5, min_item_support=1, min_pair_support=1,
+        max_basket=5,
+    ).collect()
+    # giant basket excluded: only i0-i1 pair from baskets 2,3 remains
+    assert {(r["item"], r["neighbor"]) for r in out} == {
+        ("i0", "i1"),
+        ("i1", "i0"),
+    }
+    [r] = [r for r in out if r["item"] == "i0"]
+    assert r["n_both"] == 2

@@ -197,3 +197,63 @@ def test_exp_smooth_grouped_independent_series(spark):
             assert grouped[(g, r["day"])] == (
                 r["ewma"], r["holt_level"], r["holt_trend"],
             )
+
+
+def test_grouped_ridge_matches_closed_form(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from movie_rankings_spark.operators.statistics import grouped_ridge
+
+    from decimal import Decimal
+
+    rng = np.random.default_rng(41)
+    rows = []
+    for g in ("a", "b"):
+        for x in range(24):
+            y = 100 + (3.0 if g == "a" else -2.0) * x + rng.normal(0, 5)
+            rows.append((g, x, Decimal(str(round(float(y), 4)))))
+    df = spark.createDataFrame(rows, "g string, x int, y decimal(18,4)")
+    lam = 50.0
+    out = {
+        r["g"]: r
+        for r in grouped_ridge(df, ["g"], "x", "y", lam=lam).collect()
+    }
+    for g in ("a", "b"):
+        xs = np.array([x for gg, x, _ in rows if gg == g], dtype=float)
+        ys = np.array([float(y) for gg, _, y in rows if gg == g])
+        n = len(xs)
+        num = n * (xs * ys).sum() - xs.sum() * ys.sum()
+        den = n * (xs * xs).sum() - xs.sum() ** 2
+        slope_ols = num / den
+        slope_ridge = num / (den + n * lam)
+        intercept = (ys.sum() - slope_ridge * xs.sum()) / n
+        r = out[g]
+        assert abs(r["slope_ols"] - slope_ols) < 1e-9
+        assert abs(r["slope_ridge"] - slope_ridge) < 1e-9
+        assert abs(r["intercept_ridge"] - intercept) < 1e-7
+        assert abs(r["shrinkage"] - den / (den + n * lam)) < 1e-12
+        # ridge shrinks toward zero, never past it
+        assert abs(r["slope_ridge"]) < abs(r["slope_ols"])
+        assert r["slope_ridge"] * r["slope_ols"] >= 0
+
+
+def test_grouped_ridge_zero_lambda_equals_ols(spark):
+    from pyspark.sql import functions as F
+
+    from movie_rankings_spark.operators.statistics import (
+        grouped_ols,
+        grouped_ridge,
+    )
+
+    from decimal import Decimal
+
+    rows = [
+        ("g", x, Decimal(str(round(2.5 * x + 7.0, 4)))) for x in range(10)
+    ]
+    df = spark.createDataFrame(rows, "g string, x int, y decimal(18,4)")
+    [ols] = grouped_ols(df, ["g"], "x", "y").collect()
+    [rid] = grouped_ridge(df, ["g"], "x", "y", lam=0.0).collect()
+    assert abs(rid["slope_ridge"] - ols["slope"]) < 1e-12
+    assert abs(rid["intercept_ridge"] - ols["intercept"]) < 1e-9
+    assert rid["shrinkage"] == 1.0

@@ -187,3 +187,138 @@ def test_target_encode_loo_mean_property(spark):
              if r["category"] == "c" + str(c)]
         )
         assert abs(got - grp.mean()) < 1e-9
+
+
+def _subjects(spark, rows):
+    return spark.createDataFrame(rows, "duration long, event int")
+
+
+def _ref_nelson_aalen(rows):
+    from collections import Counter
+
+    deaths = Counter(t for t, e in rows if e == 1)
+    cens = Counter(t for t, e in rows if e == 0)
+    times = sorted(set(deaths) | set(cens))
+    n = len(rows)
+    out = []
+    h = v = 0.0
+    for t in times:
+        d, c = deaths.get(t, 0), cens.get(t, 0)
+        h += d / n
+        v += d / (n * n)
+        if d > 0:
+            out.append((t, n, d, c, d / n, h, v))
+        n -= d + c
+    return out
+
+
+def test_nelson_aalen_hand_computed(spark):
+    from movie_rankings_spark.operators.survival import nelson_aalen
+
+    rows = [(2, 1), (3, 1), (3, 0), (5, 1), (7, 0), (8, 1)]
+    out = nelson_aalen(_subjects(spark, rows)).collect()
+    ref = _ref_nelson_aalen(rows)
+    assert len(out) == len(ref)
+    for r, (t, n_r, d, c, inc, h, v) in zip(out, ref):
+        assert (r["duration"], r["n_at_risk"]) == (t, n_r)
+        assert (r["n_events"], r["n_censored"]) == (d, c)
+        assert abs(r["hazard_inc"] - inc) < 1e-10
+        assert abs(r["cum_hazard"] - h) < 1e-9
+        # dyadic 2^-40 floor quantization: ~9.1e-13 per increment
+        assert abs(r["cum_hazard_var"] - v) < 1e-10
+
+
+def test_nelson_aalen_random_brute_force(spark):
+    import numpy as np
+
+    from movie_rankings_spark.operators.survival import nelson_aalen
+
+    rng = np.random.default_rng(13)
+    rows = [
+        (int(t), int(e))
+        for t, e in zip(
+            rng.integers(1, 40, size=300), rng.integers(0, 2, size=300)
+        )
+    ]
+    out = nelson_aalen(_subjects(spark, rows)).collect()
+    ref = _ref_nelson_aalen(rows)
+    assert len(out) == len(ref)
+    for r, (t, n_r, d, c, inc, h, v) in zip(out, ref):
+        assert (r["duration"], r["n_at_risk"], r["n_events"]) == (t, n_r, d)
+        assert abs(r["cum_hazard"] - h) < 1e-8
+
+
+def _ref_logrank(rows):
+    # rows: (t, e, g)
+    times = sorted({t for t, e, _ in rows if e == 1})
+    o1 = e1 = v = 0.0
+    for t in times:
+        n_tot = sum(1 for tt, _, _ in rows if tt >= t)
+        n1 = sum(1 for tt, _, g in rows if tt >= t and g == 1)
+        d_tot = sum(1 for tt, e, _ in rows if tt == t and e == 1)
+        d1 = sum(1 for tt, e, g in rows if tt == t and e == 1 and g == 1)
+        o1 += d1
+        e1 += d_tot * n1 / n_tot
+        if n_tot > 1:
+            v += (
+                d_tot
+                * (n1 / n_tot)
+                * ((n_tot - n1) / n_tot)
+                * ((n_tot - d_tot) / (n_tot - 1))
+            )
+    chi2 = (o1 - e1) ** 2 / v if v > 0 else None
+    return o1, e1, v, chi2
+
+
+def test_logrank_identical_groups_chi2_zero(spark):
+    from pyspark.sql import functions as F
+
+    from movie_rankings_spark.operators.survival import logrank_test
+
+    # perfectly mirrored groups -> O == E, chi2 == 0
+    rows = [(t, e, g) for g in (0, 1) for t, e in [(2, 1), (4, 1), (6, 0)]]
+    df = spark.createDataFrame(rows, "duration long, event int, g int")
+    [r] = logrank_test(df, "duration", "event", F.col("g")).collect()
+    assert r["n_1"] == 3 and r["n_2"] == 3
+    assert abs(r["chi2"]) < 1e-12
+
+
+def test_logrank_brute_force_random(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from movie_rankings_spark.operators.survival import logrank_test
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (int(t), int(e), int(g))
+        for t, e, g in zip(
+            rng.integers(1, 30, size=250),
+            rng.integers(0, 2, size=250),
+            rng.integers(0, 2, size=250),
+        )
+    ]
+    df = spark.createDataFrame(rows, "duration long, event int, g int")
+    [r] = logrank_test(df, "duration", "event", F.col("g")).collect()
+    o1, e1, v, chi2 = _ref_logrank(rows)
+    assert r["observed_1"] == int(o1)
+    assert abs(r["expected_1"] - e1) < 1e-7
+    assert abs(r["variance"] - v) < 1e-7
+    assert abs(r["chi2"] - chi2) < 1e-6
+
+
+def test_logrank_separated_groups_large_chi2(spark):
+    from pyspark.sql import functions as F
+
+    from movie_rankings_spark.operators.survival import logrank_test
+
+    # group 1 all dies early, group 0 survives long
+    rows = [(t, 1, 1) for t in (1, 2, 3, 4, 5)] + [
+        (t, 1, 0) for t in (20, 21, 22, 23, 24)
+    ]
+    df = spark.createDataFrame(rows, "duration long, event int, g int")
+    [r] = logrank_test(df, "duration", "event", F.col("g")).collect()
+    o1, e1, v, chi2 = _ref_logrank(rows)
+    # DECIMAL(18,9) term quantization bounds the drift at ~5e-10/term
+    assert abs(r["chi2"] - chi2) < 1e-7
+    assert r["chi2"] > 5.0

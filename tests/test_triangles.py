@@ -59,3 +59,69 @@ def test_skewed_hub_graph(spark):
     fast = triangle_stats(und).collect()[0]["n_triangles"]
     slow = triangle_count_naive(und).collect()[0]["n_triangles"]
     assert fast == slow == 18  # each chain edge closes with the hub
+
+
+def _brute_lcc(pairs):
+    import itertools
+
+    adj = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out = {}
+    for v, nbrs in adj.items():
+        d = len(nbrs)
+        if d < 2:
+            continue
+        t = sum(
+            1
+            for x, y in itertools.combinations(sorted(nbrs), 2)
+            if y in adj.get(x, ())
+        )
+        out[v] = (d, t, 2.0 * t / (d * (d - 1)))
+    return out
+
+
+def test_local_clustering_k4_all_one(spark):
+    from movie_rankings_spark.operators.triangles import local_clustering
+
+    pairs = [(a, b) for a in range(4) for b in range(4) if a != b]
+    rows = local_clustering(undirected_edges(_edges(spark, pairs))).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["degree"] == 3 and r["n_triangles"] == 3 and r["lcc"] == 1.0
+
+
+def test_local_clustering_star_center_zero(spark):
+    from movie_rankings_spark.operators.triangles import local_clustering
+
+    pairs = [(0, i) for i in range(1, 8)]
+    rows = local_clustering(undirected_edges(_edges(spark, pairs))).collect()
+    # only the hub has degree >= 2; leaves are excluded
+    assert len(rows) == 1
+    assert rows[0]["node"] == 0 and rows[0]["lcc"] == 0.0
+    assert rows[0]["n_triangles"] == 0
+
+
+def test_local_clustering_brute_force_random(spark):
+    from movie_rankings_spark.operators.triangles import local_clustering
+
+    rng = random.Random(29)
+    n = 30
+    pairs = list(
+        {
+            (a, b)
+            for _ in range(180)
+            for a, b in [sorted(rng.sample(range(n), 2))]
+        }
+    )
+    rows = local_clustering(undirected_edges(_edges(spark, pairs))).collect()
+    ref = _brute_lcc(pairs)
+    assert {r["node"] for r in rows} == set(ref)
+    for r in rows:
+        d, t, lcc = ref[r["node"]]
+        assert r["degree"] == d
+        assert r["n_triangles"] == t
+        assert abs(r["lcc"] - lcc) < 1e-15

@@ -49,6 +49,8 @@ NESTED_LOOP_LEGIT = {
     "conformal_interval_price",  # 1-row conformal-quantile scalar vs test rows (r6)
     "welch_price_priority",  # 1-row moment vector (r6)
     "runs_daily_revenue",  # date-bounded daily table x 1-row total (r7)
+    "binseg_changepoint_revenue",  # date-bounded daily prefix/rank windows x 1-row totals (r7)
+    "seasonal_decompose_revenue",  # date-bounded daily MA window; 7-row position map broadcast (r7)
     "grubbs_daily_revenue",  # daily table x 1-row moment frame (r7)
     "friedman_price_month_priority",  # |treatments|-row sums x 1-row totals (r7)
     "dw_trend_daily_revenue",  # daily table x 1-row OLS-fit scalars (r7)
@@ -60,6 +62,11 @@ NESTED_LOOP_LEGIT = {
     "concentration_supplier_revenue",  # per-key share table x 1-row totals (r7)
     "mood_median_doclen_source",  # bounded cells x 1-row median/total scalars (r7)
     "hellinger_qty_returnflag",  # bounded value cells x 1-row totals (r7)
+    "bartlett_doclen_source",  # |groups| variance rows x 1-row pooled scalars (r7)
+    "survival_nelson_aalen",  # 1-row horizon scalar x per-customer table; duration-bounded windows (r7)
+    "survival_logrank_segment",  # 1-row horizon + 2-row group grid broadcasts; duration-bounded windows (r7)
+    "cramersv_priority_segment",  # 1-row grand total / levels / chi2 scalars (r7)
+    "fleiss_quality_raters",  # 1-row moment x 1-row chance-agreement scalars (r7)
     "q11_important_parts",  # 1-row global threshold vs group sums
     "q22_global_sales_opportunity",  # 1-row avg-balance scalar
     "percentiles_lineitem_price",  # interpolation bounds vs 1-row

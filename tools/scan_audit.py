@@ -90,7 +90,16 @@ KNOWN_LEGIT = {
     "concentration_supplier_revenue",  # 1 real scan; persisted per-key totals feed moments + Theil terms (cache-text artifact) (r7)
     "mood_median_doclen_source",  # 1 real scan; persisted cell/group tables feed median, splits, chi2 (cache-text artifact) (r7)
     "hellinger_qty_returnflag",  # 1 real scan; persisted value cells feed totals + BC terms (cache-text artifact) (r7)
+    "bartlett_doclen_source",  # 1 real scan; persisted per-group variance rows feed totals + output (cache-text artifact) (r7)
+    "cramersv_priority_segment",  # 1 real join scan; persisted cells feed grand/chi2/levels (cache-text artifact) (r7)
+    "fleiss_quality_raters",  # 1 real scan; persisted rated rows feed moments + category tally (cache-text artifact) (r7)
     "runs_daily_revenue",  # 1 real scan; persisted daily series feeds total + sequence (cache-text artifact) (r7)
+    "binseg_changepoint_revenue",  # 1 real scan; persisted daily series feeds prefix + totals (cache-text artifact) (r7)
+    "local_clustering_copurchase",  # 1 real basket scan; persisted und/deg/oriented tiers feed wedge + closure + output (deep cache-text repetition) (r7)
+    "itemsim_cosine_topk",  # 1 real join scan; persisted (basket,item) feeds support + pair join sides (cache-text artifact) (r7)
+    "survival_nelson_aalen",  # 1 real scan; persisted per-customer table feeds horizon + risk table (cache-text artifact) (r7)
+    "survival_logrank_segment",  # 1 real join scan; persisted per-customer/cells tiers feed horizon, grid, sizes (cache-text artifact) (r7)
+    "seasonal_decompose_revenue",  # 1 real scan; persisted daily/base tables feed MA, position means, output (cache-text artifact) (r7)
     "grubbs_daily_revenue",  # 1 real scan; persisted daily table feeds the operator's moment + max passes (cache-text artifact) (r7)
     "friedman_price_month_priority",  # 1 real scan; persisted cell table feeds k-count, completeness filter, ranks (cache-text artifact) (r7)
     "dw_trend_daily_revenue",  # 1 real scan; persisted day-sequence feeds moments + residual lag (cache-text artifact) (r7)
