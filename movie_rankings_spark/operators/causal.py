@@ -373,3 +373,88 @@ def ab_equivalence_mde(
         mde.alias("mde_abs"),
         F.try_divide(mde, mean0).alias("mde_rel"),
     )
+
+
+def smd_balance(
+    df: DataFrame,
+    treat_ind: Column,
+    covariates: "dict[str, Column]",
+) -> DataFrame:
+    """Standardized-mean-difference covariate balance table — the
+    screen every observational contrast in this tier (DiD, CUPED,
+    Mantel–Haenszel) should run FIRST: for each covariate,
+    SMD = (mean_T − mean_C)/√((var_T + var_C)/2); |SMD| > 0.1 is the
+    conventional imbalance flag that says "stratify or reweight
+    before you difference".
+
+    Shape: covariates are STACKED (name, value) via one in-row
+    explode, then ONE map-side-combined conditional aggregate per
+    covariate name — a single fact pass for the whole table, never a
+    pass per covariate. Exactness: the welch_t_test moment contract
+    (integral values; n, Σv, Σv² per arm through DECIMAL(38,0));
+    means/variances/SMD are shared closed-form IEEE expressions of
+    exact integers. Output: one row per covariate — covariate, n_t,
+    n_c, mean_t, mean_c, var_t, var_c, smd — ordered by covariate."""
+    d38 = "decimal(38,0)"
+    names = sorted(covariates)
+    stacked = df.select(
+        treat_ind.cast("int").alias("_t"),
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(n) for n in names]),
+                F.array(
+                    *[covariates[n].cast("long") for n in names]
+                ),
+            )
+        ).alias("covariate", "v"),
+    ).filter(F.col("_t").isNotNull() & F.col("v").isNotNull())
+    vd = F.col("v").cast("decimal(19,0)")
+    zero = F.lit(0).cast("decimal(19,0)")
+    zero38 = F.lit(0).cast(d38)
+    m = stacked.groupBy("covariate").agg(
+        F.sum(F.when(F.col("_t") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("nt"),
+        F.sum(F.when(F.col("_t") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("nc"),
+        F.sum(F.when(F.col("_t") == 1, vd).otherwise(zero))
+        .cast(d38)
+        .alias("st"),
+        F.sum(F.when(F.col("_t") == 0, vd).otherwise(zero))
+        .cast(d38)
+        .alias("sc"),
+        F.sum(F.when(F.col("_t") == 1, (vd * vd).cast(d38)).otherwise(zero38))
+        .cast(d38)
+        .alias("sst"),
+        F.sum(F.when(F.col("_t") == 0, (vd * vd).cast(d38)).otherwise(zero38))
+        .cast(d38)
+        .alias("ssc"),
+    )
+    ntd, ncd = F.col("nt").cast("double"), F.col("nc").cast("double")
+    mean_t = F.try_divide(F.col("st").cast("double"), ntd)
+    mean_c = F.try_divide(F.col("sc").cast("double"), ncd)
+    var_t = F.try_divide(
+        (F.col("nt").cast(d38) * F.col("sst") - F.col("st") * F.col("st"))
+        .cast("double"),
+        ntd * (ntd - F.lit(1.0)),
+    )
+    var_c = F.try_divide(
+        (F.col("nc").cast(d38) * F.col("ssc") - F.col("sc") * F.col("sc"))
+        .cast("double"),
+        ncd * (ncd - F.lit(1.0)),
+    )
+    smd = F.try_divide(
+        mean_t - mean_c,
+        F.sqrt((var_t + var_c) / F.lit(2.0)),
+    )
+    return m.select(
+        "covariate",
+        F.col("nt").alias("n_t"),
+        F.col("nc").alias("n_c"),
+        mean_t.alias("mean_t"),
+        mean_c.alias("mean_c"),
+        var_t.alias("var_t"),
+        var_c.alias("var_c"),
+        smd.alias("smd"),
+    ).orderBy("covariate")

@@ -2320,3 +2320,154 @@ def fleiss_kappa(df: DataFrame, rating_cols: "list[Column]") -> DataFrame:
         ),
         "cat_checksum",
     )
+
+
+def cronbach_alpha(df: DataFrame, item_cols: "list[Column]") -> DataFrame:
+    """Cronbach's α internal-consistency coefficient over k ≥ 2
+    integral item scores measured on every subject —
+    α = k/(k−1)·(1 − Σσ²ᵢ/σ²_total) — the "do these k quality
+    signals measure ONE underlying thing" readout that decides
+    whether a pipeline may average its heuristics into a single
+    score (the scale-construction complement to fleiss_kappa's
+    categorical agreement).
+
+    Exactness: ONE map-side-combined aggregate of exact DECIMAL
+    moments — per item (Σvᵢ, Σvᵢ² through DECIMAL(38,0)) plus the
+    row-total pair (ΣX, ΣX², X = Σᵢvᵢ exact per row); every sample
+    variance is the shared (n·Σv² − (Σv)²)/(n(n−1)) IEEE expression
+    of exact integers; item variances are quantized DECIMAL(28,6)
+    before the bounded k-term sum. Rows with any NULL item are
+    excluded. Output: ONE row — n_subjects, k_items, sum_item_var,
+    total_var, alpha."""
+    k = len(item_cols)
+    if k < 2:
+        raise ValueError("cronbach_alpha needs at least 2 items")
+    d38 = "decimal(38,0)"
+    d19 = "decimal(19,0)"
+    rated = df.select(
+        *[c.cast("long").alias(f"_v{i}") for i, c in enumerate(item_cols)]
+    )
+    cond = F.lit(True)
+    for i in range(k):
+        cond = cond & F.col(f"_v{i}").isNotNull()
+    rated = rated.filter(cond)
+    tot_expr = None
+    for i in range(k):
+        tot_expr = (
+            F.col(f"_v{i}")
+            if tot_expr is None
+            else tot_expr + F.col(f"_v{i}")
+        )
+    rows = rated.withColumn("_x", tot_expr)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for i in range(k):
+        vd = F.col(f"_v{i}").cast(d19)
+        aggs.append(F.sum(vd).cast(d38).alias(f"s{i}"))
+        aggs.append(F.sum((vd * vd).cast(d38)).cast(d38).alias(f"ss{i}"))
+    xd = F.col("_x").cast(d19)
+    aggs.append(F.sum(xd).cast(d38).alias("sx"))
+    aggs.append(F.sum((xd * xd).cast(d38)).cast(d38).alias("sxx"))
+    m = rows.agg(*aggs)
+    nd = F.col("n").cast("double")
+
+    def _var(s, ss):
+        return F.try_divide(
+            (F.col("n").cast(d38) * F.col(ss) - F.col(s) * F.col(s)).cast(
+                "double"
+            ),
+            nd * (nd - F.lit(1.0)),
+        )
+
+    item_var_sum = None
+    for i in range(k):
+        vq = _var(f"s{i}", f"ss{i}").cast("decimal(28,6)")
+        item_var_sum = vq if item_var_sum is None else item_var_sum + vq
+    siv = item_var_sum.cast("double")
+    tv = _var("sx", "sxx")
+    alpha = (
+        F.lit(float(k) / (k - 1))
+        * (F.lit(1.0) - F.try_divide(siv, tv))
+    )
+    return m.select(
+        F.col("n").alias("n_subjects"),
+        F.lit(k).cast("long").alias("k_items"),
+        siv.alias("sum_item_var"),
+        tv.alias("total_var"),
+        alpha.alias("alpha"),
+    )
+
+
+def page_trend_test(
+    df: DataFrame, block_col: Column, treat_rank: Column, value_col: Column
+) -> DataFrame:
+    """Page's L trend test over complete blocks — Friedman's ORDERED
+    alternative: given a hypothesized treatment ordering (passed as
+    the integral ``treat_rank`` 1..k), L = Σⱼ j·Rⱼ weights each
+    treatment's within-block rank sum by its hypothesized position,
+    detecting monotone trends Friedman's omnibus χ² dilutes (the
+    repeated-measures sibling of jonckheere_terpstra).
+
+    Same doubled-rank machinery as friedman_test (2·rank + ties − 1
+    keeps midranks integral; blocks missing any treatment drop;
+    caller pre-aggregates to one row per (block, treatment)). L2 =
+    Σⱼ j·R2ⱼ is an exact BIGINT (L = L2/2); the no-tie moments
+    E[L] = b·k(k+1)²/4 and Var[L] = b·k²(k+1)²(k−1)/144 give the
+    standard z — exact integers, one IEEE division (ties only
+    perturb Var, and the caller contract pre-aggregates cells, so
+    cell-value ties are measure-zero for continuous aggregates;
+    documented approximation shared with the oracle).
+
+    Output: ONE row — n_blocks, k_treatments, l2_stat, l_stat,
+    e_l, var_l, z."""
+    from pyspark.sql import Window
+
+    cells = (
+        df.select(
+            block_col.alias("blk"),
+            treat_rank.cast("long").alias("j"),
+            value_col.alias("y"),
+        )
+        .filter(F.col("y").isNotNull() & F.col("j").isNotNull())
+        .persist_tracked()  # k-count, completeness filter, ranks read this
+    )
+    k_total = cells.select("j").distinct().count()
+    full = (
+        cells.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("_k"))
+        .filter(F.col("_k") == k_total)
+        .select("blk")
+    )
+    kept = cells.join(F.broadcast(full), "blk")
+    wb = Window.partitionBy("blk").orderBy("y")
+    we = Window.partitionBy("blk", "y")
+    ranked = kept.select(
+        "blk",
+        "j",
+        (
+            F.lit(2) * F.rank().over(wb)
+            + F.count(F.lit(1)).over(we)
+            - F.lit(1)
+        )
+        .cast("long")
+        .alias("r2"),
+    )
+    m = ranked.agg(
+        F.countDistinct("blk").cast("long").alias("n_blocks"),
+        F.sum(F.col("j") * F.col("r2")).cast("long").alias("l2"),
+    )
+    b = F.col("n_blocks").cast("double")
+    kf = float(k_total)
+    l_stat = F.col("l2").cast("double") / F.lit(2.0)
+    e_l = b * F.lit(kf * (kf + 1.0) * (kf + 1.0) / 4.0)
+    var_l = b * F.lit(
+        kf * kf * (kf + 1.0) * (kf + 1.0) * (kf - 1.0) / 144.0
+    )
+    return m.select(
+        "n_blocks",
+        F.lit(k_total).cast("long").alias("k_treatments"),
+        F.col("l2").alias("l2_stat"),
+        l_stat.alias("l_stat"),
+        e_l.alias("e_l"),
+        var_l.alias("var_l"),
+        F.try_divide(l_stat - e_l, F.sqrt(var_l)).alias("z"),
+    )

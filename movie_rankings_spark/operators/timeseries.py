@@ -1024,3 +1024,108 @@ def seasonal_decompose_daily(
         )
         .orderBy("day")
     )
+
+
+def periodogram_daily(
+    df: DataFrame, day_col: str, cents_col, n_freqs: int = 12
+) -> DataFrame:
+    """Discrete-Fourier periodogram of a daily metric at the first
+    ``n_freqs`` harmonics — WHICH cycle dominates, where
+    seasonal_decompose_daily assumes the weekly one: the spectral
+    screen a pipeline runs before committing to a seasonal period
+    (weekly trading cycles show at period ≈ 7, monthly billing at
+    ≈ 30). For frequency k, power_k = a_k² + b_k² with
+    a_k = Σ_t ỹ_t·cos(2πkt/N), b_k = Σ_t ỹ_t·sin(2πkt/N) over the
+    mean-centered series.
+
+    Shape: one fact shuffle to the date-domain-bounded daily series;
+    t is the series position (ROW_NUMBER over the bounded table);
+    the N·K term table joins a precomputed N-row ANGLE TABLE on
+    (k·t) mod N — only N distinct cos/sin evaluations ever happen
+    (not N·K), which is both faster and shrinks the surface exposed
+    to cross-engine libm ulp drift. Exactness: centered values are
+    exact integer numerators N·y − S (the binseg convention); each
+    cos/sin is quantized DECIMAL(18,9) at the angle table (the ln
+    rule); products are exact decimals summed exactly; the power is
+    one shared IEEE expression of the two exact sums. The emitted
+    amplitude scale is N²·cents (centered numerators are N-scaled) —
+    comparable ACROSS k, which is all a dominant-cycle readout needs.
+
+    Output: one row per k = 1..n_freqs — k, n_days, period (N/k),
+    cos_sum, sin_sum, power — ordered by k."""
+    daily = (
+        df.groupBy(F.col(day_col).alias("d"))
+        .agg(F.sum(cents_col.cast("long")).cast("long").alias("y"))
+        .persist_tracked()  # totals + the term table read this
+    )
+    w = Window.orderBy("d")
+    seq = daily.select(
+        "d", "y", (F.row_number().over(w) - F.lit(1)).cast("long").alias("t")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("y").cast("long").alias("s_tot"),
+    )
+    base = seq.crossJoin(F.broadcast(tot)).select(
+        "t",
+        # (19,0) so the (19,0)x(18,9) product stays within precision
+        # 38 — wider and Spark silently drops decimal scale
+        (F.col("y") * F.col("n_days") - F.col("s_tot"))
+        .cast("decimal(19,0)")
+        .alias("cy"),
+        "n_days",
+    )
+    # N-row angle table: idx, cos/sin of 2*pi*idx/N quantized (18,9)
+    two_pi = F.lit(6.283185307179586)
+    angles = (
+        tot.select(
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_days") - F.lit(1))
+            ).alias("idx"),
+            "n_days",
+        )
+        .select(
+            F.col("idx").cast("long").alias("idx"),
+            F.cos(
+                two_pi * F.col("idx").cast("double")
+                / F.col("n_days").cast("double")
+            )
+            .cast("decimal(18,9)")
+            .alias("cosq"),
+            F.sin(
+                two_pi * F.col("idx").cast("double")
+                / F.col("n_days").cast("double")
+            )
+            .cast("decimal(18,9)")
+            .alias("sinq"),
+        )
+    )
+    ks = F.explode(
+        F.sequence(F.lit(1), F.lit(int(n_freqs)))
+    ).alias("k")
+    terms = (
+        base.select("t", "cy", "n_days", ks)
+        .withColumn("idx", (F.col("k") * F.col("t")) % F.col("n_days"))
+        .join(F.broadcast(angles), "idx")
+    )
+    sums = terms.groupBy("k").agg(
+        F.first("n_days").alias("n_days"),
+        F.sum((F.col("cy") * F.col("cosq")).cast("decimal(38,9)"))
+        .cast("decimal(38,9)")
+        .alias("ca"),
+        F.sum((F.col("cy") * F.col("sinq")).cast("decimal(38,9)"))
+        .cast("decimal(38,9)")
+        .alias("sa"),
+    )
+    cad = F.col("ca").cast("double")
+    sad = F.col("sa").cast("double")
+    return sums.select(
+        F.col("k").cast("int").alias("k"),
+        "n_days",
+        (F.col("n_days").cast("double") / F.col("k").cast("double")).alias(
+            "period"
+        ),
+        cad.alias("cos_sum"),
+        sad.alias("sin_sum"),
+        (cad * cad + sad * sad).alias("power"),
+    ).orderBy("k")

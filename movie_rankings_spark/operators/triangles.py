@@ -199,3 +199,70 @@ def local_clustering(und: DataFrame) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+def degree_assortativity(und: DataFrame) -> DataFrame:
+    """Newman's degree assortativity coefficient — the Pearson
+    correlation of endpoint degrees over the edge STUB list (each
+    undirected edge contributes both orientations): r > 0 means hubs
+    attach to hubs (social-style graphs), r < 0 hubs attach to leaves
+    (hub-and-spoke catalogs) — the one-number mixing summary next to
+    the clustering tier, and the first thing to check before trusting
+    degree-based sampling.
+
+    Exactness: with stubs (x, y), Σd_x = Σd_y and Σd_x² = Σd_y² by
+    symmetry, so r = (M·Σd_x·d_y − (Σd_x)²) / (M·Σd_x² − (Σd_x)²)
+    needs only three stub moments — all exact BIGINTs through
+    DECIMAL(38,0) (degree products bounded by n²·m) — and r is one
+    shared IEEE expression of them. One degree aggregate + one
+    broadcast-degree join; no window.
+
+    Output: ONE row — n_nodes, n_edges, n_stubs, sum_d, sum_dsq,
+    sum_prod, assortativity."""
+    # the degree union and the stub union each read und twice:
+    # persist so an expensive upstream (basket explode) runs once
+    und = und.persist_tracked()
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .persist_tracked()  # node count + both stub joins read this
+    )
+    nn = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    stubs = und.select("u", "v").unionAll(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    joined = stubs.join(
+        F.broadcast(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du")),
+        "u",
+    ).join(
+        F.broadcast(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv")),
+        "v",
+    )
+    d19 = "decimal(19,0)"
+    m = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_stubs"),
+        F.sum(F.col("du").cast(d19)).cast("decimal(38,0)").alias("sum_d"),
+        F.sum((F.col("du").cast(d19) * F.col("du")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sum_dsq"),
+        F.sum((F.col("du").cast(d19) * F.col("dv")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sum_prod"),
+    )
+    md = F.col("n_stubs").cast("double")
+    sd = F.col("sum_d").cast("double")
+    r = F.try_divide(
+        md * F.col("sum_prod").cast("double") - sd * sd,
+        md * F.col("sum_dsq").cast("double") - sd * sd,
+    )
+    return m.crossJoin(F.broadcast(nn)).select(
+        "n_nodes",
+        (F.col("n_stubs") / F.lit(2)).cast("long").alias("n_edges"),
+        "n_stubs",
+        F.col("sum_d").cast("long").alias("sum_d"),
+        F.col("sum_dsq").cast("long").alias("sum_dsq"),
+        F.col("sum_prod").cast("long").alias("sum_prod"),
+        r.alias("assortativity"),
+    )

@@ -87,6 +87,11 @@ _UNSEEN_FIRST = (
     "ridge_monthly_trend",
     "survival_nelson_aalen",
     "survival_logrank_segment",
+    "periodogram_daily_revenue",
+    "assortativity_copurchase",
+    "cronbach_quality_signals",
+    "smd_balance_segment",
+    "page_trend_price_priority",
 )
 
 #: most expensive entries at sf0.01, slowest-last; everything absent

@@ -5118,3 +5118,357 @@ def survival_logrank_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("seg") == "BUILDING").cast("int").alias("g"),
     )
     return logrank_test(subj, "duration", "event", F.col("g"))
+
+
+# --- r7: DFT periodogram of daily revenue -------------------------------------
+
+_PERIODOGRAM_ORACLE = """
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+), seq AS (
+  SELECT d, y, CAST(ROW_NUMBER() OVER (ORDER BY d) - 1 AS BIGINT) AS t
+  FROM daily
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(y) AS BIGINT) AS s_tot
+  FROM daily
+), base AS (
+  SELECT t, CAST(y * tt.n_days - tt.s_tot AS DECIMAL(19,0)) AS cy,
+         tt.n_days
+  FROM seq CROSS JOIN tot tt
+), angles AS (
+  SELECT CAST(i.i AS BIGINT) AS idx,
+         CAST(cos(6.283185307179586 * CAST(i.i AS DOUBLE)
+                  / CAST(tt.n_days AS DOUBLE)) AS DECIMAL(18,9)) AS cosq,
+         CAST(sin(6.283185307179586 * CAST(i.i AS DOUBLE)
+                  / CAST(tt.n_days AS DOUBLE)) AS DECIMAL(18,9)) AS sinq
+  FROM tot tt, LATERAL unnest(range(0, tt.n_days)) AS i(i)
+), terms AS (
+  SELECT ks.k, b.cy, b.n_days, a.cosq, a.sinq
+  FROM base b
+  CROSS JOIN (SELECT unnest(range(1, 13)) AS k) ks
+  JOIN angles a ON a.idx = (ks.k * b.t) % b.n_days
+), sums AS (
+  SELECT k, MIN(n_days) AS n_days,
+         CAST(SUM(CAST(cy * cosq AS DECIMAL(38,9))) AS DECIMAL(38,9)) AS ca,
+         CAST(SUM(CAST(cy * sinq AS DECIMAL(38,9))) AS DECIMAL(38,9)) AS sa
+  FROM terms GROUP BY 1
+)
+-- VARCHAR-mediated double casts: the int128-backed DECIMAL(38,9)
+-- sums exceed 2^53 scaled; DuckDB's direct cast double-rounds
+-- (see _COV_ORACLE note)
+SELECT CAST(k AS INTEGER) AS k, n_days,
+       CAST(n_days AS DOUBLE) / CAST(k AS DOUBLE) AS period,
+       CAST(CAST(ca AS VARCHAR) AS DOUBLE) AS cos_sum,
+       CAST(CAST(sa AS VARCHAR) AS DOUBLE) AS sin_sum,
+       CAST(CAST(ca AS VARCHAR) AS DOUBLE) * CAST(CAST(ca AS VARCHAR) AS DOUBLE)
+       + CAST(CAST(sa AS VARCHAR) AS DOUBLE) * CAST(CAST(sa AS VARCHAR) AS DOUBLE)
+         AS power
+FROM sums ORDER BY k
+"""
+
+
+@REGISTRY.register("periodogram_daily_revenue", _PERIODOGRAM_ORACLE)
+def periodogram_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFT periodogram of daily revenue at harmonics k = 1..12 —
+    WHICH cycle dominates, before seasonal_decompose_revenue assumes
+    the weekly one. N-row quantized angle table joined on (k·t) mod N
+    — N cos evaluations total, exact-decimal term sums
+    (operators/timeseries.py::periodogram_daily)."""
+    from movie_rankings_spark.operators.timeseries import periodogram_daily
+
+    return periodogram_daily(
+        _t(spark, sf_dir, "orders"),
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * F.lit(100)),
+        n_freqs=12,
+    )
+
+
+# --- r7: degree assortativity of the co-purchase graph ------------------------
+
+_ASSORT_ORACLE = """
+WITH baskets AS (
+  SELECT list_distinct(list(l_partkey)) AS parts
+  FROM lineitem GROUP BY l_orderkey
+), ok AS (
+  SELECT parts FROM baskets WHERE len(parts) BETWEEN 2 AND 30
+), pairs AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM ok, LATERAL unnest(parts) AS a(p), LATERAL unnest(parts) AS b(p)
+  WHERE a.p < b.p
+), deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs)
+  GROUP BY 1
+), stubs AS (
+  SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+), j AS (
+  SELECT du.d AS du, dv.d AS dv
+  FROM stubs s
+  JOIN deg du ON du.node = s.u
+  JOIN deg dv ON dv.node = s.v
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_stubs,
+         CAST(SUM(CAST(du AS HUGEINT)) AS HUGEINT) AS sum_d,
+         CAST(SUM(CAST(du AS HUGEINT) * du) AS HUGEINT) AS sum_dsq,
+         CAST(SUM(CAST(du AS HUGEINT) * dv) AS HUGEINT) AS sum_prod
+  FROM j
+), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg)
+SELECT nn.n_nodes,
+       CAST(m.n_stubs / 2 AS BIGINT) AS n_edges,
+       m.n_stubs,
+       CAST(m.sum_d AS BIGINT) AS sum_d,
+       CAST(m.sum_dsq AS BIGINT) AS sum_dsq,
+       CAST(m.sum_prod AS BIGINT) AS sum_prod,
+       (CAST(m.n_stubs AS DOUBLE) * CAST(m.sum_prod AS DOUBLE)
+        - CAST(m.sum_d AS DOUBLE) * CAST(m.sum_d AS DOUBLE))
+       / (CAST(m.n_stubs AS DOUBLE) * CAST(m.sum_dsq AS DOUBLE)
+          - CAST(m.sum_d AS DOUBLE) * CAST(m.sum_d AS DOUBLE))
+         AS assortativity
+FROM m CROSS JOIN nn
+"""
+
+
+@REGISTRY.register("assortativity_copurchase", _ASSORT_ORACLE)
+def assortativity_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph — do popular
+    parts co-sell with other popular parts (r > 0) or anchor long-
+    tail baskets (r < 0)? The one-number mixing summary next to the
+    clustering tier, same exact-moment discipline
+    (operators/triangles.py::degree_assortativity)."""
+    from movie_rankings_spark.catalog import load_table
+    from movie_rankings_spark.operators.pagerank import copurchase_edges
+    from movie_rankings_spark.operators.triangles import (
+        degree_assortativity,
+        undirected_edges,
+    )
+
+    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    return degree_assortativity(undirected_edges(edges))
+
+
+# --- r7: Cronbach's alpha over the quality-signal scale -----------------------
+
+_CRONBACH_ORACLE = """
+WITH r AS (
+  SELECT CAST(n_chars AS BIGINT) AS v0,
+         CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS v1,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS v2
+  FROM documents
+), w AS (SELECT v0, v1, v2, v0 + v1 + v2 AS x FROM r), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(v0 AS HUGEINT)) AS HUGEINT) AS s0,
+         CAST(SUM(CAST(v0 AS HUGEINT) * v0) AS HUGEINT) AS ss0,
+         CAST(SUM(CAST(v1 AS HUGEINT)) AS HUGEINT) AS s1,
+         CAST(SUM(CAST(v1 AS HUGEINT) * v1) AS HUGEINT) AS ss1,
+         CAST(SUM(CAST(v2 AS HUGEINT)) AS HUGEINT) AS s2,
+         CAST(SUM(CAST(v2 AS HUGEINT) * v2) AS HUGEINT) AS ss2,
+         CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+  FROM w
+), v AS (
+  SELECT n,
+         CAST(CAST(n * ss0 - s0 * s0 AS DOUBLE)
+              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+              AS DECIMAL(28,6)) AS var0,
+         CAST(CAST(n * ss1 - s1 * s1 AS DOUBLE)
+              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+              AS DECIMAL(28,6)) AS var1,
+         CAST(CAST(n * ss2 - s2 * s2 AS DOUBLE)
+              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+              AS DECIMAL(28,6)) AS var2,
+         CAST(n * sxx - sx * sx AS DOUBLE)
+           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS tv
+  FROM m
+)
+SELECT n AS n_subjects, CAST(3 AS BIGINT) AS k_items,
+       CAST(var0 + var1 + var2 AS DOUBLE) AS sum_item_var,
+       tv AS total_var,
+       1.5 * (1.0 - CAST(var0 + var1 + var2 AS DOUBLE) / tv) AS alpha
+FROM v
+"""
+
+
+@REGISTRY.register("cronbach_quality_signals", _CRONBACH_ORACLE)
+def cronbach_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's α over the three RAW quality signals (chars,
+    spaces, tokens) whose thresholded versions the rater family
+    tests: do they measure one underlying "document size" construct
+    tightly enough to average into a single score?
+    (operators/disttests.py::cronbach_alpha)."""
+    from movie_rankings_spark.operators.disttests import cronbach_alpha
+
+    docs = _t(spark, sf_dir, "documents")
+    spaces = F.length("text") - F.length(
+        F.replace(F.col("text"), F.lit(" "), F.lit(""))
+    )
+    return cronbach_alpha(
+        docs,
+        [
+            F.col("n_chars"),
+            spaces,
+            F.size(F.split(F.col("text"), " ")),
+        ],
+    )
+
+
+# --- r7: SMD covariate balance + Page's trend test ----------------------------
+
+_SMD_ORACLE = """
+WITH per AS (
+  SELECT o.o_custkey,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS spend,
+         CAST(datediff('day', MIN(o.o_orderdate), MAX(o.o_orderdate))
+              AS BIGINT) AS active_days,
+         CASE WHEN MIN(c.c_mktsegment) = 'BUILDING' THEN 1 ELSE 0 END AS t
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+), stacked AS (
+  SELECT t, 'active_days' AS covariate, active_days AS v FROM per
+  UNION ALL SELECT t, 'n_orders', n_orders FROM per
+  UNION ALL SELECT t, 'spend_cents', spend FROM per
+), m AS (
+  SELECT covariate,
+         CAST(SUM(t) AS BIGINT) AS nt,
+         CAST(SUM(1 - t) AS BIGINT) AS nc,
+         CAST(SUM(CASE WHEN t = 1 THEN CAST(v AS HUGEINT) ELSE 0 END)
+              AS HUGEINT) AS st,
+         CAST(SUM(CASE WHEN t = 0 THEN CAST(v AS HUGEINT) ELSE 0 END)
+              AS HUGEINT) AS sc,
+         CAST(SUM(CASE WHEN t = 1 THEN CAST(v AS HUGEINT) * v ELSE 0 END)
+              AS HUGEINT) AS sst,
+         CAST(SUM(CASE WHEN t = 0 THEN CAST(v AS HUGEINT) * v ELSE 0 END)
+              AS HUGEINT) AS ssc
+  FROM stacked GROUP BY 1
+), d AS (
+  SELECT covariate, nt, nc,
+         CAST(st AS DOUBLE) / CAST(nt AS DOUBLE) AS mean_t,
+         CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE) AS mean_c,
+         CAST(nt * sst - st * st AS DOUBLE)
+           / (CAST(nt AS DOUBLE) * (CAST(nt AS DOUBLE) - 1.0)) AS var_t,
+         CAST(nc * ssc - sc * sc AS DOUBLE)
+           / (CAST(nc AS DOUBLE) * (CAST(nc AS DOUBLE) - 1.0)) AS var_c
+  FROM m
+)
+SELECT covariate, nt AS n_t, nc AS n_c, mean_t, mean_c, var_t, var_c,
+       (mean_t - mean_c) / sqrt((var_t + var_c) / 2.0) AS smd
+FROM d ORDER BY covariate
+"""
+
+
+@REGISTRY.register("smd_balance_segment", _SMD_ORACLE)
+def smd_balance_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariate balance screen for the BUILDING-vs-rest customer
+    contrast the survival/causal queries difference: standardized
+    mean differences of order count, spend, and active days — |SMD|
+    > 0.1 says stratify before attributing outcome gaps to segment
+    (operators/causal.py::smd_balance)."""
+    from movie_rankings_spark.operators.causal import smd_balance
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    per = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * F.lit(100)).cast("long"))
+            .cast("long")
+            .alias("spend"),
+            F.datediff(
+                F.max(F.col("o_orderdate").cast("date")),
+                F.min(F.col("o_orderdate").cast("date")),
+            )
+            .cast("long")
+            .alias("active_days"),
+            F.min("c_mktsegment").alias("seg"),
+        )
+    )
+    return smd_balance(
+        per,
+        (F.col("seg") == "BUILDING").cast("int"),
+        {
+            "active_days": F.col("active_days"),
+            "n_orders": F.col("n_orders"),
+            "spend_cents": F.col("spend"),
+        },
+    )
+
+
+_PAGE_ORACLE = """
+WITH cells AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS blk,
+         CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS j,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS y
+  FROM orders GROUP BY 1, 2
+), kk AS (SELECT CAST(COUNT(DISTINCT j) AS BIGINT) AS kt FROM cells),
+full_b AS (
+  SELECT blk FROM cells GROUP BY 1
+  HAVING COUNT(*) = (SELECT kt FROM kk)
+), kept AS (
+  SELECT c.* FROM cells c JOIN full_b USING (blk)
+), ranked AS (
+  SELECT blk, j,
+         CAST(2 * RANK() OVER (PARTITION BY blk ORDER BY y)
+              + COUNT(*) OVER (PARTITION BY blk, y) - 1 AS BIGINT) AS r2
+  FROM kept
+), m AS (
+  SELECT CAST(COUNT(DISTINCT blk) AS BIGINT) AS n_blocks,
+         CAST(SUM(j * r2) AS BIGINT) AS l2
+  FROM ranked
+)
+SELECT m.n_blocks, kk.kt AS k_treatments, m.l2 AS l2_stat,
+       CAST(m.l2 AS DOUBLE) / 2.0 AS l_stat,
+       CAST(m.n_blocks AS DOUBLE)
+         * (CAST(kk.kt AS DOUBLE) * (CAST(kk.kt AS DOUBLE) + 1.0)
+            * (CAST(kk.kt AS DOUBLE) + 1.0) / 4.0) AS e_l,
+       CAST(m.n_blocks AS DOUBLE)
+         * (CAST(kk.kt AS DOUBLE) * CAST(kk.kt AS DOUBLE)
+            * (CAST(kk.kt AS DOUBLE) + 1.0) * (CAST(kk.kt AS DOUBLE) + 1.0)
+            * (CAST(kk.kt AS DOUBLE) - 1.0) / 144.0) AS var_l,
+       (CAST(m.l2 AS DOUBLE) / 2.0
+        - CAST(m.n_blocks AS DOUBLE)
+          * (CAST(kk.kt AS DOUBLE) * (CAST(kk.kt AS DOUBLE) + 1.0)
+             * (CAST(kk.kt AS DOUBLE) + 1.0) / 4.0))
+       / sqrt(CAST(m.n_blocks AS DOUBLE)
+              * (CAST(kk.kt AS DOUBLE) * CAST(kk.kt AS DOUBLE)
+                 * (CAST(kk.kt AS DOUBLE) + 1.0)
+                 * (CAST(kk.kt AS DOUBLE) + 1.0)
+                 * (CAST(kk.kt AS DOUBLE) - 1.0) / 144.0)) AS z
+FROM m CROSS JOIN kk
+"""
+
+
+@REGISTRY.register("page_trend_price_priority", _PAGE_ORACLE)
+def page_trend_price_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L: does mean order price trend MONOTONICALLY across
+    the 1→5 priority ordering, consistently month over month? The
+    ordered alternative to friedman_price_month_priority's omnibus
+    χ² on the same (month, priority) cells
+    (operators/disttests.py::page_trend_test)."""
+    from movie_rankings_spark.operators.disttests import page_trend_test
+
+    cells = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("blk"),
+            F.substring("o_orderpriority", 1, 1).cast("long").alias("j"),
+        )
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("o_totalprice") * F.lit(100)).cast("long")
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("y")
+        )
+    )
+    return page_trend_test(cells, F.col("blk"), F.col("j"), F.col("y"))

@@ -64,6 +64,8 @@ NESTED_LOOP_LEGIT = {
     "hellinger_qty_returnflag",  # bounded value cells x 1-row totals (r7)
     "bartlett_doclen_source",  # |groups| variance rows x 1-row pooled scalars (r7)
     "survival_nelson_aalen",  # 1-row horizon scalar x per-customer table; duration-bounded windows (r7)
+    "periodogram_daily_revenue",  # 1-row N/S totals x bounded daily/angle tables (r7)
+    "assortativity_copurchase",  # 1-row node-count scalar x 1-row moment row (r7)
     "survival_logrank_segment",  # 1-row horizon + 2-row group grid broadcasts; duration-bounded windows (r7)
     "cramersv_priority_segment",  # 1-row grand total / levels / chi2 scalars (r7)
     "fleiss_quality_raters",  # 1-row moment x 1-row chance-agreement scalars (r7)

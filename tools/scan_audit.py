@@ -98,6 +98,9 @@ KNOWN_LEGIT = {
     "local_clustering_copurchase",  # 1 real basket scan; persisted und/deg/oriented tiers feed wedge + closure + output (deep cache-text repetition) (r7)
     "itemsim_cosine_topk",  # 1 real join scan; persisted (basket,item) feeds support + pair join sides (cache-text artifact) (r7)
     "survival_nelson_aalen",  # 1 real scan; persisted per-customer table feeds horizon + risk table (cache-text artifact) (r7)
+    "periodogram_daily_revenue",  # 1 real scan; persisted daily series feeds totals + angle/term tables (cache-text artifact) (r7)
+    "assortativity_copurchase",  # 1 real basket scan; persisted und/deg feed stubs + moments (cache-text artifact) (r7)
+    "page_trend_price_priority",  # 1 real scan; persisted cell table feeds k-count, completeness filter, ranks (friedman shape) (r7)
     "survival_logrank_segment",  # 1 real join scan; persisted per-customer/cells tiers feed horizon, grid, sizes (cache-text artifact) (r7)
     "seasonal_decompose_revenue",  # 1 real scan; persisted daily/base tables feed MA, position means, output (cache-text artifact) (r7)
     "grubbs_daily_revenue",  # 1 real scan; persisted daily table feeds the operator's moment + max passes (cache-text artifact) (r7)
