@@ -458,3 +458,108 @@ def smd_balance(
         var_c.alias("var_c"),
         smd.alias("smd"),
     ).orderBy("covariate")
+
+
+def mahalanobis_2d(
+    df: DataFrame,
+    treat_ind: Column,
+    cov_a: Column,
+    cov_b: Column,
+) -> DataFrame:
+    """Mahalanobis distance between two group centroids over TWO
+    integral covariates — the correlation-aware upgrade of
+    smd_balance's per-covariate screen: two covariates can each show
+    |SMD| < 0.1 while their JOINT profile separates cleanly (or vice
+    versa — a shared correlation inflates marginal SMDs), and D² is
+    what the 2-D view reports. Pooled within-group covariance,
+    closed-form 2×2 inverse:
+    D² = (S_bb·Δa² − 2·S_ab·Δa·Δb + S_aa·Δb²)/(S_aa·S_bb − S_ab²).
+
+    Exactness: ONE conditional moment aggregate (per arm: n, Σa, Σb,
+    Σa², Σb², Σab — all exact DECIMAL(38,0)); per-arm (co)variances
+    are the shared centered-difference IEEE expressions; pooling and
+    the quadratic form are further shared double arithmetic, written
+    identically in the oracle. Output: ONE row — n_t, n_c, delta_a,
+    delta_b, pooled_var_a, pooled_var_b, pooled_cov_ab, d2, d."""
+    d38 = "decimal(38,0)"
+    d19 = "decimal(19,0)"
+    rows = df.select(
+        treat_ind.cast("int").alias("_t"),
+        cov_a.cast("long").alias("_a"),
+        cov_b.cast("long").alias("_b"),
+    ).filter(
+        F.col("_t").isNotNull()
+        & F.col("_a").isNotNull()
+        & F.col("_b").isNotNull()
+    )
+    ad, bd = F.col("_a").cast(d19), F.col("_b").cast(d19)
+
+    def arm(tag, cond):
+        z19 = F.lit(0).cast(d19)
+        z38 = F.lit(0).cast(d38)
+        return [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"n{tag}"),
+            F.sum(F.when(cond, ad).otherwise(z19)).cast(d38).alias(f"sa{tag}"),
+            F.sum(F.when(cond, bd).otherwise(z19)).cast(d38).alias(f"sb{tag}"),
+            F.sum(F.when(cond, (ad * ad).cast(d38)).otherwise(z38))
+            .cast(d38)
+            .alias(f"saa{tag}"),
+            F.sum(F.when(cond, (bd * bd).cast(d38)).otherwise(z38))
+            .cast(d38)
+            .alias(f"sbb{tag}"),
+            F.sum(F.when(cond, (ad * bd).cast(d38)).otherwise(z38))
+            .cast(d38)
+            .alias(f"sab{tag}"),
+        ]
+
+    m = rows.agg(
+        *arm("t", F.col("_t") == 1), *arm("c", F.col("_t") == 0)
+    )
+
+    def moments(tag):
+        n = F.col(f"n{tag}").cast("double")
+        nd38 = F.col(f"n{tag}").cast(d38)
+        mean_a = F.col(f"sa{tag}").cast("double") / n
+        mean_b = F.col(f"sb{tag}").cast("double") / n
+        den = n * (n - F.lit(1.0))
+        var_a = (
+            (nd38 * F.col(f"saa{tag}") - F.col(f"sa{tag}") * F.col(f"sa{tag}"))
+            .cast("double")
+            / den
+        )
+        var_b = (
+            (nd38 * F.col(f"sbb{tag}") - F.col(f"sb{tag}") * F.col(f"sb{tag}"))
+            .cast("double")
+            / den
+        )
+        cov = (
+            (nd38 * F.col(f"sab{tag}") - F.col(f"sa{tag}") * F.col(f"sb{tag}"))
+            .cast("double")
+            / den
+        )
+        return n, mean_a, mean_b, var_a, var_b, cov
+
+    nt, mat, mbt, vat, vbt, cabt = moments("t")
+    nc, mac, mbc, vac, vbc, cabc = moments("c")
+    wsum = nt + nc - F.lit(2.0)
+    p_va = ((nt - F.lit(1.0)) * vat + (nc - F.lit(1.0)) * vac) / wsum
+    p_vb = ((nt - F.lit(1.0)) * vbt + (nc - F.lit(1.0)) * vbc) / wsum
+    p_cab = ((nt - F.lit(1.0)) * cabt + (nc - F.lit(1.0)) * cabc) / wsum
+    da = mat - mac
+    db = mbt - mbc
+    det = p_va * p_vb - p_cab * p_cab
+    d2 = F.try_divide(
+        p_vb * da * da - F.lit(2.0) * p_cab * da * db + p_va * db * db,
+        det,
+    )
+    return m.select(
+        F.col("nt").alias("n_t"),
+        F.col("nc").alias("n_c"),
+        da.alias("delta_a"),
+        db.alias("delta_b"),
+        p_va.alias("pooled_var_a"),
+        p_vb.alias("pooled_var_b"),
+        p_cab.alias("pooled_cov_ab"),
+        d2.alias("d2"),
+        F.sqrt(d2).alias("d"),
+    )

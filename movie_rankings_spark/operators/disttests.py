@@ -2471,3 +2471,161 @@ def page_trend_test(
         var_l.alias("var_l"),
         F.try_divide(l_stat - e_l, F.sqrt(var_l)).alias("z"),
     )
+
+
+def ordinal_association(
+    df: DataFrame, x_col: Column, y_col: Column
+) -> DataFrame:
+    """Goodman–Kruskal gamma + both Somers' D directions (and τ-b
+    for cross-reference) between two DOMAIN-bounded integral ordinal
+    columns — the full concordance readout kendall_tau_b's single
+    number summarizes: gamma ignores ties entirely (the optimistic
+    bound), Somers' D_yx penalizes ties on the DEPENDENT axis only
+    (the directional measure a "does X predict Y's order" question
+    wants), and the spread between them IS the tie diagnosis.
+
+    Same cell-table theta-join machinery as kendall_tau_b (|X|·|Y|
+    broadcast-size cells, ONE fact scan, pair counts exact BIGINTs):
+    C/D from the x₁<x₂ cell join; tie pairs decompose as
+    T_y_only = Σ_y t(t−1)/2 − Σ_cell c(c−1)/2 (pairs tied on y but
+    not both). Every statistic is one IEEE expression of exact
+    longs. Output: ONE row — n_rows, concordant, discordant,
+    ties_x_only, ties_y_only, ties_both, gamma, somers_d_yx,
+    somers_d_xy, tau_b."""
+    d38 = "decimal(38,0)"
+    cells = (
+        df.select(
+            x_col.cast("long").alias("x"), y_col.cast("long").alias("y")
+        )
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist_tracked()  # theta join sides + marginals read this
+    )
+    b = cells.select(
+        F.col("x").alias("x2"), F.col("y").alias("y2"), F.col("c").alias("c2")
+    )
+    pairs = cells.join(F.broadcast(b), F.col("x") < F.col("x2"))
+    cd = pairs.agg(
+        F.sum(
+            F.when(
+                F.col("y") < F.col("y2"), F.col("c") * F.col("c2")
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("concordant"),
+        F.sum(
+            F.when(
+                F.col("y") > F.col("y2"), F.col("c") * F.col("c2")
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("discordant"),
+    )
+    tx = (
+        cells.groupBy("x")
+        .agg(F.sum("c").cast("long").alias("t"))
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1)).cast("long").alias("tie2_x"),
+            F.sum("t").cast("long").alias("n_rows"),
+        )
+    )
+    ty = (
+        cells.groupBy("y")
+        .agg(F.sum("c").cast("long").alias("t"))
+        .agg(F.sum(F.col("t") * (F.col("t") - 1)).cast("long").alias("tie2_y"))
+    )
+    tb = cells.agg(
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("tie2_both")
+    )
+    j = (
+        cd.crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .crossJoin(F.broadcast(tb))
+    )
+    cdiff = (
+        F.col("concordant").cast("double") - F.col("discordant").cast("double")
+    )
+    csum = (
+        F.col("concordant").cast("double") + F.col("discordant").cast("double")
+    )
+    ty_only = (F.col("tie2_y") - F.col("tie2_both")).cast("long")
+    tx_only = (F.col("tie2_x") - F.col("tie2_both")).cast("long")
+    n = F.col("n_rows").cast(d38)
+    n0x2 = n * (n - 1)
+    den_tau = F.sqrt(
+        (n0x2 - F.col("tie2_x").cast(d38)).cast("double")
+    ) * F.sqrt((n0x2 - F.col("tie2_y").cast(d38)).cast("double"))
+    return j.select(
+        "n_rows",
+        "concordant",
+        "discordant",
+        (tx_only / F.lit(2)).cast("long").alias("ties_x_only"),
+        (ty_only / F.lit(2)).cast("long").alias("ties_y_only"),
+        (F.col("tie2_both") / F.lit(2)).cast("long").alias("ties_both"),
+        F.try_divide(cdiff, csum).alias("gamma"),
+        F.try_divide(
+            cdiff, csum + ty_only.cast("double") / F.lit(2.0)
+        ).alias("somers_d_yx"),
+        F.try_divide(
+            cdiff, csum + tx_only.cast("double") / F.lit(2.0)
+        ).alias("somers_d_xy"),
+        (F.lit(2.0) * cdiff / den_tau).alias("tau_b"),
+    )
+
+
+def poisson_rate_test(
+    df: DataFrame,
+    a_ind: Column,
+    b_ind: Column,
+    a_exposure: float,
+    b_exposure: float,
+) -> DataFrame:
+    """Two-sample Poisson rate comparison — are events arriving
+    FASTER in window A than window B, per unit exposure? The
+    count-process companion to welch_t_test's mean contrast: counts
+    k_a, k_b with known exposures T_a, T_b give rate difference
+    z = (k_a/T_a − k_b/T_b)/√(k_a/T_a² + k_b/T_b²) (the Wald form)
+    and the conditional-binomial exact check: given n = k_a + k_b,
+    k_a ~ Bin(n, T_a/(T_a+T_b)) under H₀ — both emitted.
+
+    Exposures are caller-supplied constants (day counts, user-hours)
+    — injected as identical literals into engine and oracle.
+    Exactness: the ONLY data reduction is one conditional count
+    aggregate; every statistic is a shared IEEE expression of two
+    exact BIGINTs and two literals. Output: ONE row — k_a, k_b,
+    exposure_a, exposure_b, rate_a, rate_b, rate_ratio, z_wald,
+    z_binomial."""
+    m = df.select(
+        a_ind.cast("int").alias("_a"), b_ind.cast("int").alias("_b")
+    ).agg(
+        F.sum("_a").cast("long").alias("ka"),
+        F.sum("_b").cast("long").alias("kb"),
+    )
+    ta, tb = float(a_exposure), float(b_exposure)
+    kad, kbd = F.col("ka").cast("double"), F.col("kb").cast("double")
+    ra = kad / F.lit(ta)
+    rb = kbd / F.lit(tb)
+    z_wald = F.try_divide(
+        ra - rb,
+        F.sqrt(
+            kad / F.lit(ta * ta) + kbd / F.lit(tb * tb)
+        ),
+    )
+    p0 = ta / (ta + tb)
+    n = kad + kbd
+    z_bin = F.try_divide(
+        kad - n * F.lit(p0),
+        F.sqrt(n * F.lit(p0 * (1.0 - p0))),
+    )
+    return m.select(
+        F.col("ka").alias("k_a"),
+        F.col("kb").alias("k_b"),
+        F.lit(ta).alias("exposure_a"),
+        F.lit(tb).alias("exposure_b"),
+        ra.alias("rate_a"),
+        rb.alias("rate_b"),
+        F.try_divide(ra, rb).alias("rate_ratio"),
+        z_wald.alias("z_wald"),
+        z_bin.alias("z_binomial"),
+    )

@@ -261,3 +261,106 @@ def feature_info_gain(
         )
         .orderBy("feature")
     )
+
+
+def uncertainty_coefficient(
+    df: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Theil's uncertainty coefficient U — the ASYMMETRIC categorical
+    association next to Cramér's V: U(A|B) = MI/H(A) is "what
+    fraction of A's entropy does knowing B remove", which answers
+    the feature-selection question V's symmetric [0,1] cannot
+    ("B predicts A, but A barely predicts B").
+
+    Fixed-point entropy arithmetic (the mutual_information_cells
+    convention): every ln is quantized round(ln·1e9) as a BIGINT at
+    the bounded cell/marginal tables, so the entropy numerators
+    N·lnq(N) − Σ t·lnq(t) and the MI numerator Σ o·pmi_q9 are exact
+    DECIMAL(38,0) sums, and each U is ONE exact-integer ratio —
+    engine-exact division of two longs. One fact scan (persisted
+    cells; marginals re-aggregate the cache).
+
+    Output: ONE row — n_obs, r_levels, c_levels, h_row, h_col,
+    mi_nats, u_row_given_col, u_col_given_row, u_symmetric."""
+    d38 = "decimal(38,0)"
+    scale = F.lit(float(L_SCALE))
+    cells = (
+        df.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+        .persist_tracked()  # marginals + MI branch read this
+    )
+    rt = cells.groupBy("a").agg(F.sum("o").cast("long").alias("t"))
+    ct = cells.groupBy("b").agg(F.sum("o").cast("long").alias("t"))
+
+    def _lnq(c):
+        return F.round(F.log(c.cast("double")) * scale).cast("long")
+
+    def _ent_num(marg):
+        # Σ t·lnq(t) as exact decimal, plus level count
+        return marg.agg(
+            F.sum((F.col("t").cast("decimal(19,0)") * _lnq(F.col("t"))).cast(d38))
+            .cast(d38)
+            .alias("s_tln"),
+            F.count(F.lit(1)).cast("long").alias("levels"),
+            F.sum("t").cast("long").alias("n"),
+        )
+    hr = _ent_num(rt)
+    hc = _ent_num(ct)
+    g = cells.agg(F.sum("o").cast("long").alias("n_obs"))
+    ratio = (
+        F.col("o").cast("double") * F.col("n_obs").cast("double")
+    ) / (F.col("rt").cast("double") * F.col("ct").cast("double"))
+    mi = (
+        cells.join(
+            F.broadcast(rt.select(F.col("a"), F.col("t").alias("rt"))), "a"
+        )
+        .join(
+            F.broadcast(ct.select(F.col("b"), F.col("t").alias("ct"))), "b"
+        )
+        .crossJoin(F.broadcast(g))
+        .select(
+            (
+                F.col("o").cast("decimal(19,0)")
+                * F.round(F.log(ratio) * scale).cast("long")
+            )
+            .cast(d38)
+            .alias("contrib")
+        )
+        .agg(F.sum("contrib").cast(d38).alias("mi_num"))
+    )
+    j = (
+        g.crossJoin(F.broadcast(hr.select(
+            F.col("s_tln").alias("r_tln"),
+            F.col("levels").alias("r_levels"),
+        )))
+        .crossJoin(F.broadcast(hc.select(
+            F.col("s_tln").alias("c_tln"),
+            F.col("levels").alias("c_levels"),
+        )))
+        .crossJoin(F.broadcast(mi))
+    )
+    nd = F.col("n_obs").cast("decimal(19,0)")
+    # entropy numerator in q9 fixed point: N·lnq(N) − Σ t·lnq(t)
+    hr_num = (nd * _lnq(F.col("n_obs"))).cast(d38) - F.col("r_tln")
+    hc_num = (nd * _lnq(F.col("n_obs"))).cast(d38) - F.col("c_tln")
+    denom = F.col("n_obs").cast("double") * scale
+    return j.select(
+        "n_obs",
+        "r_levels",
+        "c_levels",
+        (hr_num.cast("double") / denom).alias("h_row"),
+        (hc_num.cast("double") / denom).alias("h_col"),
+        (F.col("mi_num").cast("double") / denom).alias("mi_nats"),
+        F.try_divide(
+            F.col("mi_num").cast("double"), hr_num.cast("double")
+        ).alias("u_row_given_col"),
+        F.try_divide(
+            F.col("mi_num").cast("double"), hc_num.cast("double")
+        ).alias("u_col_given_row"),
+        F.try_divide(
+            F.lit(2.0) * F.col("mi_num").cast("double"),
+            (hr_num + hc_num).cast("double"),
+        ).alias("u_symmetric"),
+    )

@@ -1129,3 +1129,226 @@ def periodogram_daily(
         sad.alias("sin_sum"),
         (cad * cad + sad * sad).alias("power"),
     ).orderBy("k")
+
+
+#: Euler–Mascheroni constant and Gumbel return-level logs, computed
+#: once HERE (Python) and injected as identical literals into engine
+#: and oracle — never evaluated by either engine's libm.
+EULER_GAMMA = 0.5772156649015329
+SQRT6_OVER_PI = 0.779696801233676
+
+
+def gumbel_block_maxima(
+    df: DataFrame,
+    block_col: Column,
+    cents_col,
+    return_probs: "tuple[float, ...]" = (0.95, 0.99),
+) -> DataFrame:
+    """Gumbel (EV-I) fit to per-block maxima by the method of
+    moments — the tail-risk readout over a metric's extremes: fit
+    location μ and scale β to the block-maximum distribution, then
+    report return levels x_p = μ − β·ln(−ln p) ("the daily peak a
+    95%-of-months month stays under") — what a capacity/SLA planner
+    reads, where the quantile tier only describes the bulk.
+
+    MoM: β = s·√6/π, μ = m − γ·β (γ Euler–Mascheroni) — both
+    constants and every ln(−ln p) are PYTHON literals injected
+    identically into engine and oracle (never engine libm).
+    Exactness: block maxima are exact longs (one map-side-combined
+    max aggregate); m and s come from the welch exact-moment
+    contract over the |blocks|-bounded maxima table; everything
+    after is shared IEEE arithmetic of those exact pieces. Output:
+    one row per return prob — prob, n_blocks, mean_max, sd_max,
+    gumbel_mu, gumbel_beta, return_level — ordered by prob."""
+    d38 = "decimal(38,0)"
+    maxima = (
+        df.groupBy(block_col.alias("blk"))
+        .agg(F.max(cents_col.cast("long")).cast("long").alias("mx"))
+    )
+    vd = F.col("mx").cast("decimal(19,0)")
+    m = maxima.agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum(vd).cast(d38).alias("s"),
+        F.sum((vd * vd).cast(d38)).cast(d38).alias("ss"),
+    ).persist_tracked()  # every return-prob branch reads this 1-row table
+    nd = F.col("n_blocks").cast("double")
+    mean = F.col("s").cast("double") / nd
+    var = F.try_divide(
+        (F.col("n_blocks").cast(d38) * F.col("ss") - F.col("s") * F.col("s"))
+        .cast("double"),
+        nd * (nd - F.lit(1.0)),
+    )
+    sd = F.sqrt(var)
+    beta = sd * F.lit(SQRT6_OVER_PI)
+    mu = mean - F.lit(EULER_GAMMA) * beta
+    import math
+
+    probs = sorted(float(p) for p in return_probs)
+    rows = None
+    for p in probs:
+        lnln = math.log(-math.log(p))
+        r = m.select(
+            F.lit(p).alias("prob"),
+            "n_blocks",
+            mean.alias("mean_max"),
+            sd.alias("sd_max"),
+            mu.alias("gumbel_mu"),
+            beta.alias("gumbel_beta"),
+            (mu - beta * F.lit(lnln)).alias("return_level"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows.orderBy("prob")
+
+
+#: ln(s) for the R/S block sizes, Python literals (never engine libm)
+_LN = {
+    8: 2.0794415416798357,
+    16: 2.772588722239781,
+    32: 3.4657359027997265,
+    64: 4.1588830833596715,
+}
+
+
+def hurst_rs(
+    df: DataFrame,
+    day_col: str,
+    cents_col,
+    block_sizes: "tuple[int, ...]" = (8, 16, 32, 64),
+) -> DataFrame:
+    """Hurst exponent by rescaled-range (R/S) analysis of a daily
+    metric — long-range dependence: H ≈ 0.5 is a memoryless walk,
+    H > 0.5 persistent trends (shocks compound), H < 0.5 mean
+    reversion — the one-number memory diagnostic the ACF's per-lag
+    view doesn't summarize. For each block size s the series splits
+    into ⌊N/s⌋ full blocks; per block R = range of mean-adjusted
+    cumulative deviations and S = population std; H is the OLS slope
+    of ln(mean R/S) against ln(s).
+
+    Exactness: with integer cents, the s-scaled deviations
+    z_i = s·prefix_i − i·Σ_block are exact BIGINTs, and the s
+    CANCELS in R/S = (max z − min z)/√(s·Σy² − (Σy)²) — one IEEE
+    expression of exact integers per block. Per-size means quantize
+    R/S to DECIMAL(18,6) (exact sum over blocks); ln(mean R/S)
+    quantizes DECIMAL(18,9) (the ln rule); every ln(s) regressor is
+    a PYTHON literal; the 4-point OLS slope sums its xy products as
+    DECIMAL(28,12). Blocks with zero variance drop. Windows are
+    PARTITIONED by (size, block) — bounded s-row partitions.
+
+    Output: one row per block size — block_size, n_blocks, mean_rs,
+    ln_size, ln_mean_rs, hurst (the shared slope, repeated) —
+    ordered by block_size."""
+    for s in block_sizes:
+        if s not in _LN:
+            raise ValueError(f"unsupported block size {s}: add ln to _LN")
+    daily = (
+        df.groupBy(F.col(day_col).alias("d"))
+        .agg(F.sum(cents_col.cast("long")).cast("long").alias("y"))
+        .persist_tracked()
+    )
+    w = Window.orderBy("d")
+    seq = daily.select(
+        "d", "y", (F.row_number().over(w) - F.lit(1)).cast("long").alias("t")
+    ).persist_tracked()  # every block-size branch reads this
+    n_tot = seq.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    per_size = None
+    d38 = "decimal(38,0)"
+    for s in sorted(block_sizes):
+        sl = F.lit(int(s))
+        blocks = (
+            seq.crossJoin(F.broadcast(n_tot))
+            .withColumn("b", F.floor(F.col("t") / sl).cast("long"))
+            .filter(F.col("b") < F.floor(F.col("n") / sl))
+            .withColumn("i", (F.col("t") % sl + F.lit(1)).cast("long"))
+        )
+        wb = Window.partitionBy("b").orderBy("t").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        yd = F.col("y").cast("decimal(19,0)")
+        pref = blocks.select(
+            "b",
+            "i",
+            F.sum("y").over(wb).cast("long").alias("prefix"),
+            F.sum("y")
+            .over(Window.partitionBy("b"))
+            .cast("long")
+            .alias("sum_b"),
+            F.sum((yd * yd).cast(d38))
+            .over(Window.partitionBy("b"))
+            .cast(d38)
+            .alias("ssq_b"),
+        )
+        z = pref.select(
+            "b",
+            "sum_b",
+            "ssq_b",
+            (
+                F.col("prefix") * sl - F.col("i") * F.col("sum_b")
+            ).cast("long").alias("z"),
+        )
+        per_block = z.groupBy("b").agg(
+            (F.max("z") - F.min("z")).cast("long").alias("r_scaled"),
+            F.first("sum_b").alias("sum_b"),
+            F.first("ssq_b").alias("ssq_b"),
+        )
+        s_num = (
+            F.lit(int(s)).cast(d38) * F.col("ssq_b")
+            - F.col("sum_b").cast("decimal(19,0)")
+            * F.col("sum_b").cast("decimal(19,0)")
+        ).cast("double")
+        rs = (
+            per_block.filter(s_num > 0)
+            .select(
+                (
+                    F.col("r_scaled").cast("double") / F.sqrt(s_num)
+                )
+                .cast("decimal(18,6)")
+                .alias("rs_q")
+            )
+        )
+        agg = rs.agg(
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.sum("rs_q").cast("decimal(28,6)").alias("rs_sum"),
+        )
+        mean_rs = F.col("rs_sum").cast("double") / F.col("n_blocks").cast(
+            "double"
+        )
+        row = agg.select(
+            F.lit(int(s)).cast("int").alias("block_size"),
+            "n_blocks",
+            mean_rs.alias("mean_rs"),
+            F.lit(_LN[s]).alias("ln_size"),
+            F.log(mean_rs).cast("decimal(18,9)").cast("double").alias(
+                "ln_mean_rs"
+            ),
+        )
+        per_size = row if per_size is None else per_size.unionByName(row)
+    per_size = per_size.persist_tracked()  # slope scalar + output read this
+    kk = float(len(block_sizes))
+    sx = sum(_LN[s] for s in block_sizes)
+    sxx = sum(_LN[s] * _LN[s] for s in block_sizes)
+    fit = per_size.agg(
+        F.sum(F.col("ln_mean_rs").cast("decimal(18,9)"))
+        .cast("decimal(28,9)")
+        .alias("sy"),
+        F.sum(
+            (F.col("ln_size") * F.col("ln_mean_rs")).cast("decimal(28,12)")
+        )
+        .cast("decimal(38,12)")
+        .alias("sxy"),
+    )
+    slope = (
+        F.lit(kk) * F.col("sxy").cast("double")
+        - F.lit(sx) * F.col("sy").cast("double")
+    ) / F.lit(kk * sxx - sx * sx)
+    return (
+        per_size.crossJoin(F.broadcast(fit.select(slope.alias("hurst"))))
+        .select(
+            "block_size",
+            "n_blocks",
+            "mean_rs",
+            "ln_size",
+            "ln_mean_rs",
+            "hurst",
+        )
+        .orderBy("block_size")
+    )

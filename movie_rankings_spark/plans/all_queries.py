@@ -92,6 +92,12 @@ _UNSEEN_FIRST = (
     "cronbach_quality_signals",
     "smd_balance_segment",
     "page_trend_price_priority",
+    "ordinal_gamma_qty_discount",
+    "uncertainty_priority_segment",
+    "poisson_rate_weekend_purchases",
+    "gumbel_monthly_peak_revenue",
+    "hurst_daily_revenue",
+    "mahalanobis_segment_profile",
 )
 
 #: most expensive entries at sf0.01, slowest-last; everything absent

@@ -5472,3 +5472,484 @@ def page_trend_price_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return page_trend_test(cells, F.col("blk"), F.col("j"), F.col("y"))
+
+
+# --- r7: ordinal association / uncertainty coefficient -------------------------
+
+_ORDINAL_ORACLE = """
+WITH cells AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         CAST(round(l_discount * 100) AS BIGINT) AS y,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2
+), cd AS (
+  SELECT CAST(SUM(CASE WHEN a.y < b.y THEN a.c * b.c ELSE 0 END) AS BIGINT)
+           AS concordant,
+         CAST(SUM(CASE WHEN a.y > b.y THEN a.c * b.c ELSE 0 END) AS BIGINT)
+           AS discordant
+  FROM cells a JOIN cells b ON a.x < b.x
+), tx AS (
+  SELECT CAST(SUM(t * (t - 1)) AS BIGINT) AS tie2_x,
+         CAST(SUM(t) AS BIGINT) AS n_rows
+  FROM (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cells GROUP BY x)
+), ty AS (
+  SELECT CAST(SUM(t * (t - 1)) AS BIGINT) AS tie2_y
+  FROM (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cells GROUP BY y)
+), tb AS (
+  SELECT CAST(SUM(c * (c - 1)) AS BIGINT) AS tie2_both FROM cells
+), j AS (
+  SELECT * FROM cd CROSS JOIN tx CROSS JOIN ty CROSS JOIN tb
+)
+SELECT n_rows, concordant, discordant,
+       CAST((tie2_x - tie2_both) / 2 AS BIGINT) AS ties_x_only,
+       CAST((tie2_y - tie2_both) / 2 AS BIGINT) AS ties_y_only,
+       CAST(tie2_both / 2 AS BIGINT) AS ties_both,
+       (CAST(concordant AS DOUBLE) - CAST(discordant AS DOUBLE))
+         / (CAST(concordant AS DOUBLE) + CAST(discordant AS DOUBLE)) AS gamma,
+       (CAST(concordant AS DOUBLE) - CAST(discordant AS DOUBLE))
+         / (CAST(concordant AS DOUBLE) + CAST(discordant AS DOUBLE)
+            + CAST(tie2_y - tie2_both AS DOUBLE) / 2.0) AS somers_d_yx,
+       (CAST(concordant AS DOUBLE) - CAST(discordant AS DOUBLE))
+         / (CAST(concordant AS DOUBLE) + CAST(discordant AS DOUBLE)
+            + CAST(tie2_x - tie2_both AS DOUBLE) / 2.0) AS somers_d_xy,
+       2.0 * (CAST(concordant AS DOUBLE) - CAST(discordant AS DOUBLE))
+         / (sqrt(CAST(CAST(n_rows AS HUGEINT) * (n_rows - 1) - tie2_x
+                      AS DOUBLE))
+            * sqrt(CAST(CAST(n_rows AS HUGEINT) * (n_rows - 1) - tie2_y
+                        AS DOUBLE))) AS tau_b
+FROM j
+"""
+
+
+@REGISTRY.register("ordinal_gamma_qty_discount", _ORDINAL_ORACLE)
+def ordinal_gamma_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do bigger line quantities get bigger discounts? Goodman-
+    Kruskal gamma + both Somers' D directions + tau-b over the
+    (quantity, discount%) cell table — the full concordance readout
+    whose tie spread diagnoses the heavy-tie ordinal pair
+    (operators/disttests.py::ordinal_association)."""
+    from movie_rankings_spark.operators.disttests import ordinal_association
+
+    return ordinal_association(
+        _t(spark, sf_dir, "lineitem"),
+        F.col("l_quantity"),
+        F.round(F.col("l_discount") * 100),
+    )
+
+
+_UNCERTAINTY_ORACLE = """
+WITH j AS (
+  SELECT o.o_orderpriority AS a, c.c_mktsegment AS b
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE o.o_orderpriority IS NOT NULL AND c.c_mktsegment IS NOT NULL
+), cells AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS o FROM j GROUP BY 1, 2
+), rt AS (SELECT a, CAST(SUM(o) AS BIGINT) AS t FROM cells GROUP BY 1),
+ct AS (SELECT b, CAST(SUM(o) AS BIGINT) AS t FROM cells GROUP BY 1),
+g AS (SELECT CAST(SUM(o) AS BIGINT) AS n_obs FROM cells),
+hr AS (
+  SELECT CAST(SUM(CAST(CAST(t AS DECIMAL(19,0))
+           * CAST(round(ln(CAST(t AS DOUBLE)) * 1000000000.0) AS BIGINT)
+           AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s_tln,
+         CAST(COUNT(*) AS BIGINT) AS levels
+  FROM rt
+), hc AS (
+  SELECT CAST(SUM(CAST(CAST(t AS DECIMAL(19,0))
+           * CAST(round(ln(CAST(t AS DOUBLE)) * 1000000000.0) AS BIGINT)
+           AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s_tln,
+         CAST(COUNT(*) AS BIGINT) AS levels
+  FROM ct
+), mi AS (
+  SELECT CAST(SUM(CAST(CAST(c.o AS DECIMAL(19,0))
+           * CAST(round(ln(CAST(c.o AS DOUBLE) * CAST(g.n_obs AS DOUBLE)
+                           / (CAST(r.t AS DOUBLE) * CAST(t2.t AS DOUBLE)))
+                        * 1000000000.0) AS BIGINT)
+           AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS mi_num
+  FROM cells c JOIN rt r USING (a) JOIN ct t2 USING (b) CROSS JOIN g
+), f AS (
+  SELECT g.n_obs, hr.levels AS r_levels, hc.levels AS c_levels,
+         CAST(CAST(g.n_obs AS DECIMAL(19,0))
+              * CAST(round(ln(CAST(g.n_obs AS DOUBLE)) * 1000000000.0)
+                     AS BIGINT) AS DECIMAL(38,0)) - hr.s_tln AS hr_num,
+         CAST(CAST(g.n_obs AS DECIMAL(19,0))
+              * CAST(round(ln(CAST(g.n_obs AS DOUBLE)) * 1000000000.0)
+                     AS BIGINT) AS DECIMAL(38,0)) - hc.s_tln AS hc_num,
+         mi.mi_num
+  FROM g CROSS JOIN hr CROSS JOIN hc CROSS JOIN mi
+)
+SELECT n_obs, r_levels, c_levels,
+       CAST(hr_num AS DOUBLE)
+         / (CAST(n_obs AS DOUBLE) * 1000000000.0) AS h_row,
+       CAST(hc_num AS DOUBLE)
+         / (CAST(n_obs AS DOUBLE) * 1000000000.0) AS h_col,
+       CAST(mi_num AS DOUBLE)
+         / (CAST(n_obs AS DOUBLE) * 1000000000.0) AS mi_nats,
+       CAST(mi_num AS DOUBLE) / CAST(hr_num AS DOUBLE) AS u_row_given_col,
+       CAST(mi_num AS DOUBLE) / CAST(hc_num AS DOUBLE) AS u_col_given_row,
+       2.0 * CAST(mi_num AS DOUBLE) / CAST(hr_num + hc_num AS DOUBLE)
+         AS u_symmetric
+FROM f
+"""
+
+
+@REGISTRY.register("uncertainty_priority_segment", _UNCERTAINTY_ORACLE)
+def uncertainty_priority_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Theil's uncertainty coefficient between order priority and the
+    customer's market segment — the ASYMMETRIC association readout
+    next to cramersv_priority_segment's symmetric V: U(A|B) says how
+    much of priority's entropy segment removes, and vice versa —
+    fixed-point q9 entropy arithmetic, exact-integer ratios
+    (operators/infotheory.py::uncertainty_coefficient)."""
+    from movie_rankings_spark.operators.infotheory import (
+        uncertainty_coefficient,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    return uncertainty_coefficient(joined, "o_orderpriority", "c_mktsegment")
+
+
+# --- r7: Poisson rate contrast + Gumbel tail fit ------------------------------
+
+_POISSON_ORACLE = """
+WITH e AS (
+  SELECT CASE WHEN (date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    % 7) IN (2, 3) THEN 1 ELSE 0 END AS wkend
+  FROM events WHERE event_type = 'purchase'
+), m AS (
+  SELECT CAST(SUM(wkend) AS BIGINT) AS ka,
+         CAST(SUM(1 - wkend) AS BIGINT) AS kb
+  FROM e
+)
+SELECT ka AS k_a, kb AS k_b, 2.0 AS exposure_a, 5.0 AS exposure_b,
+       CAST(ka AS DOUBLE) / 2.0 AS rate_a,
+       CAST(kb AS DOUBLE) / 5.0 AS rate_b,
+       (CAST(ka AS DOUBLE) / 2.0) / (CAST(kb AS DOUBLE) / 5.0) AS rate_ratio,
+       (CAST(ka AS DOUBLE) / 2.0 - CAST(kb AS DOUBLE) / 5.0)
+         / sqrt(CAST(ka AS DOUBLE) / 4.0 + CAST(kb AS DOUBLE) / 25.0)
+         AS z_wald,
+       (CAST(ka AS DOUBLE)
+        - (CAST(ka AS DOUBLE) + CAST(kb AS DOUBLE)) * 0.2857142857142857)
+         / sqrt((CAST(ka AS DOUBLE) + CAST(kb AS DOUBLE))
+                * 0.20408163265306123) AS z_binomial
+FROM m
+"""
+
+
+@REGISTRY.register("poisson_rate_weekend_purchases", _POISSON_ORACLE)
+def poisson_rate_weekend_purchases(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Do purchases arrive at a different per-slot rate on weekends
+    (2 weekly slots) than weekdays (5)? Wald and conditional-binomial
+    z on the two exact counts — epoch-anchored weekend indicator
+    (days-since-1970 mod 7 ∈ {2,3} = Sat/Sun), exposure literals
+    injected identically into engine and oracle
+    (operators/disttests.py::poisson_rate_test)."""
+    from movie_rankings_spark.operators.disttests import poisson_rate_test
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    pos = F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")) % 7
+    wkend = pos.isin(2, 3).cast("int")
+    return poisson_rate_test(
+        ev, wkend, (F.lit(1) - wkend).cast("int"), 2.0, 5.0
+    )
+
+
+_GUMBEL_ORACLE = """
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+), mx AS (
+  SELECT strftime(d, '%Y-%m') AS blk, CAST(MAX(y) AS BIGINT) AS m
+  FROM daily GROUP BY 1
+), mm AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         CAST(SUM(CAST(m AS HUGEINT)) AS HUGEINT) AS s,
+         CAST(SUM(CAST(m AS HUGEINT) * m) AS HUGEINT) AS ss
+  FROM mx
+), d AS (
+  SELECT n_blocks,
+         CAST(s AS DOUBLE) / CAST(n_blocks AS DOUBLE) AS mean,
+         sqrt(CAST(n_blocks * ss - s * s AS DOUBLE)
+              / (CAST(n_blocks AS DOUBLE)
+                 * (CAST(n_blocks AS DOUBLE) - 1.0))) AS sd
+  FROM mm
+)
+SELECT 0.95 AS prob, n_blocks, mean AS mean_max, sd AS sd_max,
+       mean - 0.5772156649015329 * (sd * 0.779696801233676) AS gumbel_mu,
+       sd * 0.779696801233676 AS gumbel_beta,
+       (mean - 0.5772156649015329 * (sd * 0.779696801233676))
+         - (sd * 0.779696801233676) * (-2.9701952490421637) AS return_level
+FROM d
+UNION ALL
+SELECT 0.99, n_blocks, mean, sd,
+       mean - 0.5772156649015329 * (sd * 0.779696801233676),
+       sd * 0.779696801233676,
+       (mean - 0.5772156649015329 * (sd * 0.779696801233676))
+         - (sd * 0.779696801233676) * (-4.600149226776579)
+FROM d
+ORDER BY prob
+"""
+
+
+@REGISTRY.register("gumbel_monthly_peak_revenue", _GUMBEL_ORACLE)
+def gumbel_monthly_peak_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel (EV-I) method-of-moments fit to monthly PEAK daily
+    revenue, with 95%/99% return levels — "the daily peak a
+    95%-of-months month stays under", the capacity-planning tail
+    readout the bulk quantile tier can't give. All transcendental
+    constants are Python literals injected into both engines
+    (operators/timeseries.py::gumbel_block_maxima)."""
+    from movie_rankings_spark.operators.timeseries import gumbel_block_maxima
+
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * F.lit(100)).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+    return gumbel_block_maxima(
+        daily,
+        F.date_format("d", "yyyy-MM"),
+        F.col("y"),
+        return_probs=(0.95, 0.99),
+    )
+
+
+# --- r7: Hurst exponent (R/S) + Mahalanobis profile distance ------------------
+
+_HURST_SIZES = (8, 16, 32, 64)
+#: e0 suffix forces a DOUBLE literal: DuckDB parses bare 16-digit
+#: literals as DECIMAL, whose decimal->double conversion is off by an
+#: ulp from the correctly-rounded text parse (observed on ln(16))
+_HURST_LN = {
+    8: "2.0794415416798357e0",
+    16: "2.772588722239781e0",
+    32: "3.4657359027997265e0",
+    64: "4.1588830833596715e0",
+}
+
+
+def _hurst_size_block(s: int) -> str:
+    ln_s = _HURST_LN[s]
+    return f"""
+  SELECT CAST({s} AS INTEGER) AS block_size,
+         CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         CAST(SUM(rs_q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_rs,
+         {ln_s} AS ln_size,
+         CAST(CAST(ln(CAST(SUM(rs_q) AS DOUBLE)
+                      / CAST(COUNT(*) AS DOUBLE)) AS DECIMAL(18,9))
+              AS DOUBLE) AS ln_mean_rs
+  FROM (
+    SELECT CAST(CAST(r_scaled AS DOUBLE)
+                / sqrt(CAST(CAST(s_num AS VARCHAR) AS DOUBLE))
+                AS DECIMAL(18,6)) AS rs_q
+    FROM (
+      SELECT b, CAST(MAX(z) - MIN(z) AS BIGINT) AS r_scaled,
+             CAST({s} * MIN(ssq_b)
+                  - CAST(MIN(sum_b) AS HUGEINT) * MIN(sum_b) AS HUGEINT)
+               AS s_num
+      FROM (
+        SELECT b,
+               CAST(prefix * {s} - i * sum_b AS BIGINT) AS z,
+               sum_b, ssq_b
+        FROM (
+          SELECT b, i,
+                 CAST(SUM(y) OVER (PARTITION BY b ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS prefix,
+                 CAST(SUM(y) OVER (PARTITION BY b) AS BIGINT) AS sum_b,
+                 CAST(SUM(CAST(y AS HUGEINT) * y) OVER (PARTITION BY b)
+                      AS HUGEINT) AS ssq_b,
+                 y, t
+          FROM (
+            SELECT t, y,
+                   CAST(FLOOR(CAST(t AS DOUBLE) / {s}) AS BIGINT) AS b,
+                   CAST(t % {s} + 1 AS BIGINT) AS i
+            FROM seq CROSS JOIN tot
+            WHERE CAST(FLOOR(CAST(t AS DOUBLE) / {s}) AS BIGINT)
+                  < CAST(FLOOR(CAST(n AS DOUBLE) / {s}) AS BIGINT)
+          )
+        )
+      ) GROUP BY b
+    ) WHERE CAST(CAST(s_num AS VARCHAR) AS DOUBLE) > 0
+  )
+"""
+
+
+_HURST_ORACLE = (
+    """
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+), seq AS (
+  SELECT d, y, CAST(ROW_NUMBER() OVER (ORDER BY d) - 1 AS BIGINT) AS t
+  FROM daily
+), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+per_size AS (
+"""
+    + "\n  UNION ALL\n".join(_hurst_size_block(s) for s in _HURST_SIZES)
+    + """
+), fit AS (
+  SELECT CAST(SUM(CAST(ln_mean_rs AS DECIMAL(18,9))) AS DECIMAL(28,9)) AS sy,
+         CAST(SUM(CAST(ln_size * ln_mean_rs AS DECIMAL(28,12)))
+              AS DECIMAL(38,12)) AS sxy
+  FROM per_size
+)
+SELECT p.block_size, p.n_blocks, p.mean_rs, p.ln_size, p.ln_mean_rs,
+       (4.0 * CAST(f.sxy AS DOUBLE)
+        - 12.476649250079014e0 * CAST(f.sy AS DOUBLE))
+         / 9.609060278364012e0 AS hurst
+FROM per_size p CROSS JOIN fit f
+ORDER BY p.block_size
+"""
+)
+
+
+@REGISTRY.register("hurst_daily_revenue", _HURST_ORACLE)
+def hurst_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of daily revenue by rescaled-range analysis
+    over block sizes 8/16/32/64 — does revenue trend persist
+    (H > 0.5) or mean-revert (H < 0.5)? The long-memory diagnostic
+    the per-lag ACF doesn't summarize; s-scaled exact-integer
+    deviations, the s cancels in R/S, Python-literal regressors
+    (operators/timeseries.py::hurst_rs)."""
+    from movie_rankings_spark.operators.timeseries import hurst_rs
+
+    return hurst_rs(
+        _t(spark, sf_dir, "orders"),
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * F.lit(100)),
+        block_sizes=(8, 16, 32, 64),
+    )
+
+
+_MAHAL_ORACLE = """
+WITH per AS (
+  SELECT o.o_custkey,
+         CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS spend,
+         CAST(datediff('day', MIN(o.o_orderdate), MAX(o.o_orderdate))
+              AS BIGINT) AS active_days,
+         CASE WHEN MIN(c.c_mktsegment) = 'BUILDING' THEN 1 ELSE 0 END AS t
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+), m AS (
+  SELECT
+    CAST(SUM(t) AS BIGINT) AS nt, CAST(SUM(1 - t) AS BIGINT) AS nc,
+    CAST(SUM(CASE WHEN t = 1 THEN CAST(spend AS HUGEINT) ELSE 0 END)
+         AS HUGEINT) AS sat,
+    CAST(SUM(CASE WHEN t = 1 THEN CAST(active_days AS HUGEINT) ELSE 0 END)
+         AS HUGEINT) AS sbt,
+    CAST(SUM(CASE WHEN t = 1 THEN CAST(spend AS HUGEINT) * spend
+             ELSE 0 END) AS HUGEINT) AS saat,
+    CAST(SUM(CASE WHEN t = 1 THEN CAST(active_days AS HUGEINT) * active_days
+             ELSE 0 END) AS HUGEINT) AS sbbt,
+    CAST(SUM(CASE WHEN t = 1 THEN CAST(spend AS HUGEINT) * active_days
+             ELSE 0 END) AS HUGEINT) AS sabt,
+    CAST(SUM(CASE WHEN t = 0 THEN CAST(spend AS HUGEINT) ELSE 0 END)
+         AS HUGEINT) AS sac,
+    CAST(SUM(CASE WHEN t = 0 THEN CAST(active_days AS HUGEINT) ELSE 0 END)
+         AS HUGEINT) AS sbc,
+    CAST(SUM(CASE WHEN t = 0 THEN CAST(spend AS HUGEINT) * spend
+             ELSE 0 END) AS HUGEINT) AS saac,
+    CAST(SUM(CASE WHEN t = 0 THEN CAST(active_days AS HUGEINT) * active_days
+             ELSE 0 END) AS HUGEINT) AS sbbc,
+    CAST(SUM(CASE WHEN t = 0 THEN CAST(spend AS HUGEINT) * active_days
+             ELSE 0 END) AS HUGEINT) AS sabc
+  FROM per
+), d AS (
+  SELECT nt, nc,
+         CAST(sat AS DOUBLE) / CAST(nt AS DOUBLE)
+           - CAST(sac AS DOUBLE) / CAST(nc AS DOUBLE) AS da,
+         CAST(sbt AS DOUBLE) / CAST(nt AS DOUBLE)
+           - CAST(sbc AS DOUBLE) / CAST(nc AS DOUBLE) AS db,
+         CAST(CAST(nt * saat - sat * sat AS VARCHAR) AS DOUBLE)
+           / (CAST(nt AS DOUBLE) * (CAST(nt AS DOUBLE) - 1.0)) AS vat,
+         CAST(CAST(nt * sbbt - sbt * sbt AS VARCHAR) AS DOUBLE)
+           / (CAST(nt AS DOUBLE) * (CAST(nt AS DOUBLE) - 1.0)) AS vbt,
+         CAST(CAST(nt * sabt - sat * sbt AS VARCHAR) AS DOUBLE)
+           / (CAST(nt AS DOUBLE) * (CAST(nt AS DOUBLE) - 1.0)) AS cabt,
+         CAST(CAST(nc * saac - sac * sac AS VARCHAR) AS DOUBLE)
+           / (CAST(nc AS DOUBLE) * (CAST(nc AS DOUBLE) - 1.0)) AS vac,
+         CAST(CAST(nc * sbbc - sbc * sbc AS VARCHAR) AS DOUBLE)
+           / (CAST(nc AS DOUBLE) * (CAST(nc AS DOUBLE) - 1.0)) AS vbc,
+         CAST(CAST(nc * sabc - sac * sbc AS VARCHAR) AS DOUBLE)
+           / (CAST(nc AS DOUBLE) * (CAST(nc AS DOUBLE) - 1.0)) AS cabc
+  FROM m
+), p AS (
+  SELECT nt, nc, da, db,
+         ((CAST(nt AS DOUBLE) - 1.0) * vat
+          + (CAST(nc AS DOUBLE) - 1.0) * vac)
+           / (CAST(nt AS DOUBLE) + CAST(nc AS DOUBLE) - 2.0) AS p_va,
+         ((CAST(nt AS DOUBLE) - 1.0) * vbt
+          + (CAST(nc AS DOUBLE) - 1.0) * vbc)
+           / (CAST(nt AS DOUBLE) + CAST(nc AS DOUBLE) - 2.0) AS p_vb,
+         ((CAST(nt AS DOUBLE) - 1.0) * cabt
+          + (CAST(nc AS DOUBLE) - 1.0) * cabc)
+           / (CAST(nt AS DOUBLE) + CAST(nc AS DOUBLE) - 2.0) AS p_cab
+  FROM d
+)
+SELECT nt AS n_t, nc AS n_c, da AS delta_a, db AS delta_b,
+       p_va AS pooled_var_a, p_vb AS pooled_var_b,
+       p_cab AS pooled_cov_ab,
+       (p_vb * da * da - 2.0 * p_cab * da * db + p_va * db * db)
+         / (p_va * p_vb - p_cab * p_cab) AS d2,
+       sqrt((p_vb * da * da - 2.0 * p_cab * da * db + p_va * db * db)
+            / (p_va * p_vb - p_cab * p_cab)) AS d
+FROM p
+"""
+
+
+@REGISTRY.register("mahalanobis_segment_profile", _MAHAL_ORACLE)
+def mahalanobis_segment_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mahalanobis distance between BUILDING-segment and other
+    customers over the joint (spend, active-days) profile — the
+    correlation-aware upgrade of smd_balance_segment's marginal
+    screens, closed-form 2x2 pooled-covariance inverse
+    (operators/causal.py::mahalanobis_2d)."""
+    from movie_rankings_spark.operators.causal import mahalanobis_2d
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    per = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * F.lit(100)).cast("long"))
+            .cast("long")
+            .alias("spend"),
+            F.datediff(
+                F.max(F.col("o_orderdate").cast("date")),
+                F.min(F.col("o_orderdate").cast("date")),
+            )
+            .cast("long")
+            .alias("active_days"),
+            F.min("c_mktsegment").alias("seg"),
+        )
+    )
+    return mahalanobis_2d(
+        per,
+        (F.col("seg") == "BUILDING").cast("int"),
+        F.col("spend"),
+        F.col("active_days"),
+    )

@@ -66,6 +66,9 @@ NESTED_LOOP_LEGIT = {
     "survival_nelson_aalen",  # 1-row horizon scalar x per-customer table; duration-bounded windows (r7)
     "periodogram_daily_revenue",  # 1-row N/S totals x bounded daily/angle tables (r7)
     "assortativity_copurchase",  # 1-row node-count scalar x 1-row moment row (r7)
+    "ordinal_gamma_qty_discount",  # bounded |X|x|Y| cell theta join x 1-row marginals (r7)
+    "uncertainty_priority_segment",  # bounded cells x 1-row entropy/MI scalars (r7)
+    "hurst_daily_revenue",  # 1-row N scalar x bounded daily; 4-row fit scalar (r7)
     "survival_logrank_segment",  # 1-row horizon + 2-row group grid broadcasts; duration-bounded windows (r7)
     "cramersv_priority_segment",  # 1-row grand total / levels / chi2 scalars (r7)
     "fleiss_quality_raters",  # 1-row moment x 1-row chance-agreement scalars (r7)

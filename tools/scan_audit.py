@@ -101,6 +101,10 @@ KNOWN_LEGIT = {
     "periodogram_daily_revenue",  # 1 real scan; persisted daily series feeds totals + angle/term tables (cache-text artifact) (r7)
     "assortativity_copurchase",  # 1 real basket scan; persisted und/deg feed stubs + moments (cache-text artifact) (r7)
     "page_trend_price_priority",  # 1 real scan; persisted cell table feeds k-count, completeness filter, ranks (friedman shape) (r7)
+    "ordinal_gamma_qty_discount",  # 1 real scan; persisted cells feed theta join + 3 marginals (cache-text artifact) (r7)
+    "uncertainty_priority_segment",  # 1 real join scan; persisted cells feed marginals + MI branch (cache-text artifact) (r7)
+    "gumbel_monthly_peak_revenue",  # 1 real scan; persisted 1-row moments feed both return-prob branches (cache-text artifact) (r7)
+    "hurst_daily_revenue",  # 1 real scan; persisted daily/seq feed all 4 block-size branches + fit (deep cache-text repetition) (r7)
     "survival_logrank_segment",  # 1 real join scan; persisted per-customer/cells tiers feed horizon, grid, sizes (cache-text artifact) (r7)
     "seasonal_decompose_revenue",  # 1 real scan; persisted daily/base tables feed MA, position means, output (cache-text artifact) (r7)
     "grubbs_daily_revenue",  # 1 real scan; persisted daily table feeds the operator's moment + max passes (cache-text artifact) (r7)
