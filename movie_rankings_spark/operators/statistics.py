@@ -1062,3 +1062,54 @@ def grouped_ridge(
         (intercept_s / unscale).alias("intercept_ridge"),
         (den / den_r).alias("shrinkage"),
     )
+
+
+def atkinson_index(
+    df: DataFrame, key_col: Column, cents_col: Column
+) -> DataFrame:
+    """Atkinson inequality index (ε = 1) over per-key value mass —
+    A₁ = 1 − geometric_mean/arithmetic_mean — the WELFARE-weighted
+    member of the inequality family next to Gini/Lorenz (tail-
+    sensitive, rank-based) and HHI/Theil (share-entropy): ε = 1
+    weights transfers at the bottom of the distribution most, so A₁
+    moves when the long tail starves even if Gini barely does.
+
+    Shape: one map-side-combined rollup to per-key totals (bounded
+    by |keys|), one aggregate. Exactness: the arithmetic mean is an
+    exact-integer ratio; each ln(x) is q9 fixed-point (round(ln·10⁹)
+    BIGINT) at the per-key table so Σln is an exact DECIMAL(38,0);
+    the geometric mean exp(Σln/n) is ONE engine exp of an identical
+    double, FLOOR-quantized to whole cents before the final ratio —
+    the quantum (1 cent) must exceed exp's cross-libm ulp at the
+    value's magnitude, which a fractional decimal scale would not. Zero/negative keys drop (ln undefined).
+    Output: ONE row — n_keys, total_cents, mean_cents, log_gm,
+    geo_mean, atkinson."""
+    per = (
+        df.select(key_col.alias("k"), cents_col.cast("long").alias("v"))
+        .groupBy("k")
+        .agg(
+            F.sum(F.col("v").cast("decimal(19,0)"))
+            .cast("decimal(38,0)")
+            .alias("x")
+        )
+        .filter(F.col("x") > 0)
+    )
+    scale = F.lit(1000000000.0)
+    lnq = F.round(F.log(F.col("x").cast("double")) * scale).cast("long")
+    m = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("x").cast("decimal(38,0)").alias("xs"),
+        F.sum(lnq.cast("decimal(19,0)")).cast("decimal(38,0)").alias("s_ln"),
+    )
+    nd = F.col("n_keys").cast("double")
+    mean = F.col("xs").cast("double") / nd
+    log_gm = F.col("s_ln").cast("double") / (nd * scale)
+    geo = F.floor(F.exp(log_gm)).cast("long").cast("double")
+    return m.select(
+        "n_keys",
+        F.col("xs").cast("long").alias("total_cents"),
+        mean.alias("mean_cents"),
+        log_gm.alias("log_gm"),
+        geo.alias("geo_mean"),
+        (F.lit(1.0) - geo / mean).alias("atkinson"),
+    )

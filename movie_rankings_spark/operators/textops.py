@@ -1036,3 +1036,134 @@ def rake_keyphrases(
         .orderBy(F.col("score").desc(), F.col("phrase").asc())
         .limit(top_k)
     )
+
+
+def readability_by_group(
+    docs: DataFrame, group_col: Column, text_col: Column
+) -> DataFrame:
+    """Flesch-style readability per group — FRE = 206.835 −
+    1.015·(words/sentences) − 84.6·(syllables/words) with the
+    standard vowel-group syllable proxy — the prose-complexity lens
+    of the quality tier: length/stopword ratios say "how much text",
+    FRE says "how hard is it to read", and a curation mix often
+    wants both ends of that scale.
+
+    Shape: pure in-row codegen per document (three regexp counts —
+    no tokenize explode), ONE group aggregate. Exactness: word /
+    sentence / vowel-group counts are exact ints; each per-doc FRE
+    is one shared IEEE expression quantized DECIMAL(18,9) before the
+    exact per-group decimal sum (the per-row-float convention);
+    min/max of identical quantized doubles are engine-exact.
+
+    Output: one row per group — group, n_docs, total_words,
+    mean_words, mean_fre, min_fre, max_fre — ordered by group."""
+    words = F.size(F.split(text_col, " ")).cast("long")
+    sentences = F.greatest(
+        F.lit(1).cast("long"),
+        F.regexp_count(text_col, F.lit("[.!?]")).cast("long"),
+    )
+    syllables = F.regexp_count(
+        F.lower(text_col), F.lit("[aeiouy]+")
+    ).cast("long")
+    fre = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sentences.cast("double"))
+        - F.lit(84.6) * (syllables.cast("double") / words.cast("double"))
+    )
+    rows = docs.select(
+        group_col.alias("g"),
+        words.alias("w"),
+        fre.cast("decimal(18,9)").alias("fre_q"),
+    ).filter(F.col("g").isNotNull() & (F.col("w") > 0))
+    return (
+        rows.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("w").cast("long").alias("total_words"),
+            (
+                F.sum("w").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_words"),
+            (
+                F.sum("fre_q").cast("decimal(38,9)").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_fre"),
+            F.min(F.col("fre_q").cast("double")).alias("min_fre"),
+            F.max(F.col("fre_q").cast("double")).alias("max_fre"),
+        )
+        .select(
+            F.col("g").alias("group"),
+            "n_docs",
+            "total_words",
+            "mean_words",
+            "mean_fre",
+            "min_fre",
+            "max_fre",
+        )
+        .orderBy("group")
+    )
+
+
+def simpson_diversity_by_group(
+    docs: DataFrame, group_col: Column, text_col: Column
+) -> DataFrame:
+    """Token diversity per group: Simpson's index D = Σn(n−1)/(N(N−1))
+    (the probability two random tokens coincide — EXACT integer
+    ratio), inverse Simpson 1/D (effective vocabulary size), Shannon
+    entropy and Pielou evenness H/ln(richness) — the per-source
+    vocabulary-concentration readout next to the corpus-global
+    Zipf/Heaps laws: a source whose inverse-Simpson collapses is
+    boilerplate even when its raw vocab count looks healthy.
+
+    Shape: one tokenize explode → (group, token) count cells (∝
+    tokens, map-side combined) → one bounded per-group aggregate.
+    Exactness: D's numerator/denominator are exact BIGINTs; Shannon
+    uses the q9 fixed-point convention (round(ln·10⁹) per bounded
+    count cell, exact decimal sums, one final division); ln(richness)
+    is quantized the same way, making evenness a ratio of two exact
+    integers. Output: one row per group — group, n_tokens, richness,
+    simpson_d, inv_simpson, shannon_h, evenness — ordered by group."""
+    cells = (
+        docs.select(
+            group_col.alias("g"),
+            F.explode(F.split(text_col, " ")).alias("tok"),
+        )
+        .filter(F.col("g").isNotNull() & (F.col("tok") != ""))
+        .groupBy("g", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    scale = F.lit(1000000000.0)
+    lnq_c = F.round(F.log(F.col("c").cast("double")) * scale).cast("long")
+    per = cells.groupBy("g").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("rich"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("coll"),
+        F.sum((F.col("c").cast("decimal(19,0)") * lnq_c).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("s_cln"),
+    )
+    nd = F.col("n").cast("double")
+    lnq_n = F.round(F.log(nd) * scale).cast("long")
+    h_num = (
+        F.col("n").cast("decimal(19,0)") * lnq_n
+    ).cast("decimal(38,0)") - F.col("s_cln")
+    shannon = h_num.cast("double") / (nd * scale)
+    lnq_rich = F.round(
+        F.log(F.col("rich").cast("double")) * scale
+    ).cast("long")
+    simpson = F.try_divide(
+        F.col("coll").cast("double"),
+        nd * (nd - F.lit(1.0)),
+    )
+    return per.select(
+        F.col("g").alias("group"),
+        F.col("n").alias("n_tokens"),
+        F.col("rich").alias("richness"),
+        simpson.alias("simpson_d"),
+        F.try_divide(F.lit(1.0), simpson).alias("inv_simpson"),
+        shannon.alias("shannon_h"),
+        F.try_divide(
+            h_num.cast("double"),
+            nd * lnq_rich.cast("double"),
+        ).alias("evenness"),
+    ).orderBy("group")

@@ -1352,3 +1352,64 @@ def hurst_rs(
         )
         .orderBy("block_size")
     )
+
+
+def fano_burstiness(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    min_days: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """Per-key burstiness of event arrivals — the Fano factor
+    (variance-to-mean ratio) of DAILY event counts over each key's
+    active days: ≈1 is Poisson-like, ≫1 bursty (sessions, bots,
+    campaign spikes), ≪1 metronomic (schedulers) — the arrival-
+    process diagnostic the volume tier's totals hide, and a cheap
+    bot/automation screen.
+
+    Shape: two map-side-combined aggregates (events → per-key-day
+    counts → per-key moments) — no window, no explode; keys below
+    ``min_days`` active days drop (a 2-day Fano is noise). Top-k by
+    Fano needs only a TakeOrdered, never a global sort. Exactness:
+    counts exact BIGINTs; mean/variance/Fano are shared IEEE
+    expressions of exact integers; ordering ties break on key.
+
+    Output: top_k rows — key, n_days, total_events, mean_daily,
+    var_daily, fano — ordered by (fano desc, key)."""
+    daily = (
+        events.select(
+            F.col(key_col).alias("k"), F.to_date(ts_col).alias("d")
+        )
+        .groupBy("k", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    m = (
+        daily.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum("c").cast("long").alias("tot"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+        )
+        .filter(F.col("n_days") >= min_days)
+    )
+    nd = F.col("n_days").cast("double")
+    mean = F.col("tot").cast("double") / nd
+    var = F.try_divide(
+        (F.col("n_days") * F.col("ss") - F.col("tot") * F.col("tot"))
+        .cast("double"),
+        nd * (nd - F.lit(1.0)),
+    )
+    fano = F.try_divide(var, mean)
+    return (
+        m.select(
+            F.col("k").alias("key"),
+            "n_days",
+            F.col("tot").alias("total_events"),
+            mean.alias("mean_daily"),
+            var.alias("var_daily"),
+            fano.alias("fano"),
+        )
+        .orderBy(F.col("fano").desc(), F.col("key").asc())
+        .limit(top_k)
+    )

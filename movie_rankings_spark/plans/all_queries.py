@@ -98,6 +98,11 @@ _UNSEEN_FIRST = (
     "gumbel_monthly_peak_revenue",
     "hurst_daily_revenue",
     "mahalanobis_segment_profile",
+    "yuen_trimmed_doclen",
+    "fano_burstiness_users",
+    "atkinson_supplier_revenue",
+    "readability_flesch_sources",
+    "simpson_diversity_sources",
 )
 
 #: most expensive entries at sf0.01, slowest-last; everything absent

@@ -5953,3 +5953,187 @@ def mahalanobis_segment_profile(
         F.col("spend"),
         F.col("active_days"),
     )
+
+
+# --- r7: Yuen trimmed test, Fano burstiness, Atkinson index -------------------
+
+_YUEN_ORACLE = """
+WITH r AS (
+  SELECT CAST(n_chars AS BIGINT) AS v,
+         CASE WHEN CAST(substr(source, 4, 10) AS BIGINT) % 2 = 0
+              THEN 1 ELSE 0 END AS a
+  FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL
+), cells AS (
+  SELECT v, CAST(SUM(a) AS BIGINT) AS ca, CAST(SUM(1 - a) AS BIGINT) AS cb
+  FROM r GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+  FROM cells
+), cum AS (
+  SELECT v, ca, cb,
+         CAST(SUM(ca) OVER w AS BIGINT) AS cuma,
+         CAST(SUM(cb) OVER w AS BIGINT) AS cumb,
+         t.na, t.nb,
+         CAST(FLOOR(CAST(t.na AS DOUBLE) * 0.2) AS BIGINT) AS ga,
+         CAST(FLOOR(CAST(t.nb AS DOUBLE) * 0.2) AS BIGINT) AS gb
+  FROM cells CROSS JOIN tot t
+  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), m AS (
+  SELECT MAX(na) AS n_a, MAX(nb) AS n_b, MAX(ga) AS g_a, MAX(gb) AS g_b,
+         CAST(SUM(CAST(v AS HUGEINT) * greatest(0,
+              least(cuma, na - ga) - greatest(cuma - ca, ga)))
+              AS HUGEINT) AS ts_a,
+         CAST(SUM(CAST(v AS HUGEINT) * v * greatest(0,
+              least(cuma, na - ga) - greatest(cuma - ca, ga)))
+              AS HUGEINT) AS tss_a,
+         MIN(CASE WHEN cuma >= ga + 1 THEN v END) AS vlo_a,
+         MIN(CASE WHEN cuma >= na - ga THEN v END) AS vhi_a,
+         CAST(SUM(CAST(v AS HUGEINT) * greatest(0,
+              least(cumb, nb - gb) - greatest(cumb - cb, gb)))
+              AS HUGEINT) AS ts_b,
+         CAST(SUM(CAST(v AS HUGEINT) * v * greatest(0,
+              least(cumb, nb - gb) - greatest(cumb - cb, gb)))
+              AS HUGEINT) AS tss_b,
+         MIN(CASE WHEN cumb >= gb + 1 THEN v END) AS vlo_b,
+         MIN(CASE WHEN cumb >= nb - gb THEN v END) AS vhi_b
+  FROM cum
+), s AS (
+  SELECT n_a, n_b, g_a, g_b,
+         CAST(n_a - 2 * g_a AS DOUBLE) AS ha,
+         CAST(n_b - 2 * g_b AS DOUBLE) AS hb,
+         CAST(ts_a AS DOUBLE) / CAST(n_a - 2 * g_a AS DOUBLE) AS tma,
+         CAST(ts_b AS DOUBLE) / CAST(n_b - 2 * g_b AS DOUBLE) AS tmb,
+         CAST(ts_a AS DOUBLE) + CAST(g_a AS DOUBLE) * CAST(vlo_a AS DOUBLE)
+           + CAST(g_a AS DOUBLE) * CAST(vhi_a AS DOUBLE) AS wsa,
+         CAST(tss_a AS DOUBLE)
+           + CAST(g_a AS DOUBLE) * CAST(vlo_a AS DOUBLE)
+             * CAST(vlo_a AS DOUBLE)
+           + CAST(g_a AS DOUBLE) * CAST(vhi_a AS DOUBLE)
+             * CAST(vhi_a AS DOUBLE) AS wssa,
+         CAST(ts_b AS DOUBLE) + CAST(g_b AS DOUBLE) * CAST(vlo_b AS DOUBLE)
+           + CAST(g_b AS DOUBLE) * CAST(vhi_b AS DOUBLE) AS wsb,
+         CAST(tss_b AS DOUBLE)
+           + CAST(g_b AS DOUBLE) * CAST(vlo_b AS DOUBLE)
+             * CAST(vlo_b AS DOUBLE)
+           + CAST(g_b AS DOUBLE) * CAST(vhi_b AS DOUBLE)
+             * CAST(vhi_b AS DOUBLE) AS wssb
+  FROM m
+), s2 AS (
+  SELECT *,
+         (CAST(n_a AS DOUBLE) * wssa - wsa * wsa)
+           / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0)) AS s2wa,
+         (CAST(n_b AS DOUBLE) * wssb - wsb * wsb)
+           / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0)) AS s2wb
+  FROM s
+), s3 AS (
+  SELECT *,
+         ((CAST(n_a AS DOUBLE) - 1.0) * s2wa) / (ha * (ha - 1.0)) AS da,
+         ((CAST(n_b AS DOUBLE) - 1.0) * s2wb) / (hb * (hb - 1.0)) AS db
+  FROM s2
+)
+SELECT n_a, n_b, g_a, g_b, tma AS trimmed_mean_a, tmb AS trimmed_mean_b,
+       s2wa AS winsor_var_a, s2wb AS winsor_var_b,
+       (tma - tmb) / sqrt(da + db) AS t_stat,
+       ((da + db) * (da + db))
+         / (da * da / (ha - 1.0) + db * db / (hb - 1.0)) AS df
+FROM s3
+"""
+
+
+@REGISTRY.register("yuen_trimmed_doclen", _YUEN_ORACLE)
+def yuen_trimmed_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yuen's 20%-trimmed-mean test of document length between even-
+    and odd-numbered sources — the robust location contrast between
+    welch (means) and MWU (ranks): winsorized variances keep heavy
+    tails from driving the verdict, all trimmed/winsorized sums
+    exact integer arithmetic over the bounded length-cell table
+    (operators/disttests.py::yuen_trimmed_test)."""
+    from movie_rankings_spark.operators.disttests import yuen_trimmed_test
+
+    docs = _t(spark, sf_dir, "documents")
+    even = (
+        F.substring("source", 4, 10).cast("long") % 2 == 0
+    ).cast("int")
+    return yuen_trimmed_test(
+        docs, F.col("n_chars"), even, (F.lit(1) - even).cast("int"), 0.2
+    )
+
+
+_FANO_ORACLE = """
+WITH daily AS (
+  SELECT user_id AS k, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(c) AS BIGINT) AS tot,
+         CAST(SUM(c * c) AS BIGINT) AS ss
+  FROM daily GROUP BY 1 HAVING COUNT(*) >= 5
+), s AS (
+  SELECT k AS key, n_days, tot AS total_events,
+         CAST(tot AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_daily,
+         CAST(n_days * ss - tot * tot AS DOUBLE)
+           / (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0))
+           AS var_daily
+  FROM m
+)
+SELECT key, n_days, total_events, mean_daily, var_daily,
+       var_daily / mean_daily AS fano
+FROM s ORDER BY fano DESC, key ASC LIMIT 20
+"""
+
+
+@REGISTRY.register("fano_burstiness_users", _FANO_ORACLE)
+def fano_burstiness_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 burstiest users by the Fano factor of their daily event
+    counts (>= 5 active days) — Poisson-like ~= 1, bursty >> 1: the
+    arrival-process bot/campaign screen the volume totals hide
+    (operators/timeseries.py::fano_burstiness)."""
+    from movie_rankings_spark.operators.timeseries import fano_burstiness
+
+    return fano_burstiness(
+        _t(spark, sf_dir, "events"), "user_id", "ts", min_days=5, top_k=20
+    )
+
+
+_ATKINSON_ORACLE = """
+WITH per AS (
+  SELECT l_suppkey AS k,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS x
+  FROM lineitem GROUP BY 1
+), pos AS (SELECT * FROM per WHERE x > 0),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS xs,
+         CAST(SUM(CAST(round(ln(CAST(x AS DOUBLE)) * 1000000000.0)
+                       AS BIGINT)) AS HUGEINT) AS s_ln
+  FROM pos
+), d AS (
+  SELECT n_keys, xs,
+         CAST(xs AS DOUBLE) / CAST(n_keys AS DOUBLE) AS mean_cents,
+         CAST(s_ln AS DOUBLE)
+           / (CAST(n_keys AS DOUBLE) * 1000000000.0) AS log_gm
+  FROM m
+)
+SELECT n_keys, CAST(xs AS BIGINT) AS total_cents, mean_cents, log_gm,
+       CAST(CAST(FLOOR(exp(log_gm)) AS BIGINT) AS DOUBLE) AS geo_mean,
+       1.0 - CAST(CAST(FLOOR(exp(log_gm)) AS BIGINT) AS DOUBLE) / mean_cents
+         AS atkinson
+FROM d
+"""
+
+
+@REGISTRY.register("atkinson_supplier_revenue", _ATKINSON_ORACLE)
+def atkinson_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atkinson inequality (epsilon = 1) of revenue across suppliers
+    — the welfare-weighted member of the inequality family next to
+    the Gini/Lorenz and HHI/Theil views: most sensitive to the
+    starving tail. q9 fixed-point logs, whole-cent floor-quantized
+    geometric mean (operators/statistics.py::atkinson_index)."""
+    from movie_rankings_spark.operators.statistics import atkinson_index
+
+    return atkinson_index(
+        _t(spark, sf_dir, "lineitem"),
+        F.col("l_suppkey"),
+        F.round(F.col("l_extendedprice") * F.lit(100)),
+    )

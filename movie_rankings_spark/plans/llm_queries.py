@@ -4555,3 +4555,101 @@ def local_clustering_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"))
     return local_clustering(undirected_edges(edges))
+
+
+# --- r7: readability + token diversity per source -----------------------------
+
+_READABILITY_ORACLE = """
+WITH r AS (
+  SELECT source AS g,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+         CAST(greatest(1, len(regexp_extract_all(text, '[.!?]')))
+              AS BIGINT) AS s,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+              AS BIGINT) AS y
+  FROM documents WHERE source IS NOT NULL
+), q AS (
+  SELECT g, w,
+         CAST(206.835 - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+              - 84.6 * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE))
+              AS DECIMAL(18,9)) AS fre_q
+  FROM r WHERE w > 0
+)
+SELECT g AS "group", CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(w) AS BIGINT) AS total_words,
+       CAST(SUM(w) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_words,
+       CAST(CAST(SUM(fre_q) AS DECIMAL(38,9)) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS mean_fre,
+       MIN(CAST(fre_q AS DOUBLE)) AS min_fre,
+       MAX(CAST(fre_q AS DOUBLE)) AS max_fre
+FROM q GROUP BY 1 ORDER BY 1
+"""
+
+
+@REGISTRY.register("readability_flesch_sources", _READABILITY_ORACLE)
+def readability_flesch_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease profile per source (vowel-group syllable
+    proxy) — the prose-complexity lens of the quality tier: which
+    sources contribute hard text, next to the length/stopword
+    ratios that only say how MUCH text
+    (operators/textops.py::readability_by_group)."""
+    from movie_rankings_spark.operators.textops import readability_by_group
+
+    return readability_by_group(
+        _docs(spark, sf_dir), F.col("source"), F.col("text")
+    )
+
+
+_SIMPSON_ORACLE = """
+WITH ex AS (
+  SELECT source AS g, unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE source IS NOT NULL
+), cells AS (
+  SELECT g, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM ex WHERE tok != '' GROUP BY 1, 2
+), per AS (
+  SELECT g, CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS rich,
+         CAST(SUM(c * (c - 1)) AS BIGINT) AS coll,
+         CAST(SUM(CAST(CAST(c AS DECIMAL(19,0))
+                  * CAST(round(ln(CAST(c AS DOUBLE)) * 1000000000.0)
+                         AS BIGINT) AS DECIMAL(38,0))) AS DECIMAL(38,0))
+           AS s_cln
+  FROM cells GROUP BY 1
+), f AS (
+  SELECT g, n, rich, coll,
+         CAST(CAST(n AS DECIMAL(19,0))
+              * CAST(round(ln(CAST(n AS DOUBLE)) * 1000000000.0) AS BIGINT)
+              AS DECIMAL(38,0)) - s_cln AS h_num,
+         CAST(round(ln(CAST(rich AS DOUBLE)) * 1000000000.0) AS BIGINT)
+           AS lnq_rich
+  FROM per
+)
+SELECT g AS "group", n AS n_tokens, rich AS richness,
+       CAST(coll AS DOUBLE)
+         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS simpson_d,
+       1.0 / (CAST(coll AS DOUBLE)
+              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+         AS inv_simpson,
+       CAST(h_num AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000.0)
+         AS shannon_h,
+       CAST(h_num AS DOUBLE)
+         / (CAST(n AS DOUBLE) * CAST(lnq_rich AS DOUBLE)) AS evenness
+FROM f ORDER BY 1
+"""
+
+
+@REGISTRY.register("simpson_diversity_sources", _SIMPSON_ORACLE)
+def simpson_diversity_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token diversity per source: exact-integer Simpson index,
+    inverse Simpson (effective vocabulary), q9 fixed-point Shannon
+    entropy and Pielou evenness — the per-source concentration
+    readout next to the corpus-global Zipf/Heaps laws; a collapsing
+    inverse-Simpson flags boilerplate sources
+    (operators/textops.py::simpson_diversity_by_group)."""
+    from movie_rankings_spark.operators.textops import (
+        simpson_diversity_by_group,
+    )
+
+    return simpson_diversity_by_group(
+        _docs(spark, sf_dir), F.col("source"), F.col("text")
+    )

@@ -69,6 +69,7 @@ NESTED_LOOP_LEGIT = {
     "ordinal_gamma_qty_discount",  # bounded |X|x|Y| cell theta join x 1-row marginals (r7)
     "uncertainty_priority_segment",  # bounded cells x 1-row entropy/MI scalars (r7)
     "hurst_daily_revenue",  # 1-row N scalar x bounded daily; 4-row fit scalar (r7)
+    "yuen_trimmed_doclen",  # bounded length cells x 1-row side totals (r7)
     "survival_logrank_segment",  # 1-row horizon + 2-row group grid broadcasts; duration-bounded windows (r7)
     "cramersv_priority_segment",  # 1-row grand total / levels / chi2 scalars (r7)
     "fleiss_quality_raters",  # 1-row moment x 1-row chance-agreement scalars (r7)
