@@ -96,3 +96,164 @@ def bm25_topk(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def ql_dirichlet_topk(
+    docs: DataFrame,
+    terms: Sequence[str],
+    k: int = 10,
+    mu: float = 200.0,
+) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing — the
+    language-model ranker next to bm25_topk's probabilistic-IR
+    scoring: score(d) = Σ_{t∈q} ln((c(t,d) + μ·p(t|C))/(dl + μ)).
+    BM25 and QL disagree most on document-length handling, which is
+    exactly what rbo_topk is registered to measure.
+
+    Every query term contributes to every CANDIDATE document (docs
+    matching ≥ 1 term), including zero-count terms — the smoothing
+    mass is the point — via a candidates × |q| dense grid (broadcast
+    term stats, left-joined tf). Scale: the term filter sits on the
+    token explode (postings slice, never the full index); corpus
+    stats are |q|-row / 1-row broadcasts.
+
+    Exactness: counts/lengths exact; each per-term log-probability is
+    ONE shared IEEE ln quantized DECIMAL(18,9) (the ln rule) before
+    the exact per-doc decimal sum; ranking ties break on doc_id.
+    Output: (doc_id, n_terms_matched, score), score DESCENDING
+    (log-likelihoods are negative; closer to zero = better)."""
+    toks = docs.select(
+        "doc_id", F.explode(words(F.col("text"))).alias("tok")
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(list(terms)))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .persist_tracked()  # candidates + the grid read this
+    )
+    dl = docs.select(
+        "doc_id", F.size(words(F.col("text"))).cast("long").alias("dl")
+    )
+    # ONE vocabulary reduce serves both the corpus-size scalar and the
+    # query-term collection frequencies (bounded by |vocab|, never
+    # rows) — one fewer corpus scan than aggregating them separately
+    vocab_counts = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .persist_tracked()
+    )
+    corpus = vocab_counts.agg(
+        F.sum("cnt").cast("long").alias("n_tokens")
+    )
+    cf = (
+        vocab_counts.filter(F.col("tok").isin(list(terms)))
+        .select("tok", F.col("cnt").alias("cf"))
+        .crossJoin(F.broadcast(corpus))
+    )
+    cands = tf.select("doc_id").distinct()
+    grid = (
+        cands.join(dl, "doc_id")
+        .crossJoin(F.broadcast(cf.select("tok", "cf", "n_tokens")))
+        .join(tf, ["doc_id", "tok"], "left")
+        .select(
+            "doc_id",
+            "tok",
+            F.coalesce(F.col("tf"), F.lit(0)).cast("long").alias("tf"),
+            "dl",
+            "cf",
+            "n_tokens",
+        )
+    )
+    p_c = F.col("cf").cast("double") / F.col("n_tokens").cast("double")
+    logp = F.log(
+        (F.col("tf").cast("double") + F.lit(float(mu)) * p_c)
+        / (F.col("dl").cast("double") + F.lit(float(mu)))
+    ).cast("decimal(18,9)")
+    return (
+        grid.groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("tf") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_terms_matched"),
+            F.sum(logp).cast("double").alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def rbo_topk(
+    rank_a: DataFrame,
+    rank_b: DataFrame,
+    p: float = 0.9,
+    k: int = 10,
+) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010), truncated at depth
+    k: RBO@k = (1−p)·Σ_{d=1..k} p^{d−1}·|A_d ∩ B_d|/d — HOW MUCH two
+    rankers agree, weighted toward the top — the meta-evaluation
+    number a ranking A/B (BM25 vs QL, old index vs new) reports.
+    Truncated form, no residual extrapolation (documented; both
+    engines compute the identical finite sum).
+
+    Inputs: two (doc_id, rank) tables with ranks 1..k. A shared doc
+    enters every depth d ≥ max(rank_a, rank_b), so X_d is ONE
+    cumulative count over the bounded depth grid. Every p^{d−1} is a
+    PYTHON literal injected into engine and oracle; each depth term
+    p^{d−1}·X_d/d is quantized DECIMAL(18,12) before the exact sum.
+
+    Output: one row per depth — depth, x_d (overlap), agreement
+    (X_d/d), term — plus the shared rbo, ordered by depth."""
+    both = (
+        rank_a.select(F.col("doc_id"), F.col("rank").alias("ra"))
+        .join(
+            rank_b.select(F.col("doc_id"), F.col("rank").alias("rb")),
+            "doc_id",
+        )
+        .select(F.greatest("ra", "rb").alias("m"))
+    )
+    weights = F.array(
+        *[F.lit(float(p) ** (d - 1)) for d in range(1, k + 1)]
+    )
+    grid = rank_a.select(
+        F.col("rank").cast("int").alias("depth")
+    ).withColumn("weight", F.element_at(weights, F.col("depth")))
+    counted = (
+        grid.join(F.broadcast(both), F.col("m") <= F.col("depth"), "left")
+        .groupBy("depth")
+        .agg(
+            F.sum(F.when(F.col("m").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("x_d"),
+            F.first("weight").alias("weight"),
+        )
+    )
+    depth = counted.select(
+        "depth",
+        "x_d",
+        (F.col("x_d").cast("double") / F.col("depth").cast("double")).alias(
+            "agreement"
+        ),
+        (
+            F.col("weight")
+            * (F.col("x_d").cast("double") / F.col("depth").cast("double"))
+        )
+        .cast("decimal(18,12)")
+        .alias("term_q"),
+    ).persist_tracked()  # the rbo scalar and the output read this
+    rbo = depth.agg(
+        (
+            F.lit(1.0 - float(p))
+            * F.sum("term_q").cast("decimal(28,12)").cast("double")
+        ).alias("rbo")
+    )
+    return (
+        depth.crossJoin(F.broadcast(rbo))
+        .select(
+            "depth",
+            "x_d",
+            "agreement",
+            F.col("term_q").cast("double").alias("term"),
+            "rbo",
+        )
+        .orderBy("depth")
+    )

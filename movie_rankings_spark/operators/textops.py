@@ -1167,3 +1167,127 @@ def simpson_diversity_by_group(
             nd * lnq_rich.cast("double"),
         ).alias("evenness"),
     ).orderBy("group")
+
+
+def burrows_delta(
+    docs: DataFrame,
+    group_col: Column,
+    text_col: Column,
+    top_n_words: int = 30,
+) -> DataFrame:
+    """Burrows' Delta stylometric distance between every pair of
+    groups — the classic authorship-attribution measure: z-score each
+    group's relative frequency of the corpus's top-N words (function
+    words dominate that list, and function-word profiles are the
+    stylistic fingerprint), then Delta = mean |z₁ − z₂| over the N
+    words. The source-similarity matrix a contamination or
+    provenance audit reads — high-Delta pairs are stylistically
+    alien, near-zero pairs may share a generator.
+
+    Shape: one tokenize shuffle to (group, word) counts; the top-N
+    vocabulary is a bounded TakeOrdered; per-group totals and the
+    per-word across-group moments are bounded aggregates; the pair
+    matrix is a |groups|² self-join of the bounded z table.
+    Exactness: relative frequencies are quantized DECIMAL(18,12)
+    (exact across-group sums for μ_w and σ_w); z and |z₁−z₂| are
+    shared IEEE expressions quantized DECIMAL(18,9) before the exact
+    N-term pair sum. Missing (group, word) cells count as frequency
+    zero via the dense grid. Output: one row per unordered pair —
+    group_a < group_b, n_words, delta — ordered by (group_a,
+    group_b)."""
+    cells = (
+        docs.select(
+            group_col.alias("g"),
+            F.explode(F.split(text_col, " ")).alias("w"),
+        )
+        .filter(F.col("g").isNotNull() & (F.col("w") != ""))
+        .groupBy("g", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist_tracked()  # vocab, totals, and the grid read this
+    )
+    vocab = (
+        cells.groupBy("w")
+        .agg(F.sum("c").cast("long").alias("cw"))
+        .orderBy(F.col("cw").desc(), F.col("w").asc())
+        .limit(top_n_words)
+        .select("w")
+    )
+    totals = cells.groupBy("g").agg(
+        F.sum("c").cast("long").alias("n_g")
+    )
+    grid = (
+        totals.crossJoin(F.broadcast(vocab))
+        .join(cells, ["g", "w"], "left")
+        .select(
+            "g",
+            "w",
+            (
+                F.coalesce(F.col("c"), F.lit(0)).cast("double")
+                / F.col("n_g").cast("double")
+            )
+            .cast("decimal(18,12)")
+            .alias("fq"),
+        )
+        .persist_tracked()  # word moments + the z table read this
+    )
+    mom = grid.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("fq").cast("decimal(28,12)").alias("sf"),
+        F.sum((F.col("fq") * F.col("fq")).cast("decimal(38,24)"))
+        .cast("decimal(38,24)")
+        .alias("sff"),
+    )
+    kd = F.col("k").cast("double")
+    mu = F.col("sf").cast("double") / kd
+    var = F.try_divide(
+        kd * F.col("sff").cast("double")
+        - F.col("sf").cast("double") * F.col("sf").cast("double"),
+        kd * (kd - F.lit(1.0)),
+    )
+    z = grid.join(
+        F.broadcast(
+            mom.select(
+                "w", mu.alias("mu"), F.sqrt(var).alias("sigma")
+            )
+        ),
+        "w",
+    ).select(
+        "g",
+        "w",
+        F.try_divide(
+            F.col("fq").cast("double") - F.col("mu"), F.col("sigma")
+        ).alias("z"),
+    )
+    a = z.select(
+        F.col("g").alias("group_a"),
+        "w",
+        F.col("z").alias("za"),
+    )
+    b = z.select(
+        F.col("g").alias("group_b"),
+        "w",
+        F.col("z").alias("zb"),
+    )
+    pairs = a.join(F.broadcast(b), "w").filter(
+        F.col("group_a") < F.col("group_b")
+    )
+    return (
+        pairs.select(
+            "group_a",
+            "group_b",
+            F.abs(F.col("za") - F.col("zb"))
+            .cast("decimal(18,9)")
+            .alias("dz"),
+        )
+        .groupBy("group_a", "group_b")
+        .agg(
+            # count(dz): a zero-variance word (identical frequency in
+            # every group) yields NULL z and drops from the mean
+            F.count(F.col("dz")).cast("long").alias("n_words"),
+            (
+                F.sum("dz").cast("decimal(28,9)").cast("double")
+                / F.count(F.col("dz")).cast("double")
+            ).alias("delta"),
+        )
+        .orderBy("group_a", "group_b")
+    )

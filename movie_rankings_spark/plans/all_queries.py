@@ -103,6 +103,9 @@ _UNSEEN_FIRST = (
     "atkinson_supplier_revenue",
     "readability_flesch_sources",
     "simpson_diversity_sources",
+    "retrieval_ql_dirichlet",
+    "rbo_bm25_vs_ql",
+    "burrows_delta_sources",
 )
 
 #: most expensive entries at sf0.01, slowest-last; everything absent

@@ -4653,3 +4653,236 @@ def simpson_diversity_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simpson_diversity_by_group(
         _docs(spark, sf_dir), F.col("source"), F.col("text")
     )
+
+
+# --- r7: query-likelihood retrieval, RBO ranker agreement, Burrows' Delta -----
+
+_QL_BODY = """
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+  WHERE tok IN ('scan', 'table', 'filter') GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+  FROM documents
+), corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens FROM toks),
+cf AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cf FROM toks
+  WHERE tok IN ('scan', 'table', 'filter') GROUP BY 1
+), cands AS (SELECT DISTINCT doc_id FROM tf),
+grid AS (
+  SELECT c.doc_id, w.tok, CAST(COALESCE(t.tf, 0) AS BIGINT) AS tf,
+         d.dl, w.cf, n.n_tokens
+  FROM cands c
+  JOIN dl d USING (doc_id)
+  CROSS JOIN cf w CROSS JOIN corpus n
+  LEFT JOIN tf t ON t.doc_id = c.doc_id AND t.tok = w.tok
+), sc AS (
+  SELECT doc_id, tf,
+         CAST(ln((CAST(tf AS DOUBLE)
+                  + 200.0 * (CAST(cf AS DOUBLE) / CAST(n_tokens AS DOUBLE)))
+                 / (CAST(dl AS DOUBLE) + 200.0)) AS DECIMAL(18,9)) AS logp
+  FROM grid
+), ql_top AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_terms_matched,
+         CAST(SUM(logp) AS DOUBLE) AS score
+  FROM sc GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10
+)
+"""
+
+_QL_ORACLE = "WITH " + _QL_BODY + """
+SELECT doc_id, n_terms_matched, score FROM ql_top
+ORDER BY score DESC, doc_id
+"""
+
+
+@REGISTRY.register("retrieval_ql_dirichlet", _QL_ORACLE)
+def retrieval_ql_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents for the same bag-of-terms query
+    search_bm25_topk ranks, under Dirichlet-smoothed query
+    likelihood (mu = 200) — the language-model ranker whose length
+    handling differs most from BM25's; every query term contributes
+    smoothing mass to every candidate
+    (operators/search.py::ql_dirichlet_topk)."""
+    from movie_rankings_spark.operators.search import ql_dirichlet_topk
+
+    return ql_dirichlet_topk(
+        _docs(spark, sf_dir), ["scan", "table", "filter"], k=10, mu=200.0
+    )
+
+
+def _rbo_weight_literal(x: float) -> str:
+    s = repr(x)
+    return s if "e" in s else s + "e0"
+
+
+_BM25_RANK_BODY = """
+btoks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), btf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM btoks
+  WHERE tok IN ('scan', 'table', 'filter') GROUP BY 1, 2
+), bdl AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+), bcorpus AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(CAST(dl AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM bdl
+), bdft AS (SELECT tok, COUNT(*) AS df FROM btf GROUP BY 1),
+bw AS (
+  SELECT tok,
+         CAST(floor(CAST(n_docs * 1000 AS DOUBLE) / CAST(df AS DOUBLE))
+              AS BIGINT) AS idf_q,
+         avgdl
+  FROM bdft CROSS JOIN bcorpus
+), bs AS (
+  SELECT btf.doc_id,
+         CAST(CAST(bw.idf_q AS DOUBLE)
+              * (CAST(btf.tf AS DOUBLE) * 2.2)
+              / (CAST(btf.tf AS DOUBLE)
+                 + 1.2 * (0.25 + 0.75 * CAST(bdl.dl AS DOUBLE) / bw.avgdl))
+              AS DECIMAL(18,6)) AS term_score
+  FROM btf JOIN bw USING (tok) JOIN bdl USING (doc_id)
+), bm_top AS (
+  SELECT doc_id, CAST(SUM(term_score) AS DOUBLE) AS score
+  FROM bs GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10
+)
+"""
+
+_RBO_ORACLE = (
+    "WITH "
+    + _BM25_RANK_BODY
+    + ", "
+    + _QL_BODY.strip()
+    + """,
+ra AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+           AS rank
+  FROM bm_top
+), rb AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+           AS rank
+  FROM ql_top
+), shared AS (
+  SELECT greatest(ra.rank, rb.rank) AS m FROM ra JOIN rb USING (doc_id)
+), wt(depth, weight) AS (VALUES
+"""
+    + ",\n".join(
+        f"  ({d}, {_rbo_weight_literal(0.9 ** (d - 1))})"
+        for d in range(1, 11)
+    )
+    + """
+), counted AS (
+  SELECT w.depth,
+         CAST(COUNT(s.m) AS BIGINT) AS x_d,
+         MIN(w.weight) AS weight
+  FROM wt w LEFT JOIN shared s ON s.m <= w.depth
+  GROUP BY 1
+), terms AS (
+  SELECT depth, x_d,
+         CAST(x_d AS DOUBLE) / CAST(depth AS DOUBLE) AS agreement,
+         CAST(weight * (CAST(x_d AS DOUBLE) / CAST(depth AS DOUBLE))
+              AS DECIMAL(18,12)) AS term_q
+  FROM counted
+), rbo AS (
+  SELECT 0.09999999999999998e0
+         * CAST(CAST(SUM(term_q) AS DECIMAL(28,12)) AS DOUBLE) AS rbo
+  FROM terms
+)
+SELECT t.depth, t.x_d, t.agreement, CAST(t.term_q AS DOUBLE) AS term,
+       r.rbo
+FROM terms t CROSS JOIN rbo r
+ORDER BY t.depth
+"""
+)
+
+
+@REGISTRY.register("rbo_bm25_vs_ql", _RBO_ORACLE)
+def rbo_bm25_vs_ql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much do the BM25 and query-likelihood rankers agree on the
+    same query? Rank-biased overlap (p = 0.9, truncated at 10) over
+    the two top-10 lists — the ranking-A/B meta-metric, weighted
+    toward the top ranks (operators/search.py::rbo_topk)."""
+    from pyspark.sql import Window
+
+    from movie_rankings_spark.operators.search import (
+        bm25_topk,
+        ql_dirichlet_topk,
+        rbo_topk,
+    )
+
+    docs = _docs(spark, sf_dir)
+    terms = ["scan", "table", "filter"]
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    rank_a = bm25_topk(docs, terms, k=10).select(
+        "doc_id", F.row_number().over(w).alias("rank")
+    )
+    rank_b = ql_dirichlet_topk(docs, terms, k=10, mu=200.0).select(
+        "doc_id", F.row_number().over(w).alias("rank")
+    )
+    return rbo_topk(rank_a, rank_b, p=0.9, k=10)
+
+
+_BURROWS_ORACLE = """
+WITH ex AS (
+  SELECT source AS g, unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE source IS NOT NULL
+), cells AS (
+  SELECT g, w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM ex WHERE w != '' GROUP BY 1, 2
+), vocab AS (
+  SELECT w FROM (
+    SELECT w, CAST(SUM(c) AS BIGINT) AS cw FROM cells GROUP BY 1
+  ) ORDER BY cw DESC, w ASC LIMIT 30
+), totals AS (
+  SELECT g, CAST(SUM(c) AS BIGINT) AS n_g FROM cells GROUP BY 1
+), grid AS (
+  SELECT t.g, v.w,
+         CAST(CAST(COALESCE(c.c, 0) AS DOUBLE) / CAST(t.n_g AS DOUBLE)
+              AS DECIMAL(18,12)) AS fq
+  FROM totals t CROSS JOIN vocab v
+  LEFT JOIN cells c ON c.g = t.g AND c.w = v.w
+), mom AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(fq) AS DECIMAL(28,12)) AS sf,
+         CAST(SUM(CAST(fq * fq AS DECIMAL(38,24))) AS DECIMAL(38,24)) AS sff
+  FROM grid GROUP BY 1
+), z AS (
+  SELECT g.g, g.w,
+         (CAST(g.fq AS DOUBLE)
+          - CAST(m.sf AS DOUBLE) / CAST(m.k AS DOUBLE))
+         / sqrt((CAST(m.k AS DOUBLE)
+                 * CAST(CAST(m.sff AS VARCHAR) AS DOUBLE)
+                 - CAST(m.sf AS DOUBLE) * CAST(m.sf AS DOUBLE))
+                / (CAST(m.k AS DOUBLE) * (CAST(m.k AS DOUBLE) - 1.0))) AS z
+  FROM grid g JOIN mom m USING (w)
+)
+SELECT a.g AS group_a, b.g AS group_b,
+       CAST(COUNT(CAST(abs(a.z - b.z) AS DECIMAL(18,9))) AS BIGINT)
+         AS n_words,
+       CAST(CAST(SUM(CAST(abs(a.z - b.z) AS DECIMAL(18,9)))
+                 AS DECIMAL(28,9)) AS DOUBLE)
+         / CAST(COUNT(CAST(abs(a.z - b.z) AS DECIMAL(18,9))) AS DOUBLE)
+         AS delta
+FROM z a JOIN z b ON a.w = b.w AND a.g < b.g
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@REGISTRY.register("burrows_delta_sources", _BURROWS_ORACLE)
+def burrows_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometric distance between every source pair
+    — z-scored top-30-word frequency profiles, mean |Δz|: the
+    authorship/provenance fingerprint matrix (near-zero pairs may
+    share a generator) next to the vocabulary-overlap views
+    (operators/textops.py::burrows_delta)."""
+    from movie_rankings_spark.operators.textops import burrows_delta
+
+    return burrows_delta(
+        _docs(spark, sf_dir), F.col("source"), F.col("text"), top_n_words=30
+    )

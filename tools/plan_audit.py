@@ -70,6 +70,9 @@ NESTED_LOOP_LEGIT = {
     "uncertainty_priority_segment",  # bounded cells x 1-row entropy/MI scalars (r7)
     "hurst_daily_revenue",  # 1-row N scalar x bounded daily; 4-row fit scalar (r7)
     "yuen_trimmed_doclen",  # bounded length cells x 1-row side totals (r7)
+    "retrieval_ql_dirichlet",  # 1-row corpus scalar x |q|-term stats; candidate grid (r7)
+    "rbo_bm25_vs_ql",  # two bounded top-10 rankings x 10-row depth grid + 1-row rbo scalar (r7)
+    "burrows_delta_sources",  # bounded top-N vocab x group grid; 1-row scalars (r7)
     "survival_logrank_segment",  # 1-row horizon + 2-row group grid broadcasts; duration-bounded windows (r7)
     "cramersv_priority_segment",  # 1-row grand total / levels / chi2 scalars (r7)
     "fleiss_quality_raters",  # 1-row moment x 1-row chance-agreement scalars (r7)

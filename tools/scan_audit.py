@@ -106,6 +106,9 @@ KNOWN_LEGIT = {
     "gumbel_monthly_peak_revenue",  # 1 real scan; persisted 1-row moments feed both return-prob branches (cache-text artifact) (r7)
     "hurst_daily_revenue",  # 1 real scan; persisted daily/seq feed all 4 block-size branches + fit (deep cache-text repetition) (r7)
     "yuen_trimmed_doclen",  # 1 real scan; persisted value cells feed totals + cumulative pass (cache-text artifact) (r7)
+    "retrieval_ql_dirichlet",  # 3 real scans BY DESIGN (postings slice + vocab reduce + length projection; the bm25 documented trade) (r7)
+    "rbo_bm25_vs_ql",  # composes the BM25 and QL rankers end-to-end BY DESIGN (each ranker's documented scans) (r7)
+    "burrows_delta_sources",  # 1 real scan; persisted cells/grid feed vocab, totals, moments, z-pairs (cache-text artifact) (r7)
     "survival_logrank_segment",  # 1 real join scan; persisted per-customer/cells tiers feed horizon, grid, sizes (cache-text artifact) (r7)
     "seasonal_decompose_revenue",  # 1 real scan; persisted daily/base tables feed MA, position means, output (cache-text artifact) (r7)
     "grubbs_daily_revenue",  # 1 real scan; persisted daily table feeds the operator's moment + max passes (cache-text artifact) (r7)
