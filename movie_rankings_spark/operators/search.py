@@ -257,3 +257,65 @@ def rbo_topk(
         )
         .orderBy("depth")
     )
+
+
+def ndcg_at_k(ranking: DataFrame, k: int = 10) -> DataFrame:
+    """Normalized discounted cumulative gain over a (doc_id, rank,
+    gain) ranking — the graded-relevance evaluation next to
+    rbo_topk's rank agreement: DCG@k = Σ gain_d/log₂(d+1), divided
+    by the ideal ordering's IDCG. Gains come from the caller (term
+    coverage, clicks, labels).
+
+    Every log₂(d+1) discount for d = 1..k is a PYTHON literal
+    injected into engine and oracle (never engine libm); the ideal
+    ordering re-ranks the SAME k gains descending (a k-row window);
+    DCG/IDCG terms are quantized DECIMAL(18,12) before exact sums,
+    and nDCG is one division. Output: one row per rank — rank,
+    doc_id, gain, dcg_term — plus the shared dcg, idcg, ndcg —
+    ordered by rank."""
+    import math
+
+    from pyspark.sql import Window
+
+    discounts = F.array(
+        *[F.lit(1.0 / math.log2(d + 1)) for d in range(1, k + 1)]
+    )
+    base = ranking.select(
+        F.col("rank").cast("int").alias("rank"),
+        "doc_id",
+        F.col("gain").cast("long").alias("gain"),
+    ).withColumn("disc", F.element_at(discounts, F.col("rank")))
+    w_ideal = Window.orderBy(F.col("gain").desc(), F.col("doc_id").asc())
+    ideal = base.select(
+        "gain", F.row_number().over(w_ideal).alias("irank")
+    ).withColumn("disc", F.element_at(discounts, F.col("irank")))
+    terms = base.select(
+        "rank",
+        "doc_id",
+        "gain",
+        (F.col("gain").cast("double") * F.col("disc"))
+        .cast("decimal(18,12)")
+        .alias("term_q"),
+    ).persist_tracked()  # the dcg scalar and the output read this
+    dcg = terms.agg(
+        F.sum("term_q").cast("decimal(28,12)").cast("double").alias("dcg")
+    )
+    idcg = ideal.select(
+        (F.col("gain").cast("double") * F.col("disc"))
+        .cast("decimal(18,12)")
+        .alias("t")
+    ).agg(F.sum("t").cast("decimal(28,12)").cast("double").alias("idcg"))
+    return (
+        terms.crossJoin(F.broadcast(dcg))
+        .crossJoin(F.broadcast(idcg))
+        .select(
+            "rank",
+            "doc_id",
+            "gain",
+            F.col("term_q").cast("double").alias("dcg_term"),
+            "dcg",
+            "idcg",
+            F.try_divide(F.col("dcg"), F.col("idcg")).alias("ndcg"),
+        )
+        .orderBy("rank")
+    )

@@ -1291,3 +1291,208 @@ def burrows_delta(
         )
         .orderBy("group_a", "group_b")
     )
+
+
+def good_turing_vocab(
+    docs: DataFrame, text_col: Column, max_r: int = 10, ngram: int = 1
+) -> DataFrame:
+    """Good–Turing frequency-of-frequencies analysis of the token
+    vocabulary: for observed counts r ≤ max_r the adjusted count
+    r* = (r+1)·N_{r+1}/N_r, plus the unseen-mass estimate
+    P₀ = N₁/N (the probability the NEXT token is a new type) — the
+    coverage readout a tokenizer/vocab decision needs (a large P₀
+    says the corpus is still discovering vocabulary; Heaps' law
+    gives the curve, Good–Turing gives the probability mass).
+
+    Shape: one tokenize shuffle to token counts, one bounded
+    count-of-counts aggregate (≤ max distinct count values), a
+    self-join on r+1 over that bounded table. Exactness: every
+    emitted value is an exact-integer ratio — no logs, no
+    transcendental anywhere. Output: one row per r = 1..max_r —
+    r, n_r (types seen r times), n_r_plus_1, r_star, plus the shared
+    n_types, n_tokens, p_unseen — ordered by r.
+
+    ``ngram`` > 1 analyzes word n-gram types instead of unigrams —
+    the right granularity when the unigram vocabulary is saturated
+    (every type frequent): the n-gram type space keeps a singleton
+    tail at any corpus size, which is where Good–Turing lives."""
+    if ngram > 1:
+        ts = docs.select(F.split(text_col, " ").alias("ts"))
+        m = F.greatest(F.size("ts") - (ngram - 1), F.lit(0))
+        arrays = [F.slice("ts", i + 1, m) for i in range(ngram)]
+        grams = ts.select(
+            F.explode(
+                F.zip_with(
+                    arrays[0],
+                    arrays[1]
+                    if ngram == 2
+                    else F.zip_with(
+                        arrays[1], arrays[2], lambda a, b: F.concat_ws(" ", a, b)
+                    ),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            ).alias("tok")
+        )
+        if ngram > 3:
+            raise ValueError("ngram > 3 not supported")
+        counts = grams.groupBy("tok").agg(
+            F.count(F.lit(1)).cast("long").alias("r")
+        )
+    else:
+        counts = (
+            docs.select(F.explode(F.split(text_col, " ")).alias("tok"))
+            .filter(F.col("tok") != "")
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).cast("long").alias("r"))
+        )
+    coc = (
+        counts.groupBy("r")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_r"))
+        .persist_tracked()  # totals + the r+1 self-join read this
+    )
+    tot = coc.agg(
+        F.sum("n_r").cast("long").alias("n_types"),
+        F.sum(F.col("r") * F.col("n_r")).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("r") == 1, F.col("n_r")).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+    )
+    nxt = coc.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r_plus_1")
+    )
+    return (
+        coc.filter(F.col("r") <= max_r)
+        .join(nxt, "r", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("r").cast("long").alias("r"),
+            "n_r",
+            F.coalesce(F.col("n_r_plus_1"), F.lit(0))
+            .cast("long")
+            .alias("n_r_plus_1"),
+            F.try_divide(
+                (F.col("r") + 1).cast("double")
+                * F.coalesce(F.col("n_r_plus_1"), F.lit(0)).cast("double"),
+                F.col("n_r").cast("double"),
+            ).alias("r_star"),
+            "n_types",
+            "n_tokens",
+            (
+                F.col("n1").cast("double") / F.col("n_tokens").cast("double")
+            ).alias("p_unseen"),
+        )
+        .orderBy("r")
+    )
+
+
+def kneser_ney_source_scores(
+    docs: DataFrame,
+    group_col: Column,
+    text_col: Column,
+    discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated Kneser–Ney bigram language-model scoring,
+    aggregated per group: train on the WHOLE corpus, score every
+    document's bigrams under
+    p_KN(w|v) = max(c(v,w)−D, 0)/c(v·) + D·N₁₊(v·)/c(v·)·p_cont(w),
+    p_cont(w) = N₁₊(·w)/N₁₊(··) — the discounting LM the add-k
+    bigram scorer (quality_bigram_lm) underestimates rare-context
+    fluency with; per-source mean log-probability + perplexity is
+    the fluency leaderboard a curation mix reads.
+
+    Shape: bigram/context/continuation tables are all bounded count
+    reductions (∝ distinct bigrams); each bigram's ln p_KN is
+    quantized q9 (round(ln·10⁹) BIGINT) at the bounded bigram-model
+    table ONCE, then doc bigrams join the model and per-group sums
+    are exact integers. Training and scoring share the corpus, so
+    every scored bigram exists in the model and p > 0 always (the
+    discounted first term is ≥ (1−D)/c(v·)). Perplexity exp(−mean) is
+    quantized DECIMAL(18,6) (quantum ≫ cross-libm exp ulp at these
+    magnitudes). Output: one row per group — group, n_bigrams,
+    sum_logp_q9, mean_logp, perplexity — ordered by group."""
+    toks = docs.select(
+        group_col.alias("g"),
+        F.split(text_col, " ").alias("ts"),
+    ).filter(F.col("g").isNotNull())
+    # in-row bigram construction: zip ts[0..n-2] with ts[1..n-1]
+    m = F.greatest(F.size("ts") - 1, F.lit(0))
+    bigrams = toks.select(
+        "g",
+        F.explode(
+            F.zip_with(
+                F.slice("ts", 1, m),
+                F.slice("ts", 2, m),
+                lambda a, b: F.struct(a.alias("v"), b.alias("w")),
+            )
+        ).alias("bg"),
+    ).select("g", F.col("bg.v").alias("v"), F.col("bg.w").alias("w"))
+    # per-GROUP bigram counts first: the global model re-aggregates
+    # this bounded table, and scoring weights it by count — the fact
+    # is exploded exactly ONCE (never a second corpus scan)
+    bgg = (
+        bigrams.groupBy("g", "v", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cgvw"))
+        .persist_tracked()
+    )
+    bc = (
+        bgg.groupBy("v", "w")
+        .agg(F.sum("cgvw").cast("long").alias("cvw"))
+        .persist_tracked()  # model tiers read this
+    )
+    ctx = bc.groupBy("v").agg(
+        F.sum("cvw").cast("long").alias("cv"),
+        F.count(F.lit(1)).cast("long").alias("n1p_v"),
+    )
+    cont = bc.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("n1p_w")
+    )
+    tot = bc.agg(F.count(F.lit(1)).cast("long").alias("n1p_all"))
+    d = F.lit(float(discount))
+    model = (
+        bc.join(F.broadcast(ctx), "v")
+        .join(F.broadcast(cont), "w")
+        .crossJoin(F.broadcast(tot))
+    )
+    p_cont = F.col("n1p_w").cast("double") / F.col("n1p_all").cast("double")
+    p_kn = (
+        F.greatest(F.col("cvw").cast("double") - d, F.lit(0.0))
+        / F.col("cv").cast("double")
+        + d
+        * F.col("n1p_v").cast("double")
+        / F.col("cv").cast("double")
+        * p_cont
+    )
+    scored_model = model.select(
+        "v",
+        "w",
+        F.round(F.log(p_kn) * F.lit(1000000000.0)).cast("long").alias(
+            "lq"
+        ),
+    )
+    per_group = (
+        bgg.join(scored_model, ["v", "w"])
+        .groupBy("g")
+        .agg(
+            F.sum("cgvw").cast("long").alias("n_bigrams"),
+            F.sum(
+                (
+                    F.col("cgvw").cast("decimal(19,0)")
+                    * F.col("lq").cast("decimal(19,0)")
+                ).cast("decimal(38,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("slq"),
+        )
+    )
+    mean_logp = F.col("slq").cast("double") / (
+        F.col("n_bigrams").cast("double") * F.lit(1000000000.0)
+    )
+    return per_group.select(
+        F.col("g").alias("group"),
+        "n_bigrams",
+        F.col("slq").cast("long").alias("sum_logp_q9"),
+        mean_logp.alias("mean_logp"),
+        F.exp(-mean_logp).cast("decimal(18,6)").cast("double").alias(
+            "perplexity"
+        ),
+    ).orderBy("group")

@@ -106,6 +106,9 @@ _UNSEEN_FIRST = (
     "retrieval_ql_dirichlet",
     "rbo_bm25_vs_ql",
     "burrows_delta_sources",
+    "good_turing_vocab",
+    "kneser_ney_source_scores",
+    "ndcg_ql_ranking",
 )
 
 #: most expensive entries at sf0.01, slowest-last; everything absent

@@ -4886,3 +4886,183 @@ def burrows_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return burrows_delta(
         _docs(spark, sf_dir), F.col("source"), F.col("text"), top_n_words=30
     )
+
+
+# --- r7: Good-Turing, Kneser-Ney LM, nDCG -------------------------------------
+
+_GT_ORACLE = """
+WITH tk AS (
+  SELECT string_split(text, ' ') AS ts FROM documents
+), counts AS (
+  SELECT array_to_string(list_slice(ts, i.i, i.i + 2), ' ') AS tok,
+         CAST(COUNT(*) AS BIGINT) AS r
+  FROM tk, LATERAL unnest(range(1, len(ts) - 1)) AS i(i)
+  WHERE len(ts) >= 3
+  GROUP BY 1
+), coc AS (
+  SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r FROM counts GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n_r) AS BIGINT) AS n_types,
+         CAST(SUM(r * n_r) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN r = 1 THEN n_r ELSE 0 END) AS BIGINT) AS n1
+  FROM coc
+)
+SELECT c.r, c.n_r,
+       CAST(COALESCE(nx.n_r, 0) AS BIGINT) AS n_r_plus_1,
+       CAST(c.r + 1 AS DOUBLE) * CAST(COALESCE(nx.n_r, 0) AS DOUBLE)
+         / CAST(c.n_r AS DOUBLE) AS r_star,
+       t.n_types, t.n_tokens,
+       CAST(t.n1 AS DOUBLE) / CAST(t.n_tokens AS DOUBLE) AS p_unseen
+FROM coc c LEFT JOIN coc nx ON nx.r = c.r + 1 CROSS JOIN tot t
+WHERE c.r <= 10 ORDER BY c.r
+"""
+
+
+@REGISTRY.register("good_turing_vocab", _GT_ORACLE)
+def good_turing_vocab_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency-of-frequencies over the corpus
+    vocabulary: adjusted counts r* and the unseen-mass estimate
+    N1/N — the probability the next token is a NEW type, the
+    coverage number a tokenizer/vocab decision reads next to the
+    Heaps-law curve. Analyzed over word 3-GRAM types (the unigram
+    vocabulary of this corpus is saturated — no rare types — and the
+    n-gram space is where the singleton tail lives at any corpus
+    size). Pure exact-integer ratios
+    (operators/textops.py::good_turing_vocab)."""
+    from movie_rankings_spark.operators.textops import good_turing_vocab
+
+    return good_turing_vocab(
+        _docs(spark, sf_dir), F.col("text"), max_r=10, ngram=3
+    )
+
+
+_KN_ORACLE = """
+WITH tk AS (
+  SELECT source AS g, string_split(text, ' ') AS ts
+  FROM documents WHERE source IS NOT NULL
+), bg AS (
+  SELECT g, ts[i.i] AS v, ts[i.i + 1] AS w
+  FROM tk, LATERAL unnest(range(1, len(ts))) AS i(i)
+  WHERE len(ts) >= 2
+), bgg AS (
+  SELECT g, v, w, CAST(COUNT(*) AS BIGINT) AS cgvw FROM bg GROUP BY 1, 2, 3
+), bc AS (
+  SELECT v, w, CAST(SUM(cgvw) AS BIGINT) AS cvw FROM bgg GROUP BY 1, 2
+), ctx AS (
+  SELECT v, CAST(SUM(cvw) AS BIGINT) AS cv,
+         CAST(COUNT(*) AS BIGINT) AS n1p_v
+  FROM bc GROUP BY 1
+), cont AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS n1p_w FROM bc GROUP BY 1
+), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1p_all FROM bc),
+model AS (
+  SELECT b.v, b.w,
+         CAST(round(ln(
+           greatest(CAST(b.cvw AS DOUBLE) - 0.75, 0.0)
+             / CAST(c.cv AS DOUBLE)
+           + 0.75 * CAST(c.n1p_v AS DOUBLE) / CAST(c.cv AS DOUBLE)
+             * (CAST(k.n1p_w AS DOUBLE) / CAST(t.n1p_all AS DOUBLE))
+         ) * 1000000000.0) AS BIGINT) AS lq
+  FROM bc b JOIN ctx c USING (v) JOIN cont k USING (w) CROSS JOIN tot t
+), per AS (
+  SELECT g, CAST(SUM(cgvw) AS BIGINT) AS n_bigrams,
+         CAST(SUM(CAST(b.cgvw AS HUGEINT) * m.lq) AS HUGEINT) AS slq
+  FROM bgg b JOIN model m USING (v, w) GROUP BY 1
+)
+SELECT g AS "group", n_bigrams, CAST(slq AS BIGINT) AS sum_logp_q9,
+       CAST(slq AS DOUBLE)
+         / (CAST(n_bigrams AS DOUBLE) * 1000000000.0) AS mean_logp,
+       CAST(CAST(exp(-(CAST(slq AS DOUBLE)
+                       / (CAST(n_bigrams AS DOUBLE) * 1000000000.0)))
+                 AS DECIMAL(18,6)) AS DOUBLE) AS perplexity
+FROM per ORDER BY 1
+"""
+
+
+@REGISTRY.register("kneser_ney_source_scores", _KN_ORACLE)
+def kneser_ney_source_scores_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source fluency leaderboard under an interpolated
+    Kneser-Ney bigram LM (D = 0.75) trained on the whole corpus —
+    the discounting upgrade of the add-k bigram scorer: continuation
+    probability rewards words seen in many CONTEXTS, not just often
+    (operators/textops.py::kneser_ney_source_scores)."""
+    from movie_rankings_spark.operators.textops import (
+        kneser_ney_source_scores,
+    )
+
+    return kneser_ney_source_scores(
+        _docs(spark, sf_dir), F.col("source"), F.col("text"), discount=0.75
+    )
+
+
+def _ndcg_disc_literal(x: float) -> str:
+    s = repr(x)
+    return s if "e" in s else s + "e0"
+
+
+_NDCG_ORACLE = (
+    "WITH "
+    + _QL_BODY.strip()
+    + """,
+ranked AS (
+  SELECT doc_id, n_terms_matched AS gain,
+         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+           AS rank
+  FROM ql_top
+), disc(rank, d) AS (VALUES
+"""
+    + ",\n".join(
+        f"  ({r}, {_ndcg_disc_literal(1.0 / __import__('math').log2(r + 1))})"
+        for r in range(1, 11)
+    )
+    + """
+), terms AS (
+  SELECT r.rank, r.doc_id, CAST(r.gain AS BIGINT) AS gain,
+         CAST(CAST(r.gain AS DOUBLE) * w.d AS DECIMAL(18,12)) AS term_q
+  FROM ranked r JOIN disc w USING (rank)
+), ideal AS (
+  SELECT CAST(gain AS BIGINT) AS gain,
+         CAST(ROW_NUMBER() OVER (ORDER BY gain DESC, doc_id ASC)
+              AS INTEGER) AS irank
+  FROM ranked
+), dcg AS (
+  SELECT CAST(CAST(SUM(term_q) AS DECIMAL(28,12)) AS DOUBLE) AS dcg
+  FROM terms
+), idcg AS (
+  SELECT CAST(CAST(SUM(CAST(CAST(i.gain AS DOUBLE) * w.d
+                            AS DECIMAL(18,12))) AS DECIMAL(28,12))
+              AS DOUBLE) AS idcg
+  FROM ideal i JOIN disc w ON w.rank = i.irank
+)
+SELECT t.rank, t.doc_id, t.gain, CAST(t.term_q AS DOUBLE) AS dcg_term,
+       d.dcg, g.idcg, d.dcg / g.idcg AS ndcg
+FROM terms t CROSS JOIN dcg d CROSS JOIN idcg g
+ORDER BY t.rank
+"""
+)
+
+
+@REGISTRY.register("ndcg_ql_ranking", _NDCG_ORACLE)
+def ndcg_ql_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the query-likelihood ranking with term-coverage
+    gains — the graded-relevance evaluation next to rbo_bm25_vs_ql's
+    rank agreement; log2 discounts are Python literals in both
+    engines (operators/search.py::ndcg_at_k)."""
+    from pyspark.sql import Window
+
+    from movie_rankings_spark.operators.search import (
+        ndcg_at_k,
+        ql_dirichlet_topk,
+    )
+
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    ranking = ql_dirichlet_topk(
+        _docs(spark, sf_dir), ["scan", "table", "filter"], k=10, mu=200.0
+    ).select(
+        "doc_id",
+        F.col("n_terms_matched").alias("gain"),
+        F.row_number().over(w).alias("rank"),
+    )
+    return ndcg_at_k(ranking, k=10)

@@ -73,6 +73,9 @@ NESTED_LOOP_LEGIT = {
     "retrieval_ql_dirichlet",  # 1-row corpus scalar x |q|-term stats; candidate grid (r7)
     "rbo_bm25_vs_ql",  # two bounded top-10 rankings x 10-row depth grid + 1-row rbo scalar (r7)
     "burrows_delta_sources",  # bounded top-N vocab x group grid; 1-row scalars (r7)
+    "good_turing_vocab",  # bounded count-of-counts x 1-row totals (r7)
+    "kneser_ney_source_scores",  # bounded model tiers x 1-row continuation total (r7)
+    "ndcg_ql_ranking",  # 10-row ranking x 1-row dcg/idcg scalars (r7)
     "survival_logrank_segment",  # 1-row horizon + 2-row group grid broadcasts; duration-bounded windows (r7)
     "cramersv_priority_segment",  # 1-row grand total / levels / chi2 scalars (r7)
     "fleiss_quality_raters",  # 1-row moment x 1-row chance-agreement scalars (r7)
