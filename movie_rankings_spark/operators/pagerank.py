@@ -283,3 +283,97 @@ def _ppr(
     weighted.unpersist()
     sd.unpersist()
     return out
+
+
+def hits_bipartite(
+    edges: DataFrame,
+    n_iter: int = 4,
+    top_k: int = 15,
+) -> DataFrame:
+    """HITS (Kleinberg) hubs-and-authorities over a DIRECTED edge
+    list — registered on the customer→part purchase graph, where the
+    asymmetry means something: hub customers buy broadly across
+    authoritative parts; authoritative parts are bought by hub
+    customers. (On a symmetric co-purchase graph HITS degenerates to
+    degree centrality — the bipartite orientation is the point.)
+
+    Power iteration with L1 normalization per half-step:
+    a_k(v) = Σ_{u→v} h_{k−1}(u) / Σ… , h_k(u) = Σ_{u→v} a_k(v) / Σ….
+    Exactness (the pagerank q15 convention): per-edge contributions
+    quantize to round(score·10¹⁵) BIGINTs, so the order-sensitive
+    sums are exact integers; each normalized score is ONE division
+    of two exact integers (mass_v / total_mass) — no float sum
+    anywhere, and the oracle unrolls the identical recurrence.
+
+    Output: 2·top_k rows — role ('authority' | 'hub'), node, score,
+    rank — authorities first, ordered by (role, rank)."""
+    e = edges.select("src", "dst").distinct().persist_tracked()
+    srcs = e.select("src").distinct()
+    n_src = srcs.count()
+    # localCheckpoint per half-step (the personalized_pagerank
+    # convention): each normalized score table references its mass
+    # aggregate TWICE (values + the total), so without truncation the
+    # logical plan TRIPLES per iteration and the driver OOMs compiling
+    # it — checkpointing cuts the lineage to the materialized rows
+    h = srcs.select(
+        "src", F.lit(1.0 / float(n_src)).alias("h")
+    ).localCheckpoint()
+    sc = F.lit(1e15)
+    a = None
+    for _ in range(n_iter):
+        am = (
+            e.join(h, "src")
+            .groupBy("dst")
+            .agg(
+                F.sum(F.round(F.col("h") * sc).cast("long"))
+                .cast("decimal(38,0)")
+                .alias("mass")
+            )
+            .localCheckpoint()
+        )
+        at = am.agg(F.sum("mass").cast("decimal(38,0)").alias("tot"))
+        a = am.crossJoin(F.broadcast(at)).select(
+            "dst",
+            (
+                F.col("mass").cast("double") / F.col("tot").cast("double")
+            ).alias("a"),
+        ).localCheckpoint()
+        hm = (
+            e.join(a, "dst")
+            .groupBy("src")
+            .agg(
+                F.sum(F.round(F.col("a") * sc).cast("long"))
+                .cast("decimal(38,0)")
+                .alias("mass")
+            )
+            .localCheckpoint()
+        )
+        ht = hm.agg(F.sum("mass").cast("decimal(38,0)").alias("tot"))
+        h = hm.crossJoin(F.broadcast(ht)).select(
+            "src",
+            (
+                F.col("mass").cast("double") / F.col("tot").cast("double")
+            ).alias("h"),
+        ).localCheckpoint()
+    auth = a.select(
+        F.lit("authority").alias("role"),
+        F.col("dst").alias("node"),
+        F.col("a").alias("score"),
+    )
+    hubs = h.select(
+        F.lit("hub").alias("role"),
+        F.col("src").alias("node"),
+        F.col("h").alias("score"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("role").orderBy(
+        F.col("score").desc(), F.col("node").asc()
+    )
+    return (
+        auth.unionByName(hubs)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("role", "node", "score", F.col("rank").cast("int").alias("rank"))
+        .orderBy("role", "rank")
+    )

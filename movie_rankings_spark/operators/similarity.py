@@ -836,3 +836,64 @@ def retrieval_eval(
         ).alias("recall_at_k"),
         F.coalesce("mrr", F.lit(0.0)).alias("mrr"),
     )
+
+
+def prefix_dim_recall(
+    embeddings: DataFrame,
+    query_ids: "Sequence[int]",
+    k: int = 5,
+    prefix_dim: int = 32,
+) -> DataFrame:
+    """Matryoshka-style truncation audit: for each query, the exact
+    cosine top-k under the FULL embedding vs under the first
+    ``prefix_dim`` dimensions, and recall@k of the truncated ranking
+    — the number that decides whether a pipeline can serve the
+    cheaper prefix (MRL-trained embeddings hold recall ≈ 1 at half
+    dims; non-MRL embeddings crater, and this query is how you find
+    out on YOUR vectors).
+
+    Both rankings run through cosine_topk_exact (exact-decimal dot
+    products, deterministic ties), the prefix side over a projected
+    slice of the same table; recall is an exact-integer ratio from
+    the k×k id join. Output: one row per query — query_id, k,
+    prefix_dim, n_overlap, recall — plus the shared mean_recall —
+    ordered by query_id."""
+    full = cosine_topk_exact(embeddings, query_ids, k=k)
+    sliced = embeddings.select(
+        "vec_id", F.slice("embedding", 1, prefix_dim).alias("embedding")
+    )
+    pref = cosine_topk_exact(sliced, query_ids, k=k)
+    overlap = (
+        full.select("query_id", "vec_id")
+        .join(pref.select("query_id", "vec_id"), ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    per = (
+        full.select("query_id")
+        .distinct()
+        .join(overlap, "query_id", "left")
+        .select(
+            "query_id",
+            F.lit(int(k)).cast("int").alias("k"),
+            F.lit(int(prefix_dim)).cast("int").alias("prefix_dim"),
+            F.coalesce(F.col("n_overlap"), F.lit(0))
+            .cast("long")
+            .alias("n_overlap"),
+            (
+                F.coalesce(F.col("n_overlap"), F.lit(0)).cast("double")
+                / F.lit(float(k))
+            ).alias("recall"),
+        )
+        .persist_tracked()  # the mean scalar and the output read this
+    )
+    mean = per.agg(
+        (
+            F.sum("n_overlap").cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(float(k)))
+        ).alias("mean_recall")
+    )
+    return (
+        per.crossJoin(F.broadcast(mean))
+        .orderBy("query_id")
+    )

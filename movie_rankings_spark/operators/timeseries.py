@@ -1413,3 +1413,76 @@ def fano_burstiness(
         .orderBy(F.col("fano").desc(), F.col("key").asc())
         .limit(top_k)
     )
+
+
+def interevent_cv(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    min_events: int = 10,
+    top_k: int = 20,
+) -> DataFrame:
+    """Per-key inter-event-time burstiness — CV² (variance over
+    squared mean) of the gaps between consecutive events: ≈1 is a
+    Poisson process, ≫1 bursty in TIME (sessions, retries), ≪1
+    metronomic (schedulers) — the time-domain twin of
+    fano_burstiness' count-domain readout; the two disagree exactly
+    when bursts hide inside single days.
+
+    Shape: ONE key-partitioned window (lag) turns events into exact
+    integer MICROSECOND gaps; one map-side-combined moment aggregate
+    per key; TakeOrdered top-k. Keys with < min_events events drop
+    (few gaps = noise). Exactness: gaps are exact BIGINT micros
+    (sums through DECIMAL(38,0) — squared micro-gaps overflow a
+    long); CV² is a shared IEEE expression of exact integers, ties
+    break on key.
+
+    Output: top_k rows — key, n_gaps, mean_gap_s, cv2 — ordered by
+    (cv2 desc, key)."""
+    w = Window.partitionBy("k").orderBy("ts", "event_id")
+    gaps = (
+        events.select(
+            F.col(key_col).alias("k"),
+            F.col(ts_col).alias("ts"),
+            "event_id",
+        )
+        .withColumn(
+            "gap",
+            (
+                F.unix_micros(F.col("ts"))
+                - F.unix_micros(F.lag("ts").over(w))
+            ).cast("long"),
+        )
+        .filter(F.col("gap").isNotNull())
+    )
+    gd = F.col("gap").cast("decimal(19,0)")
+    m = (
+        gaps.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.sum(gd).cast("decimal(38,0)").alias("s"),
+            F.sum((gd * gd).cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("ss"),
+        )
+        .filter(F.col("n_gaps") >= min_events - 1)
+    )
+    nd = F.col("n_gaps").cast("double")
+    sd = F.col("s").cast("double")
+    var = F.try_divide(
+        (F.col("n_gaps").cast("decimal(38,0)") * F.col("ss")
+         - F.col("s") * F.col("s")).cast("double"),
+        nd * (nd - F.lit(1.0)),
+    )
+    mean = sd / nd
+    cv2 = F.try_divide(var, mean * mean)
+    return (
+        m.select(
+            F.col("k").alias("key"),
+            "n_gaps",
+            (mean / F.lit(1000000.0)).alias("mean_gap_s"),
+            cv2.alias("cv2"),
+        )
+        .orderBy(F.col("cv2").desc(), F.col("key").asc())
+        .limit(top_k)
+    )

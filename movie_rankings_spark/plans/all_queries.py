@@ -109,6 +109,9 @@ _UNSEEN_FIRST = (
     "good_turing_vocab",
     "kneser_ney_source_scores",
     "ndcg_ql_ranking",
+    "hits_purchase_graph",
+    "matryoshka_prefix_recall",
+    "interevent_cv_users",
 )
 
 #: most expensive entries at sf0.01, slowest-last; everything absent

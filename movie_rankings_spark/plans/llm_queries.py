@@ -5066,3 +5066,197 @@ def ndcg_ql_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("rank"),
     )
     return ndcg_at_k(ranking, k=10)
+
+
+# --- r7: HITS, Matryoshka prefix recall, inter-event CV^2 ---------------------
+
+
+def _hits_oracle(n_iter: int = 4, top_k: int = 15) -> str:
+    """Unrolled DuckDB twin of the q15-quantized HITS recurrence
+    (the _pagerank_oracle convention: exact integer mass sums,
+    VARCHAR-mediated int128→double casts, identical IEEE shapes)."""
+    parts = [
+        """WITH e AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS src, l.l_partkey AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), srcs AS MATERIALIZED (SELECT DISTINCT src FROM e),
+ns AS (SELECT COUNT(*) AS n FROM srcs),
+h0 AS MATERIALIZED (
+  SELECT src, CAST(1.0 AS DOUBLE) / (SELECT n FROM ns) AS h FROM srcs
+)"""
+    ]
+    for k in range(1, n_iter + 1):
+        parts.append(
+            f""",
+am{k} AS MATERIALIZED (
+  SELECT e.dst,
+         CAST(SUM(CAST(round(h{k - 1}.h * 1e15) AS BIGINT)) AS HUGEINT)
+           AS mass
+  FROM e JOIN h{k - 1} USING (src) GROUP BY e.dst
+),
+at{k} AS (SELECT CAST(SUM(mass) AS HUGEINT) AS tot FROM am{k}),
+a{k} AS MATERIALIZED (
+  SELECT dst, CAST(CAST(mass AS VARCHAR) AS DOUBLE)
+              / CAST(CAST(t.tot AS VARCHAR) AS DOUBLE) AS a
+  FROM am{k} CROSS JOIN at{k} t
+),
+hm{k} AS MATERIALIZED (
+  SELECT e.src,
+         CAST(SUM(CAST(round(a{k}.a * 1e15) AS BIGINT)) AS HUGEINT) AS mass
+  FROM e JOIN a{k} USING (dst) GROUP BY e.src
+),
+ht{k} AS (SELECT CAST(SUM(mass) AS HUGEINT) AS tot FROM hm{k}),
+h{k} AS MATERIALIZED (
+  SELECT src, CAST(CAST(mass AS VARCHAR) AS DOUBLE)
+              / CAST(CAST(t.tot AS VARCHAR) AS DOUBLE) AS h
+  FROM hm{k} CROSS JOIN ht{k} t
+)"""
+        )
+    parts.append(
+        f""",
+ranked AS (
+  SELECT 'authority' AS role, dst AS node, a AS score FROM a{n_iter}
+  UNION ALL
+  SELECT 'hub', src, h FROM h{n_iter}
+)
+SELECT role, node, score, CAST(rn AS INTEGER) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY role ORDER BY score DESC, node ASC) AS rn
+  FROM ranked
+) WHERE rn <= {top_k}
+ORDER BY role, rank"""
+    )
+    return "".join(parts)
+
+
+@REGISTRY.register("hits_purchase_graph", _hits_oracle())
+def hits_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities on the directed customer→part
+    purchase bipartite graph: hub customers buy broadly across
+    authoritative parts — the mutually-recursive centrality
+    PageRank's single score can't separate. Four L1-normalized power
+    iterations, q15 exact-integer mass sums, oracle = unrolled
+    identical recurrence (operators/pagerank.py::hits_bipartite)."""
+    from movie_rankings_spark.catalog import load_table
+    from movie_rankings_spark.operators.pagerank import hits_bipartite
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    edges = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_custkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    return hits_bipartite(edges, n_iter=4, top_k=15)
+
+
+_MATRYOSHKA_ORACLE = f"""
+WITH e32 AS (
+  SELECT vec_id, embedding, list_slice(embedding, 1, 32) AS emb
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb,
+         list_slice(embedding, 1, 32) AS q32
+  FROM embeddings WHERE vec_id < 8
+), fp AS (
+  SELECT q.query_id, e.vec_id,
+         {_COSINE_SQL.format(a='q.q_emb', b='e.embedding')} AS cosine
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+), ft AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rn
+    FROM fp
+  ) WHERE rn <= 5
+), pp AS (
+  SELECT q.query_id, e.vec_id,
+         {_COSINE_SQL.format(a='q.q32', b='e.emb')} AS cosine
+  FROM e32 e CROSS JOIN q WHERE e.vec_id <> q.query_id
+), pt AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rn
+    FROM pp
+  ) WHERE rn <= 5
+), ov AS (
+  SELECT f.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+  FROM ft f JOIN pt p ON f.query_id = p.query_id AND f.vec_id = p.vec_id
+  GROUP BY 1
+), per AS (
+  SELECT d.query_id, CAST(5 AS INTEGER) AS k,
+         CAST(32 AS INTEGER) AS prefix_dim,
+         CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+         CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / 5.0 AS recall
+  FROM (SELECT DISTINCT query_id FROM ft) d LEFT JOIN ov USING (query_id)
+), mn AS (
+  SELECT CAST(SUM(n_overlap) AS DOUBLE)
+         / (CAST(COUNT(*) AS DOUBLE) * 5.0) AS mean_recall
+  FROM per
+)
+SELECT p.query_id, p.k, p.prefix_dim, p.n_overlap, p.recall, m.mean_recall
+FROM per p CROSS JOIN mn m
+ORDER BY p.query_id
+"""
+
+
+@REGISTRY.register("matryoshka_prefix_recall", _MATRYOSHKA_ORACLE)
+def matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Can the embedding column be served at HALF the dimensions?
+    Exact cosine top-5 under the full 64-dim vectors vs the first 32
+    dims, recall@5 per query + corpus mean — the Matryoshka
+    truncation audit an index-cost decision reads
+    (operators/similarity.py::prefix_dim_recall)."""
+    from movie_rankings_spark.operators.similarity import prefix_dim_recall
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return prefix_dim_recall(
+        emb, query_ids=list(range(8)), k=5, prefix_dim=32
+    )
+
+
+_INTEREVENT_ORACLE = """
+WITH g AS (
+  SELECT user_id AS k,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+), gg AS (
+  SELECT k, CAST(gap AS BIGINT) AS gap FROM g WHERE gap IS NOT NULL
+), m AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         CAST(SUM(CAST(gap AS HUGEINT)) AS HUGEINT) AS s,
+         CAST(SUM(CAST(gap AS HUGEINT) * gap) AS HUGEINT) AS ss
+  FROM gg GROUP BY 1 HAVING COUNT(*) >= 9
+), st AS (
+  SELECT k AS key, n_gaps,
+         (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)) / 1000000.0
+           AS mean_gap_s,
+         (CAST(CAST(n_gaps * ss - s * s AS VARCHAR) AS DOUBLE)
+           / (CAST(n_gaps AS DOUBLE) * (CAST(n_gaps AS DOUBLE) - 1.0)))
+         / ((CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+            * (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))) AS cv2
+  FROM m
+)
+SELECT key, n_gaps, mean_gap_s, cv2
+FROM st ORDER BY cv2 DESC, key ASC LIMIT 20
+"""
+
+
+@REGISTRY.register("interevent_cv_users", _INTEREVENT_ORACLE)
+def interevent_cv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 users by CV² of their inter-event times — bursty in
+    TIME (sessions, retries, bots) vs metronomic, the time-domain
+    twin of fano_burstiness_users' daily-count readout; exact
+    microsecond gaps, one partitioned lag window
+    (operators/timeseries.py::interevent_cv)."""
+    from movie_rankings_spark.operators.timeseries import interevent_cv
+
+    return interevent_cv(
+        load_table(spark, sf_dir, "events"),
+        "user_id",
+        "ts",
+        min_events=10,
+        top_k=20,
+    )

@@ -131,6 +131,7 @@ NESTED_LOOP_LEGIT = {
     "retrieval_eval_ivf",  # bounded query set
     "dedup_embedding_cosine",  # documented exact verifier tier (scale path: dedup_embedding_lsh)
     "similarity_cosine_topk",  # broadcast 8-query side (documented exact tier)
+    "matryoshka_prefix_recall",  # broadcast 8-query sides x2 + 1-row mean scalar (r7)
     "search_bm25_topk",  # 1-row corpus stats onto the |terms|-row weight table
     "dsir_importance_topk",  # 1-row totals onto the vocab table
     "split_time_embargo",  # 1-row cut scalar broadcast onto the fact
