@@ -1316,35 +1316,7 @@ def good_turing_vocab(
     the right granularity when the unigram vocabulary is saturated
     (every type frequent): the n-gram type space keeps a singleton
     tail at any corpus size, which is where Good–Turing lives."""
-    if ngram > 1:
-        ts = docs.select(F.split(text_col, " ").alias("ts"))
-        m = F.greatest(F.size("ts") - (ngram - 1), F.lit(0))
-        arrays = [F.slice("ts", i + 1, m) for i in range(ngram)]
-        grams = ts.select(
-            F.explode(
-                F.zip_with(
-                    arrays[0],
-                    arrays[1]
-                    if ngram == 2
-                    else F.zip_with(
-                        arrays[1], arrays[2], lambda a, b: F.concat_ws(" ", a, b)
-                    ),
-                    lambda a, b: F.concat_ws(" ", a, b),
-                )
-            ).alias("tok")
-        )
-        if ngram > 3:
-            raise ValueError("ngram > 3 not supported")
-        counts = grams.groupBy("tok").agg(
-            F.count(F.lit(1)).cast("long").alias("r")
-        )
-    else:
-        counts = (
-            docs.select(F.explode(F.split(text_col, " ")).alias("tok"))
-            .filter(F.col("tok") != "")
-            .groupBy("tok")
-            .agg(F.count(F.lit(1)).cast("long").alias("r"))
-        )
+    counts = _ngram_type_counts(docs, text_col, ngram)
     coc = (
         counts.groupBy("r")
         .agg(F.count(F.lit(1)).cast("long").alias("n_r"))
@@ -1496,3 +1468,92 @@ def kneser_ney_source_scores(
             "perplexity"
         ),
     ).orderBy("group")
+
+
+def richness_estimators(
+    docs: DataFrame, text_col: Column, ngram: int = 1
+) -> DataFrame:
+    """Nonparametric vocabulary-richness estimators from the same
+    count-of-counts reduction good_turing_vocab builds: Chao1
+    (S_obs + N₁²/(2N₂) — the abundance-based lower bound on TRUE
+    type count), first-order jackknife (S_obs + N₁·(n−1)/n), and
+    Good's sample coverage C = 1 − N₁/N — together they answer "how
+    much vocabulary exists that this corpus hasn't seen", the
+    denominator a coverage-targeted crawl or tokenizer budget needs
+    (Good–Turing gives the probability mass of the unseen; these
+    estimate its CARDINALITY).
+
+    Same shape/exactness as good_turing_vocab (one tokenize reduce →
+    bounded count-of-counts; every emitted value an exact-integer
+    ratio). ``ngram`` > 1 analyzes word n-gram types. Output: ONE
+    row — n_tokens, s_obs, n1, n2, chao1, jackknife1, coverage."""
+    counts = _ngram_type_counts(docs, text_col, ngram)
+    coc = counts.groupBy("r").agg(
+        F.count(F.lit(1)).cast("long").alias("n_r")
+    )
+    m = coc.agg(
+        F.sum("n_r").cast("long").alias("s_obs"),
+        F.sum(F.col("r") * F.col("n_r")).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("r") == 1, F.col("n_r")).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("r") == 2, F.col("n_r")).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+    )
+    sd = F.col("s_obs").cast("double")
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = F.col("n_tokens").cast("double")
+    # bias-corrected Chao1 when N2 = 0: S + N1(N1-1)/2
+    chao1 = F.when(
+        F.col("n2") > 0,
+        sd + n1d * n1d / (F.lit(2.0) * n2d),
+    ).otherwise(sd + n1d * (n1d - F.lit(1.0)) / F.lit(2.0))
+    jack1 = sd + n1d * (nd - F.lit(1.0)) / nd
+    return m.select(
+        "n_tokens",
+        "s_obs",
+        "n1",
+        "n2",
+        chao1.alias("chao1"),
+        jack1.alias("jackknife1"),
+        (F.lit(1.0) - n1d / nd).alias("coverage"),
+    )
+
+
+def _ngram_type_counts(
+    docs: DataFrame, text_col: Column, ngram: int
+) -> DataFrame:
+    """(type, count) table over word n-gram types — shared by the
+    Good–Turing and richness-estimator readouts."""
+    if ngram > 3:
+        raise ValueError("ngram > 3 not supported")
+    if ngram > 1:
+        ts = docs.select(F.split(text_col, " ").alias("ts"))
+        m = F.greatest(F.size("ts") - (ngram - 1), F.lit(0))
+        arrays = [F.slice("ts", i + 1, m) for i in range(ngram)]
+        grams = ts.select(
+            F.explode(
+                F.zip_with(
+                    arrays[0],
+                    arrays[1]
+                    if ngram == 2
+                    else F.zip_with(
+                        arrays[1],
+                        arrays[2],
+                        lambda a, b: F.concat_ws(" ", a, b),
+                    ),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            ).alias("tok")
+        )
+        return grams.groupBy("tok").agg(
+            F.count(F.lit(1)).cast("long").alias("r")
+        )
+    return (
+        docs.select(F.explode(F.split(text_col, " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("r"))
+    )

@@ -112,6 +112,7 @@ _UNSEEN_FIRST = (
     "hits_purchase_graph",
     "matryoshka_prefix_recall",
     "interevent_cv_users",
+    "richness_vocab_estimators",
 )
 
 #: most expensive entries at sf0.01, slowest-last; everything absent

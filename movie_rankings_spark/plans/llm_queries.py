@@ -5260,3 +5260,50 @@ def interevent_cv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_events=10,
         top_k=20,
     )
+
+
+_RICHNESS_ORACLE = """
+WITH tk AS (
+  SELECT string_split(text, ' ') AS ts FROM documents
+), counts AS (
+  SELECT array_to_string(list_slice(ts, i.i, i.i + 2), ' ') AS tok,
+         CAST(COUNT(*) AS BIGINT) AS r
+  FROM tk, LATERAL unnest(range(1, len(ts) - 1)) AS i(i)
+  WHERE len(ts) >= 3
+  GROUP BY 1
+), coc AS (
+  SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r FROM counts GROUP BY 1
+), m AS (
+  SELECT CAST(SUM(n_r) AS BIGINT) AS s_obs,
+         CAST(SUM(r * n_r) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN r = 1 THEN n_r ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN r = 2 THEN n_r ELSE 0 END) AS BIGINT) AS n2
+  FROM coc
+)
+SELECT n_tokens, s_obs, n1, n2,
+       CASE WHEN n2 > 0
+            THEN CAST(s_obs AS DOUBLE)
+                 + CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                   / (2.0 * CAST(n2 AS DOUBLE))
+            ELSE CAST(s_obs AS DOUBLE)
+                 + CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0) / 2.0
+       END AS chao1,
+       CAST(s_obs AS DOUBLE)
+         + CAST(n1 AS DOUBLE) * (CAST(n_tokens AS DOUBLE) - 1.0)
+           / CAST(n_tokens AS DOUBLE) AS jackknife1,
+       1.0 - CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS coverage
+FROM m
+"""
+
+
+@REGISTRY.register("richness_vocab_estimators", _RICHNESS_ORACLE)
+def richness_vocab_estimators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much vocabulary HASN'T this corpus seen? Chao1 and
+    first-order-jackknife lower bounds on the true word-3-gram type
+    count, plus Good's sample coverage — the cardinality companions
+    to good_turing_vocab's unseen probability MASS, over the same
+    count-of-counts reduction
+    (operators/textops.py::richness_estimators)."""
+    from movie_rankings_spark.operators.textops import richness_estimators
+
+    return richness_estimators(_docs(spark, sf_dir), F.col("text"), ngram=3)

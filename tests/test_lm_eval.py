@@ -146,3 +146,21 @@ def test_ndcg_ideal_ordering_is_one(spark):
     df = spark.createDataFrame(rows, "doc_id long, rank int, gain long")
     out = ndcg_at_k(df, k=5).collect()
     assert abs(out[0]["ndcg"] - 1.0) < 1e-12
+
+
+def test_richness_estimators_reference(spark):
+    from movie_rankings_spark.operators.textops import richness_estimators
+
+    # counts: a:1 b:1 c:1 d:2 e:2 f:5  -> S=6, N1=3, N2=2, N=12
+    text = "a b c d d e e f f f f f"
+    df = spark.createDataFrame([(text,)], "text string")
+    [r] = richness_estimators(df, F.col("text"), ngram=1).collect()
+    assert (r["s_obs"], r["n1"], r["n2"], r["n_tokens"]) == (6, 3, 2, 12)
+    assert abs(r["chao1"] - (6 + 9 / 4)) < 1e-12
+    assert abs(r["jackknife1"] - (6 + 3 * 11 / 12)) < 1e-12
+    assert abs(r["coverage"] - (1 - 3 / 12)) < 1e-15
+    # no doubletons -> bias-corrected branch
+    df2 = spark.createDataFrame([("x y z w w w",)], "text string")
+    [r2] = richness_estimators(df2, F.col("text"), ngram=1).collect()
+    assert (r2["n1"], r2["n2"]) == (3, 0)
+    assert abs(r2["chao1"] - (4 + 3 * 2 / 2)) < 1e-12
