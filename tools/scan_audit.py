@@ -113,6 +113,7 @@ KNOWN_LEGIT = {
     "kneser_ney_source_scores",  # 1 real scan; persisted per-group bigram counts feed model tiers + scoring (cache-text artifact) (r7)
     "ndcg_ql_ranking",  # QL ranker's documented scans + bounded eval tiers (cache-text artifact) (r7)
     "matryoshka_prefix_recall",  # composes the exact ranker TWICE by design (full + prefix dims; column-pruned embedding scans) (r7)
+    "holtwinters_daily_revenue",  # 1 real scan; persisted 1-row series frame shared by the eager 2-cycle size guard and the fold (cache-text artifact) (r7)
     "survival_logrank_segment",  # 1 real join scan; persisted per-customer/cells tiers feed horizon, grid, sizes (cache-text artifact) (r7)
     "seasonal_decompose_revenue",  # 1 real scan; persisted daily/base tables feed MA, position means, output (cache-text artifact) (r7)
     "grubbs_daily_revenue",  # 1 real scan; persisted daily table feeds the operator's moment + max passes (cache-text artifact) (r7)
