@@ -112,7 +112,7 @@ HEADLINE_QUERIES = (
     "similarity_cosine_topk",
     "similarity_cosine_topk_numpy",
     "similarity_ivf_topk",
-    "retrieval_eval_ivf",
+    "retrieval_eval_prefix",
     "similarity_ivf_kmeans_topk",
     "similarity_pq_topk",
     "similarity_tfidf_topk",

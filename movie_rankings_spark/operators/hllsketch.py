@@ -1,7 +1,9 @@
 """Deterministic HyperLogLog registers (Flajolet et al. 2007) built
-from portable md5 bit fields — the ENGINE-INDEPENDENT sibling of
-`hll_users_mergeable_rollup` (relational_queries.py), which uses
-Spark's Datasketches binaries and is therefore rows-only checkable.
+from portable md5 bit fields — since r8 this layout backs BOTH
+registered rollups (`hll_registers_rollup` day→event_type and
+`hll_users_mergeable_rollup` day→week); the Spark Datasketches
+binary-sketch arm (engine-specific, rows-only checkable) is pinned in
+tests/test_plan_shapes.py instead.
 
 Here the sketch *is* a DataFrame of (group, register_idx, max_rank)
 rows whose every value is pinned by md5 arithmetic both Spark and
@@ -135,15 +137,20 @@ def hll_oracle_sql(
     day_group: str,
     merge_group: str,
     table: str = "events",
+    merge_expr: str | None = None,
 ) -> str:
     """DuckDB twin of build→merge→estimate with the identical md5
     register derivation (CAST('0x'||hex AS BIGINT) is DuckDB's
-    spelling of Spark's conv(hex,16,10))."""
+    spelling of Spark's conv(hex,16,10)). ``merge_group`` must be a
+    bare identifier (it is referenced by name in every CTE); when the
+    merge key is computed (e.g. a month bucket from ts), pass the
+    base-table expression as ``merge_expr`` and the output alias as
+    ``merge_group``."""
     m = 2**p
     alpha_m2 = repr(_alpha(m) * m * m)
     return f"""
 WITH fields AS (
-  SELECT {merge_group},
+  SELECT {merge_expr or merge_group} AS {merge_group},
          CAST('0x' || substr(md5(CAST({key_sql} AS VARCHAR)), 1, 8) AS BIGINT)
            % {m} AS idx,
          ltrim(substr(md5(CAST({key_sql} AS VARCHAR)), 9, 8), '0') AS stripped,

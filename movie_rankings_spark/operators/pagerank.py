@@ -307,6 +307,11 @@ def hits_bipartite(
 
     Output: 2·top_k rows — role ('authority' | 'hub'), node, score,
     rank — authorities first, ordered by (role, rank)."""
+    if n_iter < 1:
+        raise ValueError(
+            f"n_iter must be >= 1, got {n_iter}: the authority table "
+            "only exists after the first half-step"
+        )
     e = edges.select("src", "dst").distinct().persist_tracked()
     srcs = e.select("src").distinct()
     n_src = srcs.count()

@@ -638,7 +638,7 @@ def knn_label_propagation_ivf(
     """ANN-backed kNN label propagation — the 100 TB scale path for
     ``knn_label_propagation``, whose exact tier is O(holdout × corpus)
     flops by contract. Neighbor search runs through the IVF probe
-    (same bucket machinery as ``ivf_topk`` / retrieval_eval_ivf): the
+    (same bucket machinery as ``ivf_topk``): the
     labeled corpus is bucketed by nearest centroid once (one Arrow
     assignment pass, label rides along — no re-join), each held-out
     query probes only its ``nprobe`` nearest buckets, so scored pairs
@@ -896,4 +896,102 @@ def prefix_dim_recall(
     return (
         per.crossJoin(F.broadcast(mean))
         .orderBy("query_id")
+    )
+
+
+def ivf_topk_exact(
+    embeddings: DataFrame,
+    query_ids: Sequence[int],
+    k: int = 5,
+    n_centroids: int = 32,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF ANN with the WHOLE algorithm engine-portable (r8): the
+    oracle-checkable twin of :func:`ivf_topk`. Same plan shape —
+    deterministic head codebook, one assignment pass bucketing every
+    corpus vector under its nearest centroid, queries probing their
+    ``nprobe`` nearest buckets, candidates scored only inside probed
+    buckets — but assignment, probing and scoring all use the
+    exact-decimal cosine instead of a float GEMM, so bucket
+    membership, probe sets, the candidate universe and the final
+    ranks are identical on any engine (ties: lower centroid id /
+    lower vec_id). The GEMM tiers stay the throughput path; this tier
+    is how the IVF *algorithm* (not just its recall) gets value-hash
+    verified, and doubles as the pruning audit: the same query
+    against cosine_topk_exact shows exactly which true neighbours
+    nprobe pruning lost.
+
+    Scale shape: assignment is a broadcast join of the corpus against
+    the |codebook| side (the same corpus × n_centroids work the GEMM
+    pays, as codegen'd expressions); candidates come from a bucket
+    equi-join against the broadcast probe table — scored pairs are
+    ~nprobe/n_centroids of the corpus, never all-pairs."""
+    cents = (
+        embeddings.orderBy("vec_id")
+        .limit(n_centroids)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("c_emb"),
+            F.sqrt(norm_sq_exact(F.col("embedding"))).alias("c_nrm"),
+        )
+    )
+    corpus = embeddings.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(norm_sq_exact(F.col("embedding"))).alias("nrm"),
+    )
+    sim_to_cent = (
+        dot_exact(F.col("embedding"), F.col("c_emb"))
+        / (F.col("nrm") * F.col("c_nrm"))
+    ).alias("csim")
+    wa = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), F.col("cid").asc()
+    )
+    assigned = (
+        corpus.join(F.broadcast(cents), how="cross")
+        .select("vec_id", "embedding", "nrm", "cid", sim_to_cent)
+        .withColumn("_rn", F.row_number().over(wa))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "embedding", "nrm", F.col("cid").alias("bucket"))
+    )
+    q = _query_side(embeddings, query_ids)
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("cid").asc()
+    )
+    probes = (
+        q.join(F.broadcast(cents), how="cross")
+        .select(
+            "query_id",
+            "q_emb",
+            "q_nrm",
+            "cid",
+            (
+                dot_exact(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_nrm") * F.col("c_nrm"))
+            ).alias("csim"),
+        )
+        .withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "q_emb", "q_nrm", F.col("cid").alias("bucket"))
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "bucket")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                dot_exact(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_nrm") * F.col("nrm"))
+            ).alias("cosine"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "vec_id", "cosine", "rn")
+        .orderBy("query_id", "rn")
     )

@@ -228,6 +228,12 @@ def logrank_test(
     variance, chi2."""
     from pyspark.sql import Window
 
+    if group_ind is None:
+        raise ValueError(
+            "group_ind is required: pass a 0/1 integral Column "
+            "marking group-1 membership (e.g. F.col('segment') == 'x')"
+        )
+
     cells = (
         subjects.select(
             F.col(duration_col).cast("long").alias("t"),

@@ -1526,11 +1526,16 @@ def _ngram_type_counts(
     docs: DataFrame, text_col: Column, ngram: int
 ) -> DataFrame:
     """(type, count) table over word n-gram types — shared by the
-    Good–Turing and richness-estimator readouts."""
+    Good–Turing and richness-estimator readouts. Empty tokens (from
+    consecutive spaces) are dropped BEFORE n-gram slicing, so the
+    unigram and n-gram views share one token universe (the oracles
+    apply the same list_filter)."""
     if ngram > 3:
         raise ValueError("ngram > 3 not supported")
     if ngram > 1:
-        ts = docs.select(F.split(text_col, " ").alias("ts"))
+        ts = docs.select(
+            F.filter(F.split(text_col, " "), lambda x: x != "").alias("ts")
+        )
         m = F.greatest(F.size("ts") - (ngram - 1), F.lit(0))
         arrays = [F.slice("ts", i + 1, m) for i in range(ngram)]
         grams = ts.select(

@@ -969,7 +969,19 @@ def seasonal_decompose_daily(
     Output: one row per day — day (yyyy-MM-dd), revenue_cents, pos,
     trend, seasonal, resid (trend/resid NULL on the first/last
     ⌊period/2⌋ days where the centered window is partial) — ordered
-    by day."""
+    by day.
+
+    ``period`` must be ODD: the centered MA spans rows [-p//2, p//2],
+    which only covers exactly ``period`` rows for odd p (the classical
+    even-period decomposition needs a 2×N double moving average this
+    operator does not implement — an even p would silently produce an
+    empty result, so it is rejected)."""
+    if period < 3 or period % 2 == 0:
+        raise ValueError(
+            f"period must be an odd integer >= 3, got {period}: the "
+            "centered rows(-p//2, p//2) window covers period rows only "
+            "for odd p (even periods need a 2xN double moving average)"
+        )
     half = period // 2
     daily = (
         df.groupBy(F.col(day_col).alias("d"))
@@ -1421,6 +1433,7 @@ def interevent_cv(
     ts_col: str,
     min_events: int = 10,
     top_k: int = 20,
+    tiebreak_col: str = "event_id",
 ) -> DataFrame:
     """Per-key inter-event-time burstiness — CV² (variance over
     squared mean) of the gaps between consecutive events: ≈1 is a
@@ -1438,13 +1451,15 @@ def interevent_cv(
     break on key.
 
     Output: top_k rows — key, n_gaps, mean_gap_s, cv2 — ordered by
-    (cv2 desc, key)."""
-    w = Window.partitionBy("k").orderBy("ts", "event_id")
+    (cv2 desc, key). ``tiebreak_col`` (default 'event_id') must be a
+    unique column of ``events``: it deterministically orders rows
+    whose timestamps collide inside the lag window."""
+    w = Window.partitionBy("k").orderBy("ts", "_tb")
     gaps = (
         events.select(
             F.col(key_col).alias("k"),
             F.col(ts_col).alias("ts"),
-            "event_id",
+            F.col(tiebreak_col).alias("_tb"),
         )
         .withColumn(
             "gap",

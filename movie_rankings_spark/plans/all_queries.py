@@ -21,72 +21,21 @@ import movie_rankings_spark.plans.warehouse_queries  # noqa: F401
 from movie_rankings_spark.plans.registry import REGISTRY
 
 #: The correctness harness walks queries() in dict order and records
-#: a row for the first ~50 only; the r1-r6 samples together covered
-#: 257 of the 276 queries registered through r6. This head is the r7
-#: rotation (regenerated from CORRECTNESS_r06.json at round start):
-#: the 19 never-driver-sampled queries first — the five late-r6
-#: statistics additions, contrastive triplets, then the rows-only /
-#: ANN tail (their driver row is the weaker rows-only check, but the
-#: driver has never seen even that) — followed by any r7 additions
-#: (append new query names here as they are registered; they are
-#: never-sampled by definition). Everything after the head keeps
-#: cheap-first registration order, so leftover sample slots re-check
-#: previously-green queries. Regenerate from CORRECTNESS_r07.json at
-#: r8 start.
+#: a row for the first ~50 only; the r1-r7 samples together covered
+#: 307 of the 333 queries registered through r7. This head is the r8
+#: rotation (regenerated from CORRECTNESS_r07.json at round start):
+#: the 26 queries the driver has never sampled first (all 26 are
+#: oracle-backed and locally green in ORACLE_LOCAL.json), then the
+#: three queries whose r7 driver row must change — the fixed
+#: embedding_jl_projection (r7's only ERR; its array column is now a
+#: scalar digest) and the two rows-only→oracle conversions — then
+#: any r8 additions (append new query names here as they are
+#: registered; they are never-sampled by definition). Everything
+#: after the head keeps cheap-first registration order, so leftover
+#: sample slots re-check previously-green queries. Regenerate from
+#: CORRECTNESS_r08.json at r9 start.
 _UNSEEN_FIRST = (
-    # never driver-sampled, oracle-backed (late-r6 registrations)
-    "markov_steady_state_sessions",
-    "contrastive_triplets_docs",
-    "group_percentiles_priority",
-    "dunn_posthoc_doclen",
-    "abtest_design_readout",
-    "cvm_price_priority",
-    # never driver-sampled rows-only tail (weaker driver row)
-    "approx_percentiles_price",
-    "similarity_ivf_kmeans_topk",
-    "similarity_pq_topk",
-    "dedup_semantic_clusters",
-    "embedding_jl_projection",
-    "hll_users_mergeable_rollup",
-    "embedding_pca_project",
-    "bpe_train_merges",
-    "logreg_train_quality",
-    "retrieval_eval_ivf",
-    "tokenizer_encode_bpe",
-    "profile_columns_orders_approx",
-    "knn_label_propagation_ivf",
-    # r7 additions (never sampled by definition) — append below
-    "stream_tws_session_timeout",
-    "effect_size_price_priority",
-    "runs_daily_revenue",
-    "grubbs_daily_revenue",
-    "friedman_price_month_priority",
-    "dw_trend_daily_revenue",
-    "mcnemar_quality_raters",
-    "winnow_fingerprints_docs",
-    "ngram_novelty_docs",
-    "inclusion_deps_tpch",
-    "pmi_collocations_docs",
-    "cochranq_quality_raters",
-    "nb_score_docs",
-    "mk_trend_daily_revenue",
-    "jt_priority_linecount",
-    "rake_keyphrases_docs",
-    "pcorr_qty_price_discount",
-    "concentration_supplier_revenue",
-    "mood_median_doclen_source",
-    "hellinger_qty_returnflag",
-    "cep_view_click_purchase",
-    "bartlett_doclen_source",
-    "cramersv_priority_segment",
-    "fleiss_quality_raters",
-    "binseg_changepoint_revenue",
-    "seasonal_decompose_revenue",
-    "local_clustering_copurchase",
-    "itemsim_cosine_topk",
-    "ridge_monthly_trend",
-    "survival_nelson_aalen",
-    "survival_logrank_segment",
+    # never driver-sampled through r7 (all oracle-backed, local-green)
     "periodogram_daily_revenue",
     "assortativity_copurchase",
     "cronbach_quality_signals",
@@ -113,6 +62,17 @@ _UNSEEN_FIRST = (
     "matryoshka_prefix_recall",
     "interevent_cv_users",
     "richness_vocab_estimators",
+    # r7 driver rows that must change in r8
+    "embedding_jl_projection",  # r7 ERR → flat digest output
+    "hll_users_mergeable_rollup",  # rows-only → deterministic oracle
+    "retrieval_eval_prefix",  # rows-only IVF eval → oracle-backed prefix-tier eval
+    # r8 additions (never sampled by definition) — append below
+    "sink_sorted_write_roundtrip",
+    "interchange_files_roundtrip",
+    "ingest_exactly_once_roundtrip",
+    "schema_evolution_roundtrip",
+    "similarity_ivf_exact_topk",
+    "tokenizer_fairness_langs",
 )
 
 #: most expensive entries at sf0.01, slowest-last; everything absent

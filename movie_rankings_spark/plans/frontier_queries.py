@@ -76,7 +76,8 @@ def hll_registers_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-derived register tables built once, MERGED (max per register)
     up to event_type, with the raw estimate α·m²/Z — the same
     store-daily-sketches / merge-for-dashboards contract as
-    hll_users_mergeable_rollup, but with every value reproducible on
+    hll_users_mergeable_rollup (which since r8 shares this register
+    layout, merged day→week at p=10), every value reproducible on
     any engine (oracle-exact, closing the r3 "HLL rows-only" gap).
     p=8 → 256 registers: at the tiny test cardinalities the RAW
     estimate sits in the linear-counting regime (the correction's

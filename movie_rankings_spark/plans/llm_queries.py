@@ -830,6 +830,64 @@ def similarity_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_EXACT_ORACLE = f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS c_emb
+  FROM embeddings ORDER BY vec_id LIMIT 32
+),
+assign AS (
+  SELECT vec_id, embedding, bucket FROM (
+    SELECT e.vec_id, e.embedding, c.cid AS bucket,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_COSINE_SQL.format(a='e.embedding', b='c.c_emb')}
+                      DESC, c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN c
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb
+  FROM embeddings WHERE vec_id < 8
+),
+probes AS (
+  SELECT query_id, q_emb, bucket FROM (
+    SELECT q.query_id, q.q_emb, c.cid AS bucket,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY {_COSINE_SQL.format(a='q.q_emb', b='c.c_emb')}
+                      DESC, c.cid ASC) AS rn
+    FROM q CROSS JOIN c
+  ) WHERE rn <= 4
+),
+cands AS (
+  SELECT p.query_id, a.vec_id,
+         {_COSINE_SQL.format(a='p.q_emb', b='a.embedding')} AS cosine
+  FROM assign a JOIN probes p ON a.bucket = p.bucket
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, vec_id, cosine, rn FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rn
+  FROM cands
+) WHERE rn <= 5
+ORDER BY query_id, rn
+"""
+
+
+@REGISTRY.register("similarity_ivf_exact_topk", _IVF_EXACT_ORACLE)
+def similarity_ivf_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF ALGORITHM value-hash verified end-to-end (r8,
+    operators/similarity.py::ivf_topk_exact): deterministic head
+    codebook, exact-decimal nearest-centroid assignment, nprobe=4
+    probing, in-bucket exact scoring — the DuckDB twin replays every
+    step, so bucket membership, the candidate universe and the final
+    ANN ranking (recall<1 vs brute force BY DESIGN — the same pruning
+    the GEMM tiers apply) all hash-match. Complements the rows-only
+    GEMM tiers (similarity_ivf_topk / _kmeans / _pq), whose recall
+    gates remain in tests."""
+    return similarity.ivf_topk_exact(
+        _emb(spark, sf_dir), _QUERY_IDS, k=5, n_centroids=32, nprobe=4
+    )
+
+
 @REGISTRY.register("similarity_pq_topk")  # ANN: PQ codes prune, recall<1
 def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (operators/pq.py): per-subspace
@@ -1292,12 +1350,20 @@ def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only: the seeded Gaussian matrix has no engine-neutral SQL
     twin; per-vector distortion audit columns ride along and the JL
     distance-preservation bound is pinned in
-    tests/test_warehouse_ops.py."""
+    tests/test_warehouse_ops.py. The projected vector itself is
+    surfaced as a scalar digest (xxhash64 over its JSON form) rather
+    than the raw array so the result stays canonicalizer-safe —
+    registered query outputs must be flat scalar columns."""
     from movie_rankings_spark.operators.embeddings import jl_project
 
     return (
         jl_project(_emb(spark, sf_dir), out_dim=16)
-        .select("vec_id", "orig_norm_sq", "proj_norm_sq", "proj")
+        .select(
+            "vec_id",
+            "orig_norm_sq",
+            "proj_norm_sq",
+            F.xxhash64(F.to_json(F.struct("proj"))).alias("proj_digest"),
+        )
         .orderBy("vec_id")
     )
 
@@ -2321,17 +2387,73 @@ def quality_filtered_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@REGISTRY.register("retrieval_eval_ivf")  # ANN inside: rows-only
-def retrieval_eval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Continuous ANN auditing: per-query recall@5 and MRR of the IVF
-    index against the exact brute-force top-5
-    (operators/similarity.py::retrieval_eval). Rows-only (the ANN
-    side is approximate by construction); the aggregate recall floor
-    is asserted in tests/test_similarity.py's recall gates, and this
-    query is the operational per-query report those gates sample."""
-    exact = similarity.cosine_topk_exact(_emb(spark, sf_dir), _QUERY_IDS, k=5)
-    ivf = similarity.ivf_topk(_emb(spark, sf_dir), _QUERY_IDS, k=5)
-    return similarity.retrieval_eval(ivf, exact, k=5).orderBy("query_id")
+_RETRIEVAL_EVAL_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qf, embedding[1:32] AS qp
+  FROM embeddings WHERE vec_id < 8
+),
+ep AS (SELECT vec_id, embedding[1:32] AS emb FROM embeddings),
+full_pairs AS (
+  SELECT q.query_id, e.vec_id,
+         {_COSINE_SQL.format(a='q.qf', b='e.embedding')} AS cosine
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+),
+truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rn
+    FROM full_pairs) WHERE rn <= 5
+),
+pref_pairs AS (
+  SELECT q.query_id, e.vec_id,
+         {_COSINE_SQL.format(a='q.qp', b='e.emb')} AS cosine
+  FROM ep e CROSS JOIN q WHERE e.vec_id <> q.query_id
+),
+result AS (
+  SELECT query_id, vec_id, rn FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rn
+    FROM pref_pairs) WHERE rn <= 5
+),
+hits AS (
+  SELECT r.query_id, r.rn
+  FROM result r JOIN truth t
+    ON r.query_id = t.query_id AND r.vec_id = t.vec_id
+),
+per AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_relevant_found,
+         1.0 / CAST(MIN(rn) AS DOUBLE) AS mrr
+  FROM hits GROUP BY 1
+)
+SELECT d.query_id,
+       CAST(COALESCE(p.n_relevant_found, 0) AS BIGINT) AS n_relevant_found,
+       CAST(COALESCE(p.n_relevant_found, 0) AS DOUBLE) / 5.0 AS recall_at_k,
+       COALESCE(p.mrr, 0.0) AS mrr
+FROM (SELECT DISTINCT query_id FROM truth) d LEFT JOIN per p USING (query_id)
+ORDER BY d.query_id
+"""
+
+
+@REGISTRY.register("retrieval_eval_prefix", _RETRIEVAL_EVAL_ORACLE)
+def retrieval_eval_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous retrieval auditing: per-query recall@5 and MRR of a
+    cheaper retrieval tier against the exact brute-force top-5
+    (operators/similarity.py::retrieval_eval). The audited tier here
+    is the deterministic 32-dim Matryoshka prefix index — exact-
+    decimal cosine over the sliced vectors, so unlike the IVF arm the
+    whole evaluation (ranks, recall, MRR) is engine-portable and
+    value-hash checked against the DuckDB twin (converted from the
+    rows-only retrieval_eval_ivf in r8). The IVF index is evaluated
+    through the same retrieval_eval operator in
+    tests/test_similarity.py::test_retrieval_eval_ivf_recall_floor,
+    which also asserts its aggregate recall floor."""
+    emb = _emb(spark, sf_dir)
+    truth = similarity.cosine_topk_exact(emb, _QUERY_IDS, k=5)
+    sliced = emb.select(
+        "vec_id", F.slice("embedding", 1, 32).alias("embedding")
+    )
+    pref = similarity.cosine_topk_exact(sliced, _QUERY_IDS, k=5)
+    return similarity.retrieval_eval(pref, truth, k=5).orderBy("query_id")
 
 
 # --- classifier calibration (bins of the hashed-BoW logit) ------------------
@@ -4892,7 +5014,8 @@ def burrows_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GT_ORACLE = """
 WITH tk AS (
-  SELECT string_split(text, ' ') AS ts FROM documents
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ts
+  FROM documents
 ), counts AS (
   SELECT array_to_string(list_slice(ts, i.i, i.i + 2), ' ') AS tok,
          CAST(COUNT(*) AS BIGINT) AS r
@@ -5264,7 +5387,8 @@ def interevent_cv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RICHNESS_ORACLE = """
 WITH tk AS (
-  SELECT string_split(text, ' ') AS ts FROM documents
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ts
+  FROM documents
 ), counts AS (
   SELECT array_to_string(list_slice(ts, i.i, i.i + 2), ' ') AS tok,
          CAST(COUNT(*) AS BIGINT) AS r
@@ -5307,3 +5431,74 @@ def richness_vocab_estimators(spark: SparkSession, sf_dir: str) -> DataFrame:
     from movie_rankings_spark.operators.textops import richness_estimators
 
     return richness_estimators(_docs(spark, sf_dir), F.col("text"), ngram=3)
+
+
+# --- r8: tokenizer fairness across languages ---------------------------------
+
+_TOKFAIR_ORACLE = r"""
+WITH t AS (
+  SELECT lang,
+         strlen(text) AS n_bytes,
+         length(text) AS n_chars,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_words,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+           AS n_bpe
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_words) AS BIGINT) AS total_words,
+       CAST(SUM(n_bpe) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_bytes) AS DOUBLE) / CAST(SUM(n_bpe) AS DOUBLE)
+         AS bytes_per_token,
+       CAST(SUM(n_bpe) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE)
+         AS fertility
+FROM t GROUP BY lang ORDER BY lang
+"""
+
+
+@REGISTRY.register("tokenizer_fairness_langs", _TOKFAIR_ORACLE)
+def tokenizer_fairness_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fairness audit across languages (r8): bytes-per-token
+    and fertility (subword tokens per whitespace word) per lang under
+    the BPE-ish regex tokenizer (functions/text.py::bpe_token_count) —
+    the compression-equity readout an LLM data pipeline checks before
+    fixing a token budget: languages with high bytes-per-token get
+    fewer effective characters per context window, and fertility ≫1
+    flags scripts the tokenizer fragments. Pure codegen'd expressions
+    (regexp_count + octet/char length), one partial aggregate on the
+    |langs|-row key — no shuffle beyond the groupBy, no UDF. Every
+    count is integer-exact; the two ratios are single IEEE divisions
+    of exact longs."""
+    from movie_rankings_spark.functions.text import bpe_token_count
+
+    d = _docs(spark, sf_dir).select(
+        "lang",
+        F.octet_length("text").alias("n_bytes"),
+        F.length("text").alias("n_chars"),
+        F.size(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).alias("n_words"),
+        bpe_token_count(F.col("text")).alias("n_bpe"),
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("n_words").cast("long").alias("total_words"),
+            F.sum("n_bpe").cast("long").alias("total_tokens"),
+            (
+                F.sum("n_bytes").cast("double")
+                / F.sum("n_bpe").cast("double")
+            ).alias("bytes_per_token"),
+            (
+                F.sum("n_bpe").cast("double")
+                / F.sum("n_words").cast("double")
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )

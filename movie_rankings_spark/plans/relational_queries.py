@@ -353,29 +353,53 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@REGISTRY.register("hll_users_mergeable_rollup")  # sketch bytes are engine-specific
+_HLL_MERGEABLE_P = 10
+
+
+def _hll_mergeable_oracle() -> str:
+    from movie_rankings_spark.operators import hllsketch
+
+    return hllsketch.hll_oracle_sql(
+        _HLL_MERGEABLE_P,
+        key_sql="user_id",
+        day_group="CAST(ts AS DATE)",
+        merge_group="week",
+        merge_expr="strftime(date_trunc('week', ts), '%Y-%m-%d')",
+        table="events",
+    )
+
+
+@REGISTRY.register("hll_users_mergeable_rollup", _hll_mergeable_oracle())
 def hll_users_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGEABLE distinct-count rollup — the pattern approx_count_
-    distinct can't express: materialize per-(event_type, day)
-    Datasketches HLL sketches once, then answer the coarser level by
-    UNIONING sketches (hll_union_agg) instead of rescanning events.
-    At 100 TB the daily sketch table is the stored artifact (KBs per
-    group); every dashboard rollup above it is sketch-merge only.
-    Rows-only (sketch estimates are engine-specific); the estimate-
-    vs-exact tolerance and the union-vs-rescan identity are pinned in
-    tests/test_plan_shapes.py."""
-    e = _t(spark, sf_dir, "events")
-    daily = e.groupBy(
-        "event_type", F.to_date("ts").alias("day")
-    ).agg(F.hll_sketch_agg("user_id", 14).alias("sk"))
-    return (
-        daily.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_days"),
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
-        )
-        .orderBy("event_type")
+    distinct can't express: materialize per-(week, day) register
+    tables once, then answer the coarser week level by MERGING
+    registers (max per register index) instead of rescanning events.
+    At 100 TB the daily register table is the stored artifact (KBs
+    per group); every dashboard rollup above it is register-merge
+    only (weeks here — the test data spans one month). Uses the
+    engine-portable md5-derived register layout
+    (operators/hllsketch.py), so every output value — set-register
+    count, exact scaled sum, raw α·m²/Z estimate — value-hash matches
+    the DuckDB oracle (converted from rows-only in r8; p=10 here vs
+    the day→event_type p=8 twin hll_registers_rollup). The
+    Datasketches union-vs-rescan identity that this query previously
+    carried is pinned directly in tests/test_plan_shapes.py::
+    test_hll_union_matches_direct_sketch_and_exact."""
+    from movie_rankings_spark.operators import hllsketch
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "week", F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd")
     )
+    daily = hllsketch.hll_build(
+        e.withColumn("day", F.to_date("ts")),
+        key="user_id",
+        group_cols=["week", "day"],
+        p=_HLL_MERGEABLE_P,
+    )
+    return hllsketch.hll_merge_estimate(
+        daily, merge_to=["week"], p=_HLL_MERGEABLE_P
+    ).orderBy("week")
 
 
 # --- §2g: window analytics over events -------------------------------------

@@ -136,3 +136,304 @@ def layout_zorder_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long"),
         bucket_shift=16,
     )
+
+
+# --- sink / ingest round-trips (r8: registered queries for S10-S12) ---------
+# Each query exercises a WRITE path end-to-end — write to a fresh
+# scratch dir under the gitignored .tmp/, read back, and emit
+# layout-independent audit invariants the DuckDB oracle recomputes
+# from the source parquet alone (file layout is engine-private; the
+# invariants — row counts, exact key/value checksums, disjointness and
+# exactly-once booleans — are not).
+
+
+def _scratch(prefix: str) -> str:
+    import os
+    import tempfile
+
+    base = "/root/repo/.tmp"
+    os.makedirs(base, exist_ok=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
+_SORTED_WRITE_ORACLE = """
+SELECT CAST(8 AS BIGINT) AS n_files,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+       TRUE AS spans_disjoint
+FROM orders
+"""
+
+
+@REGISTRY.register("sink_sorted_write_roundtrip", _SORTED_WRITE_ORACLE)
+def sink_sorted_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 clustered-write contract, driver-checkable: write orders
+    with sources/sinks.py::write_sorted (repartitionByRange +
+    sortWithinPartitions, 8 files), read the directory back, and audit
+    WHAT THE LAYOUT PROMISES — 8 files whose per-file key spans are
+    pairwise disjoint (the property parquet row-group skipping prunes
+    on), with no row lost or duplicated (count + exact key checksum +
+    min/max). The oracle pins the expected invariants from the source
+    table; the spans themselves are engine-private layout, so
+    disjointness is reduced to a boolean via an 8x8 span self-join
+    (no global window, no driver collect)."""
+    import os
+
+    from movie_rankings_spark.sources.sinks import write_sorted
+
+    path = os.path.join(_scratch("sorted_write_"), "orders_sorted")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    write_sorted(orders, path, ["o_orderkey"], num_files=8)
+
+    back = spark.read.parquet(path)
+    spans = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(
+            F.min("o_orderkey").alias("lo"),
+            F.max("o_orderkey").alias("hi"),
+        )
+        .persist_tracked()  # file count + overlap join read this
+    )
+    n_files = spans.agg(F.count(F.lit(1)).cast("long").alias("n_files"))
+    a, b = spans.alias("a"), spans.alias("b")
+    overlaps = (
+        a.join(
+            b,
+            (F.col("a.f") < F.col("b.f"))
+            & (F.col("a.lo") <= F.col("b.hi"))
+            & (F.col("b.lo") <= F.col("a.hi")),
+        )
+        .agg((F.count(F.lit(1)) == 0).alias("spans_disjoint"))
+    )
+    totals = back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("sum_key"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+        F.max("o_orderkey").cast("long").alias("max_key"),
+    )
+    return (
+        n_files.crossJoin(totals)
+        .crossJoin(overlaps)
+        .select(
+            "n_files", "n_rows", "sum_key", "min_key", "max_key",
+            "spans_disjoint",
+        )
+    )
+
+
+_INTERCHANGE_ORACLE = """
+WITH sample AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 100 = 0
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+         CAST(SUM(cents) AS BIGINT) AS sum_cents
+  FROM sample
+)
+SELECT fmt, n_rows, n_corrupt, sum_key, sum_cents
+FROM agg, (VALUES ('csv', CAST(0 AS BIGINT)),
+                  ('jsonl', CAST(1 AS BIGINT)),
+                  ('orc', CAST(0 AS BIGINT))) AS v(fmt, n_corrupt)
+ORDER BY fmt
+"""
+
+
+@REGISTRY.register("interchange_files_roundtrip", _INTERCHANGE_ORACLE)
+def interchange_files_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 interchange-format contract, driver-checkable: a 1%-key
+    sample of orders (price pre-quantized to exact cents so the text
+    round-trip is integer-exact) written as CSV and JSON-lines via
+    sources/files.py, read back with MANDATORY schemas (no inference
+    scan) and PERMISSIVE corrupt-row quarantine; one hand-planted
+    malformed JSON line must land in the quarantine column, not kill
+    the read or leak into the aggregates; the self-describing ORC arm
+    (no quarantine concept — binary columnar) round-trips the same
+    sample. Output: per-format row count, quarantined-row count, and
+    exact key/cents checksums — all recomputed by the oracle from the
+    source parquet."""
+    import os
+
+    from movie_rankings_spark.sources import files as fsrc
+    from movie_rankings_spark.sources.sinks import write_csv
+
+    base = _scratch("interchange_")
+    csv_dir, json_dir = os.path.join(base, "csv"), os.path.join(base, "jsonl")
+    orc_dir = os.path.join(base, "orc")
+    sample = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    write_csv(sample, csv_dir)
+    fsrc.write_jsonl(sample, json_dir)
+    fsrc.write_orc(sample, orc_dir)
+    with open(os.path.join(json_dir, "corrupt.json"), "w") as fh:
+        fh.write('{"o_orderkey": broken line\n')
+
+    schema = "o_orderkey long, o_orderpriority string, cents long"
+    back_csv = fsrc.read_csv(spark, csv_dir, schema)
+    back_json = fsrc.read_jsonl(spark, json_dir, schema)
+    back_orc = fsrc.read_orc(spark, orc_dir)
+
+    def audit(df: DataFrame, fmt: str) -> DataFrame:
+        good = (
+            fsrc.good_rows(df) if fsrc.CORRUPT_COL in df.columns else df
+        )
+        return df.agg(
+            F.lit(fmt).alias("fmt"),
+            F.count(F.lit(1)).cast("long").alias("n_seen"),
+        ).crossJoin(
+            good.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("o_orderkey").cast("long").alias("sum_key"),
+                F.sum("cents").cast("long").alias("sum_cents"),
+            )
+        ).select(
+            "fmt",
+            "n_rows",
+            (F.col("n_seen") - F.col("n_rows")).alias("n_corrupt"),
+            "sum_key",
+            "sum_cents",
+        )
+
+    return (
+        audit(back_csv, "csv")
+        .unionByName(audit(back_json, "jsonl"))
+        .unionByName(audit(back_orc, "orc"))
+        .orderBy("fmt")
+    )
+
+
+_INGEST_ORACLE = """
+WITH src AS (SELECT event_id FROM events WHERE event_id % 50 = 0),
+extra AS (SELECT event_id FROM events WHERE event_id % 50 = 7
+          AND event_id < 1000)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM src) AS n_first,
+       CAST(0 AS BIGINT) AS n_second_delta,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM extra) AS n_third_delta,
+       (SELECT CAST(SUM(event_id) AS BIGINT) FROM src)
+         + (SELECT CAST(COALESCE(SUM(event_id), 0) AS BIGINT) FROM extra)
+         AS sum_ids
+"""
+
+
+@REGISTRY.register("ingest_exactly_once_roundtrip", _INGEST_ORACLE)
+def ingest_exactly_once_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 exactly-once incremental ingest, driver-checkable: land a
+    2%-sample of events as parquet files, drain the landing dir into
+    the lake via streaming/ingest.py (readStream + availableNow +
+    checkpoint file log), then (run 2) re-run with NOTHING new — the
+    checkpoint must skip every committed file, adding zero rows — and
+    (run 3) land one more file and re-run — only ITS rows may appear.
+    Output: the three run deltas plus the exact id checksum of the
+    final lake; the oracle recomputes all four from the source
+    parquet (n_second_delta pinned to 0 — the exactly-once claim)."""
+    import os
+
+    from movie_rankings_spark.streaming.ingest import (
+        ingest_to_parquet,
+        read_file_stream,
+    )
+
+    base = _scratch("ingest_once_")
+    landing = os.path.join(base, "landing")
+    lake = os.path.join(base, "lake")
+    ckpt = os.path.join(base, "ckpt")
+    schema = "event_id long"
+
+    events = _t(spark, sf_dir, "events")
+    events.filter(F.col("event_id") % 50 == 0).select("event_id").repartition(
+        4
+    ).write.mode("overwrite").parquet(landing)
+
+    def drain() -> int:
+        ingest_to_parquet(
+            read_file_stream(spark, landing, schema), lake, ckpt
+        )
+        return spark.read.parquet(lake).count()
+
+    n_first = drain()
+    n_second = drain()  # nothing new landed: must be a no-op
+    events.filter(
+        (F.col("event_id") % 50 == 7) & (F.col("event_id") < 1000)
+    ).select("event_id").coalesce(1).write.mode("append").parquet(landing)
+    n_third = drain()
+
+    lake_sum = spark.read.parquet(lake).agg(
+        F.sum("event_id").cast("long").alias("sum_ids")
+    )
+    return lake_sum.select(
+        F.lit(n_first).cast("long").alias("n_first"),
+        F.lit(n_second - n_first).cast("long").alias("n_second_delta"),
+        F.lit(n_third - n_second).cast("long").alias("n_third_delta"),
+        "sum_ids",
+    )
+
+
+_SCHEMA_EVOLUTION_ORACLE = """
+WITH g1 AS (
+  SELECT o_orderkey FROM orders WHERE o_orderkey % 100 = 1
+), g2 AS (
+  SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderkey % 100 = 2
+)
+SELECT gen, n_rows, n_priority_null, sum_key FROM (
+  SELECT CAST(1 AS INTEGER) AS gen,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_priority_null,
+         CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+  FROM g1
+  UNION ALL
+  SELECT CAST(2 AS INTEGER),
+         CAST(COUNT(*) AS BIGINT),
+         CAST(0 AS BIGINT),
+         CAST(SUM(o_orderkey) AS BIGINT)
+  FROM g2
+) ORDER BY gen
+"""
+
+
+@REGISTRY.register("schema_evolution_roundtrip", _SCHEMA_EVOLUTION_ORACLE)
+def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 schema-drift contract, driver-checkable: generation-1 files
+    carry (gen, o_orderkey); generation-2 files add o_orderpriority —
+    the column-added drift every long-lived landing zone accumulates.
+    A mergeSchema read must unify the generations: old rows surface
+    the new column as NULL (never dropped, never misaligned), new
+    rows keep their values. Output: per-generation row count,
+    NULL-count of the late column (gen-1 rows must ALL be null, gen-2
+    none), and the exact key checksum — recomputed by the oracle from
+    the source parquet. The unification mechanics are additionally
+    pinned in tests/test_file_sources.py."""
+    import os
+
+    base = _scratch("schema_evo_")
+    orders = _t(spark, sf_dir, "orders")
+    orders.filter(F.col("o_orderkey") % 100 == 1).select(
+        F.lit(1).alias("gen"), "o_orderkey"
+    ).coalesce(1).write.mode("overwrite").parquet(base + "/d")
+    orders.filter(F.col("o_orderkey") % 100 == 2).select(
+        F.lit(2).alias("gen"), "o_orderkey", "o_orderpriority"
+    ).coalesce(1).write.mode("append").parquet(base + "/d")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(base + "/d")
+    return (
+        merged.groupBy("gen")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("o_orderpriority").isNull().cast("long"))
+            .cast("long")
+            .alias("n_priority_null"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+        )
+        .orderBy("gen")
+    )

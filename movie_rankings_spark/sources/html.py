@@ -185,14 +185,64 @@ DEFAULT_SOURCES: tuple[SourceSpec, ...] = (
 )
 
 
-def http_fetch(url: str, timeout: float = 30.0) -> str:
-    """Live fetch (S1): GET, raise on non-2xx. Gated on `requests`
-    being importable; tests always use a file fetcher instead."""
-    import requests
+_META_CHARSET = re.compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?\s*([A-Za-z0-9_.:-]+)""", re.I
+)
 
-    resp = requests.get(url, timeout=timeout)
-    resp.raise_for_status()
-    return resp.text
+
+def http_fetch(
+    url: str,
+    timeout: float = 30.0,
+    retries: int = 2,
+    backoff: float = 0.0,
+) -> str:
+    """Live fetch (S1) — the reference's aiohttp GET loop
+    (top_movies.py:30-40,117-125) on stdlib urllib, synchronous
+    because the distributed stage already fans URLs out one per task:
+
+    * non-2xx raises (urllib.error.HTTPError) — the S2 wrapper in
+      scraped_from_sources turns that into zero rows for the source;
+    * transient failures (URLError / 5xx) retry up to ``retries``
+      times with optional linear backoff; 4xx never retries;
+    * redirects are followed (urllib default);
+    * decoding prefers the Content-Type charset param, then a <meta
+      charset=...> sniff of the body, then utf-8 with replacement —
+      matching aiohttp's response.text() fallback order.
+
+    Exercised end-to-end against a loopback HTTP fixture server in
+    tests/test_ingestion.py (timeout, 404, 5xx-then-OK retry,
+    redirect, latin-1 Content-Type, meta-charset sniff)."""
+    import time
+    import urllib.error
+    import urllib.request
+
+    last_err: Exception | None = None
+    for attempt in range(retries + 1):
+        try:
+            req = urllib.request.Request(
+                url, headers={"User-Agent": "movie-rankings-spark/1.0"}
+            )
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                body = resp.read()
+                charset = resp.headers.get_content_charset()
+                break
+        except urllib.error.HTTPError as err:
+            if err.code < 500:
+                raise
+            last_err = err
+        except (urllib.error.URLError, TimeoutError, OSError) as err:
+            last_err = err
+        if attempt < retries and backoff > 0:
+            time.sleep(backoff * (attempt + 1))
+    else:
+        raise last_err  # type: ignore[misc]
+    if not charset:
+        m = _META_CHARSET.search(body[:4096])
+        charset = m.group(1).decode("ascii", "ignore") if m else None
+    try:
+        return body.decode(charset or "utf-8")
+    except (LookupError, UnicodeDecodeError):
+        return body.decode("utf-8", errors="replace")
 
 
 def scraped_from_sources(

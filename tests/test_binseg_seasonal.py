@@ -145,3 +145,15 @@ def test_seasonal_decompose_brute_force_random(spark):
             assert abs(row["resid"] - resid_ref) < 1e-6
         assert abs(row["seasonal"] - seas[pos_engine[i]]) < 1e-6
         assert row["revenue_cents"] == int(vals[i])
+
+
+def test_seasonal_decompose_rejects_even_period(spark):
+    """Even periods would make the count==period guard in the centered
+    rows(-p//2, p//2) window unsatisfiable and silently return an
+    empty frame (ADVICE r7) — they must be rejected loudly."""
+    import pytest
+
+    df = _daily_df(spark, range(40))
+    for bad in (12, 30, 2, 1, 0, -7):
+        with pytest.raises(ValueError, match="odd"):
+            seasonal_decompose_daily(df, "day", F.col("cents"), period=bad)

@@ -137,3 +137,29 @@ def test_interevent_cv_reference(spark):
     g = np.array(gaps)
     cv2_ref = g.var(ddof=1) / g.mean() ** 2
     assert abs(got["burst"]["cv2"] - cv2_ref) < 1e-9 * max(cv2_ref, 1)
+
+
+def test_hits_rejects_nonpositive_iterations(spark):
+    import pytest
+
+    from movie_rankings_spark.operators.pagerank import hits_bipartite
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="n_iter"):
+        hits_bipartite(edges, n_iter=0)
+
+
+def test_interevent_cv_custom_tiebreaker(spark):
+    """Frames without an event_id column work when the unique
+    tiebreaker column is named explicitly (ADVICE r7)."""
+    from movie_rankings_spark.operators.timeseries import interevent_cv
+
+    d0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, "u", d0 + dt.timedelta(hours=i)) for i in range(15)
+    ]
+    df = spark.createDataFrame(rows, "rid long, user string, ts timestamp")
+    out = interevent_cv(
+        df, "user", "ts", min_events=10, top_k=5, tiebreak_col="rid"
+    ).collect()
+    assert len(out) == 1 and out[0]["cv2"] == 0.0

@@ -74,3 +74,199 @@ def test_flagship_over_scraped_fixture(spark):
     assert "raiders of the lost ark" in titles  # Indiana Jones alias
     assert "pulp fiction" not in titles  # only 2 sources
     assert "12 angry men" not in titles  # only 1 source
+
+
+# --- live HTTP client arm over a loopback fixture server (r8) ---------------
+# The one reference behavior that had never executed: the real GET loop
+# (top_movies.py:30-40,117-125). No external network — everything binds
+# 127.0.0.1.
+
+import contextlib
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+EMPIRE_BODY = "<h2>1. Café Movie (1999)</h2>"
+
+
+class _FixtureHandler(BaseHTTPRequestHandler):
+    """Routes exercising status, charset, redirect and slow paths."""
+
+    hits: dict[str, int] = {}
+
+    def log_message(self, *a):  # silence test output
+        pass
+
+    def do_GET(self):  # noqa: N802 — BaseHTTPRequestHandler contract
+        self.hits[self.path] = self.hits.get(self.path, 0) + 1
+        if self.path == "/utf8":
+            body = EMPIRE_BODY.encode("utf-8")
+            self._ok(body, "text/html; charset=utf-8")
+        elif self.path == "/latin1":
+            body = EMPIRE_BODY.encode("latin-1")
+            self._ok(body, "text/html; charset=latin-1")
+        elif self.path == "/meta-sniff":
+            # no charset in Content-Type; only a <meta> tag in the body
+            body = (
+                '<meta charset="latin-1">' + EMPIRE_BODY
+            ).encode("latin-1")
+            self._ok(body, "text/html")
+        elif self.path == "/missing":
+            self.send_error(404)
+        elif self.path == "/flaky":
+            if self.hits[self.path] == 1:
+                self.send_error(503)
+            else:
+                self._ok(EMPIRE_BODY.encode(), "text/html; charset=utf-8")
+        elif self.path == "/redirect":
+            self.send_response(302)
+            self.send_header("Location", "/utf8")
+            self.end_headers()
+        elif self.path == "/slow":
+            import time
+
+            time.sleep(2.0)
+            self._ok(b"late", "text/plain")
+        else:
+            self.send_error(404)
+
+    def _ok(self, body: bytes, ctype: str) -> None:
+        self.send_response(200)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+
+class _QuietServer(ThreadingHTTPServer):
+    def handle_error(self, request, client_address):
+        pass  # client-side timeout disconnects are expected in tests
+
+
+@pytest.fixture(scope="module")
+def http_base():
+    _FixtureHandler.hits = {}
+    server = _QuietServer(("127.0.0.1", 0), _FixtureHandler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        yield f"http://127.0.0.1:{server.server_address[1]}"
+    finally:
+        server.shutdown()
+        thread.join(timeout=5)
+
+
+def test_http_fetch_utf8_and_extract(http_base):
+    text = html_src.http_fetch(f"{http_base}/utf8")
+    assert html_src.extract_empire(text) == [("1", "Café Movie")]
+
+
+def test_http_fetch_content_type_charset(http_base):
+    text = html_src.http_fetch(f"{http_base}/latin1")
+    assert "Café" in text
+
+
+def test_http_fetch_meta_charset_sniff(http_base):
+    text = html_src.http_fetch(f"{http_base}/meta-sniff")
+    assert "Café" in text
+
+
+def test_http_fetch_non_2xx_raises_and_never_retries_4xx(http_base):
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError):
+        html_src.http_fetch(f"{http_base}/missing", retries=3)
+    assert _FixtureHandler.hits["/missing"] == 1  # 4xx is not transient
+
+
+def test_http_fetch_retries_5xx_then_succeeds(http_base):
+    text = html_src.http_fetch(f"{http_base}/flaky", retries=2)
+    assert html_src.extract_empire(text)
+    assert _FixtureHandler.hits["/flaky"] == 2
+
+
+def test_http_fetch_timeout_raises(http_base):
+    with pytest.raises(Exception):
+        html_src.http_fetch(f"{http_base}/slow", timeout=0.3, retries=0)
+
+
+def test_http_fetch_follows_redirect(http_base):
+    text = html_src.http_fetch(f"{http_base}/redirect")
+    assert html_src.extract_empire(text) == [("1", "Café Movie")]
+
+
+def test_scrape_stage_live_loopback(spark, http_base):
+    """The full distributed stage over real HTTP: good sources parse,
+    a 404 source contributes zero rows (S2), job succeeds."""
+    sources = (
+        html_src.SourceSpec(f"{http_base}/utf8", "empire"),
+        html_src.SourceSpec(f"{http_base}/missing", "empire"),
+    )
+    df = html_src.scraped_from_sources(spark, sources, html_src.http_fetch)
+    rows = {(r["url"], r["rank"], r["title"]) for r in df.collect()}
+    assert rows == {(f"{http_base}/utf8", "1", "Café Movie")}
+
+
+# --- malformed-markup recovery (r8): the reference leans on bs4's ----------
+# error recovery (top_movies.py:69); the stdlib-HTMLParser dialects must
+# survive the same torn markup without crashing and still extract what's
+# recoverable.
+
+
+def test_empire_torn_and_unclosed_tags():
+    # unclosed h2 at EOF: parser must not crash; complete rows survive
+    page = "<h2>1. First (2000)</h2><div><h2>2. Second (2001)"
+    rows = html_src.extract_empire(page)
+    assert ("1", "First") in rows
+    # nested inline markup inside h2 (bs4 get_text semantics)
+    page = "<h2>3. <em>Styled</em> Title (1999)</h2>"
+    assert html_src.extract_empire(page) == [("3", "Styled Title")]
+    # stray close tags and entity soup
+    page = "</h2></div><h2>4. Caf&eacute; &amp; Friends (1988)</h2>"
+    assert html_src.extract_empire(page) == [("4", "Café & Friends")]
+
+
+def test_ranker_malformed_meta_recovery():
+    page = (
+        '<meta itemprop="name" content="c1">'
+        '<meta itemprop="name" content="c2">'
+        "<meta itemprop=position content=1>"  # unquoted attrs
+        '<meta itemprop="name" content="Movie A (2001)">'
+        '<meta itemprop="position">'  # missing content: skipped
+        '<meta itemprop="position" content="2"'  # torn tag at EOF
+    )
+    assert html_src.extract_ranker(page) == [("1", "Movie A")]
+
+
+def test_imdb_malformed_td_recovery():
+    # unclosed <a> and missing </td>: complete cell still extracted
+    page = (
+        '<td class="titleColumn">1<a href="#">Good</a></td>'
+        '<td class="titleColumn">2<a href="#">Torn'
+    )
+    rows = html_src.extract_imdb(page)
+    assert ("1", "Good") in rows
+    # rank cell without digits is skipped, not crashed
+    page = '<td class="titleColumn"><a href="#">NoRank</a></td>'
+    assert html_src.extract_imdb(page) == []
+
+
+def test_dialects_never_raise_on_fuzzed_markup():
+    """Deterministic structural fuzz: random tag soup assembled from
+    the dialects' own vocabulary must never raise — the bs4-style
+    recovery contract."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    atoms = [
+        "<h2>", "</h2>", "<td class='titleColumn'>", "</td>", "<a>",
+        "</a>", "<meta itemprop='position' content='1'>",
+        "<meta itemprop='name' content='X (2000)'>", "1. Title (1999)",
+        "&amp;", "&#x41;", "&bogus;", "<", ">", "</", "<!--", "-->",
+        "<h2", "content=", '"', "'", "plain text", "\x00", "☃",
+    ]
+    for _ in range(200):
+        page = "".join(rng.choice(atoms) for _ in range(rng.randint(1, 40)))
+        for extract in html_src.DIALECTS.values():
+            extract(page)  # must not raise

@@ -319,7 +319,6 @@ _PYTHON_RESIDENT = {
     "cogroup_asof_purchase",  # cogrouped merge_asof (FlatMapCoGroupsInPandas by design)
     "embedding_pca_project",  # covariance + projection GEMM (mapInPandas by design)
     "similarity_mmr_topk",  # greedy MMR selection over pooled candidates
-    "retrieval_eval_ivf",  # evaluates the IVF path (Arrow GEMM inside)
     "multimodal_audio_frames",  # windowed DSP over binary payloads (mapInPandas by design)
     "multimodal_resize_meta",  # r4: real PNG/JFIF header decode over binary payloads (mapInPandas by design; resize math itself is codegen'd)
     "flagship_pandas_api",  # pandas-API front-end demo; stages Python eval by design (DataFrame form is the production path)
@@ -426,16 +425,24 @@ def test_hll_union_matches_direct_sketch_and_exact(spark, sf_dir):
     """The mergeable-rollup contract: unioning daily sketches must
     estimate the same count as sketching the whole column directly
     (identical sketch algorithm, same lgK), and land within 5% of the
-    exact distinct count."""
+    exact distinct count. Built inline since r8: the registered
+    hll_users_mergeable_rollup query now runs the engine-portable
+    register layout (oracle-backed), so the Datasketches
+    hll_sketch_agg/hll_union_agg arm is pinned here."""
     from pyspark.sql import functions as F
     from movie_rankings_spark.catalog import load_table
 
     e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id", 14).alias("sk")
+    )
     merged = {
         r["event_type"]: r["approx_users"]
-        for r in all_queries.QUERIES["hll_users_mergeable_rollup"](
-            spark, sf_dir
-        ).collect()
+        for r in daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+        )
+        .collect()
     }
     direct = {
         r["event_type"]: r["est"]

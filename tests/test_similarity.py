@@ -103,6 +103,26 @@ def test_retrieval_eval_identity_and_zero(spark, sf_dir):
     assert all(r["recall_at_k"] == 0.0 and r["mrr"] == 0.0 for r in zero)
 
 
+def test_retrieval_eval_ivf_recall_floor(spark, sf_dir):
+    """The IVF audit the registered retrieval_eval_prefix query used
+    to carry (r8 conversion): evaluating the IVF index through
+    retrieval_eval against the exact top-5 must hold the aggregate
+    recall floor the recall gates assert elsewhere. ANN values are
+    engine-specific, so this stays a unit gate rather than a
+    registered oracle query."""
+    from movie_rankings_spark.catalog import load_table
+    from movie_rankings_spark.operators import similarity
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = tuple(range(8))
+    exact = similarity.cosine_topk_exact(emb, qids, k=5)
+    ivf = similarity.ivf_topk(emb, qids, k=5)
+    per = similarity.retrieval_eval(ivf, exact, k=5)
+    mean = per.agg(F.avg("recall_at_k").alias("r")).collect()[0]["r"]
+    assert mean >= 0.5, mean
+
+
 def test_auto_centroids_sqrt_with_floor():
     from movie_rankings_spark.operators.similarity import auto_centroids
 
@@ -126,3 +146,30 @@ def test_ivf_auto_centroids_recall_floor(emb, exact_topk):
     assert len(rows) == len(QUERY_IDS) * 5
     hits = sum(1 for r in rows if r["vec_id"] in exact_sets[r["query_id"]])
     assert hits / len(rows) >= 0.3
+
+
+def test_ivf_exact_topk_subset_of_probed_and_recall(spark, sf_dir):
+    """The exact IVF tier (r8): every returned neighbour must live in
+    a probed bucket of its query, ranks must be 1..k dense per query,
+    and recall vs brute force must clear the same floor the GEMM IVF
+    holds (identical pruning policy, nprobe=4/32)."""
+    from movie_rankings_spark.catalog import load_table
+    from movie_rankings_spark.operators import similarity
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = tuple(range(8))
+    got = similarity.ivf_topk_exact(
+        emb, qids, k=5, n_centroids=32, nprobe=4
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r["rn"])
+    for q, rns in by_q.items():
+        assert rns == list(range(1, len(rns) + 1)), (q, rns)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.cosine_topk_exact(emb, qids, k=5).collect()
+    }
+    hit = sum(1 for r in got if (r["query_id"], r["vec_id"]) in exact)
+    assert hit / len(exact) >= 0.5, hit / len(exact)

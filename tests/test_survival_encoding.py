@@ -322,3 +322,13 @@ def test_logrank_separated_groups_large_chi2(spark):
     # DECIMAL(18,9) term quantization bounds the drift at ~5e-10/term
     assert abs(r["chi2"] - chi2) < 1e-7
     assert r["chi2"] > 5.0
+
+
+def test_logrank_requires_group_indicator(spark):
+    import pytest
+
+    from movie_rankings_spark.operators.survival import logrank_test
+
+    df = spark.createDataFrame([(5, 1)], "duration long, event int")
+    with pytest.raises(ValueError, match="group_ind"):
+        logrank_test(df)

@@ -128,7 +128,10 @@ NESTED_LOOP_LEGIT = {
     "classifier_auc_eval",  # theta join of the BOUNDED logit histogram
     "active_users_rolling",  # day x bucket grid densify (bounded)
     "similarity_mmr_topk",  # bounded query set vs pool
-    "retrieval_eval_ivf",  # bounded query set
+    "retrieval_eval_prefix",  # bounded 8-query broadcast sides x2 + 1-row scalars (r8)
+    "similarity_ivf_exact_topk",  # broadcast 32-centroid codebook + 8-query probe sides (documented exact IVF tier, r8)
+    "sink_sorted_write_roundtrip",  # 8-row file-span self-join + 1-row audit scalars cross-joined (r8)
+    "interchange_files_roundtrip",  # 1-row per-format audit aggregates cross-joined (r8)
     "dedup_embedding_cosine",  # documented exact verifier tier (scale path: dedup_embedding_lsh)
     "similarity_cosine_topk",  # broadcast 8-query side (documented exact tier)
     "matryoshka_prefix_recall",  # broadcast 8-query sides x2 + 1-row mean scalar (r7)
@@ -179,7 +182,7 @@ GLOBAL_WINDOW_LEGIT = {
     "classifier_auc_eval",  # bounded logit histogram
     "classifier_calibration_bins",
     "knn_label_propagation",  # holdout votes (bounded query set)
-    "retrieval_eval_ivf",
+    "retrieval_eval_prefix",
     "similarity_mmr_topk",
     "corpus_zipf_slope",  # rank window over the top-k (100-row) histogram (r4)
     "changepoint_daily_revenue",  # prefix window over the date-domain-bounded daily series (r5)
