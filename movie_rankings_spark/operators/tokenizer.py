@@ -208,3 +208,101 @@ def bpe_encode_token_counts(docs: DataFrame, n_merges: int = 8) -> DataFrame:
             F.sum("n_tok").cast("long").alias("n_bpe_tokens"),
         )
     )
+
+
+def bpe_train_oracle_sql(n_merges: int = 12, table: str = "documents") -> str:
+    """Unrolled DuckDB twin of :func:`bpe_train` (r8) — the whole
+    training loop is deterministic (exact integer pair counts,
+    lexicographic tie-breaks, greedy left-to-right folds), so each
+    round unrolls to three CTEs: pair-count aggregate, 1-row argmax,
+    vocabulary rewrite.
+
+    The greedy fold is replayed WITHOUT a fold: words are kept as
+    double-space-joined symbol strings ('  a  b  c  '), and one
+    literal ``replace(s, ' l  r ', ' lr ')`` per round is exactly the
+    left-to-right non-overlapping merge — each match consumes one of
+    the two boundary spaces on each side (so adjacent occurrences
+    stay matchable: '  a  a  a  a  ' → '  aa  aa  '), and because
+    ``replace`` resumes scanning after the replacement, a merged
+    symbol is never re-consumed as the RIGHT element within the same
+    round — the same policy as the engine's accumulate fold (a merged
+    symbol can never equal the rule's LEFT either: that would need an
+    empty RIGHT). Literal replace also sidesteps regex-escaping the
+    symbol alphabet.
+
+    Every per-round CTE is MATERIALIZED: v{k} and rule{k} are each
+    referenced twice, so without materialization DuckDB's inlining
+    re-evaluates the whole chain per reference — exponential in
+    n_merges."""
+    parts = [
+        f"""WITH freq AS (
+  SELECT word, COUNT(*) AS wc
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM {table})
+  GROUP BY word
+),
+v0 AS MATERIALIZED (
+  SELECT word,
+         '  ' || array_to_string(
+           list_transform(range(1, length(word) + 1),
+                          i -> substr(word, CAST(i AS INT), 1)), '  ')
+         || '  ' AS s,
+         wc
+  FROM freq
+)"""
+    ]
+    for k in range(1, n_merges + 1):
+        prev = f"v{k - 1}"
+        parts.append(f""",
+syms{k} AS MATERIALIZED (
+  SELECT string_split(trim(s, ' '), '  ') AS a, wc
+  FROM {prev} WHERE length(trim(s, ' ')) > 0
+),
+pc{k} AS (
+  SELECT a[CAST(i AS INT)] AS l, a[CAST(i AS INT) + 1] AS r,
+         SUM(wc) AS n
+  FROM syms{k}, LATERAL unnest(range(1, len(a))) AS u(i)
+  WHERE len(a) >= 2
+  GROUP BY 1, 2
+),
+rule{k} AS MATERIALIZED (
+  SELECT l, r, l || r AS m, CAST(n AS BIGINT) AS n
+  FROM pc{k} ORDER BY n DESC, l ASC, r ASC LIMIT 1
+),
+v{k} AS MATERIALIZED (
+  SELECT word,
+         replace(s, ' ' || rr.l || '  ' || rr.r || ' ',
+                    ' ' || rr.m || ' ') AS s, wc
+  FROM {prev}, rule{k} rr
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS INTEGER) AS step, l AS \"left\", r AS \"right\","
+        f" m AS merged, n FROM rule{k}"
+        for k in range(1, n_merges + 1)
+    )
+    parts.append(f"\n{union}\nORDER BY step")
+    return "".join(parts)
+
+
+def bpe_encode_oracle_sql(n_merges: int = 8, table: str = "documents") -> str:
+    """DuckDB twin of :func:`bpe_encode_token_counts` (r8): the same
+    unrolled train rounds as :func:`bpe_train_oracle_sql` (the v{k}
+    chain carries the word key through every rewrite), then the final
+    vocabulary's per-word symbol count re-joins the document token
+    stream — exactly the engine's broadcast-encode shape."""
+    train = bpe_train_oracle_sql(n_merges, table)
+    prefix = train[: train.rindex("\nSELECT CAST(1 AS INTEGER)")]
+    return f"""{prefix},
+enc AS (
+  SELECT word, CAST(len(string_split(trim(s, ' '), '  ')) AS BIGINT) AS n_tok
+  FROM v{n_merges}
+),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM {table}
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(e.n_tok) AS BIGINT) AS n_bpe_tokens
+FROM toks t JOIN enc e USING (word)
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""

@@ -66,6 +66,8 @@ _UNSEEN_FIRST = (
     "embedding_jl_projection",  # r7 ERR → flat digest output
     "hll_users_mergeable_rollup",  # rows-only → deterministic oracle
     "retrieval_eval_prefix",  # rows-only IVF eval → oracle-backed prefix-tier eval
+    "bpe_train_merges",  # rows-only → unrolled deterministic-train oracle
+    "tokenizer_encode_bpe",  # rows-only → train+encode oracle
     # r8 additions (never sampled by definition) — append below
     "sink_sorted_write_roundtrip",
     "interchange_files_roundtrip",

@@ -1887,14 +1887,24 @@ def classifier_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed_bow_scores(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
-@REGISTRY.register("bpe_train_merges")  # iterative argmax loop: no SQL twin
+def _bpe_train_oracle() -> str:
+    from movie_rankings_spark.operators.tokenizer import bpe_train_oracle_sql
+
+    return bpe_train_oracle_sql(12)
+
+
+@REGISTRY.register("bpe_train_merges", _bpe_train_oracle())
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full BPE merge-rule training, 12 rounds (operators/tokenizer.py
     ::bpe_train): corpus touched once (word-frequency combine), then
     vocab-sized pair aggregates + codegen greedy folds per round.
-    Rows-only by design (driver-loop argmax is not SQL-expressible);
-    exact equality against a single-node Python reference trainer is
-    pinned in tests/test_tokenizer_train.py."""
+    Oracle-exact since r8: the loop is deterministic (integer counts,
+    lexicographic ties, greedy left-to-right folds), so the DuckDB
+    twin unrolls all 12 rounds — the greedy fold replayed as a literal
+    replace over double-space-joined symbol strings
+    (tokenizer.py::bpe_train_oracle_sql). Exact equality against a
+    single-node Python reference trainer additionally pinned in
+    tests/test_tokenizer_train.py."""
     from movie_rankings_spark.operators.tokenizer import bpe_train
 
     return bpe_train(_docs(spark, sf_dir), n_merges=12).orderBy("step")
@@ -2709,14 +2719,23 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@REGISTRY.register("tokenizer_encode_bpe")  # iterative training inside: rows-only
+def _bpe_encode_oracle() -> str:
+    from movie_rankings_spark.operators.tokenizer import bpe_encode_oracle_sql
+
+    return bpe_encode_oracle_sql(8)
+
+
+@REGISTRY.register("tokenizer_encode_bpe", _bpe_encode_oracle())
 def tokenizer_encode_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE ENCODE (operators/tokenizer.py::
     bpe_encode_token_counts): learns 8 merge rules on the corpus, then
     tokenizes every document with them — per doc, words vs post-merge
-    BPE token counts. Rows-only registration (the trainer's argmax
-    loop is iterative, not SQL-expressible); exactness vs a pure-
-    Python reference tokenizer is pinned in tests/test_tokenizer.py."""
+    BPE token counts. Oracle-exact since r8: the DuckDB twin unrolls
+    the 8 deterministic train rounds (bpe_train_oracle_sql machinery)
+    and replays the broadcast encode join
+    (tokenizer.py::bpe_encode_oracle_sql); exactness vs a pure-Python
+    reference tokenizer additionally pinned in
+    tests/test_tokenizer_train.py."""
     from movie_rankings_spark.operators.tokenizer import (
         bpe_encode_token_counts,
     )
