@@ -69,3 +69,56 @@ def test_bpe_train_stops_when_exhausted(spark):
     df = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
     got = bpe_train(df, 10).collect()
     assert len(got) == 1  # after a+b -> ab there are no pairs left
+
+
+def test_bpe_oracle_sql_matches_reference_on_adversarial_corpus():
+    """The r8 DuckDB twin's literal-replace greedy merge must equal
+    the Python fold reference on tie-heavy / overlapping-run inputs
+    ('aaaa' under a+a, merged-symbol adjacency, multi-round
+    interactions) — pure DuckDB, no Spark session."""
+    import duckdb
+    import pandas as pd
+
+    from movie_rankings_spark.operators.tokenizer import (
+        bpe_encode_oracle_sql,
+        bpe_train_oracle_sql,
+    )
+
+    texts = [
+        "aaaa aaa aa a",
+        "abab abab ab",
+        "aab aab baa",
+        "xyxy xyx yxy",
+        "aaaa abab aab",
+        "zz zz zz zzz",
+    ]
+    n_merges = 6
+    ref = _ref_bpe(texts, n_merges)
+
+    con = duckdb.connect()
+    con.register("docs_df", pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    con.execute("CREATE VIEW documents AS SELECT doc_id, text FROM docs_df")
+    got = con.execute(bpe_train_oracle_sql(n_merges)).fetchall()
+    assert [tuple(r) for r in got] == [tuple(r) for r in ref], (got, ref)
+
+    # encode twin: per-doc token counts must match a Python re-encode
+    enc = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(bpe_encode_oracle_sql(n_merges)).fetchall()
+    }
+
+    def _apply(word: str) -> int:
+        syms = list(word)
+        for _, left, right, merged, _n in ref:
+            out: list[str] = []
+            for x in syms:
+                if out and out[-1] == left and x == right:
+                    out[-1] = merged
+                else:
+                    out.append(x)
+            syms = out
+        return len(syms)
+
+    for i, t in enumerate(texts):
+        ws = t.split(" ")
+        assert enc[i] == (len(ws), sum(_apply(w) for w in ws)), (i, enc[i])
