@@ -162,3 +162,56 @@ class scoped_persists:
                 frames = bucket[self._mark :]
                 del bucket[self._mark :]
         _unpersist_quiet(frames)
+
+
+def _persistent_rdds(sc) -> dict[int, object]:
+    """id → JVM RDD handle for every currently persisted RDD (the
+    Scala SparkContext registry — catalog caches and localCheckpoint
+    data both live there)."""
+    out: dict[int, object] = {}
+    it = sc._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        kv = it.next()
+        out[kv._1()] = kv._2()
+    return out
+
+
+class rotating_checkpoint:
+    """Per-round ``localCheckpoint`` that FREES the previous round's
+    checkpoint once the new one is materialized.
+
+    An iterative operator that checkpoints a large state (an edge
+    list) every round otherwise keeps EVERY round's materialized copy
+    alive until the session GCs the plans — n_rounds × |state| of
+    executor storage for state only the next round ever reads (the
+    r8 kcore sf1 GC-thrash finding). Usage::
+
+        ckpt = rotating_checkpoint(df.sparkSession)
+        e = ckpt(e)            # rounds call this instead of
+        ...                    # e.localCheckpoint()
+
+    Each call diffs the JVM persistent-RDD registry around the eager
+    checkpoint to learn which RDD(s) it created, then unpersists the
+    ones the PREVIOUS call created — the new checkpoint never reads
+    them (it materialized from them already). The final checkpoint is
+    never released (the returned plan reads it). Single-threaded per
+    instance, like the loops that use it."""
+
+    def __init__(self, spark) -> None:
+        self._sc = spark.sparkContext
+        self._prev: list[object] = []
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        before = set(_persistent_rdds(self._sc))
+        out = df.localCheckpoint(eager=True)
+        created = [
+            rdd for i, rdd in _persistent_rdds(self._sc).items()
+            if i not in before
+        ]
+        for rdd in self._prev:
+            try:
+                rdd.unpersist(False)
+            except Exception:  # noqa: BLE001 — already cleaned is fine
+                pass
+        self._prev = created
+        return out

@@ -158,16 +158,29 @@ def connected_components_star(
     graph finishes in ~20 star rounds vs 10⁶ label rounds).
 
     Each round is two aggregate+join shuffles over the (shrinking)
-    edge list; lineage is cut per round with localCheckpoint.
+    edge list; lineage is cut per round with a ROTATING
+    localCheckpoint (caching.rotating_checkpoint — the previous
+    round's materialized edge copy is freed once the new one exists;
+    keeping every round's copy pinned was the r8 kcore sf1 GC-thrash
+    class, and the star loop checkpoints the same edge-sized state).
     Convergence = the canonical edge set is a fixed point (checked by
     count + order-free hash sum, then confirmed exactly); at the
     fixed point every edge is (node, component-min)."""
-    e = _canon(
+    from movie_rankings_spark.caching import rotating_checkpoint
+
+    ckpt = rotating_checkpoint(edges.sparkSession)
+    e = ckpt(_canon(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    ).localCheckpoint(eager=True)
-    nodes = e.select(F.col("u").alias("node")).union(
-        e.select(F.col("v").alias("node"))
-    ).distinct()
+    ))
+    # node-sized and read AFTER the loop: materialize it OUTSIDE the
+    # rotation now, before round 1 frees the initial edge checkpoint
+    # it reads (plain eager localCheckpoint, never released)
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
     def _sig(df: DataFrame) -> tuple[int, int]:
         r = df.agg(
@@ -181,7 +194,7 @@ def connected_components_star(
     sig = _sig(e)
     converged = False
     for _ in range(max_rounds):
-        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e2 = ckpt(_small_star(_large_star(e)))
         sig2 = _sig(e2)
         e = e2
         if sig2 == sig:

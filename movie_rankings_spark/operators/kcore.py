@@ -30,7 +30,10 @@ most |nodes| rounds but almost always in a handful — callers assert
 the fixed point via ``converged`` below, and tests pin it at the
 shipped SFs. At 100 TB: state is O(|nodes|), per-round cost two
 semi-join shuffles of a shrinking edge list, lineage truncated per
-round (localCheckpoint → reliable checkpoint at cluster scale).
+round with a ROTATING localCheckpoint (caching.rotating_checkpoint:
+the previous round's materialized edge copy is unpersisted as soon as
+the new one exists — otherwise n_rounds full edge copies stay pinned,
+the r8 sf1 GC-thrash finding; reliable checkpoint at cluster scale).
 
 Reference scope: the reference (top_movies.py) has no graph tier;
 north-star [EXT] alongside pagerank/triangles/communities.
@@ -40,6 +43,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from movie_rankings_spark.caching import rotating_checkpoint
 
 
 def kcore(
@@ -55,7 +60,8 @@ def kcore(
     rounds this IS the k-core; use :func:`converged` to check the
     fixed point was reached."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    e = e.localCheckpoint()
+    ckpt = rotating_checkpoint(edges.sparkSession)
+    e = ckpt(e)
     for _ in range(n_rounds):
         deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select("src")
@@ -64,9 +70,10 @@ def kcore(
             .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
             .select("src", "dst")
         )
-        # truncate lineage: each round nests two joins + an aggregate
-        # inside the next (the pagerank/LPA loop convention)
-        e = e.localCheckpoint()
+        # truncate lineage (the pagerank/LPA loop convention) AND free
+        # the previous round's materialized edge copy — keeping all
+        # n_rounds copies alive was the r8 sf1 GC-thrash finding
+        e = ckpt(e)
     return e.groupBy("src").agg(F.count(F.lit(1)).alias("core_degree")).select(
         F.col("src").alias("node"), "core_degree"
     )

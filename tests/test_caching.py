@@ -104,3 +104,30 @@ def test_release_only_touches_calling_thread(spark):
         t.join()
     assert state["released"] == 1
     assert not state["df"].storageLevel.useMemory
+
+
+def test_rotating_checkpoint_bounds_live_copies_and_preserves_values(spark):
+    """Each rotation must free the previous round's materialized RDD
+    (live persistent-RDD count stays bounded instead of growing with
+    rounds — the r8 kcore sf1 GC-thrash class) while the final
+    checkpoint still reads correctly."""
+    from pyspark.sql import functions as F
+
+    from movie_rankings_spark.caching import (
+        _persistent_rdds,
+        rotating_checkpoint,
+    )
+
+    base = len(_persistent_rdds(spark.sparkContext))
+    ckpt = rotating_checkpoint(spark)
+    df = spark.range(1000).select(F.col("id"))
+    df = ckpt(df)
+    counts = []
+    for _ in range(5):
+        df = ckpt(df.select((F.col("id") + 1).alias("id")))
+        counts.append(len(_persistent_rdds(spark.sparkContext)) - base)
+    # only the newest checkpoint's RDD(s) stay live each round
+    assert max(counts) <= max(counts[0], 2), counts
+    assert counts[-1] <= counts[0], counts
+    got = df.agg(F.sum("id")).collect()[0][0]
+    assert got == sum(i + 5 for i in range(1000))
