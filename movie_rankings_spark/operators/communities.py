@@ -59,7 +59,10 @@ def label_propagation(
         .distinct()
         .persist_tracked()
     )
-    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
+    from movie_rankings_spark.caching import rotating_checkpoint
+
+    ckpt = rotating_checkpoint(edges.sparkSession)
+    labels = ckpt(nodes.select("node", F.col("node").alias("label")))
     for _ in range(n_rounds):
         gathered = (
             e.join(labels, e["src"] == labels["node"])
@@ -82,7 +85,9 @@ def label_propagation(
             )
             .select(F.col("dst").alias("node"), F.col("top.label").alias("label"))
         )
-        labels = labels.localCheckpoint()
+        # rotating: free the previous round's label checkpoint (node-
+        # sized, but n_rounds copies add up — the r8 kcore finding)
+        labels = ckpt(labels)
     nodes.unpersist()
     e.unpersist()  # labels is checkpointed — safe to release here
     return labels

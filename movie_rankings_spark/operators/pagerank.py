@@ -97,14 +97,19 @@ def _pagerank(
     # graph without them (any symmetric graph) skips that round-trip
     has_dangling = n > e.select("src").distinct().count()
 
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+    from movie_rankings_spark.caching import rotating_checkpoint
+
+    ckpt = rotating_checkpoint(edges.sparkSession)
+    ranks = ckpt(nodes.select("node", F.lit(1.0 / n).alias("rank")))
     for _ in range(n_iterations):
-        # localCheckpoint (not persist): it TRUNCATES the logical
-        # plan. persist alone leaves each round's plan nested inside
-        # the next — 10 rounds of joins whose AQE tree rendering
-        # (current + initial plan per nesting level) blows the driver
-        # heap. At 100 TB you would checkpoint to reliable storage
-        # every few rounds instead; the per-round shape is unchanged.
+        # rotating localCheckpoint (not persist): it TRUNCATES the
+        # logical plan (persist alone leaves each round's plan nested
+        # inside the next — 10 rounds of joins whose AQE tree
+        # rendering blows the driver heap) AND frees the previous
+        # round's materialized copy, which nothing reads once the new
+        # checkpoint exists (the r8 kcore finding). At 100 TB you
+        # would checkpoint to reliable storage every few rounds
+        # instead; the per-round shape is unchanged.
         c = F.col("rank") * F.col("w")
         if decimal_mass:
             c = F.round(c * F.lit(1e15)).cast("long")
@@ -117,7 +122,7 @@ def _pagerank(
         if has_dangling:
             # contribs feeds BOTH the scalar and the update: checkpoint
             # first or the lineage doubles per round
-            contribs = contribs.localCheckpoint()
+            contribs = ckpt(contribs)
             total = contribs.agg(F.sum("mass")).collect()[0][0]
             flowed = (
                 float(total or 0) / 1e15
@@ -141,7 +146,7 @@ def _pagerank(
                 )
             ).alias("rank"),
         )
-        ranks = ranks.localCheckpoint()
+        ranks = ckpt(ranks)
     nodes.unpersist()
     weighted.unpersist()
     return ranks
@@ -233,10 +238,13 @@ def _ppr(
     )
     base = (1.0 - damping) / n_seeds
     restart = F.col("is_seed").cast("double") * F.lit(base)
-    ranks = nodes.select(
+    from movie_rankings_spark.caching import rotating_checkpoint
+
+    ckpt = rotating_checkpoint(edges.sparkSession)
+    ranks = ckpt(nodes.select(
         "node",
         (F.col("is_seed").cast("double") / F.lit(float(n_seeds))).alias("rank"),
-    ).localCheckpoint()
+    ))
     for _ in range(n_iterations):
         c = F.col("rank") * F.col("w")
         if decimal_mass:
@@ -248,7 +256,7 @@ def _ppr(
             .agg(F.sum("c").alias("mass"))
         )
         if has_dangling:
-            contribs = contribs.localCheckpoint()
+            contribs = ckpt(contribs)
             total = contribs.agg(F.sum("mass")).collect()[0][0]
             flowed = (
                 float(total or 0) / 1e15
@@ -277,7 +285,7 @@ def _ppr(
                 / F.lit(float(n_seeds))
             ).alias("rank"),
         )
-        ranks = ranks.localCheckpoint()
+        ranks = ckpt(ranks)
     out = ranks.select("node", "rank")
     nodes.unpersist()
     weighted.unpersist()
@@ -320,9 +328,15 @@ def hits_bipartite(
     # aggregate TWICE (values + the total), so without truncation the
     # logical plan TRIPLES per iteration and the driver OOMs compiling
     # it — checkpointing cuts the lineage to the materialized rows
-    h = srcs.select(
+    from movie_rankings_spark.caching import rotating_checkpoint
+
+    ck_am = rotating_checkpoint(edges.sparkSession)
+    ck_a = rotating_checkpoint(edges.sparkSession)
+    ck_hm = rotating_checkpoint(edges.sparkSession)
+    ck_h = rotating_checkpoint(edges.sparkSession)
+    h = ck_h(srcs.select(
         "src", F.lit(1.0 / float(n_src)).alias("h")
-    ).localCheckpoint()
+    ))
     sc = F.lit(1e15)
     a = None
     for _ in range(n_iter):
@@ -334,15 +348,16 @@ def hits_bipartite(
                 .cast("decimal(38,0)")
                 .alias("mass")
             )
-            .localCheckpoint()
         )
+        am = ck_am(am)
         at = am.agg(F.sum("mass").cast("decimal(38,0)").alias("tot"))
         a = am.crossJoin(F.broadcast(at)).select(
             "dst",
             (
                 F.col("mass").cast("double") / F.col("tot").cast("double")
             ).alias("a"),
-        ).localCheckpoint()
+        )
+        a = ck_a(a)
         hm = (
             e.join(a, "dst")
             .groupBy("src")
@@ -351,15 +366,16 @@ def hits_bipartite(
                 .cast("decimal(38,0)")
                 .alias("mass")
             )
-            .localCheckpoint()
         )
+        hm = ck_hm(hm)
         ht = hm.agg(F.sum("mass").cast("decimal(38,0)").alias("tot"))
         h = hm.crossJoin(F.broadcast(ht)).select(
             "src",
             (
                 F.col("mass").cast("double") / F.col("tot").cast("double")
             ).alias("h"),
-        ).localCheckpoint()
+        )
+        h = ck_h(h)
     auth = a.select(
         F.lit("authority").alias("role"),
         F.col("dst").alias("node"),

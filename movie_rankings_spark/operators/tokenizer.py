@@ -91,11 +91,14 @@ def bpe_train(docs: DataFrame, n_merges: int = 12) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wc"))
     )
-    vocab = freq.select(
+    from movie_rankings_spark.caching import rotating_checkpoint
+
+    ckpt = rotating_checkpoint(docs.sparkSession)
+    vocab = ckpt(freq.select(
         F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"
                ).alias("symbols"),
         "wc",
-    ).localCheckpoint(eager=True)
+    ))
 
     rules: list[tuple[int, str, str, str, int]] = []
     for step in range(1, n_merges + 1):
@@ -125,9 +128,9 @@ def bpe_train(docs: DataFrame, n_merges: int = 12) -> DataFrame:
                 ),
             ).otherwise(F.concat(acc, F.array(x))),
         )
-        vocab = vocab.select(fold.alias("symbols"), "wc").localCheckpoint(
-            eager=True
-        )
+        # rotating: the previous round's vocab copy (vocab-sized — large
+        # at scale) is freed once this round's checkpoint materializes
+        vocab = ckpt(vocab.select(fold.alias("symbols"), "wc"))
 
     spark = docs.sparkSession
     return spark.createDataFrame(
@@ -140,7 +143,12 @@ def bpe_apply_rules(vocab: DataFrame, rules: list[tuple[str, str, str]]) -> Data
     `symbols` arrays of a weighted vocabulary — the ENCODE half of the
     tokenizer. Each rule is the same greedy left-to-right codegen fold
     used during training, chained in rule order; lineage is truncated
-    every few rules so the plan stays flat for long rule lists."""
+    every few rules with a rotating checkpoint (previous copy freed)
+    so neither the plan nor pinned storage grows with the rule list."""
+    from movie_rankings_spark.caching import rotating_checkpoint
+
+    ckpt = rotating_checkpoint(vocab.sparkSession)
+
     def _merge_step(left: str, right: str, merged: str):
         def step(acc, x):
             return F.when(
@@ -162,7 +170,7 @@ def bpe_apply_rules(vocab: DataFrame, rules: list[tuple[str, str, str]]) -> Data
         )
         vocab = vocab.select(fold.alias("symbols"), "word", "wc")
         if (i + 1) % 4 == 0:
-            vocab = vocab.localCheckpoint(eager=True)
+            vocab = ckpt(vocab)
     return vocab
 
 
