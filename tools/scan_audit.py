@@ -56,6 +56,7 @@ KNOWN_LEGIT = {
     # corpus + probe/query slices of one table (different filters):
     "decontaminate_bloom_gate", "decontaminate_report",
     "similarity_cosine_topk",
+    "similarity_ivf_exact_topk",  # corpus scan + 32-row head-codebook slice (read by assignment AND probes) + 8-query slice — documented exact IVF tier (r8)
     # documented multi-pass algorithms (threshold pass + apply pass —
     # at 100 TB a pruned re-scan beats caching a corpus-sized frame):
     "quality_filtered_docs", "text_lm_score", "vocab_heavy_hitters",
@@ -160,7 +161,7 @@ KNOWN_LEGIT = {
     "quality_filtered_per_lang",  # threshold pass + apply pass (documented)
     "knn_label_propagation",  # holdout + corpus slices of one table
     "knn_label_propagation_ivf",  # holdout + corpus + centroid slices of one table (r5)
-    "retrieval_eval_ivf",  # exact + IVF pipelines both read embeddings (eval)
+    "retrieval_eval_prefix",  # full-dim + prefix-dim exact pipelines both read embeddings (eval, r8)
     "vocab_top_words",  # partially cached tf reuse
     "active_users_rolling",  # cached bitmap grid (text artifact)
     "dedup_editdistance_verify",  # persisted pair pipeline (text artifact)
