@@ -190,28 +190,42 @@ class rotating_checkpoint:
         e = ckpt(e)            # rounds call this instead of
         ...                    # e.localCheckpoint()
 
-    Each call diffs the JVM persistent-RDD registry around the eager
-    checkpoint to learn which RDD(s) it created, then unpersists the
-    ones the PREVIOUS call created — the new checkpoint never reads
-    them (it materialized from them already). The final checkpoint is
-    never released (the returned plan reads it). Single-threaded per
-    instance, like the loops that use it."""
+    Each call reads the checkpoint RDD handle DIRECTLY off the
+    returned plan — ``Dataset.localCheckpoint`` always returns a
+    ``LogicalRDD`` wrapping exactly the RDD it persisted — then
+    unpersists the one the PREVIOUS call created: the new checkpoint
+    never reads it (it materialized from it already). The final
+    checkpoint is never released (the returned plan reads it).
+
+    Identifying the RDD from the plan (r9, replacing a global
+    persistent-registry diff) is what makes the rotation safe under
+    concurrency: anything ELSE that happens to persist during the
+    checkpoint action — a sibling thread's cache, a lazily
+    materialized ``persist_tracked`` frame referenced by ``df``
+    itself — is never adopted, so it can never be wrongly unpersisted
+    on the next rotation. If the plan is ever not a ``LogicalRDD``
+    (no known Spark version does this), the call degrades to a plain
+    non-rotating checkpoint for that round rather than guessing from
+    global state. Instances are single-threaded, like the loops that
+    use them."""
 
     def __init__(self, spark) -> None:
-        self._sc = spark.sparkContext
         self._prev: list[object] = []
 
+    @staticmethod
+    def _checkpoint_rdd(out: DataFrame):
+        plan = out._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() != "LogicalRDD":
+            return None
+        return plan.rdd()
+
     def __call__(self, df: DataFrame) -> DataFrame:
-        before = set(_persistent_rdds(self._sc))
         out = df.localCheckpoint(eager=True)
-        created = [
-            rdd for i, rdd in _persistent_rdds(self._sc).items()
-            if i not in before
-        ]
+        created = self._checkpoint_rdd(out)
         for rdd in self._prev:
             try:
                 rdd.unpersist(False)
             except Exception:  # noqa: BLE001 — already cleaned is fine
                 pass
-        self._prev = created
+        self._prev = [created] if created is not None else []
         return out

@@ -85,9 +85,16 @@ def bpe_train(docs: DataFrame, n_merges: int = 12) -> DataFrame:
     one pair aggregate + a 1-row driver fetch (the argmax — the
     textbook justified collect) + a codegen fold rewrite. Lineage is
     truncated per round with localCheckpoint, the connected-components
-    idiom, so the plan does not grow with the merge count."""
+    idiom, so the plan does not grow with the merge count.
+
+    Zero-length tokens (consecutive/leading/trailing whitespace) are
+    excluded from the vocabulary (r9): an empty word has no symbols
+    and no pairs — and Spark's ``sequence(1, 0)`` is DESCENDING, so
+    without the filter an empty word would expand to ``['', '']`` and
+    inject a phantom ('','') pair into merge selection."""
     freq = (
         docs.select(F.explode(words(F.col("text"))).alias("word"))
+        .filter(F.length("word") > 0)
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wc"))
     )
@@ -186,7 +193,12 @@ def bpe_encode_token_counts(docs: DataFrame, n_merges: int = 8) -> DataFrame:
     BROADCAST of the vocab map — the fact table is scanned twice
     (vocab build + final join) and never carries symbol arrays.
     The rule list itself is n_merges rows — the textbook justified
-    driver collect (same as bpe_train's per-round argmax)."""
+    driver collect (same as bpe_train's per-round argmax).
+
+    Zero-length tokens are excluded from the vocabulary AND the
+    document token stream (r9, mirroring bpe_train): an empty word
+    has no symbols, so it contributes neither merges nor token
+    counts — the same policy _ngram_type_counts applies."""
     trained = bpe_train(docs, n_merges=n_merges)
     rules = [
         (r["left"], r["right"], r["merged"])
@@ -194,6 +206,7 @@ def bpe_encode_token_counts(docs: DataFrame, n_merges: int = 8) -> DataFrame:
     ]
     freq = (
         docs.select(F.explode(words(F.col("text"))).alias("word"))
+        .filter(F.length("word") > 0)
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wc"))
     )
@@ -207,7 +220,9 @@ def bpe_encode_token_counts(docs: DataFrame, n_merges: int = 8) -> DataFrame:
     encoded = bpe_apply_rules(vocab, rules).select(
         "word", F.size("symbols").alias("n_tok")
     )
-    toks = docs.select("doc_id", F.explode(words(F.col("text"))).alias("word"))
+    toks = docs.select(
+        "doc_id", F.explode(words(F.col("text"))).alias("word")
+    ).filter(F.length("word") > 0)
     return (
         toks.join(F.broadcast(encoded), "word")
         .groupBy("doc_id")
@@ -246,6 +261,7 @@ def bpe_train_oracle_sql(n_merges: int = 12, table: str = "documents") -> str:
         f"""WITH freq AS (
   SELECT word, COUNT(*) AS wc
   FROM (SELECT unnest(string_split(text, ' ')) AS word FROM {table})
+  WHERE length(word) > 0
   GROUP BY word
 ),
 v0 AS MATERIALIZED (
@@ -305,7 +321,9 @@ enc AS (
   FROM v{n_merges}
 ),
 toks AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM {table}
+  SELECT doc_id, word FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM {table}
+  ) WHERE length(word) > 0
 )
 SELECT t.doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_words,

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from movie_rankings_spark.plans.registry import REGISTRY
+from movie_rankings_spark.scratch import scratch_dir
 from movie_rankings_spark.streaming import events as ev
 
 _TUMBLING_ORACLE = """
@@ -416,12 +417,9 @@ def stream_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     associative+commutative, so the maintained table equals the batch
     compaction — which is exactly what the shared oracle asserts."""
     import os
-    import uuid
 
     src = _stage_split_events(spark, sf_dir, n=4)
-    run_dir = os.path.join(
-        os.path.dirname(ev._CHECKPOINT_ROOT), "upsert", uuid.uuid4().hex[:12]
-    )
+    run_dir = scratch_dir("upsert")
     from movie_rankings_spark.streaming.upsert import (
         current_snapshot,
         stream_upsert,
@@ -617,7 +615,6 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     processing makes the appended table equal the batch query, so the
     exact batch oracle applies verbatim."""
     import os
-    import uuid
 
     from movie_rankings_spark.streaming.dedup_stream import (
         DOCS_SCHEMA,
@@ -625,9 +622,7 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     src_dir, idx_dir = _stage_dedup_stream(spark, sf_dir)
-    run_dir = os.path.join(
-        os.path.dirname(ev._CHECKPOINT_ROOT), "dedup_stream", uuid.uuid4().hex[:12]
-    )
+    run_dir = scratch_dir("dedup_stream")
     stream = (
         spark.readStream.schema(DOCS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -678,7 +673,6 @@ def stream_cms_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch — and therefore every probe estimate — is bit-identical to
     the batch build, and the exact batch oracle applies."""
     import os
-    import uuid
 
     from movie_rankings_spark.operators.cms import cms_estimate
     from movie_rankings_spark.streaming.dedup_stream import DOCS_SCHEMA
@@ -688,9 +682,7 @@ def stream_cms_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     src_dir = _stage_split_docs(spark, sf_dir, n=3)
-    run_dir = os.path.join(
-        os.path.dirname(ev._CHECKPOINT_ROOT), "cms_stream", uuid.uuid4().hex[:12]
-    )
+    run_dir = scratch_dir("cms_stream")
     stream = (
         spark.readStream.schema(DOCS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -743,7 +735,6 @@ def stream_bitmap_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift the count — then the exact distinct rollup reads the
     maintained table, never the events again."""
     import os
-    import uuid
 
     from movie_rankings_spark.streaming.sketch_stream import (
         current_cells,
@@ -751,9 +742,7 @@ def stream_bitmap_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     src = _stage_split_events(spark, sf_dir, n=4)
-    run_dir = os.path.join(
-        os.path.dirname(ev._CHECKPOINT_ROOT), "bm_stream", uuid.uuid4().hex[:12]
-    )
+    run_dir = scratch_dir("bm_stream")
     stream = ev.read_events_stream(spark, src, maxFilesPerTrigger=1)
     stream_bitmap_maintenance(
         stream,
@@ -919,7 +908,6 @@ def stream_histogram_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the batch daily build and the exact batch rollup oracle
     applies — events are never rescanned for the rollup."""
     import os
-    import uuid
 
     from movie_rankings_spark.streaming.sketch_stream import (
         current_cells,
@@ -927,9 +915,7 @@ def stream_histogram_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     src = _stage_split_events(spark, sf_dir, n=4)
-    run_dir = os.path.join(
-        os.path.dirname(ev._CHECKPOINT_ROOT), "hist_stream", uuid.uuid4().hex[:12]
-    )
+    run_dir = scratch_dir("hist_stream")
     stream = ev.read_events_stream(spark, src, maxFilesPerTrigger=1)
     stream_histogram_maintenance(
         stream,
@@ -1009,7 +995,6 @@ def stream_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB twin. The live corpus is never rescanned for the report.
     """
     import os
-    import uuid
 
     from movie_rankings_spark.catalog import table_path
     from movie_rankings_spark.operators.drift import psi_bins
@@ -1019,9 +1004,7 @@ def stream_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     src = _stage_split_events(spark, sf_dir, n=4)
-    run_dir = os.path.join(
-        os.path.dirname(ev._CHECKPOINT_ROOT), "psi_stream", uuid.uuid4().hex[:12]
-    )
+    run_dir = scratch_dir("psi_stream")
     stream = ev.read_events_stream(spark, src, maxFilesPerTrigger=1).filter(
         F.col("event_id") % 2 == 1
     )

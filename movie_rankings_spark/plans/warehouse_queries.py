@@ -140,20 +140,19 @@ def layout_zorder_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- sink / ingest round-trips (r8: registered queries for S10-S12) ---------
 # Each query exercises a WRITE path end-to-end — write to a fresh
-# scratch dir under the gitignored .tmp/, read back, and emit
-# layout-independent audit invariants the DuckDB oracle recomputes
-# from the source parquet alone (file layout is engine-private; the
-# invariants — row counts, exact key/value checksums, disjointness and
-# exactly-once booleans — are not).
-
+# scratch dir, read back, and emit layout-independent audit
+# invariants the DuckDB oracle recomputes from the source parquet
+# alone (file layout is engine-private; the invariants — row counts,
+# exact key/value checksums, disjointness and exactly-once booleans —
+# are not). NOTE these four queries run their write/stream jobs at
+# plan-BUILD time (the returned DataFrame only reads the audit back),
+# so tests/test_registry_lint.py groups them with the side-effecting
+# queries, not the build-is-free batch lint.
 
 def _scratch(prefix: str) -> str:
-    import os
-    import tempfile
+    from movie_rankings_spark.scratch import scratch_dir
 
-    base = "/root/repo/.tmp"
-    os.makedirs(base, exist_ok=True)
-    return tempfile.mkdtemp(prefix=prefix, dir=base)
+    return scratch_dir(prefix)
 
 
 _SORTED_WRITE_ORACLE = """

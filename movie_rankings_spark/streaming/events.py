@@ -307,6 +307,8 @@ def run_to_batch(
     here). Pass None to keep the session default — right for Python
     stateful operators whose per-partition work wants the
     parallelism."""
+    import shutil
+
     spark = df.sparkSession
     name = name or f"stream_{uuid.uuid4().hex[:12]}"
     ckpt = os.path.join(_CHECKPOINT_ROOT, name)
@@ -326,6 +328,11 @@ def run_to_batch(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        # the checkpoint is single-use by construction (fresh name,
+        # availableNow run to completion, memory sink holds the rows):
+        # keeping it would only accumulate — ~1 GB over a few hundred
+        # bench/test runs (r9, the _scratch leak class).
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 

@@ -131,3 +131,42 @@ def test_rotating_checkpoint_bounds_live_copies_and_preserves_values(spark):
     assert counts[-1] <= counts[0], counts
     got = df.agg(F.sum("id")).collect()[0][0]
     assert got == sum(i + 5 for i in range(1000))
+
+
+def test_rotating_checkpoint_never_adopts_foreign_persists(spark):
+    """The r8 ADVICE class: an RDD that happens to materialize its
+    persistence DURING a rotation's checkpoint action — here a lazily
+    cached frame the checkpointed plan itself reads, exactly
+    label_propagation's `nodes` shape — must NOT be adopted by the
+    rotation, or the next rotation would unpersist a cache it does
+    not own."""
+    from pyspark.sql import functions as F
+
+    from movie_rankings_spark.caching import (
+        _persistent_rdds,
+        rotating_checkpoint,
+    )
+
+    ckpt = rotating_checkpoint(spark)
+    foreign = spark.range(500).select(F.col("id")).persist()
+    # NOT materialized yet: its cache RDD enters the registry only
+    # when the checkpoint action below computes it.
+    try:
+        df = ckpt(foreign.select((F.col("id") * 2).alias("id")))
+        assert foreign.storageLevel.useMemory
+        # second rotation: with registry-diff inference this is where
+        # the foreign cache got wrongly unpersisted
+        df = ckpt(df.select((F.col("id") + 1).alias("id")))
+        assert foreign.storageLevel.useMemory
+        cached_ids = {
+            i
+            for i, r in _persistent_rdds(spark.sparkContext).items()
+            if "Memory" in r.getStorageLevel().description()
+        }
+        # the foreign cache must still be materialized in storage
+        assert foreign.count() == 500
+        assert any(cached_ids), cached_ids
+        got = df.agg(F.sum("id")).collect()[0][0]
+        assert got == sum(i * 2 + 1 for i in range(500))
+    finally:
+        foreign.unpersist()

@@ -9,7 +9,9 @@ from movie_rankings_spark.operators.tokenizer import bpe_train
 
 
 def _ref_bpe(texts: list[str], n_merges: int):
-    freq = Counter(w for t in texts for w in t.split(" "))
+    # zero-length tokens (consecutive/leading/trailing spaces) carry
+    # no symbols: excluded from the vocabulary, like the engine/oracle
+    freq = Counter(w for t in texts for w in t.split(" ") if w)
     words = [(list(w), c) for w, c in freq.items()]
     rules = []
     for step in range(1, n_merges + 1):
@@ -122,3 +124,58 @@ def test_bpe_oracle_sql_matches_reference_on_adversarial_corpus():
     for i, t in enumerate(texts):
         ws = t.split(" ")
         assert enc[i] == (len(ws), sum(_apply(w) for w in ws)), (i, enc[i])
+
+
+def test_bpe_whitespace_irregular_corpus_engine_oracle_parity(spark):
+    """The r8 ADVICE class: consecutive/leading/trailing spaces emit
+    zero-length tokens. Engine and DuckDB twin must agree that an
+    empty word contributes NO symbols, NO pairs, and NO token counts
+    (without the filter, Spark's descending sequence(1,0) expanded ''
+    to ['',''] — a phantom ('','') pair and n_tok=2)."""
+    import duckdb
+    import pandas as pd
+
+    from movie_rankings_spark.operators.tokenizer import (
+        bpe_encode_oracle_sql,
+        bpe_encode_token_counts,
+        bpe_train,
+        bpe_train_oracle_sql,
+    )
+
+    texts = [
+        "aa  aa   ab",      # consecutive spaces
+        " leading aa",      # leading space
+        "trailing ab ",     # trailing space
+        "  ",               # only empties
+        "ab aa ba",
+    ]
+    n_merges = 4
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    ref = _ref_bpe(texts, n_merges)
+    got = [
+        (r["step"], r["left"], r["right"], r["merged"], r["n"])
+        for r in bpe_train(df, n_merges=n_merges).orderBy("step").collect()
+    ]
+    assert got == ref
+
+    con = duckdb.connect()
+    con.register(
+        "docs_df", pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    con.execute("CREATE VIEW documents AS SELECT doc_id, text FROM docs_df")
+    oracle = [tuple(r) for r in con.execute(bpe_train_oracle_sql(n_merges)).fetchall()]
+    assert oracle == ref
+
+    enc_engine = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_encode_token_counts(df, n_merges=n_merges).collect()
+    }
+    enc_oracle = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(bpe_encode_oracle_sql(n_merges)).fetchall()
+    }
+    assert enc_engine == enc_oracle
+    # doc 3 ("  ") has zero non-empty words: no row on either side
+    assert 3 not in enc_engine
