@@ -27,18 +27,29 @@ def _exact_sum(arr: Column) -> Column:
     )
 
 
-def dot_exact(a: Column, b: Column) -> Column:
+def dot_exact_dec(a: Column, b: Column) -> Column:
+    """Exact dot product kept as DECIMAL(28,12) — for callers that go
+    on summing/comparing (ADC lookup sums, assignment argmax), where a
+    premature double cast would reintroduce order dependence."""
     prods = F.zip_with(
         a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(_DEC)
     )
-    return _exact_sum(prods).cast("double")
+    return _exact_sum(prods)
 
 
-def norm_sq_exact(a: Column) -> Column:
+def norm_sq_exact_dec(a: Column) -> Column:
     sq = F.transform(
         a, lambda x: (x.cast("double") * x.cast("double")).cast(_DEC)
     )
-    return _exact_sum(sq).cast("double")
+    return _exact_sum(sq)
+
+
+def dot_exact(a: Column, b: Column) -> Column:
+    return dot_exact_dec(a, b).cast("double")
+
+
+def norm_sq_exact(a: Column) -> Column:
+    return norm_sq_exact_dec(a).cast("double")
 
 
 def cosine_exact(a: Column, b: Column) -> Column:

@@ -35,7 +35,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from movie_rankings_spark.functions.vectors import dot_exact, norm_sq_exact
+from movie_rankings_spark.functions.vectors import (
+    dot_exact,
+    dot_exact_dec,
+    norm_sq_exact,
+    norm_sq_exact_dec,
+)
 from movie_rankings_spark.operators.similarity import (
     TOPK_SCHEMA,
     _collect_queries,
@@ -217,5 +222,150 @@ def pq_topk(
     return (
         rescored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
+        .orderBy("query_id", "rn")
+    )
+
+
+def _subspace_slices(emb_col: str, m: int, sub: int) -> F.Column:
+    """array of the m contiguous sub-vectors of an embedding column —
+    posexplode'ing it yields (subspace index, sub-vector)."""
+    return F.array(
+        *[F.slice(F.col(emb_col), j * sub + 1, sub) for j in range(m)]
+    )
+
+
+def pq_topk_exact(
+    embeddings: DataFrame,
+    query_ids: Sequence[int],
+    k: int = 5,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    candidate_factor: int = 8,
+) -> DataFrame:
+    """PQ ANN with the WHOLE algorithm engine-portable (r9): the
+    oracle-checkable twin of :func:`pq_topk`, following the r8
+    ivf_topk_exact template. Same algorithm skeleton — per-subspace
+    codebooks, per-vector code assignment, per-query ADC lookup-table
+    sums pruning to a candidate buffer, exact rescore of survivors —
+    but every float step is replaced by its exact-decimal counterpart
+    so codes, LUT sums, the candidate set and the final ranking are
+    identical on any engine:
+
+      * codebooks: the deterministic head sample (lowest ``n_codes``
+        vec_ids), sliced into ``m_subspaces`` sub-vectors; the code id
+        IS the head vector's vec_id (labels need no contiguity);
+      * assignment: nearest codebook entry per subspace by L2 over the
+        RAW sub-vectors — argmax of ``2·dot − ‖c‖²`` with dot/norm as
+        exact DECIMAL(28,12) sums (ties: lower code id). No float
+        normalization pass (the GEMM tier's l2-normalize is the one
+        step with no engine-neutral form);
+      * ADC: approx(q,v) = Σ_j LUT[q][j][code_j] with LUT entries kept
+        DECIMAL and summed exactly — order-independent, so the
+        candidate buffer (top ``candidate_factor·k`` per query, ties
+        lower vec_id, self excluded) is deterministic;
+      * rescore: exact-decimal cosine on the full vectors, top-k.
+
+    Scale shape: assignment joins the (corpus × m) sub-vector explode
+    against a broadcast m×n_codes codebook — the same corpus-sized
+    flops the float trainer pays, as codegen'd expressions; ADC scans
+    the CODES table (m ints per vector, the 32×-compressed
+    representation) against a broadcast LUT with a map-side-combining
+    sum; only nq × buffer survivors touch full vectors again."""
+    spark = embeddings.sparkSession
+    dim = embeddings.select(F.size("embedding")).first()[0]
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible into {m_subspaces} subspaces")
+    sub = dim // m_subspaces
+    buffer = candidate_factor * k
+
+    cb = (
+        embeddings.orderBy("vec_id")
+        .limit(n_codes)
+        .select(
+            F.col("vec_id").alias("code"),
+            F.posexplode(_subspace_slices("embedding", m_subspaces, sub)).alias(
+                "j", "c_sub"
+            ),
+        )
+        .select(
+            "j",
+            "code",
+            "c_sub",
+            norm_sq_exact_dec(F.col("c_sub")).alias("c_nsq"),
+        )
+    )
+    corpus_sub = embeddings.select(
+        "vec_id",
+        F.posexplode(_subspace_slices("embedding", m_subspaces, sub)).alias(
+            "j", "v_sub"
+        ),
+    )
+    d = dot_exact_dec(F.col("v_sub"), F.col("c_sub"))
+    wa = Window.partitionBy("vec_id", "j").orderBy(
+        F.col("score").desc(), F.col("code").asc()
+    )
+    codes = (
+        corpus_sub.join(F.broadcast(cb), "j")
+        .select(
+            "vec_id", "j", "code", (d + d - F.col("c_nsq")).alias("score")
+        )
+        .withColumn("_rn", F.row_number().over(wa))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "j", "code")
+    )
+
+    q_sub = (
+        embeddings.filter(F.col("vec_id").isin(list(query_ids)))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.posexplode(
+                _subspace_slices("embedding", m_subspaces, sub)
+            ).alias("j", "q_sub"),
+        )
+    )
+    lut = q_sub.join(F.broadcast(cb), "j").select(
+        "query_id",
+        "j",
+        "code",
+        dot_exact_dec(F.col("q_sub"), F.col("c_sub")).alias("pdot"),
+    )
+    wb = Window.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), F.col("vec_id").asc()
+    )
+    candidates = (
+        codes.join(F.broadcast(lut), ["j", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pdot").alias("approx"))
+        .withColumn("_rn", F.row_number().over(wb))
+        .filter(F.col("_rn") <= buffer)
+        .select("query_id", "vec_id")
+    )
+
+    q = _query_side(embeddings, query_ids)
+    rescored = (
+        embeddings.select(
+            "vec_id",
+            "embedding",
+            F.sqrt(norm_sq_exact(F.col("embedding"))).alias("nrm"),
+        )
+        .join(F.broadcast(candidates), "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                dot_exact(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_nrm") * F.col("nrm"))
+            ).alias("cosine"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        rescored.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "vec_id", "cosine", "rn")
         .orderBy("query_id", "rn")
     )

@@ -929,11 +929,26 @@ def ivf_topk_exact(
     cents = (
         embeddings.orderBy("vec_id")
         .limit(n_centroids)
-        .select(
-            F.col("vec_id").alias("cid"),
-            F.col("embedding").alias("c_emb"),
-            F.sqrt(norm_sq_exact(F.col("embedding"))).alias("c_nrm"),
-        )
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb"))
+    )
+    return _ivf_probe_score_exact(embeddings, cents, query_ids, k, nprobe)
+
+
+def _ivf_probe_score_exact(
+    embeddings: DataFrame,
+    cents: DataFrame,
+    query_ids: Sequence[int],
+    k: int,
+    nprobe: int,
+) -> DataFrame:
+    """Shared exact-decimal IVF probe+score half (r9, extracted from
+    ivf_topk_exact so the trained-centroid tier reuses it verbatim):
+    given a (cid, c_emb) centroid table, bucket every corpus vector
+    under its exact-cosine-nearest centroid, probe each query's
+    ``nprobe`` nearest buckets, score candidates only inside probed
+    buckets, return the per-query top-k (ties: lower cid / vec_id)."""
+    cents = cents.select(
+        "cid", "c_emb", F.sqrt(norm_sq_exact(F.col("c_emb"))).alias("c_nrm")
     )
     corpus = embeddings.select(
         "vec_id",
@@ -995,3 +1010,124 @@ def ivf_topk_exact(
         .select("query_id", "vec_id", "cosine", "rn")
         .orderBy("query_id", "rn")
     )
+
+
+def kmeans_centroids_exact(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 2,
+) -> DataFrame:
+    """Engine-portable spherical k-means (r9): every step has an exact
+    decimal (or IEEE-deterministic) form, so the trained centroids —
+    and everything downstream of them — are identical on any engine:
+
+      * init: the ``n_centroids`` vectors with the LOWEST
+        ``md5(vec_id)`` hex (ties: lower vec_id) — the md5-seeded
+        deterministic "random" sample used across this repo;
+      * assignment: exact-decimal cosine to each centroid (argmax,
+        ties lower cid). Cosine makes the mean's division unnecessary:
+        cos(x, s/n) == cos(x, s), so clusters can be represented by
+        their SUM vectors — spherical k-means, the natural variant
+        for cosine ANN;
+      * update: per-dimension exact DECIMAL(28,12) sums over the
+        cluster, then one deterministic decimal→double cast. Empty
+        clusters keep their previous centroid;
+      * FIXED ``n_iters`` (no float-convergence test to diverge on).
+
+    Returns (cid, c_emb array<double>) with cid = the seed vector's
+    vec_id. Scale shape per round: one corpus × n_centroids broadcast
+    join (the same flops any Lloyd round pays, as codegen'd
+    expressions) + a (corpus × dim)-row posexplode partial-aggregated
+    down to n_centroids × dim cells — the shuffle carries centroid
+    cells, never vectors."""
+    cents = (
+        embeddings.select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").cast("array<double>").alias("c_emb"),
+        )
+        .withColumn("_h", F.md5(F.col("cid").cast("string")))
+        .orderBy("_h", "cid")
+        .limit(n_centroids)
+        .drop("_h")
+    )
+    corpus = embeddings.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(norm_sq_exact(F.col("embedding"))).alias("nrm"),
+    )
+    wa = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), F.col("cid").asc()
+    )
+    for _ in range(n_iters):
+        withn = cents.select(
+            "cid", "c_emb", F.sqrt(norm_sq_exact(F.col("c_emb"))).alias("c_nrm")
+        )
+        assigned = (
+            corpus.join(F.broadcast(withn), how="cross")
+            .select(
+                "vec_id",
+                "embedding",
+                "cid",
+                (
+                    dot_exact(F.col("embedding"), F.col("c_emb"))
+                    / (F.col("nrm") * F.col("c_nrm"))
+                ).alias("csim"),
+            )
+            .withColumn("_rn", F.row_number().over(wa))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("cid").alias("bucket"), "embedding")
+        )
+        sums = (
+            assigned.select(
+                "bucket", F.posexplode("embedding").alias("dim", "x")
+            )
+            .groupBy("bucket", "dim")
+            .agg(
+                F.sum(F.col("x").cast("double").cast("decimal(28,12)"))
+                .cast("double")
+                .alias("v")
+            )
+        )
+        trained = sums.groupBy("bucket").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "v"))),
+                lambda t: t["v"],
+            ).alias("t_emb")
+        )
+        cents = (
+            cents.join(
+                trained, cents["cid"] == trained["bucket"], "left"
+            )
+            .select(
+                "cid",
+                F.coalesce(F.col("t_emb"), F.col("c_emb")).alias("c_emb"),
+            )
+        )
+    # the trained table is n_centroids rows but its LINEAGE is
+    # n_iters corpus-wide assignment rounds; downstream IVF reads it
+    # from two branches (bucket assignment AND query probes), which
+    # would replay the whole training once per branch — truncate once,
+    # eagerly, so training runs exactly once (16 rows pinned: trivial)
+    if n_iters > 0:
+        cents = cents.localCheckpoint(eager=True)
+    return cents
+
+
+def ivf_kmeans_topk_exact(
+    embeddings: DataFrame,
+    query_ids: Sequence[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_iters: int = 2,
+) -> DataFrame:
+    """IVF ANN over exact-decimal-TRAINED centroids (r9): the
+    oracle-checkable twin of the float-GEMM trained tier. Training is
+    :func:`kmeans_centroids_exact`; probe + in-bucket scoring are the
+    shared exact half of ivf_topk_exact. Every step — seeding,
+    assignment, centroid sums, probing, scoring, ties — replays
+    bit-identically in the DuckDB twin, so the trained buckets AND the
+    final ANN ranking (recall<1 vs brute force by design) value-hash
+    match."""
+    cents = kmeans_centroids_exact(embeddings, n_centroids, n_iters)
+    return _ivf_probe_score_exact(embeddings, cents, query_ids, k, nprobe)

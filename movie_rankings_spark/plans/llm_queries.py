@@ -818,15 +818,100 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@REGISTRY.register("similarity_ivf_kmeans_topk")  # ANN + trained centroids
+def _kmeans_exact_oracle(n_centroids: int = 16, n_iters: int = 2) -> str:
+    """Unrolled DuckDB twin of the exact spherical-k-means IVF tier
+    (r9): md5-seeded init, then per round an exact-cosine assignment
+    (c{k-1} → a{k}), per-dimension exact decimal sums (s{k}), and a
+    COALESCE-rebuilt centroid table (c{k}; empty clusters keep their
+    previous centroid). Probe + in-bucket scoring replay the
+    _IVF_EXACT_ORACLE shape against the final c{n_iters}. Per-round
+    CTEs are MATERIALIZED — each is referenced twice, and DuckDB's
+    inlining would otherwise re-evaluate the whole chain per
+    reference."""
+    parts = [f"""WITH c0 AS MATERIALIZED (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c_emb
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_centroids}
+)"""]
+    for r in range(1, n_iters + 1):
+        prev = f"c{r - 1}"
+        parts.append(f""",
+a{r} AS MATERIALIZED (
+  SELECT vec_id, embedding, bucket FROM (
+    SELECT e.vec_id, e.embedding, c.cid AS bucket,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_COSINE_SQL.format(a='e.embedding', b='c.c_emb')}
+                      DESC, c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN {prev} c
+  ) WHERE rn = 1
+),
+s{r} AS (
+  SELECT bucket, i AS dim,
+         CAST(SUM(CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                       AS DECIMAL(28,12))) AS DOUBLE) AS v
+  FROM a{r}, LATERAL unnest(range(1, len(embedding) + 1)) AS u(i)
+  GROUP BY bucket, i
+),
+n{r} AS (
+  SELECT bucket AS cid, list(v ORDER BY dim) AS t_emb
+  FROM s{r} GROUP BY bucket
+),
+c{r} AS MATERIALIZED (
+  SELECT c.cid, COALESCE(n.t_emb, c.c_emb) AS c_emb
+  FROM {prev} c LEFT JOIN n{r} n ON c.cid = n.cid
+)""")
+    final = f"c{n_iters}"
+    parts.append(f""",
+assign AS (
+  SELECT vec_id, embedding, bucket FROM (
+    SELECT e.vec_id, e.embedding, c.cid AS bucket,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_COSINE_SQL.format(a='e.embedding', b='c.c_emb')}
+                      DESC, c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN {final} c
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb
+  FROM embeddings WHERE vec_id < 8
+),
+probes AS (
+  SELECT query_id, q_emb, bucket FROM (
+    SELECT q.query_id, q.q_emb, c.cid AS bucket,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY {_COSINE_SQL.format(a='q.q_emb', b='c.c_emb')}
+                      DESC, c.cid ASC) AS rn
+    FROM q CROSS JOIN {final} c
+  ) WHERE rn <= 4
+),
+cands AS (
+  SELECT p.query_id, a.vec_id,
+         {_COSINE_SQL.format(a='p.q_emb', b='a.embedding')} AS cosine
+  FROM assign a JOIN probes p ON a.bucket = p.bucket
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, vec_id, cosine, rn FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rn
+  FROM cands
+) WHERE rn <= 5
+ORDER BY query_id, rn""")
+    return "".join(parts)
+
+
+@REGISTRY.register("similarity_ivf_kmeans_topk", _kmeans_exact_oracle())
 def similarity_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN with distributed-k-means-trained centroids (rows-only:
-    float mean order makes centroids reproducible only to ~1e-15;
-    recall against the exact variant is gated in tests — trained
-    buckets must not recall worse than the head-sample stand-in)."""
-    return similarity.ivf_topk(
-        _emb(spark, sf_dir), _QUERY_IDS, k=5, nprobe=4,
-        centroid_source="kmeans",
+    """IVF ANN with TRAINED centroids, value-hash verified end-to-end
+    (r9 conversion, operators/similarity.py::ivf_kmeans_topk_exact;
+    was rows-only while training used float GEMM means): md5-seeded
+    init, two exact-decimal spherical-k-means rounds (cosine to the
+    cluster SUM vector == cosine to the mean, so no division enters),
+    then the shared exact IVF probe/score half. The float-GEMM
+    trainer (kmeans_centroids) remains the 100 TB throughput path,
+    recall-gated in tests/test_similarity.py."""
+    return similarity.ivf_kmeans_topk_exact(
+        _emb(spark, sf_dir), _QUERY_IDS, k=5, n_centroids=16, nprobe=4,
+        n_iters=2,
     )
 
 
@@ -899,6 +984,100 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return pq_topk(
         _emb(spark, sf_dir), _QUERY_IDS, k=5, m_subspaces=8, n_codes=16
+    )
+
+
+# exact-decimal sub-vector dot / squared norm over already-sliced
+# 8-element lists (the PQ exact tier's unit of work)
+_SUBDOT_SQL = """
+list_sum(list_transform(range(1, len({a}) + 1),
+  i -> CAST(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)
+            AS DECIMAL(28,12))))
+"""
+
+_PQ_EXACT_ORACLE = f"""
+WITH heads AS (
+  SELECT vec_id AS code, embedding FROM embeddings ORDER BY vec_id LIMIT 16
+),
+cb AS MATERIALIZED (
+  SELECT j, code, embedding[j*8+1 : j*8+8] AS c_sub,
+         {_SUBDOT_SQL.format(a='embedding[j*8+1 : j*8+8]',
+                             b='embedding[j*8+1 : j*8+8]')} AS c_nsq
+  FROM heads, range(0, 8) AS s(j)
+),
+corp AS (
+  SELECT vec_id, j, embedding[j*8+1 : j*8+8] AS v_sub
+  FROM embeddings, range(0, 8) AS s(j)
+),
+codes AS MATERIALIZED (
+  SELECT vec_id, j, code FROM (
+    SELECT corp.vec_id, corp.j, cb.code,
+           ROW_NUMBER() OVER (
+             PARTITION BY corp.vec_id, corp.j
+             ORDER BY {_SUBDOT_SQL.format(a='corp.v_sub', b='cb.c_sub')}
+                      + {_SUBDOT_SQL.format(a='corp.v_sub', b='cb.c_sub')}
+                      - cb.c_nsq DESC, cb.code ASC) AS rn
+    FROM corp JOIN cb ON corp.j = cb.j
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb
+  FROM embeddings WHERE vec_id < 8
+),
+lut AS MATERIALIZED (
+  SELECT q.query_id, cb.j, cb.code,
+         {_SUBDOT_SQL.format(a='q.q_emb[cb.j*8+1 : cb.j*8+8]',
+                             b='cb.c_sub')} AS pdot
+  FROM q, cb
+),
+cands AS (
+  SELECT query_id, vec_id FROM (
+    SELECT l.query_id, c.vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY l.query_id
+             ORDER BY SUM(l.pdot) DESC, c.vec_id ASC) AS rn
+    FROM codes c JOIN lut l ON c.j = l.j AND c.code = l.code
+    WHERE c.vec_id <> l.query_id
+    GROUP BY l.query_id, c.vec_id
+  ) WHERE rn <= 40
+),
+rescored AS (
+  SELECT ca.query_id, ca.vec_id,
+         {_COSINE_SQL.format(a='q.q_emb', b='e.embedding')} AS cosine
+  FROM cands ca
+  JOIN embeddings e ON ca.vec_id = e.vec_id
+  JOIN q ON ca.query_id = q.query_id
+)
+SELECT query_id, vec_id, cosine, rn FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rn
+  FROM rescored
+) WHERE rn <= 5
+ORDER BY query_id, rn
+"""
+
+
+@REGISTRY.register("similarity_pq_exact_topk", _PQ_EXACT_ORACLE)
+def similarity_pq_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ ALGORITHM value-hash verified end-to-end (r9,
+    operators/pq.py::pq_topk_exact, the r8 ivf_topk_exact template):
+    deterministic head-sample codebooks per subspace, exact-decimal
+    L2 code assignment, exact-decimal ADC lookup sums pruning to a
+    40-candidate buffer, exact-decimal cosine rescore — the DuckDB
+    twin replays every step, so the codes, the candidate universe and
+    the final ANN ranking (recall<1 vs brute force BY DESIGN — the
+    same pruning the GEMM tier applies) all hash-match. Complements
+    the rows-only float GEMM tier (similarity_pq_topk), whose recall
+    gate remains in tests/test_pq.py."""
+    from movie_rankings_spark.operators.pq import pq_topk_exact
+
+    return pq_topk_exact(
+        _emb(spark, sf_dir),
+        _QUERY_IDS,
+        k=5,
+        m_subspaces=8,
+        n_codes=16,
+        candidate_factor=8,
     )
 
 
@@ -1910,34 +2089,63 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(_docs(spark, sf_dir), n_merges=12).orderBy("step")
 
 
-@REGISTRY.register("logreg_train_quality")  # GD loop: no SQL twin
+_LOGREG_STOPS = ("the", "and", "of", "to", "a", "in", "is", "it")
+
+_LOGREG_FEAT_SQL = f"""
+SELECT CAST(lang = 'en' AS INT) AS y,
+       CAST(len(string_split(text, ' ')) AS BIGINT) * 10000 AS x0,
+       (1000000 * (length(text)
+          - length(regexp_replace(text, '[.,!?;:]', '', 'g'))))
+         // GREATEST(length(text), 1) AS x1,
+       (1000000 * len(list_filter(string_split(text, ' '),
+          w -> list_contains({list(_LOGREG_STOPS)}, w))))
+         // GREATEST(len(string_split(text, ' ')), 1) AS x2
+FROM documents
+"""
+
+
+def _logreg_fp_oracle() -> str:
+    from movie_rankings_spark.operators.mlgd import logreg_fp_oracle_sql
+
+    return logreg_fp_oracle_sql(_LOGREG_FEAT_SQL, n_features=3, iters=10)
+
+
+@REGISTRY.register("logreg_train_quality", _logreg_fp_oracle())
 def logreg_train_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train a logistic-regression language gate in-engine (predict
     lang == 'en' from length / punctuation / stopword-rate features),
-    15 full-batch GD steps, each one map-side-combined aggregate over
-    the persisted feature cache (operators/mlgd.py). Rows-only: double
-    gradient sums are reduce-order-dependent at the 1e-12 level; the
-    numpy single-node reference equality (1e-6) and monotone-loss
-    checks live in tests/test_mlgd.py."""
-    from movie_rankings_spark.functions.text import (
-        punct_ratio,
-        stopword_hits,
-        words,
-    )
-    from movie_rankings_spark.operators.mlgd import logreg_train_history_df
+    value-hash verified end-to-end (r9 conversion, closing the last
+    training-surface rows-only row): the FIXED-POINT trainer
+    (operators/mlgd.py::logreg_train_fixedpoint) quantizes features,
+    hard-sigmoid activations, gradients and weight updates onto exact
+    integer grids — 10 full-batch GD steps, each one map-side-combined
+    aggregate over the persisted integer feature cache — so the whole
+    training trajectory (per-iteration error mass + weights) unrolls
+    into a DuckDB twin. The float true-sigmoid loop (logreg_train)
+    remains the throughput path, equality-gated against a single-node
+    numpy reference in tests/test_mlgd.py."""
+    from movie_rankings_spark.operators.mlgd import logreg_train_fixedpoint
 
     docs = _docs(spark, sf_dir)
-    n_words = F.size(words(F.col("text"))).cast("double")
+    stops = ", ".join(f"'{s}'" for s in _LOGREG_STOPS)
     feats = docs.select(
-        (F.col("lang") == "en").cast("int").alias("is_en"),
-        (n_words / 100.0).alias("f_len"),
-        punct_ratio(F.col("text")).alias("f_punct"),
-        (stopword_hits(F.col("text"), "en").cast("double") / n_words).alias(
-            "f_stop"
+        (F.col("lang") == "en").cast("long").alias("is_en"),
+        (F.size(F.split(F.col("text"), " ")).cast("long") * 10000).alias(
+            "x_len"
         ),
+        F.expr(
+            "(1000000L * (length(text)"
+            " - length(regexp_replace(text, '[.,!?;:]', ''))))"
+            " div greatest(length(text), 1)"
+        ).alias("x_punct"),
+        F.expr(
+            "(1000000L * size(filter(split(text, ' '),"
+            f" w -> array_contains(array({stops}), w))))"
+            " div greatest(size(split(text, ' ')), 1)"
+        ).alias("x_stop"),
     )
-    return logreg_train_history_df(
-        feats, "is_en", ["f_len", "f_punct", "f_stop"], lr=0.5, iters=15
+    return logreg_train_fixedpoint(
+        feats, "is_en", ["x_len", "x_punct", "x_stop"], iters=10
     ).orderBy("iter")
 
 

@@ -60,3 +60,68 @@ def test_history_df_schema(toy):
     out = logreg_train_history_df(df, "y", ["x1", "x2"], iters=3)
     assert out.columns == ["iter", "loss", "w0", "w1", "w2"]
     assert out.count() == 3
+
+
+def _ref_fixedpoint(X_int, y_int, iters):
+    """Pure-Python exact-integer reference of the r9 fixed-point
+    hard-sigmoid trainer (FS grid 1e6, lr=1/2, shifted floor
+    divisions)."""
+    from movie_rankings_spark.operators.mlgd import FS, _SHIFT_K
+
+    n = len(y_int)
+    rows = [[FS, *x] for x in X_int]
+    d = len(rows[0])
+    w = [0] * d
+    div = 2 * n * FS
+    hist = []
+    for it in range(1, iters + 1):
+        gs = [0] * d
+        mae = 0
+        for x, y in zip(rows, y_int):
+            z = sum(wj * xj for wj, xj in zip(w, x))
+            t = max(0, min(4 * FS * FS, z + 2 * FS * FS))
+            err = t // (4 * FS) - y * FS
+            mae += abs(err)
+            for j in range(d):
+                gs[j] += err * x[j]
+        w = [
+            wj - ((g + _SHIFT_K * div) // div - _SHIFT_K)
+            for wj, g in zip(w, gs)
+        ]
+        hist.append((it, mae, *w))
+    return hist
+
+
+def test_fixedpoint_matches_integer_reference_exactly(spark):
+    """The r9 exact trainer must equal the single-node integer
+    reference BIT-FOR-BIT (no tolerance — that is its whole point),
+    and the error mass must shrink on a separable toy set."""
+    from movie_rankings_spark.operators.mlgd import (
+        FS,
+        logreg_train_fixedpoint,
+    )
+
+    rng = np.random.default_rng(11)
+    X = rng.integers(0, 2 * FS, size=(120, 2)).tolist()
+    y = [int(a + b > 2 * FS) for a, b in X]
+    df = spark.createDataFrame(
+        [(int(t), int(a), int(b)) for (a, b), t in zip(X, y)],
+        "y long, xa long, xb long",
+    )
+    got = [
+        tuple(r)
+        for r in logreg_train_fixedpoint(df, "y", ["xa", "xb"], iters=8)
+        .orderBy("iter")
+        .collect()
+    ]
+    ref = _ref_fixedpoint(X, y, 8)
+    assert got == ref
+    assert got[-1][1] < got[0][1]  # abs_err_sum_q shrinks
+    # bit-determinism across runs
+    again = [
+        tuple(r)
+        for r in logreg_train_fixedpoint(df, "y", ["xa", "xb"], iters=8)
+        .orderBy("iter")
+        .collect()
+    ]
+    assert got == again

@@ -68,6 +68,36 @@ class TestPq:
             if key in exact_scores:
                 assert r["cosine"] == exact_scores[key]
 
+    def test_pq_topk_exact_structure_recall_and_scores(self, emb, exact_topk):
+        """The r9 exact-decimal tier: dense ranks per query, recall vs
+        brute force above the pruning floor, and — because survivors
+        are rescored with the same exact-decimal cosine — any pair
+        shared with the exact top-k carries the identical score."""
+        got = pq.pq_topk_exact(
+            emb, QUERY_IDS, k=K, m_subspaces=8, n_codes=16, candidate_factor=8
+        ).collect()
+        by_q: dict[int, list] = {}
+        for r in got:
+            by_q.setdefault(r["query_id"], []).append(r["rn"])
+        for q, rns in by_q.items():
+            assert sorted(rns) == list(range(1, K + 1)), (q, rns)
+        pairs = {(r["query_id"], r["vec_id"]) for r in got}
+        recall = len(pairs & exact_topk) / len(exact_topk)
+        assert recall >= 0.5, f"PQ exact-tier recall {recall:.2f}"
+        exact_scores = {
+            (r["query_id"], r["vec_id"]): r["cosine"]
+            for r in similarity.cosine_topk_exact(emb, QUERY_IDS, k=K).collect()
+        }
+        for r in got:
+            key = (r["query_id"], r["vec_id"])
+            if key in exact_scores:
+                assert r["cosine"] == exact_scores[key]
+
+    def test_pq_topk_exact_deterministic(self, emb):
+        a = pq.pq_topk_exact(emb, QUERY_IDS, k=K).collect()
+        b = pq.pq_topk_exact(emb, QUERY_IDS, k=K).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
 
 @pytest.fixture(scope="module")
 def tight_dup_corpus(spark):

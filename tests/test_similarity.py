@@ -173,3 +173,45 @@ def test_ivf_exact_topk_subset_of_probed_and_recall(spark, sf_dir):
     }
     hit = sum(1 for r in got if (r["query_id"], r["vec_id"]) in exact)
     assert hit / len(exact) >= 0.5, hit / len(exact)
+
+
+def test_ivf_kmeans_exact_trains_deterministically_and_recalls(spark, sf_dir):
+    """The r9 exact trained-centroid tier: training must MOVE at least
+    one md5-seeded centroid (sums over >1-member clusters), be
+    bit-deterministic across runs, and the resulting ANN must keep
+    dense ranks and clear the pruning-recall floor vs brute force."""
+    from movie_rankings_spark.catalog import load_table
+    from movie_rankings_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = {
+        r["cid"]: r["c_emb"]
+        for r in similarity.kmeans_centroids_exact(emb, 16, n_iters=0).collect()
+    }
+    trained = {
+        r["cid"]: r["c_emb"]
+        for r in similarity.kmeans_centroids_exact(emb, 16, n_iters=2).collect()
+    }
+    assert set(trained) == set(seeds)
+    assert any(trained[c] != seeds[c] for c in trained)
+    again = {
+        r["cid"]: r["c_emb"]
+        for r in similarity.kmeans_centroids_exact(emb, 16, n_iters=2).collect()
+    }
+    assert trained == again
+
+    qids = tuple(range(8))
+    got = similarity.ivf_kmeans_topk_exact(
+        emb, qids, k=5, n_centroids=16, nprobe=4, n_iters=2
+    ).collect()
+    by_q: dict[int, list] = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r["rn"])
+    for q, rns in by_q.items():
+        assert rns == list(range(1, len(rns) + 1)), (q, rns)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.cosine_topk_exact(emb, qids, k=5).collect()
+    }
+    hit = sum(1 for r in got if (r["query_id"], r["vec_id"]) in exact)
+    assert hit / len(exact) >= 0.4, hit / len(exact)

@@ -57,6 +57,8 @@ KNOWN_LEGIT = {
     "decontaminate_bloom_gate", "decontaminate_report",
     "similarity_cosine_topk",
     "similarity_ivf_exact_topk",  # corpus scan + 32-row head-codebook slice (read by assignment AND probes) + 8-query slice — documented exact IVF tier (r8)
+    "similarity_pq_exact_topk",  # corpus sub-vector scan + 16-row head-codebook slice (read by codes AND LUT) + 8-query slices + join-pruned rescore scan — documented exact PQ tier; caching the corpus would be worse at 100 TB (r9)
+    "similarity_ivf_kmeans_topk",  # trained centroids checkpointed (training runs once); remaining scans = corpus assignment + 8-query probe slice + join-pruned rescore — same slice pattern as similarity_ivf_exact_topk (r9)
     # documented multi-pass algorithms (threshold pass + apply pass —
     # at 100 TB a pruned re-scan beats caching a corpus-sized frame):
     "quality_filtered_docs", "text_lm_score", "vocab_heavy_hitters",
