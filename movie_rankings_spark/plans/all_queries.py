@@ -21,60 +21,41 @@ import movie_rankings_spark.plans.warehouse_queries  # noqa: F401
 from movie_rankings_spark.plans.registry import REGISTRY
 
 #: The correctness harness walks queries() in dict order and records
-#: a row for the first ~50 only; the r1-r7 samples together covered
-#: 307 of the 333 queries registered through r7. This head is the r8
-#: rotation (regenerated from CORRECTNESS_r07.json at round start):
-#: the 26 queries the driver has never sampled first (all 26 are
-#: oracle-backed and locally green in ORACLE_LOCAL.json), then the
-#: three queries whose r7 driver row must change — the fixed
-#: embedding_jl_projection (r7's only ERR; its array column is now a
-#: scalar digest) and the two rows-only→oracle conversions — then
-#: any r8 additions (append new query names here as they are
-#: registered; they are never-sampled by definition). Everything
-#: after the head keeps cheap-first registration order, so leftover
-#: sample slots re-check previously-green queries. Regenerate from
-#: CORRECTNESS_r08.json at r9 start.
+#: a row for the first ~50 only. This head is the r9 rotation
+#: (regenerated from the cumulative CORRECTNESS_r01-r08 union at
+#: round start), built by the GENERALIZED priority rule (r8 verdict):
+#:   1. latest driver status NOT GREEN — a standing FAIL/ERR record,
+#:      even if long since fixed, outranks everything (the driver is
+#:      the only party that can clear its own record);
+#:   2. rows whose status MUST CHANGE this round — rows-only→oracle
+#:      conversions, output-shape fixes;
+#:   3. never driver-sampled — new registrations (append new names
+#:      here as they land; they are never-sampled by definition);
+#:   4. stale cosmetic re-certs — rows-only queries whose newest
+#:      driver sample is rounds old (oldest first).
+#: Everything after the head keeps cheap-first registration order, so
+#: leftover sample slots re-check previously-green queries.
+#: Regenerate from CORRECTNESS_r09.json at r10 start.
 _UNSEEN_FIRST = (
-    # never driver-sampled through r7 (all oracle-backed, local-green)
-    "periodogram_daily_revenue",
-    "assortativity_copurchase",
-    "cronbach_quality_signals",
-    "smd_balance_segment",
-    "page_trend_price_priority",
-    "ordinal_gamma_qty_discount",
-    "uncertainty_priority_segment",
-    "poisson_rate_weekend_purchases",
-    "gumbel_monthly_peak_revenue",
-    "hurst_daily_revenue",
-    "mahalanobis_segment_profile",
-    "yuen_trimmed_doclen",
-    "fano_burstiness_users",
-    "atkinson_supplier_revenue",
-    "readability_flesch_sources",
-    "simpson_diversity_sources",
-    "retrieval_ql_dirichlet",
-    "rbo_bm25_vs_ql",
-    "burrows_delta_sources",
-    "good_turing_vocab",
-    "kneser_ney_source_scores",
-    "ndcg_ql_ranking",
-    "hits_purchase_graph",
-    "matryoshka_prefix_recall",
-    "interevent_cv_users",
-    "richness_vocab_estimators",
-    # r7 driver rows that must change in r8
-    "embedding_jl_projection",  # r7 ERR → flat digest output
-    "hll_users_mergeable_rollup",  # rows-only → deterministic oracle
-    "retrieval_eval_prefix",  # rows-only IVF eval → oracle-backed prefix-tier eval
-    "bpe_train_merges",  # rows-only → unrolled deterministic-train oracle
-    "tokenizer_encode_bpe",  # rows-only → train+encode oracle
-    # r8 additions (never sampled by definition) — append below
-    "sink_sorted_write_roundtrip",
-    "interchange_files_roundtrip",
-    "ingest_exactly_once_roundtrip",
-    "schema_evolution_roundtrip",
-    "similarity_ivf_exact_topk",
-    "tokenizer_fairness_langs",
+    # 1. latest driver record not green: rows/schema matched but the
+    #    r1 hash FAILed; fixed long ago, locally green ever since,
+    #    never re-sampled by the driver (r8 verdict item 1)
+    "q12_late_shipment_priority",
+    # 2. r9 rows-only → oracle conversions (driver row must change
+    #    from no_oracle to a hash match)
+    "similarity_ivf_kmeans_topk",  # exact spherical-k-means IVF twin
+    "logreg_train_quality",  # fixed-point hard-sigmoid GD twin
+    # 3. r9 additions (never sampled by definition) — append below
+    "similarity_pq_exact_topk",
+    "sink_stdout_roundtrip",
+    "bloom_semijoin_contract",
+    # 4. stale cosmetic re-certs: still rows-only by construction,
+    #    newest driver sample is r7-or-older — oldest first
+    "similarity_ivf_topk",  # last sampled r1
+    "dedup_semantic_clusters",  # r7
+    "embedding_pca_project",  # r7
+    "knn_label_propagation_ivf",  # r7
+    "similarity_pq_topk",  # r7
 )
 
 #: most expensive entries at sf0.01, slowest-last; everything absent

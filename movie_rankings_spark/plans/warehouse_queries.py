@@ -436,3 +436,151 @@ def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gen")
     )
+
+
+# --- driver-certified contracts for the remaining test-pinned rows (r9) -----
+
+_STDOUT_SINK_ORACLE = """
+WITH top AS (
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+  ORDER BY cents DESC, o_orderkey ASC
+  LIMIT 10
+)
+SELECT CAST(10 AS BIGINT) AS n_printed,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM top
+"""
+
+
+@REGISTRY.register("sink_stdout_roundtrip", _STDOUT_SINK_ORACLE)
+def sink_stdout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 stdout-sink contract, driver-checkable (r9; previously
+    test-pinned only): render the top-10 orders by price through the
+    reference-parity stdout sink (sources/sinks.py::show_top — the
+    reference's own output surface, top_movies.py:139-143), capture
+    the TEXT it printed, parse the rows back out of the rendered
+    table, and emit their count and exact key/cents checksums — the
+    oracle recomputes all three from the source parquet, so a sink
+    that truncated, reordered, or mis-rendered a row hash-mismatches.
+    Prices are pre-quantized to integer cents so the text round-trip
+    is exact."""
+    import contextlib
+    import io
+
+    from movie_rankings_spark.sources.sinks import show_top
+
+    top = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .orderBy(F.col("cents").desc(), F.col("o_orderkey").asc())
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        show_top(top, k=10)
+    rows = []
+    for line in buf.getvalue().splitlines():
+        if not line.startswith("|"):
+            continue
+        cells = [c.strip() for c in line.strip("|").split("|")]
+        if cells[0] == "o_orderkey":  # header row
+            continue
+        rows.append((int(cells[0]), int(cells[1])))
+    return spark.createDataFrame(
+        [
+            (
+                len(rows),
+                sum(k for k, _ in rows),
+                sum(c for _, c in rows),
+            )
+        ],
+        "n_printed long, sum_key long, sum_cents long",
+    )
+
+
+_BLOOM_SEMIJOIN_ORACLE = """
+SELECT TRUE AS plan_has_bloom,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(l.l_orderkey) AS BIGINT) AS sum_key,
+       CAST(SUM(CAST(CAST(l.l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS sum_qty_cents
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+"""
+
+
+@REGISTRY.register("bloom_semijoin_contract", _BLOOM_SEMIJOIN_ORACLE)
+def bloom_semijoin_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 runtime bloom-filter semi-join reduction, driver-checkable
+    (r9; previously test-pinned only): with the production size
+    thresholds lowered (they only fire at scale), a selective filter
+    on the orders side of a shuffle join must inject a bloom filter
+    of its join keys below the lineitem scan — semi-join reduction
+    without a broadcast, the 100 TB join-pruning mechanism. The query
+    returns the PLAN assertion as data (plan_has_bloom: both
+    might_contain and bloom_filter_agg present — the
+    sink_sorted_write_roundtrip contract-boolean pattern) alongside
+    the join's row count and exact key/quantity checksums, which the
+    oracle recomputes — certifying the pruned join loses and
+    duplicates nothing."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "100MB",
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = _t(spark, sf_dir, "lineitem")
+        orders = _t(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        joined = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("l_orderkey").cast("long").alias("sum_key"),
+            F.sum((F.col("l_quantity").cast("decimal(18,2)") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_qty_cents"),
+        )
+        plan = spark._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "simple"
+        )
+        has_bloom = "might_contain" in plan and "bloom_filter_agg" in plan
+        audit = joined.collect()[0]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(
+        [
+            (
+                bool(has_bloom),
+                audit["n_rows"],
+                audit["sum_key"],
+                audit["sum_qty_cents"],
+            )
+        ],
+        "plan_has_bloom boolean, n_rows long, sum_key long, "
+        "sum_qty_cents long",
+    )

@@ -38,6 +38,8 @@ _SIDE_EFFECTING = (
     "interchange_files_roundtrip",
     "ingest_exactly_once_roundtrip",
     "schema_evolution_roundtrip",
+    "sink_stdout_roundtrip",  # renders + parses the stdout sink (r9)
+    "bloom_semijoin_contract",  # explains + collects the pruned join (r9)
 )
 _BATCH = tuple(
     n
