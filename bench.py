@@ -411,12 +411,43 @@ def calibration_seconds(spark, sf_dir: str, repeats: int = 3) -> float:
     return best
 
 
-def _default_bench_out(repo_dir: str, sf_tag: str) -> str:
+#: a run whose calibration scan exceeds the BASELINE.md anchor by
+#: more than this factor is a LOADED-box run: its absolute seconds
+#: measure the neighbours, not the code (r8: the loaded driver sweep
+#: read 37 queries over 1.5× raw, all load artifacts)
+CALIBRATION_LOAD_BAND = 1.2
+
+
+def _calibration_anchor(repo_dir: str) -> float | None:
+    """The recorded calibration anchor from BASELINE.md (None if the
+    file or the anchor note is absent)."""
+    import re
+
+    try:
+        with open(
+            os.path.join(repo_dir, "BASELINE.md"), encoding="utf-8"
+        ) as fh:
+            m = re.search(
+                r"Calibration anchor[^*]*\*\*([0-9.]+)\s*s\*\*",
+                fh.read(),
+                re.S,
+            )
+        return float(m.group(1)) if m else None
+    except OSError:
+        return None
+
+
+def _default_bench_out(repo_dir: str, sf_tag: str, loaded: bool = False) -> str:
     """Round-stamped default output path: BENCH_FULL_r{N}_{sf}.json,
     N = 1 + the highest driver-recorded BENCH_r{N}.json. Stamping (r6
     verdict item: the driver's round-end bench silently overwrote the
     builder's final sweep) means no run can clobber the artifact a
-    BASELINE.md claim cites; SPARK_GRAFT_BENCH_OUT still overrides."""
+    BASELINE.md claim cites; SPARK_GRAFT_BENCH_OUT still overrides.
+
+    ``loaded`` quarantines the artifact by NAME (r8 verdict item 6):
+    when the measured calibration exceeds CALIBRATION_LOAD_BAND × the
+    BASELINE.md anchor, the run must not claim the round-stamped name
+    a cross-round comparison would read — it gets _LOADED appended."""
     import glob
     import re
 
@@ -426,7 +457,10 @@ def _default_bench_out(repo_dir: str, sf_tag: str) -> str:
         if (m := re.match(r"BENCH_r(\d+)\.json$", os.path.basename(f)))
     ]
     n = max(rounds) + 1 if rounds else 0
-    return os.path.join(repo_dir, f"BENCH_FULL_r{n:02d}_{sf_tag}.json")
+    suffix = "_LOADED" if loaded else ""
+    return os.path.join(
+        repo_dir, f"BENCH_FULL_r{n:02d}_{sf_tag}{suffix}.json"
+    )
 
 
 def _baseline_seconds() -> dict[str, float]:
@@ -518,6 +552,13 @@ def main() -> int:
         gc.collect()  # release py-side refs so ContextCleaner reaps
         # checkpointed RDDs from the iterative operators
 
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    anchor = _calibration_anchor(repo_dir)
+    loaded = anchor is not None and calib > CALIBRATION_LOAD_BAND * anchor
+    try:
+        load_avg = list(os.getloadavg())
+    except OSError:
+        load_avg = None
     full = {
         "metric": "headline_suite_seconds",
         "value": round(sum(timings.values()), 4),
@@ -525,10 +566,23 @@ def main() -> int:
         "queries": timings,
         "sf": sf,
         "calibration_seconds": round(calib, 4),
+        "calibration_anchor": anchor,
+        # box-load context (r8 verdict items 3/4): a reader must be
+        # able to tell a loaded-container reading from a regression
+        "load_avg_1_5_15": load_avg,
+        "loaded_run": loaded,
     }
+    if loaded:
+        print(
+            f"# LOADED RUN: calibration {calib:.4f}s > "
+            f"{CALIBRATION_LOAD_BAND} x anchor {anchor:.4f}s — artifact "
+            "quarantined as *_LOADED.json; re-run on a quiet box for the "
+            "round-stamped sweep",
+            file=sys.stderr,
+        )
     full_path = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT",
-        _default_bench_out(os.path.dirname(os.path.abspath(__file__)), sf_tag),
+        _default_bench_out(repo_dir, sf_tag, loaded=loaded),
     )
     try:
         with open(full_path, "w", encoding="utf-8") as fh:

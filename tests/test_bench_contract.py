@@ -88,3 +88,21 @@ def test_default_bench_out_is_round_stamped(tmp_path):
     assert bench._default_bench_out(str(tmp_path / "empty"), "sf1").endswith(
         "BENCH_FULL_r00_sf1.json"
     )
+
+
+def test_loaded_run_quarantined_by_name(tmp_path):
+    """r9 (verdict item 6): a run whose calibration exceeds 1.2x the
+    BASELINE.md anchor must not claim the round-stamped artifact name."""
+    import bench
+
+    (tmp_path / "BENCH_r03.json").write_text("{}")
+    (tmp_path / "BASELINE.md").write_text(
+        "Calibration anchor (bench.py::calibration_seconds, the fixed\n"
+        "lineitem scan+agg): **0.1588s** — divide.\n"
+    )
+    assert bench._calibration_anchor(str(tmp_path)) == 0.1588
+    quiet = bench._default_bench_out(str(tmp_path), "sf0.1", loaded=False)
+    loaded = bench._default_bench_out(str(tmp_path), "sf0.1", loaded=True)
+    assert quiet.endswith("BENCH_FULL_r04_sf0.1.json")
+    assert loaded.endswith("BENCH_FULL_r04_sf0.1_LOADED.json")
+    assert bench.CALIBRATION_LOAD_BAND == 1.2
