@@ -554,7 +554,14 @@ def main() -> int:
 
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     anchor = _calibration_anchor(repo_dir)
-    loaded = anchor is not None and calib > CALIBRATION_LOAD_BAND * anchor
+    # the anchor is an sf0.1 measurement (the calibration scan reads
+    # sf_dir's lineitem, so its absolute seconds scale with sf) — the
+    # load band is only meaningful at the anchor's own scale
+    loaded = (
+        anchor is not None
+        and sf == 0.1
+        and calib > CALIBRATION_LOAD_BAND * anchor
+    )
     try:
         load_avg = list(os.getloadavg())
     except OSError:
