@@ -311,7 +311,8 @@ _PYTHON_RESIDENT = {
     "pack_docs_batches",
     "similarity_cosine_topk_numpy",
     "similarity_ivf_topk",
-    "similarity_ivf_kmeans_topk",  # Lloyd's assignment GEMM
+    # similarity_ivf_kmeans_topk left this set in r9: exact
+    # spherical k-means is pure JVM codegen (decimal folds), no Arrow
     "similarity_pq_topk",  # PQ encode + ADC LUT scan
     "dedup_semantic_clusters",  # k-means assignment GEMM
     "embedding_jl_projection",  # seeded-Gaussian GEMM
