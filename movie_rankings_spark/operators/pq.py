@@ -301,17 +301,25 @@ def pq_topk_exact(
         ),
     )
     d = dot_exact_dec(F.col("v_sub"), F.col("c_sub"))
-    wa = Window.partitionBy("vec_id", "j").orderBy(
-        F.col("score").desc(), F.col("code").asc()
-    )
+    # argmax hash aggregate, not a window: the partial aggregate
+    # combines (corpus × m) × n_codes candidate rows to corpus × m
+    # rows map-side before the shuffle — an n_codes× shuffle-byte
+    # reduction, no per-key sort (r9). Ties break to the lower code
+    # via the negated-code struct field (lexicographic max).
     codes = (
         corpus_sub.join(F.broadcast(cb), "j")
         .select(
             "vec_id", "j", "code", (d + d - F.col("c_nsq")).alias("score")
         )
-        .withColumn("_rn", F.row_number().over(wa))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", "j", "code")
+        .groupBy("vec_id", "j")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("score"), (-F.col("code")).alias("_nc"), F.col("code")
+                )
+            ).alias("_b")
+        )
+        .select("vec_id", "j", F.col("_b.code").alias("code"))
     )
 
     q_sub = (

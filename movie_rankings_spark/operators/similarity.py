@@ -946,7 +946,14 @@ def _ivf_probe_score_exact(
     given a (cid, c_emb) centroid table, bucket every corpus vector
     under its exact-cosine-nearest centroid, probe each query's
     ``nprobe`` nearest buckets, score candidates only inside probed
-    buckets, return the per-query top-k (ties: lower cid / vec_id)."""
+    buckets, return the per-query top-k (ties: lower cid / vec_id).
+
+    Assignment is an ARGMAX HASH AGGREGATE (max over a
+    (csim, -cid, payload) struct — lexicographic, so ties break to the
+    lower cid), not a row_number window: the partial aggregate
+    combines the corpus × k candidate rows down to corpus rows
+    map-side BEFORE the shuffle — a k× shuffle-byte reduction over the
+    window form, and no per-key sort (r9)."""
     cents = cents.select(
         "cid", "c_emb", F.sqrt(norm_sq_exact(F.col("c_emb"))).alias("c_nrm")
     )
@@ -959,15 +966,27 @@ def _ivf_probe_score_exact(
         dot_exact(F.col("embedding"), F.col("c_emb"))
         / (F.col("nrm") * F.col("c_nrm"))
     ).alias("csim")
-    wa = Window.partitionBy("vec_id").orderBy(
-        F.col("csim").desc(), F.col("cid").asc()
-    )
     assigned = (
         corpus.join(F.broadcast(cents), how="cross")
         .select("vec_id", "embedding", "nrm", "cid", sim_to_cent)
-        .withColumn("_rn", F.row_number().over(wa))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", "embedding", "nrm", F.col("cid").alias("bucket"))
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("csim"),
+                    (-F.col("cid")).alias("_nc"),
+                    F.col("cid"),
+                    F.col("embedding"),
+                    F.col("nrm"),
+                )
+            ).alias("_b")
+        )
+        .select(
+            "vec_id",
+            F.col("_b.embedding").alias("embedding"),
+            F.col("_b.nrm").alias("nrm"),
+            F.col("_b.cid").alias("bucket"),
+        )
     )
     q = _query_side(embeddings, query_ids)
     wp = Window.partitionBy("query_id").orderBy(
@@ -1055,13 +1074,12 @@ def kmeans_centroids_exact(
         "embedding",
         F.sqrt(norm_sq_exact(F.col("embedding"))).alias("nrm"),
     )
-    wa = Window.partitionBy("vec_id").orderBy(
-        F.col("csim").desc(), F.col("cid").asc()
-    )
     for _ in range(n_iters):
         withn = cents.select(
             "cid", "c_emb", F.sqrt(norm_sq_exact(F.col("c_emb"))).alias("c_nrm")
         )
+        # argmax hash aggregate, not a window: map-side combine shrinks
+        # corpus × k rows to corpus rows before the shuffle (r9)
         assigned = (
             corpus.join(F.broadcast(withn), how="cross")
             .select(
@@ -1073,9 +1091,21 @@ def kmeans_centroids_exact(
                     / (F.col("nrm") * F.col("c_nrm"))
                 ).alias("csim"),
             )
-            .withColumn("_rn", F.row_number().over(wa))
-            .filter(F.col("_rn") == 1)
-            .select(F.col("cid").alias("bucket"), "embedding")
+            .groupBy("vec_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("csim"),
+                        (-F.col("cid")).alias("_nc"),
+                        F.col("cid"),
+                        F.col("embedding"),
+                    )
+                ).alias("_b")
+            )
+            .select(
+                F.col("_b.cid").alias("bucket"),
+                F.col("_b.embedding").alias("embedding"),
+            )
         )
         sums = (
             assigned.select(
