@@ -117,3 +117,56 @@ def semantic_dedup_pairs(
         .select("vec_a", "vec_b", cosine.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def semantic_dedup_pairs_exact(
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    n_clusters: int = 16,
+    n_iters: int = 2,
+) -> DataFrame:
+    """SemDeDup with the WHOLE algorithm engine-portable (r9): the
+    oracle-checkable twin of :func:`semantic_dedup_pairs`. Clusters
+    come from the exact-decimal spherical k-means trainer
+    (similarity.kmeans_centroids_exact — md5-seeded, fixed rounds);
+    bucketing is the shared exact argmax assignment; and every
+    within-bucket pair is scored directly with the exact-decimal
+    cosine (no float GEMM prefilter), so bucket membership, the
+    candidate universe and every emitted (vec_a, vec_b, cosine) row
+    replay bit-identically in DuckDB.
+
+    Scale shape: pair generation is a self-equi-join CO-PARTITIONED on
+    the cluster id — one shuffle of the corpus on bucket, O(Σ
+    cluster²) scored pairs (the SemDeDup contract; n_clusters scales
+    with the corpus so per-cluster work stays bounded). The float-GEMM
+    prefilter tier remains the throughput path; this tier trades its
+    constant for value-hash verifiability — same trade as the exact
+    IVF/PQ tiers."""
+    from movie_rankings_spark.operators.similarity import (
+        assign_exact,
+        kmeans_centroids_exact,
+    )
+
+    cents = kmeans_centroids_exact(embeddings, n_clusters, n_iters)
+    assigned = assign_exact(embeddings, cents)
+    a = assigned.select(
+        F.col("bucket"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = assigned.select(
+        F.col("bucket"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    cosine = dot_exact(F.col("emb_a"), F.col("emb_b")) / (
+        F.col("nrm_a") * F.col("nrm_b")
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

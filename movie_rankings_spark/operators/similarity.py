@@ -934,26 +934,16 @@ def ivf_topk_exact(
     return _ivf_probe_score_exact(embeddings, cents, query_ids, k, nprobe)
 
 
-def _ivf_probe_score_exact(
-    embeddings: DataFrame,
-    cents: DataFrame,
-    query_ids: Sequence[int],
-    k: int,
-    nprobe: int,
-) -> DataFrame:
-    """Shared exact-decimal IVF probe+score half (r9, extracted from
-    ivf_topk_exact so the trained-centroid tier reuses it verbatim):
-    given a (cid, c_emb) centroid table, bucket every corpus vector
-    under its exact-cosine-nearest centroid, probe each query's
-    ``nprobe`` nearest buckets, score candidates only inside probed
-    buckets, return the per-query top-k (ties: lower cid / vec_id).
+def assign_exact(embeddings: DataFrame, cents: DataFrame) -> DataFrame:
+    """Bucket every corpus vector under its exact-cosine-nearest
+    centroid (ties: lower cid): (vec_id, embedding, nrm, bucket).
 
-    Assignment is an ARGMAX HASH AGGREGATE (max over a
-    (csim, -cid, payload) struct — lexicographic, so ties break to the
-    lower cid), not a row_number window: the partial aggregate
+    Argmax HASH AGGREGATE (max over a (csim, -cid, payload) struct —
+    lexicographic), not a row_number window: the partial aggregate
     combines the corpus × k candidate rows down to corpus rows
-    map-side BEFORE the shuffle — a k× shuffle-byte reduction over the
-    window form, and no per-key sort (r9)."""
+    map-side BEFORE the shuffle — a k× shuffle-byte reduction — and
+    needs no per-key sort (r9). Shared by the exact IVF probe/score
+    half and the exact SemDeDup bucketing."""
     cents = cents.select(
         "cid", "c_emb", F.sqrt(norm_sq_exact(F.col("c_emb"))).alias("c_nrm")
     )
@@ -966,7 +956,7 @@ def _ivf_probe_score_exact(
         dot_exact(F.col("embedding"), F.col("c_emb"))
         / (F.col("nrm") * F.col("c_nrm"))
     ).alias("csim")
-    assigned = (
+    return (
         corpus.join(F.broadcast(cents), how="cross")
         .select("vec_id", "embedding", "nrm", "cid", sim_to_cent)
         .groupBy("vec_id")
@@ -987,6 +977,27 @@ def _ivf_probe_score_exact(
             F.col("_b.nrm").alias("nrm"),
             F.col("_b.cid").alias("bucket"),
         )
+    )
+
+
+def _ivf_probe_score_exact(
+    embeddings: DataFrame,
+    cents: DataFrame,
+    query_ids: Sequence[int],
+    k: int,
+    nprobe: int,
+) -> DataFrame:
+    """Shared exact-decimal IVF probe+score half (r9, extracted from
+    ivf_topk_exact so the trained-centroid tier reuses it verbatim):
+    given a (cid, c_emb) centroid table, bucket every corpus vector
+    under its exact-cosine-nearest centroid (:func:`assign_exact` —
+    argmax hash aggregate, k× less shuffle than the window form),
+    probe each query's ``nprobe`` nearest buckets, score candidates
+    only inside probed buckets, return the per-query top-k (ties:
+    lower cid / vec_id)."""
+    assigned = assign_exact(embeddings, cents)
+    cents = cents.select(
+        "cid", "c_emb", F.sqrt(norm_sq_exact(F.col("c_emb"))).alias("c_nrm")
     )
     q = _query_side(embeddings, query_ids)
     wp = Window.partitionBy("query_id").orderBy(

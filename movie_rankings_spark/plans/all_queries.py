@@ -45,6 +45,7 @@ _UNSEEN_FIRST = (
     #    from no_oracle to a hash match)
     "similarity_ivf_kmeans_topk",  # exact spherical-k-means IVF twin
     "logreg_train_quality",  # fixed-point hard-sigmoid GD twin
+    "dedup_semantic_clusters",  # exact-trained-bucket SemDeDup twin
     # 3. r9 additions (never sampled by definition) — append below
     "similarity_pq_exact_topk",
     "sink_stdout_roundtrip",
@@ -52,7 +53,6 @@ _UNSEEN_FIRST = (
     # 4. stale cosmetic re-certs: still rows-only by construction,
     #    newest driver sample is r7-or-older — oldest first
     "similarity_ivf_topk",  # last sampled r1
-    "dedup_semantic_clusters",  # r7
     "embedding_pca_project",  # r7
     "knn_label_propagation_ivf",  # r7
     "similarity_pq_topk",  # r7

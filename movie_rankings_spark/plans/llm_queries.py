@@ -818,16 +818,17 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_exact_oracle(n_centroids: int = 16, n_iters: int = 2) -> str:
-    """Unrolled DuckDB twin of the exact spherical-k-means IVF tier
-    (r9): md5-seeded init, then per round an exact-cosine assignment
-    (c{k-1} → a{k}), per-dimension exact decimal sums (s{k}), and a
-    COALESCE-rebuilt centroid table (c{k}; empty clusters keep their
-    previous centroid). Probe + in-bucket scoring replay the
-    _IVF_EXACT_ORACLE shape against the final c{n_iters}. Per-round
-    CTEs are MATERIALIZED — each is referenced twice, and DuckDB's
-    inlining would otherwise re-evaluate the whole chain per
-    reference."""
+def _kmeans_train_assign_cte(n_centroids: int = 16, n_iters: int = 2) -> str:
+    """The shared DuckDB CTE chain for the exact spherical-k-means
+    tiers (r9): md5-seeded init, then per round an exact-cosine
+    assignment (c{k-1} → a{k}), per-dimension exact decimal sums
+    (s{k}), and a COALESCE-rebuilt centroid table (c{k}; empty
+    clusters keep their previous centroid), ending in the final
+    full-corpus ``assign`` CTE against c{n_iters}. Per-round CTEs are
+    MATERIALIZED — each is referenced twice, and DuckDB's inlining
+    would otherwise re-evaluate the whole chain per reference.
+    Consumed by the IVF-probe twin (_kmeans_exact_oracle) and the
+    exact-SemDeDup twin (_SEMDEDUP_EXACT_ORACLE)."""
     parts = [f"""WITH c0 AS MATERIALIZED (
   SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c_emb
   FROM embeddings
@@ -862,7 +863,7 @@ c{r} AS MATERIALIZED (
 )""")
     final = f"c{n_iters}"
     parts.append(f""",
-assign AS (
+assign AS MATERIALIZED (
   SELECT vec_id, embedding, bucket FROM (
     SELECT e.vec_id, e.embedding, c.cid AS bucket,
            ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -870,7 +871,17 @@ assign AS (
                       DESC, c.cid ASC) AS rn
     FROM embeddings e CROSS JOIN {final} c
   ) WHERE rn = 1
-),
+)""")
+    return "".join(parts)
+
+
+def _kmeans_exact_oracle(n_centroids: int = 16, n_iters: int = 2) -> str:
+    """Unrolled DuckDB twin of the exact spherical-k-means IVF tier
+    (r9): the shared training+assign chain, then probe + in-bucket
+    scoring replaying the _IVF_EXACT_ORACLE shape against the final
+    centroids."""
+    final = f"c{n_iters}"
+    return _kmeans_train_assign_cte(n_centroids, n_iters) + f""",
 q AS (
   SELECT vec_id AS query_id, embedding AS q_emb
   FROM embeddings WHERE vec_id < 8
@@ -895,8 +906,7 @@ SELECT query_id, vec_id, cosine, rn FROM (
     PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rn
   FROM cands
 ) WHERE rn <= 5
-ORDER BY query_id, rn""")
-    return "".join(parts)
+ORDER BY query_id, rn"""
 
 
 @REGISTRY.register("similarity_ivf_kmeans_topk", _kmeans_exact_oracle())
@@ -1081,17 +1091,43 @@ def similarity_pq_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@REGISTRY.register("dedup_semantic_clusters")  # recall bounded by cluster purity
-def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style cluster-bucketed near-dup pairs
-    (operators/semdedup.py): k-means buckets, within-cluster
-    exact-decimal cosine. Rows-only (k-means float means are not
-    engine-neutral); precision is exact by construction and recall vs
-    the all-pairs verifier is gated in tests/test_pq.py."""
-    from movie_rankings_spark.operators.semdedup import semantic_dedup_pairs
+def _semdedup_exact_oracle(
+    threshold: float = 0.45, n_centroids: int = 16, n_iters: int = 2
+) -> str:
+    """DuckDB twin of the exact SemDeDup tier (r9): the shared
+    spherical-k-means training+assign chain, then a within-bucket
+    self-join scored with the exact-decimal cosine."""
+    return _kmeans_train_assign_cte(n_centroids, n_iters) + f""",
+scored AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {_COSINE_SQL.format(a='a.embedding', b='b.embedding')} AS cosine
+  FROM assign a JOIN assign b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM scored
+WHERE cosine >= {threshold}
+ORDER BY vec_a, vec_b"""
 
-    return semantic_dedup_pairs(
-        _emb(spark, sf_dir), threshold=0.45, n_clusters=16
+
+@REGISTRY.register("dedup_semantic_clusters", _semdedup_exact_oracle())
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style cluster-bucketed near-dup pairs, value-hash
+    verified end-to-end (r9 conversion,
+    operators/semdedup.py::semantic_dedup_pairs_exact; was rows-only
+    while clustering used float GEMM k-means): exact spherical-k-means
+    buckets (md5-seeded, 2 fixed rounds), exact argmax assignment,
+    within-bucket exact-decimal cosine at the 0.45 threshold — the
+    DuckDB twin replays training, bucketing and every scored pair.
+    Recall remains bounded by cluster purity (the documented SemDeDup
+    trade-off); the float-GEMM prefilter tier
+    (semantic_dedup_pairs) stays the throughput path, recall-gated in
+    tests/test_pq.py."""
+    from movie_rankings_spark.operators.semdedup import (
+        semantic_dedup_pairs_exact,
+    )
+
+    return semantic_dedup_pairs_exact(
+        _emb(spark, sf_dir), threshold=0.45, n_clusters=16, n_iters=2
     ).orderBy("vec_a", "vec_b")
 
 

@@ -132,6 +132,41 @@ class TestSemDedup:
         recall = len(got & planted) / len(planted)
         assert recall >= 0.9, f"tight-dup recall {recall:.2f}"
 
+    def test_exact_tier_recall_precision_determinism(self, tight_dup_corpus, emb):
+        """The r9 oracle-exact tier (exact spherical-k-means buckets +
+        within-bucket exact cosine): tight planted duplicates still
+        co-cluster and recall holds; every emitted pair is a true pair
+        with the identical exact-decimal cosine; and the whole output
+        is bit-deterministic across runs."""
+        from movie_rankings_spark.operators.semdedup import (
+            semantic_dedup_pairs_exact,
+        )
+
+        df, planted = tight_dup_corpus
+        got = {
+            (r["vec_a"], r["vec_b"])
+            for r in semantic_dedup_pairs_exact(
+                df, threshold=0.9, n_clusters=16
+            ).collect()
+        }
+        recall = len(got & planted) / len(planted)
+        assert recall >= 0.9, f"exact-tier tight-dup recall {recall:.2f}"
+
+        exact = {
+            (r["vec_a"], r["vec_b"]): r["cosine"]
+            for r in dedup.embedding_cosine_pairs(emb, threshold=0.45).collect()
+        }
+        rows = semantic_dedup_pairs_exact(
+            emb, threshold=0.45, n_clusters=16
+        ).collect()
+        for r in rows:
+            assert (r["vec_a"], r["vec_b"]) in exact
+            assert r["cosine"] == exact[(r["vec_a"], r["vec_b"])]
+        again = semantic_dedup_pairs_exact(
+            emb, threshold=0.45, n_clusters=16
+        ).collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
     def test_exact_precision_on_corpus(self, emb):
         # every emitted pair is a true pair with the identical
         # exact-decimal cosine (precision is exact by construction)
