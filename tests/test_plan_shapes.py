@@ -314,7 +314,8 @@ _PYTHON_RESIDENT = {
     # similarity_ivf_kmeans_topk left this set in r9: exact
     # spherical k-means is pure JVM codegen (decimal folds), no Arrow
     "similarity_pq_topk",  # PQ encode + ADC LUT scan
-    "dedup_semantic_clusters",  # k-means assignment GEMM
+    # dedup_semantic_clusters left this set in r9: exact SemDeDup is
+    # pure JVM codegen (decimal k-means + within-bucket cosine), no Arrow
     "embedding_jl_projection",  # seeded-Gaussian GEMM
     "vocab_heavy_hitters",  # per-partition candidate value_counts
     "cogroup_asof_purchase",  # cogrouped merge_asof (FlatMapCoGroupsInPandas by design)
