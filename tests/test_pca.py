@@ -8,6 +8,8 @@ from movie_rankings_spark.operators.pca import (
     covariance_cells_exact,
     covariance_cells_gemm,
     pca_components,
+    pca_power_exact,
+    pca_power_oracle_sql,
     pca_project,
 )
 
@@ -54,6 +56,85 @@ def test_pca_recovers_planted_anisotropy(spark):
     # components orthonormal
     g = comps @ comps.T
     assert np.abs(g - np.eye(3)).max() < 1e-9
+
+
+def test_pca_power_exact_matches_eigh_axes(spark):
+    """The integer power-iteration tier recovers LAPACK's top axes on
+    a planted-anisotropy corpus, and its projections are exact ints."""
+    rng = np.random.RandomState(11)
+    n, d = 300, 10
+    mat = (
+        rng.randn(n, d) * 0.05
+        + np.outer(rng.randn(n) * 2.0, np.eye(d)[2])
+        + np.outer(rng.randn(n) * 1.0, np.eye(d)[7])
+    ).astype(np.float32)
+    df = _emb_df(spark, mat)
+    out = pca_power_exact(df, k=2, iters=8, squarings=6)
+    pdf = out.toPandas().sort_values("vec_id")
+    assert list(pdf.columns) == ["vec_id", "pc0_q", "pc1_q"]
+    assert len(pdf) == n
+    # reference spectrum of the same quantized scatter matrix
+    xq = np.floor(mat.astype(np.float64) * 2**30)
+    s = n * (xq.T @ xq) - np.outer(xq.sum(0), xq.sum(0))
+    vals, vecs = np.linalg.eigh(s)
+    order = np.argsort(vals)[::-1]
+    for c in range(2):
+        proj = pdf[f"pc{c}_q"].to_numpy(dtype=np.float64)
+        want = xq @ vecs[:, order[c]]
+        cos = abs(np.dot(proj, want) / (np.linalg.norm(proj) * np.linalg.norm(want)))
+        assert cos > 0.9999, f"component {c}: |cos|={cos}"
+
+
+def test_pca_power_exact_near_degenerate_rayleigh(spark):
+    """On a near-isotropic corpus (the embeddings table's regime,
+    λ₂/λ₁ ≈ 0.99) the squared-spectrum iteration still lands on the
+    true top eigenvectors: Rayleigh quotient within 1e-6 of λ."""
+    rng = np.random.RandomState(3)
+    mat = rng.randn(250, 8).astype(np.float32) * 0.1
+    df = _emb_df(spark, mat)
+    n = 250
+    xq = np.floor(mat.astype(np.float64) * 2**30)
+    s = n * (xq.T @ xq) - np.outer(xq.sum(0), xq.sum(0))
+    from movie_rankings_spark.operators.pca import _power_components
+
+    comps = _power_components(
+        [[int(s[i, j]) for j in range(8)] for i in range(8)], 2, 8, 6
+    )
+    vals = np.sort(np.linalg.eigvalsh(s))[::-1]
+    for c in range(2):
+        v = np.array(comps[c], dtype=np.float64)
+        v /= np.linalg.norm(v)
+        assert v @ s @ v > (1 - 1e-6) * vals[c]
+
+
+def test_pca_power_oracle_matches_engine(spark):
+    """Value-level engine↔DuckDB parity of the full unrolled twin on a
+    small random corpus (the registered query repeats this at sf0.01
+    via the oracle harness)."""
+    import duckdb
+
+    rng = np.random.RandomState(7)
+    mat = (rng.randn(60, 6) * 0.2).astype(np.float32)
+    df = _emb_df(spark, mat)
+    got = (
+        pca_power_exact(df, k=2, iters=8, squarings=6)
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register(
+        "embeddings",
+        __import__("pandas").DataFrame(
+            {"vec_id": range(60), "embedding": [list(map(float, r)) for r in mat]}
+        ),
+    )
+    ora = con.execute(pca_power_oracle_sql(2, 8, 6)).df()
+    assert len(ora) == len(got) == 60
+    for c in range(2):
+        assert (
+            got[f"pc{c}_q"].to_numpy(dtype="int64")
+            == ora[f"pc{c}_q"].to_numpy(dtype="int64")
+        ).all()
 
 
 def test_pca_project_shapes_and_variance_order(spark):
