@@ -323,11 +323,16 @@ def pack_documents(
         pdf["batch_id"] = batch_ids
         return pdf[[group_col, "batch_id", "doc_id", "n_tokens"]]
 
-    with_tokens = docs.select(
-        F.col(group_col),
-        "doc_id",
-        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
-    )
+    if "n_tokens" in docs.columns:  # upstream stage already counted
+        with_tokens = docs.select(
+            F.col(group_col), "doc_id", F.col("n_tokens").cast("int")
+        )
+    else:
+        with_tokens = docs.select(
+            F.col(group_col),
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        )
     return with_tokens.groupBy(group_col).applyInPandas(
         pack, f"{group_col} string, batch_id long, doc_id long, n_tokens int"
     )

@@ -1844,6 +1844,101 @@ def mix_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CURATION_REPORT_ORACLE = rf"""
+WITH RECURSIVE reps AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM documents
+  GROUP BY md5(lower(regexp_replace(text, '\s+', ' ', 'g')))
+), deduped AS (
+  SELECT d.doc_id, d.lang, d.text FROM documents d JOIN reps USING (doc_id)
+), scored AS (
+  SELECT doc_id, lang, text, {_QUALITY_EXPR} AS quality FROM deduped
+), kept AS (
+  SELECT doc_id, lang, text FROM scored
+  WHERE quality > (SELECT quantile_cont(quality, 0.5) FROM scored)
+), t AS (
+  SELECT doc_id, lang, CAST(len({_WORDS}) AS INTEGER) AS n_tokens,
+         substr(md5(CAST(doc_id AS VARCHAR)), 31, 2) AS h2
+  FROM kept
+), r AS (
+  SELECT lang,
+         CAST(least(256, greatest(1,
+              floor(256.0 * {_MIX_BUDGET} / SUM(n_tokens)))) AS BIGINT) AS keep
+  FROM t GROUP BY lang
+), mixed AS (
+  SELECT t.doc_id, t.lang, t.n_tokens
+  FROM t JOIN r ON t.lang = r.lang
+  WHERE keep = 256 OR h2 < lpad(lower(to_hex(keep)), 2, '0')
+), toks AS (
+  SELECT lang, doc_id, n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM mixed
+), state AS (
+  SELECT lang, doc_id, rn, n_tokens, 0 AS batch_id, n_tokens AS used
+  FROM toks WHERE rn = 1
+  UNION ALL
+  SELECT t.lang, t.doc_id, t.rn, t.n_tokens,
+         CASE WHEN s.used + t.n_tokens > 256
+              THEN s.batch_id + 1 ELSE s.batch_id END,
+         CASE WHEN s.used + t.n_tokens > 256
+              THEN t.n_tokens ELSE s.used + t.n_tokens END
+  FROM state s JOIN toks t ON t.lang = s.lang AND t.rn = s.rn + 1
+)
+SELECT lang,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(MAX(batch_id) + 1 AS BIGINT) AS n_batches,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM state GROUP BY lang ORDER BY lang
+"""
+
+
+@REGISTRY.register("pipeline_curation_report", _CURATION_REPORT_ORACLE)
+def pipeline_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full 100 TB curation user journey as ONE registered plan
+    (r10, VERDICT r9 item 7): exact dedup (first doc_id wins, one
+    fingerprint-keyed shuffle) → median quality gate over the deduped
+    corpus (1-row broadcast threshold) → token-budget language mixing
+    (data-derived keep rates, md5-suffix membership — rates broadcast)
+    → greedy sequence packing per language (applyInPandas, the one
+    inherently-sequential stage, parallel across groups) → per-lang
+    yield report (docs kept, batches formed, tokens packed).
+
+    Every stage is an existing certified operator
+    (operators/dedup.py::exact_dedup, functions/text.py::quality_score,
+    operators/textops.py::token_budget_mix / pack_documents) composed
+    lazily — the quality-gated frame is localCheckpointed once because
+    three downstream branches (mix rates, mix membership, packing)
+    read it, the memory-note-10 shape. The oracle chains the four
+    stages' SQL twins into one RECURSIVE CTE pipeline, so a drift in
+    ANY stage — dedup fingerprint, quality median, mix rate floor,
+    packing boundary — hash-mismatches the composed report."""
+    from movie_rankings_spark.functions.text import quality_score
+    from movie_rankings_spark.operators import dedup as dedup_ops
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    deduped = dedup_ops.exact_dedup(docs)
+    scored = deduped.withColumn("quality", quality_score(F.col("text")))
+    thr = scored.agg(F.percentile("quality", F.lit(0.5)).alias("_thr"))
+    kept = (
+        scored.join(F.broadcast(thr))
+        .filter(F.col("quality") > F.col("_thr"))
+        .select("doc_id", "lang", "text")
+        .localCheckpoint(eager=False)
+    )
+    mixed = textops.token_budget_mix(kept, _MIX_BUDGET)
+    packed = textops.pack_documents(mixed, max_tokens=256)
+    return (
+        packed.groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            (F.max("batch_id") + F.lit(1)).cast("long").alias("n_batches"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+
 # --- repetition quality rule (Gopher top-bigram coverage) -------------------
 
 _BIGRAMS_SQL = (
@@ -2064,6 +2159,33 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pca_project(emb, k=4).orderBy("vec_id")
+
+
+def _pca_power_oracle() -> str:
+    from movie_rankings_spark.operators.pca import pca_power_oracle_sql
+
+    return pca_power_oracle_sql(k=2, iters=8, squarings=6)
+
+
+@REGISTRY.register("embedding_pca_exact_project", _pca_power_oracle())
+def embedding_pca_exact_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus projected onto its top-2 principal axes, value-hash
+    verified end-to-end (r10 conversion twin for the rows-only
+    embedding_pca_project): the exact power-iteration tier
+    (operators/pca.py::pca_power_exact) quantizes the whole algorithm
+    onto integer grids — 2³⁰-grid scatter matrix via one (i,j)-keyed
+    exact-decimal shuffle, six spectral-gap squarings + eight matvec
+    rounds + Hotelling deflation driver-side on the d-bounded cell
+    table (Python ints == the oracle's HUGEINT), then one broadcast
+    projection join back over the persisted posexploded corpus — so
+    the projections unroll into a DuckDB twin. Component fidelity vs
+    LAPACK (|cos| = 1.0 against eigh's top-2 on this corpus despite
+    λ₂/λ₁ ≈ 0.99) is pinned in tests/test_pca.py; the float eigh path
+    (embedding_pca_project) remains the throughput tier."""
+    from movie_rankings_spark.operators.pca import pca_power_exact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_power_exact(emb, k=2, iters=8, squarings=6).orderBy("vec_id")
 
 
 _CLASSIFIER_ORACLE = """

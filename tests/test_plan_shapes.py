@@ -309,6 +309,7 @@ _PYTHON_RESIDENT = {
     "flagship_scraped_udtf",  # LATERAL Python UDTF (fetch+parse per source)
     "multimodal_features",
     "pack_docs_batches",
+    "pipeline_curation_report",  # r10 composed journey ends in the packing recurrence (applyInPandas); all upstream stages are JVM codegen
     "similarity_cosine_topk_numpy",
     "similarity_ivf_topk",
     # similarity_ivf_kmeans_topk left this set in r9: exact
