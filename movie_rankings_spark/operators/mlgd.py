@@ -153,13 +153,25 @@ def logreg_train_fixedpoint(
     div = 2 * n * FS
     rows: list[tuple] = []
     for it in range(1, iters + 1):
+        # z accumulates as DECIMAL(38,0) — matching the oracle's
+        # HUGEINT — so a corpus with very long documents (x_len grows
+        # with n_words·10⁴) cannot silently wrap a LONG in Spark while
+        # the DuckDB twin stays exact (r9 ADVICE item)
         z = sum(
-            (F.col(f"_x{j}") * F.lit(wj) for j, wj in enumerate(w)),
-            start=F.lit(0).cast("long"),
+            (
+                (F.col(f"_x{j}").cast("decimal(19,0)") * F.lit(wj)).cast(
+                    "decimal(38,0)"
+                )
+                for j, wj in enumerate(w)
+            ),
+            start=F.lit(0).cast("decimal(38,0)"),
         )
         t = F.greatest(
-            F.lit(0).cast("long"),
-            F.least(F.lit(4 * _Z_SCALE).cast("long"), z + F.lit(2 * _Z_SCALE)),
+            F.lit(0).cast("decimal(38,0)"),
+            F.least(
+                F.lit(4 * _Z_SCALE).cast("decimal(38,0)"),
+                (z + F.lit(2 * _Z_SCALE)).cast("decimal(38,0)"),
+            ),
         )
         sig = F.expr(f"_t div {4 * FS}")
         err = sig - F.col("_y") * F.lit(FS)

@@ -440,6 +440,8 @@ def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- driver-certified contracts for the remaining test-pinned rows (r9) -----
 
+_INT_CELL = __import__("re").compile(r"^-?\d+$")
+
 _STDOUT_SINK_ORACLE = """
 WITH top AS (
   SELECT o_orderkey,
@@ -490,7 +492,14 @@ def sink_stdout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not line.startswith("|"):
             continue
         cells = [c.strip() for c in line.strip("|").split("|")]
-        if cells[0] == "o_orderkey":  # header row
+        # only bare-integer data rows count: header rows, separator
+        # art, or a future show()-render drift (locale separators,
+        # truncation ellipses) must surface as a CHECKSUM mismatch the
+        # driver reports, not a parse ValueError that ERRs the whole
+        # query (r9 ADVICE item)
+        if len(cells) < 2 or not (
+            _INT_CELL.match(cells[0]) and _INT_CELL.match(cells[1])
+        ):
             continue
         rows.append((int(cells[0]), int(cells[1])))
     return spark.createDataFrame(
@@ -529,7 +538,15 @@ def bloom_semijoin_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink_sorted_write_roundtrip contract-boolean pattern) alongside
     the join's row count and exact key/quantity checksums, which the
     oracle recomputes — certifying the pruned join loses and
-    duplicates nothing."""
+    duplicates nothing.
+
+    Serial-execution assumption (r9 ADVICE note): the conf overrides
+    below are session-global for the duration of the build/collect —
+    any query PLANNED concurrently in the same SparkSession during
+    that window would inherit them. Safe under this repo's harnesses
+    (driver, check_oracle, bench), which run queries strictly
+    serially; a concurrent caller should hand this query its own
+    ``spark.newSession()``."""
     saved = {
         k: spark.conf.get(k, None)
         for k in (

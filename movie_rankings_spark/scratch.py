@@ -15,9 +15,14 @@ Policy here (the r8 ADVICE fix):
   removed at interpreter exit (``atexit``). Within a process, each
   call still gets a fresh subdir — a prior call's returned DataFrame
   may lazily re-read its files, so nothing is deleted mid-process.
-* Stale roots from crashed prior processes are reaped on first use
-  (mtime > 6 h — old enough that no live bench/test process still
-  reads them).
+* Stale roots from crashed prior processes are reaped on first use,
+  keyed on root mtime as a HEARTBEAT: every ``scratch_dir()`` call
+  refreshes its own root's mtime, so a live long-running process keeps
+  its root young no matter how long the run (the r9 ADVICE defect:
+  reaping on creation-age with a 6 h window raced the 6 h bench
+  rounds — a root created at round start looked stale to a process
+  launched near round end even though its owner was still running).
+  The window is 24 h — four round lengths past any live heartbeat.
 * No hardcoded paths: the base derives from ``tempfile.gettempdir()``.
 """
 
@@ -29,7 +34,7 @@ import shutil
 import tempfile
 import time
 
-_STALE_AFTER_S = 6 * 3600
+_STALE_AFTER_S = 24 * 3600
 _ROOT: str | None = None
 
 
@@ -51,4 +56,9 @@ def scratch_dir(prefix: str) -> str:
                 pass
         _ROOT = tempfile.mkdtemp(prefix="run_", dir=base)
         atexit.register(shutil.rmtree, _ROOT, ignore_errors=True)
+    else:
+        try:  # heartbeat: a live process keeps its root young
+            os.utime(_ROOT)
+        except OSError:
+            pass
     return tempfile.mkdtemp(prefix=prefix + "_", dir=_ROOT)
