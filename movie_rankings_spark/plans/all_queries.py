@@ -35,27 +35,27 @@ from movie_rankings_spark.plans.registry import REGISTRY
 #:      driver sample is rounds old (oldest first).
 #: Everything after the head keeps cheap-first registration order, so
 #: leftover sample slots re-check previously-green queries.
-#: Regenerate from CORRECTNESS_r09.json at r10 start.
+#: This head is the r10 rotation, regenerated from the cumulative
+#: CORRECTNESS_r01-r09 union at round start.
 _UNSEEN_FIRST = (
-    # 1. latest driver record not green: rows/schema matched but the
-    #    r1 hash FAILed; fixed long ago, locally green ever since,
-    #    never re-sampled by the driver (r8 verdict item 1)
-    "q12_late_shipment_priority",
-    # 2. r9 rows-only → oracle conversions (driver row must change
-    #    from no_oracle to a hash match)
-    "similarity_ivf_kmeans_topk",  # exact spherical-k-means IVF twin
-    "logreg_train_quality",  # fixed-point hard-sigmoid GD twin
-    "dedup_semantic_clusters",  # exact-trained-bucket SemDeDup twin
-    # 3. r9 additions (never sampled by definition) — append below
-    "similarity_pq_exact_topk",
-    "sink_stdout_roundtrip",
-    "bloom_semijoin_contract",
-    # 4. stale cosmetic re-certs: still rows-only by construction,
-    #    newest driver sample is r7-or-older — oldest first
-    "similarity_ivf_topk",  # last sampled r1
-    "embedding_pca_project",  # r7
-    "knn_label_propagation_ivf",  # r7
-    "similarity_pq_topk",  # r7
+    # 1. latest driver status not green: NONE — r9 cleared the last
+    #    standing FAIL (q12_late_shipment_priority, green in r9).
+    #    retrieval_eval_ivf's r7 no_oracle row is a RETIRED name (the
+    #    query was renamed retrieval_eval_prefix, driver-green r8) —
+    #    nothing to rotate for it.
+    # 2. rows whose status must change this round — r10 additions /
+    #    conversions (never sampled or converting from rows-only);
+    #    append new registrations here as they land
+    "embedding_pca_exact_project",  # r10 exact power-iteration PCA twin
+    "pipeline_curation_report",  # r10 composed curation pipeline query
+    # 3. never driver-sampled: none remaining (342/342 sampled)
+    # 4. stale cosmetic re-certs: rows-only whose newest driver stamp
+    #    is oldest first (the other four rows-only got fresh r9 stamps)
+    "embedding_jl_projection",  # rows-only stamp from r8
+    "similarity_ivf_topk",  # r9
+    "embedding_pca_project",  # r9
+    "knn_label_propagation_ivf",  # r9
+    "similarity_pq_topk",  # r9
 )
 
 #: most expensive entries at sf0.01, slowest-last; everything absent
