@@ -24,6 +24,17 @@ def main() -> int:
     if bench.get("sf") != 0.1:
         print(f"refusing: bench sf={bench.get('sf')} is not 0.1")
         return 1
+    # anchor governance (r10, VERDICT r9 item 3): anchors may only come
+    # from a run stamped anchor-eligible (quiet pre-run box, in-band
+    # calibration). Artifacts predating the stamp are refused too —
+    # re-run bench rather than re-anchoring from unknown provenance.
+    if not bench.get("anchor_eligible"):
+        print(
+            "refusing: artifact is not anchor_eligible "
+            f"(loaded_run={bench.get('loaded_run')}, "
+            f"load_avg_start={bench.get('load_avg_start')})"
+        )
+        return 1
     q = dict(bench["queries"])
     lines = open(PATH).read().splitlines(keepends=True)
     row = re.compile(r"^\|\s*([a-z0-9_]+)\s*\|\s*([0-9.]+)\s*\|")
