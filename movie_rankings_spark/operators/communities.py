@@ -60,12 +60,16 @@ def label_propagation(
         .persist_tracked()
     )
     from movie_rankings_spark.caching import rotating_checkpoint
+    from movie_rankings_spark.operators.adaptive import state_hint
 
+    n_nodes = nodes.count()
     ckpt = rotating_checkpoint(edges.sparkSession)
     labels = ckpt(nodes.select("node", F.col("node").alias("label")))
     for _ in range(n_rounds):
+        # r10: label state is node-sized vs the static edge table —
+        # adaptive broadcast (operators/adaptive.py), values unchanged
         gathered = (
-            e.join(labels, e["src"] == labels["node"])
+            e.join(state_hint(labels, n_nodes), e["src"] == labels["node"])
             .select("dst", "label")
             .groupBy("dst", "label")
             .agg(F.count(F.lit(1)).alias("cnt"))

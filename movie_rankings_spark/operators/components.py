@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def connected_components(
@@ -45,27 +46,55 @@ def connected_components(
     nodes = both.select(F.col("u")).distinct()
     adj = both.union(nodes.select("u", F.col("u").alias("v"))).persist_tracked()
 
+    from movie_rankings_spark.operators.adaptive import state_hint
+
     labels = nodes.select(
         F.col("u").alias("id"), F.col("u").alias("label")
     ).persist_tracked()
-    labels.count()
+    n_nodes = labels.count()
 
+    # r10 change detection (numeric node ids only): each round's label
+    # is min(neighbor labels ∪ self), so per-node labels are
+    # monotonically NON-INCREASING — "no label changed" is exactly
+    # "Σ label is unchanged". One decimal-exact aggregate on the new
+    # table replaces the old new⋈old join+filter+count (a full extra
+    # shuffle per round); the round count, and therefore the result,
+    # is identical. Non-numeric ids (the fuzzy-title CC) have no exact
+    # sum and keep the join-based check.
+    numeric_ids = isinstance(
+        labels.schema["label"].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    )
+
+    def _label_sum(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = _label_sum(labels) if numeric_ids else None
     changed = 0
     for _ in range(max_iterations):
-        # each node takes min(label of neighbors ∪ self)
+        # each node takes min(label of neighbors ∪ self); the label
+        # state is node-sized vs the edge-sized adj table — adaptive
+        # broadcast (operators/adaptive.py), identical values.
         new_labels = (
-            adj.join(labels, adj["v"] == labels["id"])
+            adj.join(state_hint(labels, n_nodes), adj["v"] == labels["id"])
             .select(F.col("u").alias("id"), "label")
             .groupBy("id")
             .agg(F.min("label").alias("label"))
             .persist_tracked()
         )
-        changed = (
-            new_labels.withColumnRenamed("label", "new")
-            .join(labels, "id")
-            .filter(F.col("new") != F.col("label"))
-            .count()
-        )
+        if numeric_ids:
+            new_sum = _label_sum(new_labels)
+            changed = 0 if new_sum == prev_sum else 1
+            prev_sum = new_sum
+        else:
+            changed = (
+                new_labels.withColumnRenamed("label", "new")
+                .join(labels, "id")
+                .filter(F.col("new") != F.col("label"))
+                .count()
+            )
         labels.unpersist()
         labels = new_labels
         if changed == 0:
@@ -77,7 +106,7 @@ def connected_components(
         # groups — refuse rather than return wrong components.
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "
-            f"iterations ({changed} labels still changing); raise "
+            "iterations (labels still changing); raise "
             "max_iterations (diameter > rounds) or switch to the "
             "small-star/large-star alternation for giant components"
         )
@@ -114,16 +143,21 @@ def _canon(edges: DataFrame) -> DataFrame:
     )
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
+def _large_star(edges: DataFrame, n_nodes: int | None = None) -> DataFrame:
     """Connect every strictly-larger neighbor of u to the minimum of
     u's closed neighborhood. No collect_list: the neighborhood min is
     an aggregate joined back per edge, so hubs cost a wide group,
-    never a giant array."""
+    never a giant array. ``n_nodes`` bounds the mins table for the
+    adaptive state broadcast (r10, operators/adaptive.py)."""
+    from movie_rankings_spark.operators.adaptive import state_hint
+
     b = edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     mins = b.groupBy("u").agg(F.min("v").alias("mn"))
     mins = mins.select("u", F.least("mn", F.col("u")).alias("m"))
+    if n_nodes is not None:
+        mins = state_hint(mins, n_nodes)
     out = (
         b.join(mins, "u")
         .filter(F.col("v") > F.col("u"))
@@ -132,11 +166,15 @@ def _large_star(edges: DataFrame) -> DataFrame:
     return _canon(out)
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
+def _small_star(edges: DataFrame, n_nodes: int | None = None) -> DataFrame:
     """Connect every smaller-or-equal neighbor of u (and u itself) to
     the minimum of u's smaller neighborhood."""
+    from movie_rankings_spark.operators.adaptive import state_hint
+
     n = _canon(edges)
     mins = n.groupBy("u").agg(F.min("v").alias("mn"))
+    if n_nodes is not None:
+        mins = state_hint(mins, n_nodes)
     via_nbrs = n.join(mins, "u").select(
         F.col("v").alias("u"), F.col("mn").alias("v")
     )
@@ -181,6 +219,7 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_nodes = nodes.count()
 
     def _sig(df: DataFrame) -> tuple[int, int]:
         r = df.agg(
@@ -194,7 +233,7 @@ def connected_components_star(
     sig = _sig(e)
     converged = False
     for _ in range(max_rounds):
-        e2 = ckpt(_small_star(_large_star(e)))
+        e2 = ckpt(_small_star(_large_star(e, n_nodes), n_nodes))
         sig2 = _sig(e2)
         e = e2
         if sig2 == sig:

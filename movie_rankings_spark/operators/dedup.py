@@ -31,7 +31,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from movie_rankings_spark.functions.text import content_fingerprint, word_shingles
-from movie_rankings_spark.functions.vectors import dot_exact, norm_sq_exact
+from movie_rankings_spark.functions.vectors import (
+    NARROW,
+    dot_exact,
+    norm_sq_exact,
+)
 
 # --- 1. exact ---------------------------------------------------------------
 
@@ -603,14 +607,14 @@ def embedding_cosine_pairs(
     ea = embeddings.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
-        F.sqrt(norm_sq_exact(F.col("embedding"))).alias("nrm_a"),
+        F.sqrt(norm_sq_exact(F.col("embedding"), NARROW)).alias("nrm_a"),
     )
     eb = embeddings.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("emb_b"),
-        F.sqrt(norm_sq_exact(F.col("embedding"))).alias("nrm_b"),
+        F.sqrt(norm_sq_exact(F.col("embedding"), NARROW)).alias("nrm_b"),
     )
-    cosine = dot_exact(F.col("emb_a"), F.col("emb_b")) / (
+    cosine = dot_exact(F.col("emb_a"), F.col("emb_b"), NARROW) / (
         F.col("nrm_a") * F.col("nrm_b")
     )
     return (

@@ -146,7 +146,7 @@ def centroid_pairwise_cosine(centroids: DataFrame) -> DataFrame:
     separate). Input is |labels| rows, so the self-join is trivially
     broadcast; the cosine uses the exact-decimal product sums from
     functions/vectors.py so values hash-match the SQL oracle."""
-    from movie_rankings_spark.functions.vectors import cosine_exact
+    from movie_rankings_spark.functions.vectors import NARROW, cosine_exact
 
     # both self-join sides read the centroid table — uncached, the
     # |labels|x dim explode-aggregate would run twice
@@ -168,7 +168,7 @@ def centroid_pairwise_cosine(centroids: DataFrame) -> DataFrame:
             "label_b",
             F.col("n_a").cast("long").alias("n_a"),
             F.col("n_b").cast("long").alias("n_b"),
-            cosine_exact(F.col("ca"), F.col("cb")).alias("cosine"),
+            cosine_exact(F.col("ca"), F.col("cb"), NARROW).alias("cosine"),
         )
         .orderBy("label_a", "label_b")
     )

@@ -59,15 +59,28 @@ def kcore(
     (both directions; copurchase_edges already is). With enough
     rounds this IS the k-core; use :func:`converged` to check the
     fixed point was reached."""
+    from movie_rankings_spark.operators.adaptive import state_hint
+
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     ckpt = rotating_checkpoint(edges.sparkSession)
     e = ckpt(e)
+    # upper bound on every round's survivor table for the adaptive
+    # broadcast decision (r10) — the live node set only shrinks
+    n_nodes = e.select("src").distinct().count()
     for _ in range(n_rounds):
         deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select("src")
+        # r10: the survivor set is node-sized vs the edge list — the
+        # two semi-joins take the adaptive broadcast, values unchanged
         e = (
-            e.join(keep, "src", "left_semi")
-            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+            e.join(state_hint(keep, n_nodes), "src", "left_semi")
+            .join(
+                state_hint(
+                    keep.select(F.col("src").alias("dst")), n_nodes
+                ),
+                "dst",
+                "left_semi",
+            )
             .select("src", "dst")
         )
         # truncate lineage (the pagerank/LPA loop convention) AND free

@@ -98,6 +98,7 @@ def _pagerank(
     has_dangling = n > e.select("src").distinct().count()
 
     from movie_rankings_spark.caching import rotating_checkpoint
+    from movie_rankings_spark.operators.adaptive import state_hint
 
     ckpt = rotating_checkpoint(edges.sparkSession)
     ranks = ckpt(nodes.select("node", F.lit(1.0 / n).alias("rank")))
@@ -113,8 +114,12 @@ def _pagerank(
         c = F.col("rank") * F.col("w")
         if decimal_mass:
             c = F.round(c * F.lit(1e15)).cast("long")
+        # r10: the rank state is |nodes| rows vs the edge table's |E| —
+        # broadcast it (measured n, operators/adaptive.py) so the round
+        # never re-shuffles/sorts the static edge table; identical sums
+        # (exact scaled integers), different join strategy only.
         contribs = (
-            weighted.join(ranks, weighted["src"] == ranks["node"])
+            weighted.join(state_hint(ranks, n), weighted["src"] == ranks["node"])
             .select("dst", c.alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("mass"))
@@ -133,7 +138,7 @@ def _pagerank(
         else:
             dangling = 0.0  # all mass flows along edges, exactly
         ranks = nodes.join(
-            contribs, nodes["node"] == contribs["dst"], "left"
+            state_hint(contribs, n), nodes["node"] == contribs["dst"], "left"
         ).select(
             "node",
             (
@@ -227,18 +232,17 @@ def _ppr(
         .select("node", F.coalesce(F.col("_s"), F.lit(0)).alias("is_seed"))
         .persist_tracked()
     )
-    nodes.count()
+    n = nodes.count()
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     weighted = e.join(out_deg, "src").select(
         "src", "dst", (F.lit(1.0) / F.col("deg")).alias("w")
     ).persist_tracked()
     weighted.count()
-    has_dangling = (
-        nodes.count() > e.select("src").distinct().count()
-    )
+    has_dangling = n > e.select("src").distinct().count()
     base = (1.0 - damping) / n_seeds
     restart = F.col("is_seed").cast("double") * F.lit(base)
     from movie_rankings_spark.caching import rotating_checkpoint
+    from movie_rankings_spark.operators.adaptive import state_hint
 
     ckpt = rotating_checkpoint(edges.sparkSession)
     ranks = ckpt(nodes.select(
@@ -249,8 +253,10 @@ def _ppr(
         c = F.col("rank") * F.col("w")
         if decimal_mass:
             c = F.round(c * F.lit(1e15)).cast("long")
+        # r10: same adaptive state broadcast as _pagerank — node-sized
+        # state vs edge-sized static side, values unchanged.
         contribs = (
-            weighted.join(ranks, weighted["src"] == ranks["node"])
+            weighted.join(state_hint(ranks, n), weighted["src"] == ranks["node"])
             .select("dst", c.alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("mass"))
@@ -267,7 +273,7 @@ def _ppr(
         else:
             dangling = 0.0
         ranks = nodes.join(
-            contribs, nodes["node"] == contribs["dst"], "left"
+            state_hint(contribs, n), nodes["node"] == contribs["dst"], "left"
         ).select(
             "node",
             "is_seed",
@@ -323,25 +329,31 @@ def hits_bipartite(
     e = edges.select("src", "dst").distinct().persist_tracked()
     srcs = e.select("src").distinct()
     n_src = srcs.count()
-    # localCheckpoint per half-step (the personalized_pagerank
-    # convention): each normalized score table references its mass
-    # aggregate TWICE (values + the total), so without truncation the
-    # logical plan TRIPLES per iteration and the driver OOMs compiling
-    # it — checkpointing cuts the lineage to the materialized rows
+    n_dst = e.select("dst").distinct().count()
+    # localCheckpoint per MASS table (r10: was per half-step): each
+    # normalized score table references its mass aggregate TWICE
+    # (values + the total), so without truncation the logical plan
+    # TRIPLES per iteration and the driver OOMs compiling it —
+    # checkpointing the mass table cuts the lineage to the
+    # materialized rows, and the normalized table is then a cheap
+    # two-column projection of that checkpoint that needs no
+    # materialization job of its own (2 actions per iteration instead
+    # of 4, same values).
     from movie_rankings_spark.caching import rotating_checkpoint
+    from movie_rankings_spark.operators.adaptive import state_hint
 
     ck_am = rotating_checkpoint(edges.sparkSession)
-    ck_a = rotating_checkpoint(edges.sparkSession)
     ck_hm = rotating_checkpoint(edges.sparkSession)
-    ck_h = rotating_checkpoint(edges.sparkSession)
-    h = ck_h(srcs.select(
+    h = srcs.select(
         "src", F.lit(1.0 / float(n_src)).alias("h")
-    ))
+    ).localCheckpoint(eager=True)
     sc = F.lit(1e15)
     a = None
     for _ in range(n_iter):
+        # r10: score state is node-sized vs the static edge table —
+        # adaptive broadcast (operators/adaptive.py), values unchanged.
         am = (
-            e.join(h, "src")
+            e.join(state_hint(h, n_src), "src")
             .groupBy("dst")
             .agg(
                 F.sum(F.round(F.col("h") * sc).cast("long"))
@@ -357,9 +369,8 @@ def hits_bipartite(
                 F.col("mass").cast("double") / F.col("tot").cast("double")
             ).alias("a"),
         )
-        a = ck_a(a)
         hm = (
-            e.join(a, "dst")
+            e.join(state_hint(a, n_dst), "dst")
             .groupBy("src")
             .agg(
                 F.sum(F.round(F.col("a") * sc).cast("long"))
@@ -375,7 +386,6 @@ def hits_bipartite(
                 F.col("mass").cast("double") / F.col("tot").cast("double")
             ).alias("h"),
         )
-        h = ck_h(h)
     auth = a.select(
         F.lit("authority").alias("role"),
         F.col("dst").alias("node"),

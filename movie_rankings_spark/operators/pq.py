@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from movie_rankings_spark.functions.vectors import (
+    NARROW,
     dot_exact,
     dot_exact_dec,
     norm_sq_exact,
@@ -211,8 +212,8 @@ def pq_topk(
             "query_id",
             "vec_id",
             (
-                dot_exact(F.col("q_emb"), F.col("embedding"))
-                / (F.col("q_nrm") * F.sqrt(norm_sq_exact(F.col("embedding"))))
+                dot_exact(F.col("q_emb"), F.col("embedding"), NARROW)
+                / (F.col("q_nrm") * F.sqrt(norm_sq_exact(F.col("embedding"), NARROW)))
             ).alias("cosine"),
         )
     )
@@ -291,7 +292,7 @@ def pq_topk_exact(
             "j",
             "code",
             "c_sub",
-            norm_sq_exact_dec(F.col("c_sub")).alias("c_nsq"),
+            norm_sq_exact_dec(F.col("c_sub"), NARROW).alias("c_nsq"),
         )
     )
     corpus_sub = embeddings.select(
@@ -300,7 +301,7 @@ def pq_topk_exact(
             "j", "v_sub"
         ),
     )
-    d = dot_exact_dec(F.col("v_sub"), F.col("c_sub"))
+    d = dot_exact_dec(F.col("v_sub"), F.col("c_sub"), NARROW)
     # argmax hash aggregate, not a window: the partial aggregate
     # combines (corpus × m) × n_codes candidate rows to corpus × m
     # rows map-side before the shuffle — an n_codes× shuffle-byte
@@ -335,7 +336,7 @@ def pq_topk_exact(
         "query_id",
         "j",
         "code",
-        dot_exact_dec(F.col("q_sub"), F.col("c_sub")).alias("pdot"),
+        dot_exact_dec(F.col("q_sub"), F.col("c_sub"), NARROW).alias("pdot"),
     )
     wb = Window.partitionBy("query_id").orderBy(
         F.col("approx").desc(), F.col("vec_id").asc()
@@ -355,7 +356,7 @@ def pq_topk_exact(
         embeddings.select(
             "vec_id",
             "embedding",
-            F.sqrt(norm_sq_exact(F.col("embedding"))).alias("nrm"),
+            F.sqrt(norm_sq_exact(F.col("embedding"), NARROW)).alias("nrm"),
         )
         .join(F.broadcast(candidates), "vec_id")
         .join(F.broadcast(q), "query_id")
@@ -363,7 +364,7 @@ def pq_topk_exact(
             "query_id",
             "vec_id",
             (
-                dot_exact(F.col("q_emb"), F.col("embedding"))
+                dot_exact(F.col("q_emb"), F.col("embedding"), NARROW)
                 / (F.col("q_nrm") * F.col("nrm"))
             ).alias("cosine"),
         )

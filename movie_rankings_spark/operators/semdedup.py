@@ -32,7 +32,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from movie_rankings_spark.functions.vectors import dot_exact, norm_sq_exact
+from movie_rankings_spark.functions.vectors import (
+    NARROW,
+    dot_exact,
+    norm_sq_exact,
+)
 from movie_rankings_spark.operators.similarity import (
     ivf_assignments,
     kmeans_centroids,
@@ -96,7 +100,7 @@ def semantic_dedup_pairs(
     side = embeddings.select(
         "vec_id",
         "embedding",
-        F.sqrt(norm_sq_exact(F.col("embedding"))).alias("nrm"),
+        F.sqrt(norm_sq_exact(F.col("embedding"), NARROW)).alias("nrm"),
     )
     a = side.select(
         F.col("vec_id").alias("vec_a"),
@@ -108,7 +112,7 @@ def semantic_dedup_pairs(
         F.col("embedding").alias("emb_b"),
         F.col("nrm").alias("nrm_b"),
     )
-    cosine = dot_exact(F.col("emb_a"), F.col("emb_b")) / (
+    cosine = dot_exact(F.col("emb_a"), F.col("emb_b"), NARROW) / (
         F.col("nrm_a") * F.col("nrm_b")
     )
     half = a.join(F.broadcast(cand), "vec_a")  # output ≈ |candidates|
@@ -161,7 +165,7 @@ def semantic_dedup_pairs_exact(
         F.col("embedding").alias("emb_b"),
         F.col("nrm").alias("nrm_b"),
     )
-    cosine = dot_exact(F.col("emb_a"), F.col("emb_b")) / (
+    cosine = dot_exact(F.col("emb_a"), F.col("emb_b"), NARROW) / (
         F.col("nrm_a") * F.col("nrm_b")
     )
     return (

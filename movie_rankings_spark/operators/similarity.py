@@ -26,7 +26,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from movie_rankings_spark.functions.vectors import dot_exact, norm_sq_exact
+from movie_rankings_spark.functions.vectors import (
+    NARROW,
+    dot_exact,
+    norm_sq_exact,
+)
 
 TOPK_SCHEMA = "query_id long, vec_id long, cosine double"
 
@@ -35,7 +39,7 @@ def _query_side(embeddings: DataFrame, query_ids: Sequence[int]) -> DataFrame:
     return embeddings.filter(F.col("vec_id").isin(list(query_ids))).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
-        F.sqrt(norm_sq_exact(F.col("embedding"))).alias("q_nrm"),
+        F.sqrt(norm_sq_exact(F.col("embedding"), NARROW)).alias("q_nrm"),
     )
 
 
@@ -52,7 +56,7 @@ def cosine_topk_exact(
     corpus = embeddings.select(
         "vec_id",
         "embedding",
-        F.sqrt(norm_sq_exact(F.col("embedding"))).alias("nrm"),
+        F.sqrt(norm_sq_exact(F.col("embedding"), NARROW)).alias("nrm"),
     )
     scored = (
         corpus.crossJoin(F.broadcast(q))
@@ -61,7 +65,7 @@ def cosine_topk_exact(
             "query_id",
             "vec_id",
             (
-                dot_exact(F.col("q_emb"), F.col("embedding"))
+                dot_exact(F.col("q_emb"), F.col("embedding"), NARROW)
                 / (F.col("q_nrm") * F.col("nrm"))
             ).alias("cosine"),
         )
@@ -156,8 +160,8 @@ def cosine_topk_numpy(
         "query_id",
         "vec_id",
         (
-            dot_exact(F.col("q_emb"), F.col("embedding"))
-            / (F.col("q_nrm") * F.sqrt(norm_sq_exact(F.col("embedding"))))
+            dot_exact(F.col("q_emb"), F.col("embedding"), NARROW)
+            / (F.col("q_nrm") * F.sqrt(norm_sq_exact(F.col("embedding"), NARROW)))
         ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -447,7 +451,9 @@ def _mmr_exact(pooled: DataFrame, k: int, lam: float) -> DataFrame:
             "a_vec",
             "a_cos",
             "b_vec",
-            cosine_exact(F.col("a_emb"), F.col("b_emb")).alias("sim"),
+            cosine_exact(F.col("a_emb"), F.col("b_emb"), NARROW).alias(
+                "sim"
+            ),
         )
     )
     one_minus = 1.0 - lam
@@ -589,7 +595,7 @@ def knn_label_propagation(
     q = embeddings.filter(query_pred).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
-        F.sqrt(norm_sq_exact(F.col("embedding"))).alias("q_nrm"),
+        F.sqrt(norm_sq_exact(F.col("embedding"), NARROW)).alias("q_nrm"),
         F.col("label").alias("true_label"),
     )
     scored = candidates.join(q, "query_id").select(
@@ -598,8 +604,8 @@ def knn_label_propagation(
         "vec_id",
         "label",
         (
-            dot_exact(F.col("q_emb"), F.col("embedding"))
-            / (F.col("q_nrm") * F.sqrt(norm_sq_exact(F.col("embedding"))))
+            dot_exact(F.col("q_emb"), F.col("embedding"), NARROW)
+            / (F.col("q_nrm") * F.sqrt(norm_sq_exact(F.col("embedding"), NARROW)))
         ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -950,7 +956,7 @@ def assign_exact(embeddings: DataFrame, cents: DataFrame) -> DataFrame:
     corpus = embeddings.select(
         "vec_id",
         "embedding",
-        F.sqrt(norm_sq_exact(F.col("embedding"))).alias("nrm"),
+        F.sqrt(norm_sq_exact(F.col("embedding"), NARROW)).alias("nrm"),
     )
     sim_to_cent = (
         dot_exact(F.col("embedding"), F.col("c_emb"))
@@ -1026,7 +1032,7 @@ def _ivf_probe_score_exact(
             "query_id",
             "vec_id",
             (
-                dot_exact(F.col("q_emb"), F.col("embedding"))
+                dot_exact(F.col("q_emb"), F.col("embedding"), NARROW)
                 / (F.col("q_nrm") * F.col("nrm"))
             ).alias("cosine"),
         )
@@ -1083,7 +1089,7 @@ def kmeans_centroids_exact(
     corpus = embeddings.select(
         "vec_id",
         "embedding",
-        F.sqrt(norm_sq_exact(F.col("embedding"))).alias("nrm"),
+        F.sqrt(norm_sq_exact(F.col("embedding"), NARROW)).alias("nrm"),
     )
     for _ in range(n_iters):
         withn = cents.select(

@@ -52,16 +52,25 @@ def bfs_distances(
     dist = seeds.select(
         F.col(seed_col).alias("node"), F.lit(0).cast("int").alias("dist")
     ).localCheckpoint()
+    from movie_rankings_spark.operators.adaptive import state_hint
+
     frontier = dist
     for r in range(1, n_rounds + 1):
-        if frontier.limit(1).count() == 0:
+        # r10: the emptiness probe becomes an exact count — same
+        # one action per round, and the measured size now drives the
+        # adaptive broadcast of the (node-sized, usually much smaller)
+        # frontier into the edge join (operators/adaptive.py).
+        n_frontier = frontier.count()
+        if n_frontier == 0:
             break  # converged: nothing was discovered last round
         # BFS invariant: a node's final distance IS the round it first
         # appears, so the frontier is simply `dist == r` on the new
         # state — the delta optimization WITHOUT a cand-vs-dist
         # self-join (which Spark's checkpoint attribute mapping
         # handles poorly on shared lineage)
-        cand = frontier.join(e, frontier["node"] == e["src"]).select(
+        cand = state_hint(frontier, n_frontier).join(
+            e, frontier["node"] == e["src"]
+        ).select(
             F.col("dst").alias("node"),
             (F.col("dist") + 1).alias("dist"),
         )
@@ -164,11 +173,18 @@ def harmonic_centrality(
         F.col(seed_col).alias("node"),
         F.lit(0).cast("int").alias("dist"),
     ).localCheckpoint()
+    from movie_rankings_spark.operators.adaptive import state_hint
+
     frontier = dist
     for r in range(1, n_rounds + 1):
-        if frontier.limit(1).count() == 0:
+        # r10: exact count probe + adaptive frontier broadcast, as in
+        # bfs_distances — identical values, no edge shuffle per round
+        n_frontier = frontier.count()
+        if n_frontier == 0:
             break
-        cand = frontier.join(e, frontier["node"] == e["src"]).select(
+        cand = state_hint(frontier, n_frontier).join(
+            e, frontier["node"] == e["src"]
+        ).select(
             "seed",
             F.col("dst").alias("node"),
             (F.col("dist") + 1).alias("dist"),

@@ -39,6 +39,15 @@ def triangle_stats(und: DataFrame) -> DataFrame:
     of length 2 = Σ d(d−1)/2), triangles, and the global clustering
     coefficient 3·T/W. ``und`` must be canonical (u < v, distinct).
     """
+    from movie_rankings_spark.operators.adaptive import state_hint
+
+    # r10: und feeds the degree union (2 scans), the orientation join
+    # and the edge count — persist it so the upstream (basket explode +
+    # distinct) runs once, and the measured edge count drives the
+    # adaptive broadcasts below (node-sized degree table, edge-sized
+    # closure probe side). Values unchanged throughout.
+    und = und.persist_tracked()
+    n_edges = und.count()
     deg = (
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))
@@ -46,8 +55,24 @@ def triangle_stats(und: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("d"))
     )
     e = (
-        und.join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
-        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
+        und.join(
+            state_hint(
+                deg.withColumnRenamed("node", "u").withColumnRenamed(
+                    "d", "du"
+                ),
+                2 * n_edges,
+            ),
+            "u",
+        )
+        .join(
+            state_hint(
+                deg.withColumnRenamed("node", "v").withColumnRenamed(
+                    "d", "dv"
+                ),
+                2 * n_edges,
+            ),
+            "v",
+        )
     )
     # orient from lower (degree, id) to higher — rank(u) < rank(v)
     u_first = (F.col("du") < F.col("dv")) | (
@@ -72,8 +97,10 @@ def triangle_stats(und: DataFrame) -> DataFrame:
             )
         ),
     ).select(F.col("x.dst").alias("wa"), F.col("y.dst").alias("wb"))
+    # r10: the closure probe side is edge-sized while the wedge table
+    # is O(m^1.5) — broadcast the small side when it fits
     closed = wedge.join(
-        o.select("src", "dst"),
+        state_hint(o.select("src", "dst"), n_edges),
         (F.col("wa") == F.col("src")) & (F.col("wb") == F.col("dst")),
     )
     tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
@@ -131,9 +158,12 @@ def local_clustering(und: DataFrame) -> DataFrame:
     exact integers. Output: one row per node with degree ≥ 2 — node,
     degree, n_triangles, lcc — ordered by node.
     """
+    from movie_rankings_spark.operators.adaptive import state_hint
+
     # the degree union reads und twice and the orientation join once:
     # persist so an expensive upstream (e.g. basket explode) runs once
     und = und.persist_tracked()
+    n_edges = und.count()  # r10: drives the adaptive broadcasts below
     deg = (
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))
@@ -142,9 +172,17 @@ def local_clustering(und: DataFrame) -> DataFrame:
         .persist_tracked()  # orientation joins + the output read this
     )
     e = und.join(
-        deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u"
+        state_hint(
+            deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"),
+            2 * n_edges,
+        ),
+        "u",
     ).join(
-        deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v"
+        state_hint(
+            deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"),
+            2 * n_edges,
+        ),
+        "v",
     )
     u_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
@@ -171,7 +209,7 @@ def local_clustering(und: DataFrame) -> DataFrame:
         F.col("y.dst").alias("wb"),
     )
     closed = wedge.join(
-        o.select("src", "dst"),
+        state_hint(o.select("src", "dst"), n_edges),
         (F.col("wa") == F.col("src")) & (F.col("wb") == F.col("dst")),
     )
     per_node = (

@@ -3606,11 +3606,14 @@ def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal square sums (functions/vectors.py), each norm rounded to
     DECIMAL(18,9) before the mean so the per-label aggregate is
     order-independent — one scan, one bounded aggregate."""
-    from movie_rankings_spark.functions.vectors import norm_sq_exact
+    from movie_rankings_spark.functions.vectors import (
+        NARROW,
+        norm_sq_exact,
+    )
 
     e = _emb(spark, sf_dir)
     nrm = (
-        F.sqrt(norm_sq_exact(F.col("embedding")))
+        F.sqrt(norm_sq_exact(F.col("embedding"), NARROW))
         .cast("decimal(18,9)")
         .alias("nrm")
     )
