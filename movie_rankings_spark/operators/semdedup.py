@@ -148,11 +148,19 @@ def semantic_dedup_pairs_exact(
     IVF/PQ tiers."""
     from movie_rankings_spark.operators.similarity import (
         assign_exact,
+        centroid_dot_dec,
         kmeans_centroids_exact,
     )
 
-    cents = kmeans_centroids_exact(embeddings, n_clusters, n_iters)
-    assigned = assign_exact(embeddings, cents)
+    # r10: one measured envelope check tiers every vs-centroid dot
+    # (trainer + assignment) — see similarity.centroid_dot_dec
+    dot_dec = centroid_dot_dec(embeddings)
+    cents = kmeans_centroids_exact(embeddings, n_clusters, n_iters, dot_dec)
+    # assigned feeds BOTH sides of the pair join: without a persist the
+    # whole corpus×centroid assignment (the second-most expensive stage)
+    # replays once per side — committed plan showed two full copies, no
+    # ReusedExchange (r10; values unchanged, one compute two reads)
+    assigned = assign_exact(embeddings, cents, dot_dec).persist_tracked()
     a = assigned.select(
         F.col("bucket"),
         F.col("vec_id").alias("vec_a"),

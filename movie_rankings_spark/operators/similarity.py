@@ -27,12 +27,52 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from movie_rankings_spark.functions.vectors import (
+    _DEC,
     NARROW,
     dot_exact,
     norm_sq_exact,
 )
 
 TOPK_SCHEMA = "query_id long, vec_id long, cosine double"
+
+
+def centroid_dot_dec(embeddings: DataFrame) -> str:
+    """Decimal tier for corpus/query × CENTROID dot products, picked
+    from a measured analytic envelope (r10, the state_hint pattern
+    applied to arithmetic width).
+
+    A spherical-k-means centroid is a SUM of at most n raw corpus
+    vectors (empty clusters keep a previous centroid, itself either a
+    raw seed vector or an earlier sum), so every centroid element is
+    bounded by n·Bx where Bx = max|element| over the corpus. Every
+    per-element product in a corpus-(or query-)vs-centroid dot is then
+    ≤ Bx·(n·Bx) and every partial fold sum ≤ d·Bx·(n·Bx) — when that
+    analytic bound sits below the NARROW validity envelope (<10⁶,
+    functions/vectors.py) the Long-backed DECIMAL(18,12) tier is
+    value-identical to DECIMAL(28,12) (same HALF_UP rounding; pinned
+    by tests/test_vectors_narrow.py) and ~10x faster on the
+    interpreted HOF folds. One cheap aggregate measures (n, Bx, d);
+    the tier choice is data-determined — identical on every run over
+    the same corpus — and at 100 TB the bound fails and the wide tier
+    is kept, exactly like the adaptive state broadcasts. Centroid
+    NORMS are not covered (their envelope is d·(n·Bx)², far tighter)
+    and stay wide — they are O(n_centroids) rows, never a cost."""
+    row = embeddings.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(
+            F.array_max(
+                F.transform("embedding", lambda x: F.abs(x.cast("double")))
+            )
+        ).alias("bx"),
+        F.max(F.size("embedding")).alias("d"),
+    ).collect()[0]
+    n, bx, d = row["n"], row["bx"], row["d"]
+    if n == 0 or bx is None or d is None:
+        return _DEC
+    # strict headroom under the 10^6 envelope: rounded products add
+    # <= 5e-13 each, so d*(Bx*n*Bx + 5e-13) < 1e6 is implied by the
+    # 999_000 cutoff for any d <= 10^6
+    return NARROW if d * bx * (n * bx) < 999_000.0 else _DEC
 
 
 def _query_side(embeddings: DataFrame, query_ids: Sequence[int]) -> DataFrame:
@@ -937,10 +977,16 @@ def ivf_topk_exact(
         .limit(n_centroids)
         .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb"))
     )
-    return _ivf_probe_score_exact(embeddings, cents, query_ids, k, nprobe)
+    # head centroids ARE raw corpus vectors: the static raw×raw
+    # envelope of the Change-1 audit applies — NARROW throughout
+    return _ivf_probe_score_exact(
+        embeddings, cents, query_ids, k, nprobe, dot_dec=NARROW
+    )
 
 
-def assign_exact(embeddings: DataFrame, cents: DataFrame) -> DataFrame:
+def assign_exact(
+    embeddings: DataFrame, cents: DataFrame, dot_dec: str = _DEC
+) -> DataFrame:
     """Bucket every corpus vector under its exact-cosine-nearest
     centroid (ties: lower cid): (vec_id, embedding, nrm, bucket).
 
@@ -949,7 +995,13 @@ def assign_exact(embeddings: DataFrame, cents: DataFrame) -> DataFrame:
     combines the corpus × k candidate rows down to corpus rows
     map-side BEFORE the shuffle — a k× shuffle-byte reduction — and
     needs no per-key sort (r9). Shared by the exact IVF probe/score
-    half and the exact SemDeDup bucketing."""
+    half and the exact SemDeDup bucketing.
+
+    ``dot_dec`` is the decimal tier for the corpus×centroid dots —
+    pass :func:`centroid_dot_dec`'s measured pick (r10), or NARROW
+    directly when the centroids are raw corpus vectors (the static
+    Change-1 envelope). Values are identical at either tier inside
+    the envelope; the default stays wide."""
     cents = cents.select(
         "cid", "c_emb", F.sqrt(norm_sq_exact(F.col("c_emb"))).alias("c_nrm")
     )
@@ -959,7 +1011,7 @@ def assign_exact(embeddings: DataFrame, cents: DataFrame) -> DataFrame:
         F.sqrt(norm_sq_exact(F.col("embedding"), NARROW)).alias("nrm"),
     )
     sim_to_cent = (
-        dot_exact(F.col("embedding"), F.col("c_emb"))
+        dot_exact(F.col("embedding"), F.col("c_emb"), dot_dec)
         / (F.col("nrm") * F.col("c_nrm"))
     ).alias("csim")
     return (
@@ -992,6 +1044,7 @@ def _ivf_probe_score_exact(
     query_ids: Sequence[int],
     k: int,
     nprobe: int,
+    dot_dec: str = _DEC,
 ) -> DataFrame:
     """Shared exact-decimal IVF probe+score half (r9, extracted from
     ivf_topk_exact so the trained-centroid tier reuses it verbatim):
@@ -1000,8 +1053,10 @@ def _ivf_probe_score_exact(
     argmax hash aggregate, k× less shuffle than the window form),
     probe each query's ``nprobe`` nearest buckets, score candidates
     only inside probed buckets, return the per-query top-k (ties:
-    lower cid / vec_id)."""
-    assigned = assign_exact(embeddings, cents)
+    lower cid / vec_id). ``dot_dec`` tiers the vs-centroid dots
+    (see :func:`assign_exact`); in-bucket pair scoring is raw×raw
+    and stays NARROW."""
+    assigned = assign_exact(embeddings, cents, dot_dec)
     cents = cents.select(
         "cid", "c_emb", F.sqrt(norm_sq_exact(F.col("c_emb"))).alias("c_nrm")
     )
@@ -1017,7 +1072,7 @@ def _ivf_probe_score_exact(
             "q_nrm",
             "cid",
             (
-                dot_exact(F.col("q_emb"), F.col("c_emb"))
+                dot_exact(F.col("q_emb"), F.col("c_emb"), dot_dec)
                 / (F.col("q_nrm") * F.col("c_nrm"))
             ).alias("csim"),
         )
@@ -1052,6 +1107,7 @@ def kmeans_centroids_exact(
     embeddings: DataFrame,
     n_centroids: int = 16,
     n_iters: int = 2,
+    dot_dec: str = _DEC,
 ) -> DataFrame:
     """Engine-portable spherical k-means (r9): every step has an exact
     decimal (or IEEE-deterministic) form, so the trained centroids —
@@ -1086,11 +1142,14 @@ def kmeans_centroids_exact(
         .limit(n_centroids)
         .drop("_h")
     )
+    # the corpus-with-norms projection is re-read every round (and the
+    # norm fold re-run) unless persisted — one compute, n_iters reads
+    # (r10; values unchanged, the norm is deterministic per row)
     corpus = embeddings.select(
         "vec_id",
         "embedding",
         F.sqrt(norm_sq_exact(F.col("embedding"), NARROW)).alias("nrm"),
-    )
+    ).persist_tracked()
     for _ in range(n_iters):
         withn = cents.select(
             "cid", "c_emb", F.sqrt(norm_sq_exact(F.col("c_emb"))).alias("c_nrm")
@@ -1104,7 +1163,7 @@ def kmeans_centroids_exact(
                 "embedding",
                 "cid",
                 (
-                    dot_exact(F.col("embedding"), F.col("c_emb"))
+                    dot_exact(F.col("embedding"), F.col("c_emb"), dot_dec)
                     / (F.col("nrm") * F.col("c_nrm"))
                 ).alias("csim"),
             )
@@ -1176,5 +1235,11 @@ def ivf_kmeans_topk_exact(
     bit-identically in the DuckDB twin, so the trained buckets AND the
     final ANN ranking (recall<1 vs brute force by design) value-hash
     match."""
-    cents = kmeans_centroids_exact(embeddings, n_centroids, n_iters)
-    return _ivf_probe_score_exact(embeddings, cents, query_ids, k, nprobe)
+    # one measured envelope check tiers EVERY vs-centroid dot in the
+    # trainer, the assignment and the probes (r10): NARROW while
+    # d·Bx·(n·Bx) stays under the Long-backed envelope, wide at scale
+    dot_dec = centroid_dot_dec(embeddings)
+    cents = kmeans_centroids_exact(embeddings, n_centroids, n_iters, dot_dec)
+    return _ivf_probe_score_exact(
+        embeddings, cents, query_ids, k, nprobe, dot_dec
+    )

@@ -567,8 +567,15 @@ def bloom_semijoin_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "0",
         )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        li = _t(spark, sf_dir, "lineitem")
-        orders = _t(spark, sf_dir, "orders").filter(
+        # plan-contract query: InjectRuntimeFilter only fires when the
+        # application side is a bare scan, so read the tables directly
+        # — the r10 small-scan fan-out exchange (catalog.py) would sit
+        # between scan and join and suppress the injection this query
+        # exists to certify. Values are unaffected either way.
+        from movie_rankings_spark.catalog import table_path
+
+        li = spark.read.parquet(table_path(sf_dir, "lineitem"))
+        orders = spark.read.parquet(table_path(sf_dir, "orders")).filter(
             F.col("o_orderpriority") == "1-URGENT"
         )
         joined = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).agg(
