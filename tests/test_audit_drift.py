@@ -29,9 +29,6 @@ python tools/scan_audit.py`), regenerate the baseline:
 from __future__ import annotations
 
 import importlib.util
-import re
-from collections import Counter
-
 import pytest
 
 from movie_rankings_spark.plans import all_queries
@@ -93,7 +90,7 @@ def test_new_queries_pass_plan_and_scan_audit(spark, tools):
         plan = df._jdf.queryExecution().executedPlan().toString()
         for flag in plan_audit.audit_plan(name, plan):
             problems.append(f"{name}: {flag}")
-        counts = Counter(re.findall(r"/(\w+)\.parquet", plan))
+        counts = scan_audit.count_base_scans(plan)
         dups = {t: c for t, c in counts.items() if c > 1}
         if dups and name not in scan_audit.KNOWN_LEGIT:
             problems.append(f"{name}: duplicate base scans {dups}")
@@ -102,3 +99,26 @@ def test_new_queries_pass_plan_and_scan_audit(spark, tools):
         f"audits (fix the plan or allowlist WITH a reason, then "
         f"regenerate tools/audit_baseline.txt): {problems}"
     )
+
+
+def test_strip_initial_plans_dedupes_finalized_aqe_sections(tools):
+    """A finalized AdaptiveSparkPlan (cached intermediate) prints its
+    FileScan in BOTH the Final and Initial sections; the audit counter
+    must see one scan (r10: embedding_pca_exact_project false red)."""
+    _, scan_audit = tools
+    plan = "\n".join(
+        [
+            "AdaptiveSparkPlan isFinalPlan=false",
+            "+- InMemoryTableScan",
+            "      +- AdaptiveSparkPlan isFinalPlan=true",
+            "         +- == Final Plan ==",
+            "            Result",
+            "            +- FileScan parquet /x/embeddings.parquet",
+            "         +- == Initial Plan ==",
+            "            Project",
+            "            +- FileScan parquet /x/embeddings.parquet",
+            "+- BroadcastExchange",
+            "   +- FileScan parquet /x/orders.parquet",
+        ]
+    )
+    assert scan_audit.count_base_scans(plan) == {"embeddings": 1, "orders": 1}

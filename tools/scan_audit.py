@@ -193,6 +193,41 @@ KNOWN_LEGIT = {
 }
 
 
+def strip_initial_plans(plan: str) -> str:
+    """Drop every ``== Initial Plan ==`` body from a physical-plan dump.
+
+    A finalized ``AdaptiveSparkPlan isFinalPlan=true`` subtree (e.g. a
+    persisted intermediate's cached plan) prints BOTH its final and its
+    initial plan; the initial section repeats the same FileScans, so a
+    raw mention count sees one real scan twice (r10: the fan-out
+    exchange made embedding_pca_exact_project's persisted frame
+    adaptive, flipping the audit red with zero plan change). The body
+    lines of the section are indented deeper than the marker line;
+    stripping stops at the first line strictly shallower than the
+    marker — the rest of the outer tree (the section's own body prints
+    at the marker's depth or deeper; the enclosing AdaptiveSparkPlan
+    node and its siblings are strictly shallower)."""
+    out: list[str] = []
+    skip_depth: int | None = None
+    for line in plan.splitlines():
+        stripped = line.lstrip(" :+-")
+        depth = len(line) - len(stripped)
+        if skip_depth is not None:
+            if depth >= skip_depth:
+                continue
+            skip_depth = None
+        if stripped.startswith("== Initial Plan =="):
+            skip_depth = depth
+            continue
+        out.append(line)
+    return "\n".join(out)
+
+
+def count_base_scans(plan: str) -> Counter:
+    """Mentions of each base table in the FINAL plan text only."""
+    return Counter(re.findall(r"/(\w+)\.parquet", strip_initial_plans(plan)))
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     names = sys.argv[2:] or [
@@ -216,7 +251,7 @@ def main() -> int:
             # query otherwise substitutes an InMemoryTableScan into a
             # LATER query's plan text and corrupts its scan counts
             release_persisted()
-        counts = Counter(re.findall(r"/(\w+)\.parquet", plan))
+        counts = count_base_scans(plan)
         dups = {t: n for t, n in counts.items() if n > 1}
         cached = plan.count("InMemoryTableScan")
         if dups and name not in KNOWN_LEGIT:
