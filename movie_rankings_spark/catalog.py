@@ -53,6 +53,13 @@ _FANOUT_KEY = {
 }
 
 
+#: memoized scan-partition probes: (path, size, target) -> n_parts.
+#: A plan-shape fact, not data — probing costs a full analyze/plan
+#: cycle (df.rdd), which the r10 blanket fan-out paid on EVERY
+#: load_table call of every query.
+_SCAN_PARTS_CACHE: dict[tuple[str, int, int], int] = {}
+
+
 def _fanout_small_scan(df: DataFrame, path: str, key: str | None) -> DataFrame:
     """Widen an UNSPLITTABLE small scan to the session's core count
     (r10; guide §2.5 "input skew: one huge unsplittable file …
@@ -62,43 +69,60 @@ def _fanout_small_scan(df: DataFrame, path: str, key: str | None) -> DataFrame:
     parquet scan can only split at row-group boundaries — so no
     maxPartitionBytes / minPartitionNum setting can widen it, and
     every scan-side projection, filter, explode, regex, hash and
-    partial aggregate of every query runs in ONE task while the other
-    31 cores idle (measured: the exact-decimal assignment fold went
-    4.3 s → 0.8 s with this fan-out; q1-style partial aggregates are
-    single-threaded without it).
+    partial aggregate runs in ONE task while the other 31 cores idle.
 
-    Gated on the MEASURED scan partitioning: the round-robin exchange
-    is added only when the scan yields fewer splits than the session
-    has cores, so on real deployments — many files / many row groups
-    — this is the identity and the plan is byte-for-byte what it was.
-    Values are partitioning-independent by this engine's exactness
-    conventions (decimal/integer aggregates, order-stated windows),
-    re-verified for every registered query against the DuckDB oracle
-    after the change. MRS_SCAN_FANOUT=0 disables (A/B knob)."""
-    if os.environ.get("MRS_SCAN_FANOUT", "1") == "0":
-        return df
+    r11: OPT-IN per call site (``load_table(..., fanout=True)``), not
+    blanket. The r10 blanket version taxed ~200 light queries with an
+    Exchange + a per-load plan probe (driver geomean 0.863 vs r9) and
+    suppressed runtime bloom-filter injection engine-wide (the
+    exchange sits between scan and join, breaking InjectRuntimeFilter's
+    application-side precondition). The r11 full-bench A/B
+    (MRS_SCAN_FANOUT=1 vs 0, /tmp/bench_AB_fanout{1,0}.json, see
+    OPTIMIZATION_r11.md) measured every registered query both ways;
+    only the ~33 queries whose scan-side work is CPU-heavy enough to
+    win ≥15% opted in.
+
+    Gated on the MEASURED scan partitioning: the exchange is added
+    only when the scan yields fewer splits than the session has cores,
+    so on real deployments — many files / many row groups — this is
+    the identity and the plan is byte-for-byte what it was. Values are
+    partitioning-independent by this engine's exactness conventions
+    (decimal/integer aggregates, order-stated windows), re-verified
+    for every registered query against the DuckDB oracle.
+    MRS_SCAN_FANOUT=0 disables every fan-out, =all restores the r10
+    blanket behaviour (both are A/B knobs)."""
     try:
-        if os.path.getsize(path) < _FANOUT_MIN_BYTES:
+        size = os.path.getsize(path)
+        if size < _FANOUT_MIN_BYTES:
             return df
     except OSError:
         return df
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    memo_key = (path, size, target)
+    n_parts = _SCAN_PARTS_CACHE.get(memo_key)
+    if n_parts is None:
+        n_parts = df.rdd.getNumPartitions()
+        _SCAN_PARTS_CACHE[memo_key] = n_parts
+    if n_parts >= target:
         return df
     if key is not None:
         return df.repartition(target, df[key])
     return df.repartition(target)
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, fanout: bool = False
+) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
-        return _load_events(spark, sf_dir)
-    path = table_path(sf_dir, name)
-    return _fanout_small_scan(
-        spark.read.parquet(path), path, _FANOUT_KEY.get(name)
-    )
+        df = _load_events(spark, sf_dir)
+    else:
+        df = spark.read.parquet(table_path(sf_dir, name))
+    mode = os.environ.get("MRS_SCAN_FANOUT", "1")
+    if mode == "0" or not (fanout or mode == "all"):
+        return df
+    return _fanout_small_scan(df, table_path(sf_dir, name), _FANOUT_KEY.get(name))
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -116,17 +140,23 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = spark.read.parquet(path)
     ts_type = raw.schema["ts"].dataType
     if isinstance(ts_type, T.LongType):
-        out = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    else:
-        out = raw.withColumn("ts", F.col("ts").cast("timestamp"))
-    return _fanout_small_scan(out, path, _FANOUT_KEY.get("events"))
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every table as a temp view for the SQL surface."""
+def register_views(
+    spark: SparkSession,
+    sf_dir: str,
+    fanout_tables: frozenset[str] = frozenset(),
+) -> None:
+    """Register every table as a temp view for the SQL surface.
+    ``fanout_tables`` opt specific views into the small-scan fan-out
+    (same per-call-site contract as ``load_table``)."""
     for name in TABLES:
-        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+        load_table(
+            spark, sf_dir, name, fanout=name in fanout_tables
+        ).createOrReplaceTempView(name)

@@ -25,8 +25,10 @@ from movie_rankings_spark.operators.timeseries import time_decayed_score
 from movie_rankings_spark.plans.registry import REGISTRY
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_table(spark, sf_dir, name)
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, fanout: bool = False
+) -> DataFrame:
+    return load_table(spark, sf_dir, name, fanout=fanout)
 
 
 # --- per-nation monthly revenue trend (grouped OLS) -------------------------
@@ -496,7 +498,7 @@ def winsorized_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     leverage. Two passes (exact percentile bounds broadcast back,
     then clip+mean with exact decimal sums), the documented
     robust-statistics shape."""
-    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    li = _t(spark, sf_dir, "lineitem", fanout=True).select("l_returnflag", "l_extendedprice")
     b = li.groupBy("l_returnflag").agg(
         F.percentile("l_extendedprice", F.lit(0.05)).alias("lo"),
         F.percentile("l_extendedprice", F.lit(0.95)).alias("hi"),
@@ -1453,7 +1455,7 @@ def spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from movie_rankings_spark.operators.disttests import spearman_rho
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", fanout=True)
     return spearman_rho(
         li,
         F.col("l_quantity"),
@@ -3009,7 +3011,7 @@ def jb_quantity_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/disttests.py::jarque_bera)."""
     from movie_rankings_spark.operators.disttests import jarque_bera
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", fanout=True)
     return jarque_bera(
         li.filter(F.col("l_quantity").isNotNull()),
         "l_returnflag",
@@ -3491,7 +3493,7 @@ def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     all six) (operators/statistics.py::corr_matrix)."""
     from movie_rankings_spark.operators.statistics import corr_matrix
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", fanout=True)
     return corr_matrix(
         li,
         {
@@ -3803,7 +3805,7 @@ def effect_size_price_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/disttests.py::effect_sizes)."""
     from movie_rankings_spark.operators.disttests import effect_sizes
 
-    o = _t(spark, sf_dir, "orders").filter(
+    o = _t(spark, sf_dir, "orders", fanout=True).filter(
         F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
     )
     return effect_sizes(
@@ -4064,7 +4066,7 @@ def dw_trend_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from movie_rankings_spark.operators.timeseries import durbin_watson_daily
 
     return durbin_watson_daily(
-        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "orders", fanout=True),
         "o_orderdate",
         F.round(F.col("o_totalprice") * F.lit(100)).cast("long"),
     )
@@ -4245,7 +4247,7 @@ def jt_priority_linecount(spark: SparkSession, sf_dir: str) -> DataFrame:
     from movie_rankings_spark.operators.disttests import jonckheere_terpstra
 
     lc = (
-        _t(spark, sf_dir, "lineitem")
+        _t(spark, sf_dir, "lineitem", fanout=True)
         .groupBy("l_orderkey")
         .agg(F.count(F.lit(1)).cast("long").alias("n_lines"))
     )

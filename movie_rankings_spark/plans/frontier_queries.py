@@ -53,8 +53,10 @@ from movie_rankings_spark.plans.llm_queries import _SHINGLES
 from movie_rankings_spark.plans.registry import REGISTRY
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_table(spark, sf_dir, name)
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, fanout: bool = False
+) -> DataFrame:
+    return load_table(spark, sf_dir, name, fanout=fanout)
 
 
 # --- deterministic mergeable HLL over events --------------------------------
@@ -119,7 +121,7 @@ def pps_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 uniforms — engine-exact, so the entire draw (not just its
     moments) value-hash matches the oracle."""
     return pps.pps_sample_report(
-        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "orders", fanout=True),
         key_col="o_orderkey",
         weight_col="o_totalprice",
         group_cols=["o_orderpriority"],
@@ -243,7 +245,7 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure integer peeling ⇒ the unrolled DuckDB twin hash-matches; the
     fixed point at the shipped SFs is pinned in tests/test_kcore.py
     (kcore.converged)."""
-    edges = copurchase_edges(_t(spark, sf_dir, "lineitem"))
+    edges = copurchase_edges(_t(spark, sf_dir, "lineitem", fanout=True))
     core = kcore(edges, k=_KCORE_K, n_rounds=_KCORE_ROUNDS)
     return core_size_histogram(core)
 

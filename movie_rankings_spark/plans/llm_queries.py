@@ -15,12 +15,12 @@ from movie_rankings_spark.operators import dedup, similarity, textops
 from movie_rankings_spark.plans.registry import REGISTRY
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+def _docs(spark: SparkSession, sf_dir: str, fanout: bool = False) -> DataFrame:
+    return load_table(spark, sf_dir, "documents", fanout=fanout)
 
 
-def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings")
+def _emb(spark: SparkSession, sf_dir: str, fanout: bool = False) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings", fanout=fanout)
 
 
 def _sql_list(words) -> str:
@@ -160,7 +160,7 @@ ORDER BY doc_a, doc_b
 
 @REGISTRY.register("dedup_ngram_jaccard", _NGRAM_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5).orderBy(
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir, fanout=True), n=3, threshold=0.5).orderBy(
         "doc_a", "doc_b"
     )
 
@@ -188,7 +188,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @REGISTRY.register("dedup_jaccard_prefix", _NGRAM_ORACLE)
 def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_prefix_pairs(
-        _docs(spark, sf_dir), n=3, threshold=0.5
+        _docs(spark, sf_dir, fanout=True), n=3, threshold=0.5
     ).orderBy("doc_a", "doc_b")
 
 
@@ -743,7 +743,7 @@ _QUERY_IDS = tuple(range(8))
 
 @REGISTRY.register("similarity_cosine_topk", _TOPK_ORACLE)
 def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.cosine_topk_exact(_emb(spark, sf_dir), _QUERY_IDS, k=5)
+    return similarity.cosine_topk_exact(_emb(spark, sf_dir, fanout=True), _QUERY_IDS, k=5)
 
 
 @REGISTRY.register("similarity_cosine_topk_numpy", _TOPK_ORACLE)
@@ -920,7 +920,7 @@ def similarity_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     trainer (kmeans_centroids) remains the 100 TB throughput path,
     recall-gated in tests/test_similarity.py."""
     return similarity.ivf_kmeans_topk_exact(
-        _emb(spark, sf_dir), _QUERY_IDS, k=5, n_centroids=16, nprobe=4,
+        _emb(spark, sf_dir, fanout=True), _QUERY_IDS, k=5, n_centroids=16, nprobe=4,
         n_iters=2,
     )
 
@@ -979,7 +979,7 @@ def similarity_ivf_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     GEMM tiers (similarity_ivf_topk / _kmeans / _pq), whose recall
     gates remain in tests."""
     return similarity.ivf_topk_exact(
-        _emb(spark, sf_dir), _QUERY_IDS, k=5, n_centroids=32, nprobe=4
+        _emb(spark, sf_dir, fanout=True), _QUERY_IDS, k=5, n_centroids=32, nprobe=4
     )
 
 
@@ -1082,7 +1082,7 @@ def similarity_pq_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from movie_rankings_spark.operators.pq import pq_topk_exact
 
     return pq_topk_exact(
-        _emb(spark, sf_dir),
+        _emb(spark, sf_dir, fanout=True),
         _QUERY_IDS,
         k=5,
         m_subspaces=8,
@@ -1127,7 +1127,7 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return semantic_dedup_pairs_exact(
-        _emb(spark, sf_dir), threshold=0.45, n_clusters=16, n_iters=2
+        _emb(spark, sf_dir, fanout=True), threshold=0.45, n_clusters=16, n_iters=2
     ).orderBy("vec_a", "vec_b")
 
 
@@ -1495,7 +1495,7 @@ ORDER BY doc_id
 
 @REGISTRY.register("quality_filtered_docs", _QFILTER_ORACLE)
 def quality_filtered_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textops.quality_filtered(_docs(spark, sf_dir), pct=0.75).orderBy("doc_id")
+    return textops.quality_filtered(_docs(spark, sf_dir, fanout=True), pct=0.75).orderBy("doc_id")
 
 
 _BIGRAM_ORACLE = f"""
@@ -2038,7 +2038,7 @@ def similarity_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from movie_rankings_spark.operators.tfidf import tfidf_topk
 
     return tfidf_topk(
-        _docs(spark, sf_dir), F.col("doc_id") % 100 == 0, "lang", k=5
+        _docs(spark, sf_dir, fanout=True), F.col("doc_id") % 100 == 0, "lang", k=5
     ).orderBy("q_doc", "rank")
 
 
@@ -2184,7 +2184,7 @@ def embedding_pca_exact_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     (embedding_pca_project) remains the throughput tier."""
     from movie_rankings_spark.operators.pca import pca_power_exact
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", fanout=True)
     return pca_power_exact(emb, k=2, iters=8, squarings=6).orderBy("vec_id")
 
 
@@ -2221,7 +2221,7 @@ def classifier_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic md5 weights make the score oracle-exact."""
     from movie_rankings_spark.operators.classifier import hashed_bow_scores
 
-    return hashed_bow_scores(_docs(spark, sf_dir)).orderBy("doc_id")
+    return hashed_bow_scores(_docs(spark, sf_dir, fanout=True)).orderBy("doc_id")
 
 
 def _bpe_train_oracle() -> str:
@@ -2498,7 +2498,7 @@ def similarity_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the diversity-beats-redundancy property live in
     tests/test_mmr.py."""
     return similarity.mmr_topk(
-        _emb(spark, sf_dir), _QUERY_IDS, k=5, pool=20, lam=0.7,
+        _emb(spark, sf_dir, fanout=True), _QUERY_IDS, k=5, pool=20, lam=0.7,
         exact_pairs=True,
     )
 
@@ -2759,7 +2759,7 @@ def quality_filtered_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     so one language can't crowd out the mix; |groups|-row threshold
     table broadcast back, fact never sorts."""
     return textops.quality_filtered_per_group(
-        _docs(spark, sf_dir), "lang", 0.75
+        _docs(spark, sf_dir, fanout=True), "lang", 0.75
     ).orderBy("doc_id")
 
 
@@ -2823,7 +2823,7 @@ def retrieval_eval_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the same retrieval_eval operator in
     tests/test_similarity.py::test_retrieval_eval_ivf_recall_floor,
     which also asserts its aggregate recall floor."""
-    emb = _emb(spark, sf_dir)
+    emb = _emb(spark, sf_dir, fanout=True)
     truth = similarity.cosine_topk_exact(emb, _QUERY_IDS, k=5)
     sliced = emb.select(
         "vec_id", F.slice("embedding", 1, 32).alias("embedding")
@@ -2879,7 +2879,7 @@ def classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer so every bin statistic is exact."""
     from movie_rankings_spark.operators.classifier import hashed_bow_scores
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, fanout=True)
     scored = hashed_bow_scores(docs).join(
         docs.select(
             "doc_id", (F.col("lang") == "en").cast("int").alias("_y")
@@ -3444,7 +3444,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     report is value-hash exact against DuckDB; the 100 TB form swaps
     the group key for xxhash64(gram) (fixed-width shuffle) with
     collision verify, as documented on the operator."""
-    return dedup.duplicated_substring_spans(_docs(spark, sf_dir), 20)
+    return dedup.duplicated_substring_spans(_docs(spark, sf_dir, fanout=True), 20)
 
 
 # --- DSIR importance resampling (r3s4) --------------------------------------
@@ -4285,7 +4285,7 @@ def embedding_jl_rademacher(spark: SparkSession, sf_dir: str) -> DataFrame:
         jl_rademacher_project,
     )
 
-    return jl_rademacher_project(_emb(spark, sf_dir), out_dim=16, seed=13)
+    return jl_rademacher_project(_emb(spark, sf_dir, fanout=True), out_dim=16, seed=13)
 
 
 # --- per-source KS sweep: which source's length profile deviates? ------------
@@ -5220,7 +5220,7 @@ def retrieval_ql_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
     from movie_rankings_spark.operators.search import ql_dirichlet_topk
 
     return ql_dirichlet_topk(
-        _docs(spark, sf_dir), ["scan", "table", "filter"], k=10, mu=200.0
+        _docs(spark, sf_dir, fanout=True), ["scan", "table", "filter"], k=10, mu=200.0
     )
 
 

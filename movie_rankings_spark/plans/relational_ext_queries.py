@@ -20,8 +20,10 @@ from movie_rankings_spark.plans.registry import REGISTRY
 from movie_rankings_spark.plans.relational_queries import _dsum, _revenue
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_table(spark, sf_dir, name)
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, fanout: bool = False
+) -> DataFrame:
+    return load_table(spark, sf_dir, name, fanout=fanout)
 
 
 # --- §2h arithmetic + filter-only aggregate (TPC-H Q6 shape) ---------------
@@ -252,7 +254,7 @@ def cube_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE = 4-way grouping-sets expansion inside one hash aggregate;
     partial aggregation still applies, so the shuffle carries
     (4 × group-cardinality × partitions) rows, not the fact."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", fanout=True)
     return (
         li.cube("l_returnflag", "l_linestatus")
         .agg(
@@ -689,7 +691,7 @@ def approx_percentiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact bounding quantiles are computed in the same aggregate — at
     audit scale that cost is the point; the production path is the
     sketch alone."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", fanout=True)
     acc = 10_000
     slack = 4.0 / acc
     ps = [0.25, 0.5, 0.75]
@@ -1562,7 +1564,7 @@ def robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     global scalar); the flag threshold is the standard 3·1.4826·MAD
     robust z equivalent. At 100 TB: three co-partitioned scans of
     lineitem, per-group state is one row each."""
-    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    li = _t(spark, sf_dir, "lineitem", fanout=True).select("l_returnflag", "l_extendedprice")
     med = li.groupBy("l_returnflag").agg(
         F.percentile("l_extendedprice", F.lit(0.5)).alias("med")
     )
@@ -2146,7 +2148,7 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from movie_rankings_spark.operators.funnel import funnel_stage_times
 
     times = funnel_stage_times(
-        _t(spark, sf_dir, "events"), ["view", "click", "purchase"]
+        _t(spark, sf_dir, "events", fanout=True), ["view", "click", "purchase"]
     )
 
     def _report(label, lo, hi):

@@ -25,8 +25,10 @@ from movie_rankings_spark.catalog import load_table
 from movie_rankings_spark.plans.registry import REGISTRY, REVENUE_SUM_SQL
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_table(spark, sf_dir, name)
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, fanout: bool = False
+) -> DataFrame:
+    return load_table(spark, sf_dir, name, fanout=fanout)
 
 
 def _dsum(col, scale: int = 2):
@@ -68,7 +70,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partials reduce the shuffle to (4 groups × partitions)
     rows; the shipdate filter and 7-column projection push into the
     parquet scan."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", fanout=True)
     cnt = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
@@ -560,7 +562,7 @@ def sql_api_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the point: both front-ends meet in the same optimizer."""
     from movie_rankings_spark.catalog import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, fanout_tables=frozenset({"lineitem"}))
     return spark.sql(_Q1_ORACLE)
 
 
